@@ -1,0 +1,2 @@
+from .job_gold import run_gold  # noqa: F401
+from .job_silver import run_silver  # noqa: F401

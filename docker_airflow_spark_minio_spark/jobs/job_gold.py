@@ -1,0 +1,59 @@
+"""Gold job: silver table -> aggregate summary table.
+
+Parity surface (reference spark/jobs/job_gold.py:71-102): the declared
+query
+
+    SELECT sys_file_date, brewery_type, country, count(*) AS qtd
+    FROM silver.dw.tab_brewery WHERE sys_file_date = :d
+    GROUP BY 1,2,3 ORDER BY 1,2,3
+
+then a partitioned overwrite write.  The reference executes its plan three
+times (show :92, write :98-102, count :105 -- SURVEY.md section 8.2); here
+the plan runs once for the write and the returned count reads the written
+partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..metrics import RunMetrics
+from ..storage import TableManager
+
+
+def gold_summary(silver_df: DataFrame, sys_file_date: str | None = None) -> DataFrame:
+    """The gold aggregation as a reusable transform.  Partial (map-side)
+    aggregation + final hash aggregate come free from Catalyst; the filter
+    on the partition column prunes partitions at the scan."""
+    df = silver_df
+    if sys_file_date is not None:
+        df = df.filter(F.col("sys_file_date") == F.lit(sys_file_date).cast("date"))
+    return (
+        df.groupBy("sys_file_date", "brewery_type", "country")
+        .agg(F.count(F.lit(1)).alias("qtd"))
+        .orderBy("sys_file_date", "brewery_type", "country")
+    )
+
+
+def run_gold(
+    spark: SparkSession,
+    warehouse: str,
+    sys_file_date: str,
+    silver_table: str = "dw.tab_brewery",
+    gold_table: str = "dw.tab_brewery_summary",
+    mode: str = "overwrite_partitions",
+    metrics: RunMetrics | None = None,
+) -> int:
+    """Run the gold aggregation for one day; returns rows written."""
+    metrics = metrics or RunMetrics()
+    manager = TableManager(spark, warehouse)
+
+    with metrics.timed("aggregate_write"):
+        silver = manager.read(silver_table)
+        out = gold_summary(silver, sys_file_date)
+        manager.write(out, gold_table, partition_by=["sys_file_date"], mode=mode)
+
+    n = manager.read_partition(gold_table, sys_file_date=sys_file_date).count()
+    metrics.count("rows_written", n)
+    return n

