@@ -1,0 +1,95 @@
+"""Temporal operators Spark lacks as built-ins: as-of join, sessionize.
+
+The reference has no joins at all (SURVEY.md section 2.8); these are part
+of the engine's extension surface.  Both are implemented as compositions
+of DataFrame ops -- one shuffle each, no Python in the hot path, no row
+explosion -- rather than Pandas UDFs, so whole-stage codegen applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    inclusive: bool = True,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach ``right_values``
+    from the right row with the greatest ``right_ts`` <= ``left_ts``
+    (strictly < when ``inclusive=False``) within the same ``keys``.
+
+    Implementation: tag-and-union both sides, then one window pass per
+    key ordered by (ts, side) carrying the last non-null right value
+    forward.  This is a single shuffle on ``keys`` -- it avoids the naive
+    range-join explosion entirely, and unlike a broadcast interval join it
+    scales to arbitrarily large right sides.
+
+    Requirement: the right side must be unique per (keys, right_ts);
+    pre-aggregate it otherwise (the value carried forward would be
+    whichever duplicate sorted last).
+    """
+    marker = 0 if inclusive else 2  # right rows sort before (0) / after (2) equal-ts left rows (1)
+    l_tagged = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left.columns).alias("__left"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(v) for v in right_values],
+    )
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(marker).alias("__is_left"),
+        F.lit(None).cast(l_tagged.schema["__left"].dataType).alias("__left"),
+        *[F.col(v) for v in right_values],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "__is_left",
+        "__left",
+        *[F.last(v, ignorenulls=True).over(w).alias(v) for v in right_values],
+    )
+    out = carried.filter(F.col("__is_left") == 1)
+    return out.select(
+        *[F.col("__left")[c].alias(c) for c in left.columns],
+        *[F.col(v) for v in right_values],
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: Column | str,
+    gap: Column,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when the
+    time since the previous event is >= ``gap`` (matching Spark's native
+    ``session_window`` half-open [start, last+gap) semantics).
+
+    ``ts``/``gap`` must be numeric (e.g. epoch nanos) so the arithmetic is
+    exact.  Adds a ``session_id`` column (1-based per key).  Two window
+    passes over one partitioning -- a single shuffle on ``key``.
+    """
+    ts_col = F.col(ts) if isinstance(ts, str) else ts
+    order = [ts_col] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    is_new = (
+        F.when(ts_col - F.lag(ts_col).over(w) >= gap, 1)
+        .otherwise(0)
+        + F.when(F.lag(ts_col).over(w).isNull(), 1).otherwise(0)
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_id", F.sum(is_new).over(wsum))

@@ -1,0 +1,86 @@
+"""Registry plumbing + cross-engine table loading.
+
+Cross-engine rules that every workload follows so that a DuckDB oracle can
+hash-match the Spark result:
+
+ * every computed column is explicitly aliased, identically in both
+ * double aggregates are ROUND()ed identically in both (float summation
+   order differs between engines at the last ulp)
+ * timestamps are TIMESTAMP_NTZ on the Spark side (DuckDB timestamps are
+   naive); the loader pins the session timezone to UTC
+ * rankings/top-k order by a rounded measure with a unique id tie-break,
+   so boundary ties resolve identically in both engines
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Workload:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+    category: str
+    description: str = ""
+
+
+REGISTRY: dict[str, Workload] = {}
+
+
+def register(name: str, oracle: str | None, category: str, description: str = ""):
+    """Decorator: add a workload to the registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = Workload(name, fn, oracle, category, description)
+        return fn
+
+    return deco
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the synthetic tables with engine-portable time semantics.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; it is read as nanos-since-epoch longs
+    (``nanosAsLong``) and converted to TIMESTAMP_NTZ.  The integer ``div``
+    keeps full precision (a double division would lose microseconds at
+    1e18 nanos).  A microsecond epoch column survives as ``ts_us`` for
+    exact duration arithmetic -- micros, not nanos, because DuckDB's
+    parquet reader truncates nanos to micros, so micros is the precision
+    both engines share (oracle equivalent: ``epoch_us(ts)``).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out: dict[str, DataFrame] = {}
+    for t in TABLES:
+        df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{t}.parquet")
+        if t == "events":
+            df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+                "ts", F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz")
+            )
+        out[t] = df
+    return out
+
+

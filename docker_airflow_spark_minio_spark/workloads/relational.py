@@ -1,0 +1,503 @@
+"""Relational query surface: scans, filters, joins, aggregations, windows,
+set operations, grouping sets, top-k.
+
+The reference's only relational query is a partition-pruned group-by count
+(reference job_gold.py:71-83); everything else in this module covers the
+categories the reference gets "for free" from Spark SQL (SURVEY.md
+section 2.8) so the engine exposes the full surface, exercised on the
+driver's TPC-H-ish star schema.
+
+Scale notes (100 TB posture), per query where relevant:
+ * dimension joins (region/nation/part/supplier/customer) are explicitly
+   ``broadcast()`` -- no shuffle of the fact table on dim joins
+ * aggregations run as partial (map-side) + final hash aggregate; the
+   grouping keys here are low-cardinality, so no skew mitigation needed
+ * filters/projections sit directly on the scan so parquet pushdown and
+   column pruning apply
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .base import load_tables, register
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
+           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+           COUNT(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    category="aggregation",
+    description="TPC-H Q1 pricing summary: filtered scan + hash aggregate",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "gold_event_summary",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS qtd
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    category="aggregation",
+    description="The reference's gold query shape (group-by count over a "
+    "date + low-cardinality column, reference job_gold.py:71-83) on events",
+)
+def gold_event_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.to_date("ts").alias("event_date"), "event_type")
+        .agg(F.count(F.lit(1)).alias("qtd"))
+        .orderBy("event_date", "event_type")
+    )
+
+
+@register(
+    "distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey)  AS distinct_parts,
+           COUNT(DISTINCT l_suppkey)  AS distinct_supps,
+           COUNT(*)                   AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    category="aggregation",
+    description="multi distinct aggregate (expand + two-phase agg in Spark)",
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "rollup_returns",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS qtd, ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    category="aggregation",
+    description="ROLLUP grouping sets (subtotals + grand total)",
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("qtd"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "cube_part_brand_size",
+    oracle="""
+    SELECT p_brand, p_size, COUNT(*) AS qtd, ROUND(AVG(p_retailprice), 4) AS avg_price
+    FROM part
+    GROUP BY CUBE (p_brand, p_size)
+    """,
+    category="aggregation",
+    description="CUBE over two dimensions",
+)
+def cube_part_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_tables(spark, sf_dir)["part"]
+    return part.cube("p_brand", "p_size").agg(
+        F.count(F.lit(1)).alias("qtd"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scans / filters (pushdown surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_pushdown_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_returnflag = 'R'
+    """,
+    category="scan",
+    description="projection + predicate that must reach the parquet scan "
+    "(PushedFilters / pruned ReadSchema)",
+)
+def filter_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R")).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           COUNT(*) AS qtd
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    category="scan",
+    description="semi-structured access: JSON field extraction + aggregate "
+    "(the reference parses JSON only at the source level, SURVEY.md S4/K1)",
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(F.avg(k), 4).alias("avg_k"), F.count(F.lit(1)).alias("qtd"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_broadcast_part",
+    oracle="""
+    SELECT p.p_brand,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand ORDER BY p.p_brand
+    """,
+    category="join",
+    description="fact-dim join; dim side broadcast so the fact table never shuffles",
+)
+def join_broadcast_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+    category="join",
+    description="TPC-H Q5 shape: multiway star join; Catalyst reorders, "
+    "small dims broadcast, fact-fact join shuffles on orderkey only",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    orders = t["orders"].filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    return (
+        orders.join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "semi_join_discounted_orders",
+    oracle="""
+    SELECT o.o_orderstatus, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08)
+    GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
+    category="join",
+    description="left-semi join (EXISTS): no row multiplication, build side pre-filtered",
+)
+def semi_join_discounted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    discounted = t["lineitem"].filter(F.col("l_discount") > 0.08)
+    return (
+        t["orders"]
+        .join(discounted, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "anti_join_inactive_customers",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+    category="join",
+    description="left-anti join (NOT EXISTS): customers with no orders",
+)
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "range_join_shipping_lag",
+    oracle="""
+    SELECT d.bucket, COUNT(*) AS n_items
+    FROM (SELECT l.l_orderkey,
+                 CASE WHEN l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY THEN 'fast'
+                      WHEN l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY THEN 'normal'
+                      ELSE 'slow' END AS bucket
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_shipdate >= o.o_orderdate) d
+    GROUP BY d.bucket ORDER BY d.bucket
+    """,
+    category="join",
+    description="equi-join + range predicate (interval arithmetic): the range "
+    "condition rides the equi-join, so no O(n^2) nested loop",
+)
+def range_join_shipping_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") >= F.col("o_orderdate")
+    )
+    bucket = (
+        F.when(
+            F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"), "fast"
+        )
+        .when(F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"), "normal")
+        .otherwise("slow")
+    )
+    return (
+        j.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rnk FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey) AS rnk
+        FROM orders)
+    WHERE rnk <= 3
+    """,
+    category="window",
+    description="per-group top-k via row_number; unique-key tie-break keeps "
+    "ranking deterministic across engines",
+)
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.round("o_totalprice", 2).desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "window_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_total
+    FROM orders
+    """,
+    category="window",
+    description="running aggregate over an ordered per-key frame",
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "window_lag_delta",
+    oracle="""
+    SELECT user_id, event_id,
+           COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                           ORDER BY ts, event_id), -1)
+           AS gap_us
+    FROM events
+    """,
+    category="window",
+    description="lag(): inter-event gap per user, exact microsecond arithmetic",
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.coalesce(F.col("ts_us") - F.lag("ts_us").over(w), F.lit(-1)).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setop_nation_coverage",
+    oracle="""
+    SELECT 'both' AS side, n_nationkey FROM
+        (SELECT c_nationkey AS n_nationkey FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'customer_only' AS side, n_nationkey FROM
+        (SELECT c_nationkey AS n_nationkey FROM customer
+         EXCEPT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'supplier_only' AS side, n_nationkey FROM
+        (SELECT s_nationkey AS n_nationkey FROM supplier
+         EXCEPT SELECT c_nationkey FROM customer)
+    """,
+    category="setop",
+    description="INTERSECT / EXCEPT / UNION ALL in one result",
+)
+def setop_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(F.col("c_nationkey").alias("n_nationkey"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("n_nationkey"))
+    # intersect/subtract carry SQL set semantics (implicit DISTINCT)
+    both = c.intersect(s).select(F.lit("both").alias("side"), "n_nationkey")
+    c_only = c.subtract(s).select(F.lit("customer_only").alias("side"), "n_nationkey")
+    s_only = s.subtract(c).select(F.lit("supplier_only").alias("side"), "n_nationkey")
+    return both.unionAll(c_only).unionAll(s_only)
+
+
+# ---------------------------------------------------------------------------
+# Top-K
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_parts_by_revenue",
+    oracle="""
+    SELECT p_partkey, revenue FROM (
+        SELECT l_partkey AS p_partkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem GROUP BY l_partkey)
+    ORDER BY revenue DESC, p_partkey LIMIT 10
+    """,
+    category="topk",
+    description="global top-k after aggregation (TakeOrderedAndProject: "
+    "per-partition heaps, no global sort)",
+)
+def topk_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+        .limit(10)
+    )

@@ -1,0 +1,206 @@
+"""Time-series workloads over the events table: tumbling/hopping windows,
+native session windows, as-of join, gap sessionization.
+
+These are the batch expressions of the streaming semantics (the streaming/
+package runs the same shapes through Structured Streaming).  All duration
+arithmetic uses epoch MICROS (exact integers, and the precision DuckDB
+shares after its nanos-truncating parquet read) so the oracle matches
+exactly; see workloads/base.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.temporal import asof_join, sessionize
+from .base import load_tables, register
+
+GAP_US = 30 * 60 * 1_000_000  # 30 min session gap, in micros
+
+
+@register(
+    "tumbling_window_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS qtd, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    category="timeseries",
+    description="tumbling 1h window aggregate (streaming-equivalent shape)",
+)
+def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("qtd"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "qtd", "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "hopping_window_counts",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 1800000000 - k) * 1800000000) AS window_start,
+           COUNT(*) AS qtd
+    FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k)
+    WHERE epoch_us(ts) < (epoch_us(ts) // 1800000000 - k) * 1800000000 + 3600000000
+    GROUP BY 1 ORDER BY 1
+    """,
+    category="timeseries",
+    description="hopping window (1h length, 30min slide): each event lands "
+    "in two overlapping windows",
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("qtd"))
+        .select(F.col("w.start").alias("window_start"), "qtd")
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "session_window_stats",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) >= {GAP_US}
+                    THEN 1
+                    WHEN LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events),
+    s AS (
+        SELECT user_id, value, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM g)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    category="timeseries",
+    description="native Spark session_window (30min gap) per-user session stats",
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "sessionize_event_ids",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) >= {GAP_US}
+                    THEN 1
+                    WHEN LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events)
+    SELECT user_id, event_id,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM g
+    """,
+    category="timeseries",
+    description="per-event session ids via the generic sessionize operator "
+    "(gap >= 30min starts a new session)",
+)
+def sessionize_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    out = sessionize(ev, "user_id", "ts_us", F.lit(GAP_US), order_tiebreak="event_id")
+    return out.select("user_id", "event_id", "session_id")
+
+
+@register(
+    "asof_join_purchase_click",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    purchases AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, c.click_id,
+           COALESCE(p.ts_us - c.ts_us, -1) AS since_click_us
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+    """,
+    category="timeseries",
+    description="as-of join: each purchase matched to the user's latest "
+    "click at-or-before it (operators/temporal.asof_join; DuckDB ASOF oracle)",
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", F.col("ts_us").alias("r_ts"), "click_id",
+                F.col("ts_us").alias("click_ts_us"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts_us",
+        right_ts="r_ts",
+        right_values=["click_id", "click_ts_us"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "click_id",
+        F.coalesce(F.col("ts_us") - F.col("click_ts_us"), F.lit(-1)).alias("since_click_us"),
+    )
+
+
+@register(
+    "first_last_event_per_user",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events)
+    SELECT e.user_id, MIN(e.ts) AS first_ts, MAX(e.ts) AS last_ts,
+           MAX(r.event_type) AS first_type, COUNT(*) AS n_events
+    FROM events e JOIN ranked r ON e.user_id = r.user_id AND r.rn = 1
+    GROUP BY e.user_id ORDER BY e.user_id
+    """,
+    category="timeseries",
+    description="per-key min/max plus deterministic first-event lookup "
+    "(min_by over a (ts, id) struct; oracle via row_number)",
+)
+def first_last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.min_by("event_type", F.struct("ts", "event_id")).alias("first_type"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
