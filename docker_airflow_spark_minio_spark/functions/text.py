@@ -44,6 +44,22 @@ def shingles_expr(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(gram)
 
 
+def tokens_sql(expr: str) -> str:
+    """DuckDB equivalent of :func:`tokens_expr`."""
+    return f"string_split({expr}, ' ')"
+
+
+def shingles_sql(tok_expr: str, n: int = 3) -> str:
+    """DuckDB equivalent of :func:`shingles_expr`, over a token-list
+    expression (DuckDB list slices are 1-based and inclusive on both
+    ends, so an n-token window is ``t[i:i+n-1]``)."""
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({tok_expr}) - {n - 1}, 0)), "
+        f"i -> array_to_string({tok_expr}[i:i+{n - 1}], ' ')))"
+    )
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokens_expr(col))
 

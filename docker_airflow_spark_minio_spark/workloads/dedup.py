@@ -1,1 +1,256 @@
-"""(filled in below)"""
+"""Deduplication workloads over the ``documents`` table.
+
+Three families, mirroring what a large-scale training-data pipeline needs
+(extension surface per SURVEY.md section 7.2.5; the reference itself has no
+dedup -- its only uniqueness notion is day-partition overwrite,
+reference job_silver.py:174-178):
+
+ * **exact**     -- group by the 128-bit md5 of the body; keep-first by id.
+ * **MinHash-LSH** -- shingle -> 16 minhash permutations -> 4 bands x 4 rows
+   -> candidate pairs via a self-join on (band, band-signature) -> verify
+   with the true n-gram Jaccard.  Candidate generation is *bucketed*,
+   never all-pairs.
+ * **SimHash**   -- 16-bit signed bit-vote signature over shingle hashes;
+   collision buckets are near-dup clusters.
+
+Scale notes (100 TB posture):
+ * every shuffle carries hashes + ids, never the document body; bodies are
+   joined back only for candidate verification (MinHash) and never moved
+   for exact/SimHash
+ * LSH banding keeps candidate generation linear in (docs x bands); a
+   pathological bucket (thousands of identical docs) degrades locally --
+   the standard mitigation at scale is a per-bucket size cap or salt,
+   noted here and cheap to add because the bucket key is explicit
+ * band signatures are concat strings here for oracle clarity; at 100 TB
+   you would hash them to 64-bit (one extra md5) to shrink the shuffle
+ * Jaccard values are emitted as floor-scaled basis points (integer), so
+   results are bit-identical across engines regardless of float rounding
+   mode
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import (
+    MINHASH_BANDS,
+    MINHASH_K,
+    MINHASH_PARAMS,
+    MINHASH_PRIME,
+    MINHASH_ROWS,
+    h32,
+    h32_sql,
+    minhash_expr,
+)
+from ..functions.text import shingles_expr, shingles_sql
+from .base import load_tables, register
+
+SHINGLE_N = 3
+SIMHASH_BITS = 16
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_by_source",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, source, md5(text) AS content_md5 FROM documents
+    ), r AS (
+        SELECT source,
+               ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn
+        FROM h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                              AS n_docs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicates
+    FROM r GROUP BY source ORDER BY source
+    """,
+    category="dedup",
+    description="exact dedup: md5 content hash + keep-first window; "
+    "per-source survivor/duplicate counts",
+)
+def dedup_exact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    hashed = docs.select("doc_id", "source", F.md5("text").alias("content_md5"))
+    rn = F.row_number().over(Window.partitionBy("content_md5").orderBy("doc_id"))
+    return (
+        hashed.withColumn("rn", rn)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_survivors"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_duplicates"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH fuzzy dedup
+# ---------------------------------------------------------------------------
+
+
+def _minhash_cte() -> str:
+    """Shared DuckDB CTE: documents -> shingles -> 16 minhash values."""
+    mins = ", ".join(
+        f"MIN((h * {a} + {b}) % {MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    return f"""
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id, {shingles_sql('t', SHINGLE_N)} AS sh FROM tok),
+    ex AS (SELECT doc_id, {h32_sql('unnest(sh)')} AS h FROM sh),
+    mh AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id)
+    """
+
+
+def _band_sql() -> str:
+    """DuckDB band table: one row per (doc, band) with a concat signature."""
+    parts = []
+    for k in range(MINHASH_BANDS):
+        cols = ", ".join(f"mh{k * MINHASH_ROWS + j}" for j in range(MINHASH_ROWS))
+        parts.append(
+            f"SELECT doc_id, {k} AS band, array_to_string([{cols}], '-') AS sig FROM mh"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_MINHASH_PAIRS_ORACLE = f"""
+WITH {_minhash_cte()},
+bands AS ({_band_sql()}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(FLOOR(10000.0 * len(list_intersect(sa.sh, sb.sh)) /
+            (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))) AS BIGINT)
+           AS jaccard_bp
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=_MINHASH_PAIRS_ORACLE,
+    category="dedup",
+    description=f"fuzzy dedup: {MINHASH_K} minhash perms, {MINHASH_BANDS} bands x "
+    f"{MINHASH_ROWS} rows LSH candidate pairs, verified with true "
+    f"{SHINGLE_N}-gram Jaccard (basis points)",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = docs.select("doc_id", shingles_expr("text", SHINGLE_N).alias("sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", h32(F.col("s")).alias("h")
+    )
+    mh = ex.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_expr(F.col("h"), j)).alias(f"mh{j}")
+            for j in range(MINHASH_K)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(k).alias("band"),
+            F.concat_ws(
+                "-",
+                *[F.col(f"mh{k * MINHASH_ROWS + j}").cast("string") for j in range(MINHASH_ROWS)],
+            ).alias("sig"),
+        )
+        for k in range(MINHASH_BANDS)
+    ]
+    bands = mh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    return (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(10000.0 * inter / union).cast("long").alias("jaccard_bp"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash clustering
+# ---------------------------------------------------------------------------
+
+
+_SIMHASH_VOTES = ", ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(SIMHASH_BITS)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"CASE WHEN s{i} >= 0 THEN {1 << i} ELSE 0 END" for i in range(SIMHASH_BITS)
+)
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, {shingles_sql('t', SHINGLE_N)} AS sh FROM tok),
+ex AS (SELECT doc_id, {h32_sql('unnest(sh)')} AS h FROM sh),
+votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM ex GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM votes)
+SELECT simhash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id)              AS min_doc_id
+FROM sig GROUP BY simhash ORDER BY simhash
+"""
+
+
+@register(
+    "dedup_simhash_clusters",
+    oracle=_SIMHASH_ORACLE,
+    category="dedup",
+    description=f"SimHash near-dup clustering: {SIMHASH_BITS}-bit signed "
+    "bit-vote signature over shingle hashes; buckets with n_docs > 1 are "
+    "near-dup clusters",
+)
+def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    ex = (
+        docs.select("doc_id", F.explode(shingles_expr("text", SHINGLE_N)).alias("s"))
+        .select("doc_id", h32(F.col("s")).alias("h"))
+    )
+    votes = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = sum(
+        [F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(SIMHASH_BITS)],
+        F.lit(0),
+    ).cast("long")
+    return (
+        votes.select("doc_id", simhash.alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("simhash")
+    )
