@@ -1,1 +1,235 @@
-"""(filled in below)"""
+"""Text-analysis workloads over the ``documents`` table.
+
+The training-data-pipeline text surface (extension per SURVEY.md section
+7.2.5; the reference computes nothing text-analytic -- its documents are
+opaque JSON payloads): token statistics, an n-gram-profile language
+identifier, a quality filter, and a rolling-hash document fingerprint.
+
+Everything is a JVM-side expression (split / regexp / higher-order
+functions) inside whole-stage codegen -- no Python UDFs.  Ratios are
+compared with pure integer arithmetic (``a*10 >= b*4`` instead of
+``a/b >= 0.4``) and averages are emitted as integer-scaled ``DIV``
+results, so every output column is exact across engines.
+
+Scale notes (100 TB posture):
+ * all four queries are scan -> project -> single hash aggregate: one
+   shuffle each, on low-cardinality keys (lang, source) or on doc_id
+   (fingerprint: no shuffle at all -- pure map)
+ * the shuffled rows carry only ids + small ints, never the text body
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MINHASH_PRIME, h32, h32_sql
+from ..functions.text import (
+    BPE_TOKEN_RE,
+    LANG_PROFILES,
+    lang_scores,
+    predicted_lang,
+    predicted_lang_sql,
+    tokens_expr,
+    tokens_sql,
+)
+from .base import load_tables, register
+
+# ---------------------------------------------------------------------------
+# Token statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats_by_lang",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang,
+               len({tokens_sql('text')})                               AS n_tok,
+               len(list_distinct({tokens_sql('text')}))                AS n_distinct,
+               len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))         AS n_bpe
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)        AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT)      AS sum_tokens,
+           CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct_tokens,
+           CAST(SUM(n_bpe) AS BIGINT)      AS sum_bpe_tokens,
+           CAST((SUM(n_tok) * 100) // COUNT(*) AS BIGINT) AS avg_tokens_x100
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+    category="text",
+    description="per-language token counts: whitespace tokens, distinct "
+    "tokens, BPE-ish regex tokens; integer-scaled average",
+)
+def text_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = tokens_expr("text")
+    stats = docs.select(
+        "lang",
+        F.size(t).alias("n_tok"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0)).alias("n_bpe"),
+    )
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.sum("n_distinct").alias("sum_distinct_tokens"),
+            F.sum("n_bpe").alias("sum_bpe_tokens"),
+            F.expr("(SUM(n_tok) * 100) DIV COUNT(*)").alias("avg_tokens_x100"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language identification (function-word profiles)
+# ---------------------------------------------------------------------------
+
+
+def _score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    return (
+        f"len(list_filter({tokens_sql('text')}, x -> list_contains([{words}], x)))"
+    )
+
+
+@register(
+    "text_lang_id_confusion",
+    oracle=f"""
+    WITH p AS (
+        SELECT lang AS true_lang,
+               {predicted_lang_sql({lang: _score_sql(lang) for lang in LANG_PROFILES})}
+                   AS predicted_lang
+        FROM documents
+    )
+    SELECT true_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM p GROUP BY true_lang, predicted_lang ORDER BY true_lang, predicted_lang
+    """,
+    category="text",
+    description="language-ID confusion matrix: function-word-profile "
+    "argmax (deterministic CASE chain) vs the labeled lang",
+)
+def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    pred = predicted_lang(lang_scores("text"))
+    return (
+        docs.select(F.col("lang").alias("true_lang"), pred.alias("predicted_lang"))
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality filter
+# ---------------------------------------------------------------------------
+
+# Quality heuristic (all-integer comparisons):
+#   enough content:     n_tok >= 20
+#   lexical diversity:  n_distinct * 10 >= n_tok * 3   (distinct ratio >= 0.3)
+#   low symbol noise:   n_punct * 20 <= n_tok          (punct per token <= 0.05)
+_PUNCT_RE = "[^a-zA-Z0-9 ]"
+
+
+def _quality_flag(n_tok: Column, n_distinct: Column, n_punct: Column) -> Column:
+    return (
+        (n_tok >= 20)
+        & (n_distinct * 10 >= n_tok * 3)
+        & (n_punct * 20 <= n_tok)
+    ).cast("int")
+
+
+@register(
+    "text_quality_by_source",
+    oracle=f"""
+    WITH t AS (
+        SELECT source,
+               len({tokens_sql('text')})                        AS n_tok,
+               len(list_distinct({tokens_sql('text')}))         AS n_distinct,
+               len(regexp_extract_all(text, '{_PUNCT_RE}'))     AS n_punct
+        FROM documents
+    ), q AS (
+        SELECT source,
+               CASE WHEN n_tok >= 20
+                     AND n_distinct * 10 >= n_tok * 3
+                     AND n_punct * 20 <= n_tok
+                    THEN 1 ELSE 0 END AS is_quality
+        FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)         AS n_docs,
+           CAST(SUM(is_quality) AS BIGINT)  AS n_quality,
+           CAST((SUM(is_quality) * 10000) // COUNT(*) AS BIGINT) AS quality_bp
+    FROM q GROUP BY source ORDER BY source
+    """,
+    category="text",
+    description="quality scoring: length + lexical-diversity + punctuation "
+    "heuristics as pure integer comparisons; per-source pass rates",
+)
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = tokens_expr("text")
+    feats = docs.select(
+        "source",
+        F.size(t).alias("n_tok"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        F.size(F.regexp_extract_all("text", F.lit(_PUNCT_RE), 0)).alias("n_punct"),
+    )
+    q = feats.select(
+        "source",
+        _quality_flag(F.col("n_tok"), F.col("n_distinct"), F.col("n_punct")).alias(
+            "is_quality"
+        ),
+    )
+    return (
+        q.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_quality").alias("n_quality"),
+            F.expr("(SUM(is_quality) * 10000) DIV COUNT(*)").alias("quality_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (rolling polynomial hash)
+# ---------------------------------------------------------------------------
+
+# Karp-Rabin-style fold over per-token 32-bit hashes:
+#   fp = fold(tokens, 0, (acc, tok) -> (acc * B + h32(tok)) % P)
+# B < 2^20 and acc < P < 2^33 keep acc*B + h inside int64 in both engines.
+_FP_BASE = 1_000_003
+_FP_MOD = MINHASH_PRIME
+
+
+@register(
+    "text_doc_fingerprint",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform({tokens_sql('text')}, x -> {h32_sql('x')}) AS hs
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                (acc, x) -> (acc * {_FP_BASE} + x) % {_FP_MOD}) AS BIGINT)
+               AS fingerprint
+    FROM t ORDER BY doc_id
+    """,
+    category="text",
+    description="order-sensitive rolling polynomial hash over token hashes "
+    "(Karp-Rabin fold) -- a content fingerprint that, unlike a token-set "
+    "hash, distinguishes permuted documents",
+)
+def text_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    fp = F.aggregate(
+        F.transform(tokens_expr("text"), lambda x: h32(x)),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(_FP_BASE) + x) % F.lit(_FP_MOD),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
