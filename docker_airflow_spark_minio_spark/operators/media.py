@@ -1,0 +1,140 @@
+"""Multimodal (binary-payload) column operators.
+
+Images/audio/video are carried as opaque ``binary`` columns with typed
+metadata, per the training-data-pipeline extension (SURVEY.md section
+7.2.5; the reference has no binary payloads -- its closest notion is the
+opaque JSON body it round-trips through bronze, reference
+datalake_silver_spark_dag.py:120-140).
+
+Decode paths:
+
+ * :func:`decode_image` / :func:`decode_audio` -- the REAL decode entry
+   points, gated behind import-try of the media libraries.  The libs are
+   not installed in this environment, so these raise
+   ``NotImplementedError`` (STUB, clearly marked); the Spark-side
+   plumbing around them -- binary column handling, Arrow batch shape,
+   ``mapInPandas`` signature, output schema -- is real and tested via the
+   deterministic byte-level extractor below.
+ * :func:`extract_byte_features` -- a deterministic feature extractor
+   over the raw bytes (length, checksum, boundary bytes, every-k-th-byte
+   "frame sample").  It has the exact shape a real image/audio feature
+   pass would have (``mapInPandas`` over Arrow batches, one output row
+   per payload, typed schema), and is ANSI-SQL expressible so the DuckDB
+   oracle can verify the whole pipeline bit-for-bit.
+
+Scale notes (100 TB posture):
+ * ``mapInPandas`` streams Arrow record batches executor-side: no
+   shuffle, no driver involvement, and column pruning still reaches the
+   parquet scan (only id + payload columns are read)
+ * per-batch work is bounded by
+   ``spark.sql.execution.arrow.maxRecordsPerBatch``; payload bytes never
+   enter a shuffle -- downstream aggregations see only the small typed
+   feature rows
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+FRAME_STEP = 16  # every-k-th-byte "frame sample" step
+
+BYTE_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, byte_sum long, first_byte long, "
+    "last_byte long, n_frames long, frame_sum long"
+)
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Decode an image payload to an HxWxC uint8 array.
+
+    STUB: requires an image library (e.g. Pillow) that is not installed
+    here; the surrounding Spark plumbing is exercised through
+    :func:`extract_byte_features` instead.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires Pillow, which is not installed in this "
+            "environment; use extract_byte_features for the tested "
+            "deterministic path"
+        ) from exc
+    import io
+
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(payload)))
+
+
+def decode_audio(payload: bytes) -> "np.ndarray":
+    """Decode an audio payload to a 1-D sample array.
+
+    STUB: requires an audio library (e.g. soundfile); not installed here.
+    """
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "audio decode requires soundfile, which is not installed in "
+            "this environment"
+        ) from exc
+    import io
+
+    import soundfile
+
+    data, _rate = soundfile.read(io.BytesIO(payload))
+    return data
+
+
+def extract_byte_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_step: int = FRAME_STEP,
+) -> DataFrame:
+    """Deterministic per-payload byte features via ``mapInPandas``.
+
+    One output row per payload: size, byte checksum, boundary bytes, and
+    an every-``frame_step``-th-byte "frame sample" (count + checksum) --
+    the same batch shape a real decode/feature pass would use.  Empty
+    payloads yield zero counts and -1 boundary bytes.
+    """
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, buf in zip(pdf[id_col], pdf[payload_col]):
+                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                frames = b[::frame_step]
+                out.append(
+                    (
+                        int(doc_id),
+                        int(b.size),
+                        int(b.sum()),
+                        int(b[0]) if b.size else -1,
+                        int(b[-1]) if b.size else -1,
+                        int(frames.size),
+                        int(frames.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_bytes",
+                    "byte_sum",
+                    "first_byte",
+                    "last_byte",
+                    "n_frames",
+                    "frame_sum",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _batches, schema=BYTE_FEATURE_SCHEMA
+    )

@@ -1,1 +1,116 @@
-"""(filled in below)"""
+"""Multimodal (binary-column) workloads.
+
+The ``documents`` table provides a deterministic binary payload
+(``encode(text, 'utf-8')`` -- the corpus is pure ASCII, so byte offsets
+and code points agree between engines), carried next to typed metadata
+exactly the way image/audio payloads would be.  Two surfaces:
+
+ * **JVM-side metadata pass** -- octet lengths, content digests,
+   duplicate-payload detection: everything a catalog scan over a binary
+   column needs, with no Python anywhere.
+ * **``mapInPandas`` feature pass** -- the Arrow-batched decode shape
+   (:mod:`..operators.media`): per-payload byte features including an
+   every-k-th-byte "frame sample", verified row-for-row by a DuckDB
+   oracle.  Real image/audio decode slots into the same operator; the
+   libs are absent here so that step is a clearly-marked stub.
+
+Scale notes (100 TB posture):
+ * payload bytes never enter a shuffle: the metadata pass reduces to
+   per-source sums on the scan; the feature pass emits small typed rows
+ * the feature query's only shuffle is the final ORDER BY on doc_id
+   (driver-side determinism for the oracle; drop it in production)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.media import FRAME_STEP, extract_byte_features
+from .base import load_tables, register
+
+
+def _with_payload(docs: DataFrame) -> DataFrame:
+    """Attach the binary payload + typed media metadata columns."""
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JVM-side binary metadata scan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_binary_metadata",
+    oracle="""
+    WITH b AS (
+        SELECT source,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text)                  AS digest
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)              AS n_payloads,
+           CAST(SUM(n_bytes) AS BIGINT)          AS total_bytes,
+           CAST(MAX(n_bytes) AS BIGINT)          AS max_bytes,
+           CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_distinct_payloads
+    FROM b GROUP BY source ORDER BY source
+    """,
+    category="multimodal",
+    description="binary-column metadata scan: per-source payload counts, "
+    "byte totals, md5-distinct payloads -- all JVM-side, bytes never "
+    "shuffled",
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_payload(load_tables(spark, sf_dir)["documents"])
+    b = docs.select(
+        "source",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("digest"),
+    )
+    return (
+        b.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+            F.countDistinct("digest").cast("long").alias("n_distinct_payloads"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched byte-feature extraction (the decode shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_byte_features",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(range(1, len(text) + 1),
+                                        i -> ord(text[i]))) AS BIGINT) AS byte_sum,
+           CAST(ord(text[1]) AS BIGINT)  AS first_byte,
+           CAST(ord(text[-1]) AS BIGINT) AS last_byte,
+           CAST(len(range(1, len(text) + 1, {FRAME_STEP})) AS BIGINT) AS n_frames,
+           CAST(list_sum(list_transform(range(1, len(text) + 1, {FRAME_STEP}),
+                                        i -> ord(text[i]))) AS BIGINT) AS frame_sum
+    FROM documents ORDER BY doc_id
+    """,
+    category="multimodal",
+    description=f"mapInPandas byte-feature extraction (Arrow batches, one "
+    f"typed row per payload): size, checksum, boundary bytes, every-"
+    f"{FRAME_STEP}th-byte frame sample -- the real decode plumbing with a "
+    "deterministic extractor",
+)
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_payload(load_tables(spark, sf_dir)["documents"])
+    return extract_byte_features(docs).orderBy("doc_id")
