@@ -53,6 +53,14 @@ def prefix_stats(spark: SparkSession, uri: str) -> PrefixStats:
     return PrefixStats(total_objects=total, total_bytes=size)
 
 
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Atomic-on-HDFS directory rename (write-then-swap commits; on
+    S3-like stores this is a server-side copy, not atomic)."""
+    fs, src_path = _fs_and_path(spark, src)
+    dst_path = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    return bool(fs.rename(src_path, dst_path))
+
+
 def delete_prefix(spark: SparkSession, uri: str) -> bool:
     """Recursive delete for idempotent re-ingest (reference bronze dag
     :269-271 deletes the day prefix before refetch)."""

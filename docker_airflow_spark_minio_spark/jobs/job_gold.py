@@ -22,18 +22,28 @@ from ..metrics import RunMetrics
 from ..storage import TableManager
 
 
-def gold_summary(silver_df: DataFrame, sys_file_date: str | None = None) -> DataFrame:
+def gold_summary(
+    silver_df: DataFrame,
+    sys_file_date: str | None = None,
+    ordered: bool = False,
+) -> DataFrame:
     """The gold aggregation as a reusable transform.  Partial (map-side)
     aggregation + final hash aggregate come free from Catalyst; the filter
-    on the partition column prunes partitions at the scan."""
+    on the partition column prunes partitions at the scan.
+
+    ``ordered`` adds the reference's ORDER BY for interactive/oracle use;
+    the write path leaves it off -- a global sort before a partitioned
+    parquet write is a full extra shuffle whose order the write does not
+    meaningfully preserve."""
     df = silver_df
     if sys_file_date is not None:
         df = df.filter(F.col("sys_file_date") == F.lit(sys_file_date).cast("date"))
-    return (
-        df.groupBy("sys_file_date", "brewery_type", "country")
-        .agg(F.count(F.lit(1)).alias("qtd"))
-        .orderBy("sys_file_date", "brewery_type", "country")
+    out = df.groupBy("sys_file_date", "brewery_type", "country").agg(
+        F.count(F.lit(1)).alias("qtd")
     )
+    if ordered:
+        out = out.orderBy("sys_file_date", "brewery_type", "country")
+    return out
 
 
 def run_gold(

@@ -8,6 +8,8 @@ Parity surface (reference spark/jobs/job_silver.py):
 
 Deviations, on purpose (SURVEY.md section 8):
   * ``df.isEmpty()`` instead of double ``count()`` (:149,:152) -- one scan.
+  * explicit all-string read schema instead of full-scan inference
+    (:143-147) -- one pass over the day's JSON, not two.
   * per-partition dynamic overwrite instead of full-table replace (:174-178);
     pass ``mode='snapshot'`` for the reference's observable behavior.
 """
@@ -19,7 +21,12 @@ from pyspark.sql import SparkSession
 from .. import fsmeta
 from ..conform import conform, with_literal_partition
 from ..metrics import RunMetrics
-from ..schema import BREWERY_DESCRIBE_LIST, DescribeList, partition_columns
+from ..schema import (
+    BREWERY_DESCRIBE_LIST,
+    DescribeList,
+    partition_columns,
+    string_read_schema,
+)
 from ..sources.files import read_ndjson
 from ..storage import TableManager
 
@@ -44,14 +51,18 @@ def run_silver(
         metrics.count("rows_written", 0)
         return 0
 
+    part_cols = partition_columns(describe_list) or ["sys_file_date"]
     with metrics.timed("read"):
-        df = read_ndjson(spark, day_path)
+        # Explicit all-string read schema: no inference pass over the
+        # day's JSON (conform try_casts to the declared types after).
+        df = read_ndjson(
+            spark, day_path, schema=string_read_schema(describe_list, exclude=part_cols)
+        )
         if df.isEmpty():
             metrics.count("rows_written", 0)
             return 0
 
     with metrics.timed("transform_write"):
-        part_cols = partition_columns(describe_list) or ["sys_file_date"]
         out = conform(df, describe_list)
         out = with_literal_partition(out, part_cols[0], sys_file_date)
         manager = TableManager(spark, warehouse)

@@ -37,7 +37,8 @@ class RunMetrics:
             self.timings[name] = self.timings.get(name, 0.0) + (time.monotonic() - t0)
 
     def count(self, name: str, value: int) -> None:
-        self.counters[name] = value
+        """Accumulate a counter (+=, consistent with ``timed``)."""
+        self.counters[name] = self.counters.get(name, 0) + value
 
     def to_json(self) -> str:
         return json.dumps(

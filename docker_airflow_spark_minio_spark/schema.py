@@ -66,6 +66,23 @@ def data_entries(describe_list: DescribeList) -> DescribeList:
     return sorted(cols, key=lambda e: e.get("order", 0))
 
 
+def string_read_schema(
+    describe_list: DescribeList, exclude: tuple[str, ...] | list[str] = ()
+) -> T.StructType:
+    """All-string read schema for bronze NDJSON: kills the inference pass
+    (an extra full scan at 100 TB); :func:`..conform.conform`'s try_cast
+    applies the declared types with null-on-malformed afterwards.
+    ``exclude`` drops columns not present in the raw payload (derived
+    partition literals)."""
+    return T.StructType(
+        [
+            T.StructField(e["col_name"], T.StringType(), True)
+            for e in data_entries(describe_list)
+            if e["col_name"] not in set(exclude)
+        ]
+    )
+
+
 def partition_columns(describe_list: DescribeList) -> list[str]:
     """Columns flagged as partition keys via ``comment.partition``
     (reference utils.py:269-276), sorted by ``order_sort``."""

@@ -92,18 +92,18 @@ class PaginatedRestSource:
         meta = json.loads(body)
         return math.ceil(int(meta["total"]) / self.per_page)
 
-    def read(
+    def _lines_rdd(
         self,
         spark: SparkSession,
         num_pages: int | None = None,
         parallelism: int | None = None,
-    ) -> DataFrame:
-        """Fan page fetches out over executors; JSON lines are parsed by
-        Spark's distributed JSON reader (schema inferred from the data, as
-        the reference's silver read does, job_silver.py:143-147)."""
+    ):
+        """NDJSON lines as an RDD[str]: page fetches fan out over
+        executors, one JSON line per record (reference bronze dag
+        :299-307)."""
         pages = list(range(1, (num_pages or self.total_pages()) + 1))
         if not pages:
-            return spark.createDataFrame([], "id string")
+            return spark.sparkContext.emptyRDD()
         parallelism = parallelism or min(len(pages), spark.sparkContext.defaultParallelism)
 
         fetcher = self.fetcher
@@ -114,10 +114,22 @@ class PaginatedRestSource:
             body = fetch_with_retry(fetcher, url_of(page), max_retries, wait_time)
             if not is_valid_json_list(body):
                 return []
-            # one NDJSON line per record (reference bronze dag :299-307)
             return [json.dumps(rec) for rec in json.loads(body)]
 
-        lines = spark.sparkContext.parallelize(pages, parallelism).flatMap(fetch_page)
+        return spark.sparkContext.parallelize(pages, parallelism).flatMap(fetch_page)
+
+    def read(
+        self,
+        spark: SparkSession,
+        num_pages: int | None = None,
+        parallelism: int | None = None,
+    ) -> DataFrame:
+        """Fan page fetches out over executors; JSON lines are parsed by
+        Spark's distributed JSON reader (schema inferred from the data, as
+        the reference's silver read does, job_silver.py:143-147)."""
+        lines = self._lines_rdd(spark, num_pages, parallelism)
+        if lines.isEmpty():
+            return spark.createDataFrame([], "id string")
         return spark.read.json(lines)
 
     def write_bronze(
@@ -128,19 +140,34 @@ class PaginatedRestSource:
         num_pages: int | None = None,
     ) -> int:
         """Bronze landing: NDJSON under ``<out>/sys_file_date=<D>/`` exactly
-        like the reference's layout (bronze dag :288), written via Spark
-        text so it scales; the day prefix is replaced idempotently
-        (reference deletes it first, :269-271).  Returns row count."""
+        like the reference's layout (bronze dag :288).  Returns row count.
+
+        The fetched lines go straight to text files -- no JSON-inference
+        round trip -- and the lines are cached across the count + write
+        actions, so every REST page is fetched exactly once (the reference
+        re-fetched per action; SURVEY.md section 8.2).  The write lands in
+        a temporary prefix and swaps in only on success, so a mid-fetch
+        failure leaves the previous day's data intact (the reference
+        deletes the day prefix before fetching, bronze dag :269-271 -- a
+        durability hazard).  Note: on S3-like stores the swap rename is a
+        copy; a real deployment would use a cloud committer there.
+        """
         from .. import fsmeta
 
         day_dir = f"{out_dir.rstrip('/')}/sys_file_date={sys_file_date}"
-        fsmeta.delete_prefix(spark, day_dir)
-        df = self.read(spark, num_pages=num_pages)
-        n = df.count()
-        if n:
-            import pyspark.sql.functions as F
+        tmp_dir = day_dir + ".inprogress"
+        fsmeta.delete_prefix(spark, tmp_dir)
 
-            df.select(F.to_json(F.struct(*df.columns)).alias("value")).write.mode(
-                "overwrite"
-            ).text(day_dir)
+        df = spark.createDataFrame(
+            self._lines_rdd(spark, num_pages).map(lambda s: (s,)), "value string"
+        )
+        df.persist()
+        try:
+            n = df.count()
+            if n:
+                df.write.mode("overwrite").text(tmp_dir)
+                fsmeta.delete_prefix(spark, day_dir)
+                fsmeta.rename(spark, tmp_dir, day_dir)
+        finally:
+            df.unpersist()
         return n

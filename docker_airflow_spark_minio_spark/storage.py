@@ -9,14 +9,16 @@ module provides both semantics explicitly:
    overwrite: re-running a day replaces only that day's partitions.
  * ``snapshot`` -- full-table replace, the reference's observable behavior.
 
-Backend is a strategy: Parquet paths always work; Iceberg is used when the
-runtime has the jars (detected lazily).  On a real cluster the Parquet
-writer plus ``maxRecordsPerFile`` keeps file sizes bounded at 100 TB scale.
+Backend is path-rooted Parquet (``file_format`` is pluggable); the
+``maxRecordsPerFile`` bound keeps file sizes sane at 100 TB scale.  The
+reference's Iceberg-specific surface (snapshot retention options) is a
+deployment concern of its catalog, not of these write semantics; the
+named-table/SQL surface lives in :mod:`.catalog`.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,7 +36,6 @@ class TableManager:
     warehouse: str
     file_format: str = "parquet"
     max_records_per_file: int = 5_000_000
-    _iceberg: bool | None = field(default=None, repr=False)
 
     def path(self, table: str) -> str:
         """`db.table` -> warehouse path (mirrors the reference's

@@ -213,14 +213,19 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p.p_brand ORDER BY p.p_brand
     """,
     category="join",
-    description="fact-dim join; dim side broadcast so the fact table never shuffles",
+    description="fact-dim join; no forced broadcast hint -- part grows "
+    "linearly with SF, so AQE broadcasts it while it fits and falls back "
+    "to a shuffle join at scale",
 )
 def join_broadcast_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # part is a SCALING dimension (200k rows x SF): a forced F.broadcast
+    # would override AQE's size check and OOM at 100x. Leave the strategy
+    # to AQE; only fixed-size dims (region/nation) get explicit hints.
     t = load_tables(spark, sf_dir)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(F.round(F.sum(rev), 2).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
         .orderBy("p_brand")
@@ -244,19 +249,24 @@ def join_broadcast_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name ORDER BY n.n_name
     """,
     category="join",
-    description="TPC-H Q5 shape: multiway star join; Catalyst reorders, "
-    "small dims broadcast, fact-fact join shuffles on orderkey only",
+    description="TPC-H Q5 shape: multiway star join; fixed-size dims "
+    "(nation/region) broadcast by hint, scaling tables (customer/supplier) "
+    "left to AQE, fact-fact join shuffles on orderkey only",
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # customer and supplier grow linearly with SF (150k / 10k rows x SF):
+    # forcing F.broadcast on them would OOM at 100x and override AQE's
+    # size check. Hints only on the fixed-size dims nation (25 rows) and
+    # region (5 rows).
     t = load_tables(spark, sf_dir)
     lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
     hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
     orders = t["orders"].filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
     return (
         orders.join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
         .join(
-            F.broadcast(t["supplier"]),
+            t["supplier"],
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
