@@ -1,0 +1,108 @@
+"""SQL catalog surface: named tables, DDL, ``spark.sql`` queries.
+
+The reference's entire storage identity is named tables -- ``CREATE
+SCHEMA IF NOT EXISTS`` + ``CREATE TABLE IF NOT EXISTS catalog.db.table
+(...) USING ICEBERG PARTITIONED BY (...)`` (reference
+spark/jobs/job_silver.py:63-88, job_gold.py:7-19), queried with SQL text
+over three-part names (job_gold.py:71-88).  This module re-expresses
+that surface Spark-first against the *session* catalog:
+
+ * DDL is generated from the same declarative describe-list that drives
+   :mod:`.conform` -- one schema source of truth, not a hand-typed DDL
+   string to drift out of sync (the reference maintains both).
+ * ``USING parquet`` here; on a cluster, pointing
+   ``spark.sql.catalog.*`` at an Iceberg/Hive catalog (the conf surface
+   :mod:`.session` already exposes) upgrades the identical DDL/DML to
+   Iceberg -- the statements are catalog-agnostic by design.
+ * Partition replacement uses dynamic-overwrite ``INSERT OVERWRITE``
+   semantics, not the reference's full-table ``saveAsTable`` replace
+   (its silent snapshot bug, SURVEY.md section 1.3); ``snapshot``
+   remains available for the reference's observable behavior.
+
+Scale notes: everything here is metadata-plane except the inserts, which
+inherit the same dynamic-partition-overwrite write path as
+:mod:`.storage`; a query via :meth:`SqlCatalog.sql` gets full Catalyst
+treatment -- partition pruning from the WHERE clause included.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schema import DescribeList, data_entries, partition_columns, spark_type
+
+
+@dataclass
+class SqlCatalog:
+    """Named-table surface over the Spark session catalog."""
+
+    spark: SparkSession
+    database: str = "dw"
+    table_format: str = "parquet"
+
+    def qualified(self, table: str) -> str:
+        return table if "." in table else f"{self.database}.{table}"
+
+    # -- DDL -------------------------------------------------------------
+
+    def ensure_database(self, location: str | None = None) -> None:
+        """``CREATE SCHEMA IF NOT EXISTS`` (reference job_silver.py:64)."""
+        loc = f" LOCATION '{location}'" if location else ""
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.database}{loc}")
+
+    def create_table_ddl(self, table: str, describe_list: DescribeList) -> str:
+        """The reference's CREATE TABLE statement (job_silver.py:66-88),
+        generated from the describe-list instead of hand-typed.
+        Partition columns are emitted last (Spark moves them there in the
+        resolved schema anyway; emitting them last keeps the DDL order
+        identical to the stored order, so positional INSERTs line up)."""
+        parts = partition_columns(describe_list)
+        cols = [e for e in data_entries(describe_list) if e["col_name"] not in parts] + [
+            e for e in data_entries(describe_list) if e["col_name"] in parts
+        ]
+        col_ddl = ",\n        ".join(
+            f"{e['col_name']} {spark_type(e['data_type']).simpleString().upper()}"
+            for e in cols
+        )
+        part_ddl = f"\n    PARTITIONED BY ({', '.join(parts)})" if parts else ""
+        return (
+            f"CREATE TABLE IF NOT EXISTS {self.qualified(table)} (\n"
+            f"        {col_ddl}\n"
+            f"    )\n    USING {self.table_format}{part_ddl}"
+        )
+
+    def ensure_table(self, table: str, describe_list: DescribeList) -> None:
+        self.spark.sql(self.create_table_ddl(table, describe_list))
+
+    # -- DML -------------------------------------------------------------
+
+    def _aligned(self, df: DataFrame, table: str) -> DataFrame:
+        """Reorder ``df`` to the table's resolved column order by name --
+        ``insertInto`` is positional, and Spark stores partition columns
+        last regardless of DDL order."""
+        return df.select(*self.spark.table(self.qualified(table)).columns)
+
+    def overwrite_partitions(self, df: DataFrame, table: str) -> None:
+        """Replace only the partitions present in ``df``."""
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        self._aligned(df, table).write.insertInto(self.qualified(table), overwrite=True)
+
+    def snapshot(self, df: DataFrame, table: str) -> None:
+        """Full-table replace -- the reference's observable write behavior
+        (job_silver.py:174-178 despite its partition spec)."""
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        self._aligned(df, table).write.insertInto(self.qualified(table), overwrite=True)
+
+    def append(self, df: DataFrame, table: str) -> None:
+        self._aligned(df, table).write.insertInto(self.qualified(table), overwrite=False)
+
+    # -- queries ---------------------------------------------------------
+
+    def sql(self, query: str) -> DataFrame:
+        """SQL text over named tables (reference job_gold.py:71-88)."""
+        return self.spark.sql(query)
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.table(self.qualified(table))

@@ -18,8 +18,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import SqlCatalog
 from ..metrics import RunMetrics
+from ..schema import DescribeList
 from ..storage import TableManager
+
+# The reference's gold table schema (reference job_gold.py:7-19).
+GOLD_SUMMARY_DESCRIBE_LIST: DescribeList = [
+    {"col_name": "brewery_type", "data_type": "string", "order": 1},
+    {"col_name": "country", "data_type": "string", "order": 2},
+    {"col_name": "qtd", "data_type": "bigint", "order": 3},
+    {
+        "col_name": "sys_file_date",
+        "data_type": "date",
+        "order": 4,
+        "comment": {"partition": {"enabled": True, "order_sort": 1}},
+    },
+]
 
 
 def gold_summary(
@@ -54,16 +69,45 @@ def run_gold(
     gold_table: str = "dw.tab_brewery_summary",
     mode: str = "overwrite_partitions",
     metrics: RunMetrics | None = None,
+    backend: str = "path",
 ) -> int:
-    """Run the gold aggregation for one day; returns rows written."""
+    """Run the gold aggregation for one day; returns rows written.
+
+    ``backend='catalog'`` runs the reference's actual flow: the declared
+    SQL text over the three-part silver table name via ``spark.sql``
+    (reference job_gold.py:71-88), then a named-table partition overwrite
+    (:98-102, minus its full-table-replace bug)."""
     metrics = metrics or RunMetrics()
-    manager = TableManager(spark, warehouse)
 
     with metrics.timed("aggregate_write"):
-        silver = manager.read(silver_table)
-        out = gold_summary(silver, sys_file_date)
-        manager.write(out, gold_table, partition_by=["sys_file_date"], mode=mode)
+        if backend == "catalog":
+            db, tbl = (
+                gold_table.split(".", 1) if "." in gold_table else ("dw", gold_table)
+            )
+            cat = SqlCatalog(spark, database=db)
+            out = cat.sql(
+                f"""
+                SELECT sys_file_date, brewery_type, country,
+                       count(*) AS qtd
+                FROM {cat.qualified(silver_table) if '.' in silver_table else silver_table}
+                WHERE sys_file_date = '{sys_file_date}'
+                GROUP BY 1, 2, 3
+                """
+            )
+            cat.ensure_database(location=f"{warehouse.rstrip('/')}/{db}")
+            cat.ensure_table(tbl, GOLD_SUMMARY_DESCRIBE_LIST)
+            if mode == "snapshot":
+                cat.snapshot(out, tbl)
+            else:
+                cat.overwrite_partitions(out, tbl)
+            read_back = cat.read(tbl)
+        else:
+            manager = TableManager(spark, warehouse)
+            silver = manager.read(silver_table)
+            out = gold_summary(silver, sys_file_date)
+            manager.write(out, gold_table, partition_by=["sys_file_date"], mode=mode)
+            read_back = manager.read(gold_table)
 
-    n = manager.read_partition(gold_table, sys_file_date=sys_file_date).count()
+    n = read_back.filter(read_back["sys_file_date"] == sys_file_date).count()
     metrics.count("rows_written", n)
     return n

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from .. import fsmeta
+from ..catalog import SqlCatalog
 from ..conform import conform, with_literal_partition
 from ..metrics import RunMetrics
 from ..schema import (
@@ -40,9 +41,17 @@ def run_silver(
     describe_list: DescribeList | None = None,
     mode: str = "overwrite_partitions",
     metrics: RunMetrics | None = None,
+    backend: str = "path",
 ) -> int:
     """Run the silver conformance load for one day; returns rows written
-    (0 = skipped on empty input, mirroring the reference's branch)."""
+    (0 = skipped on empty input, mirroring the reference's branch).
+
+    ``backend='path'`` writes a path-rooted parquet table
+    (:class:`..storage.TableManager`); ``backend='catalog'`` goes through
+    the named-table DDL surface (:class:`..catalog.SqlCatalog`) -- the
+    reference's storage identity (CREATE SCHEMA/TABLE IF NOT EXISTS +
+    three-part names, reference job_silver.py:63-88), with ``warehouse``
+    as the database location."""
     describe_list = describe_list or BREWERY_DESCRIBE_LIST
     metrics = metrics or RunMetrics()
     day_path = f"{bronze_dir.rstrip('/')}/sys_file_date={sys_file_date}"
@@ -65,9 +74,23 @@ def run_silver(
     with metrics.timed("transform_write"):
         out = conform(df, describe_list)
         out = with_literal_partition(out, part_cols[0], sys_file_date)
-        manager = TableManager(spark, warehouse)
-        manager.write(out, table, partition_by=part_cols, mode=mode)
+        if backend == "catalog":
+            db, tbl = table.split(".", 1) if "." in table else ("dw", table)
+            cat = SqlCatalog(spark, database=db)
+            cat.ensure_database(location=f"{warehouse.rstrip('/')}/{db}")
+            cat.ensure_table(tbl, describe_list)
+            if mode == "overwrite_partitions":
+                cat.overwrite_partitions(out, tbl)
+            elif mode == "snapshot":
+                cat.snapshot(out, tbl)
+            else:
+                cat.append(out, tbl)
+            read_back = cat.read(tbl)
+        else:
+            manager = TableManager(spark, warehouse)
+            manager.write(out, table, partition_by=part_cols, mode=mode)
+            read_back = manager.read(table)
 
-    n = manager.read_partition(table, **{part_cols[0]: sys_file_date}).count()
+    n = read_back.filter(read_back[part_cols[0]] == sys_file_date).count()
     metrics.count("rows_written", n)
     return n

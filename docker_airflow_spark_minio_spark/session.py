@@ -61,6 +61,12 @@ def get_spark_session(
         # SURVEY.md section 1.3 / section 8.1).
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Session-catalog tables (catalog.py) default under /tmp, not cwd;
+        # real deployments point this at the lake warehouse.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
     )
 

@@ -8,8 +8,9 @@ section 2.8) so the engine exposes the full surface, exercised on the
 driver's TPC-H-ish star schema.
 
 Scale notes (100 TB posture), per query where relevant:
- * dimension joins (region/nation/part/supplier/customer) are explicitly
-   ``broadcast()`` -- no shuffle of the fact table on dim joins
+ * fixed-size dimension joins (region/nation) are explicitly
+   ``broadcast()``; SF-scaling tables (part/supplier/customer) are left
+   to AQE's size check -- a forced hint there would OOM at 100x
  * aggregations run as partial (map-side) + final hash aggregate; the
    grouping keys here are low-cardinality, so no skew mitigation needed
  * filters/projections sit directly on the scan so parquet pushdown and
@@ -511,3 +512,39 @@ def topk_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("p_partkey"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Named-table SQL surface
+# ---------------------------------------------------------------------------
+
+# The reference's primary query surface is SQL text over named catalog
+# tables via spark.sql (reference job_gold.py:71-88). This query runs the
+# SAME ANSI text on both engines: Spark resolves the names from registered
+# views (catalog.py provides the persistent-table variant), DuckDB from
+# its pre-registered parquet views.
+_NAMED_TABLE_SQL = """
+    SELECT n.n_name AS nation,
+           o.o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, o.o_orderstatus
+    ORDER BY nation, status
+"""
+
+
+@register(
+    "sql_named_table_query",
+    oracle=_NAMED_TABLE_SQL,
+    category="sql",
+    description="spark.sql over named tables (the reference's query "
+    "surface): identical ANSI text on both engines, full Catalyst "
+    "treatment including join reordering",
+)
+def sql_named_table_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(_NAMED_TABLE_SQL)
