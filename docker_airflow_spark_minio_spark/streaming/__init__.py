@@ -1,0 +1,12 @@
+"""Structured Streaming surface.
+
+The reference is batch-only (its "streaming" is a daily cron re-run of
+the whole pipeline, reference datalake_pipeline_breweries.py:200-216).
+This package provides the streaming expressions of the engine's windowed
+shapes -- the same builders work on batch and streaming DataFrames, the
+idiomatic-Spark unified model -- plus a file-source ingest helper that
+turns the bronze NDJSON landing zone into an incremental stream.
+"""
+
+from .windows import hopping_counts, session_stats, tumbling_counts  # noqa: F401
+from .source import stream_bronze  # noqa: F401

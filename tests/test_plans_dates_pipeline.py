@@ -1,0 +1,105 @@
+"""Plan-inspection assertions (the 100-TB posture as CI checks), C8 date
+derivation, and the single-entry pipeline driver."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+
+from docker_airflow_spark_minio_spark import plans
+from docker_airflow_spark_minio_spark.dates import (
+    load_date,
+    load_date_col,
+    load_datetime_fixed_offset,
+)
+from docker_airflow_spark_minio_spark.jobs import run_pipeline
+from docker_airflow_spark_minio_spark.sources.rest import PaginatedRestSource
+from docker_airflow_spark_minio_spark.workloads import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# -- plans ----------------------------------------------------------------
+
+
+def test_filter_and_projection_reach_the_scan(spark):
+    df = REGISTRY["filter_pushdown_scan"].fn(spark, SF_DIR)
+    pushed = plans.pushed_filters(df)
+    assert any("l_quantity" in f for f in pushed)
+    assert any("l_returnflag" in f for f in pushed)
+    # column pruning: only the 2 filter + 4 output columns are read
+    assert plans.read_schema_columns(df) <= {
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag",
+    }
+
+
+def test_no_cartesian_anywhere_in_the_registry(spark):
+    # brute-force ANN is the one deliberate broadcast cross join (tiny,
+    # fixed-size query side) -- everything else must be key-joined
+    allowed = {"ann_cosine_topk_bruteforce"}
+    for name, wl in REGISTRY.items():
+        if name in allowed:
+            continue
+        assert not plans.has_cartesian_product(
+            wl.fn(spark, SF_DIR)
+        ), f"{name} has a cartesian/nested-loop join"
+
+
+def test_star_join_broadcasts_fixed_dims(spark):
+    df = REGISTRY["q5_local_supplier_volume"].fn(spark, SF_DIR)
+    assert plans.broadcast_join_count(df) >= 2  # nation + region at least
+
+
+# -- dates (C8) -----------------------------------------------------------
+
+
+def test_load_date_zone_aware():
+    # 01:30 UTC is still the previous day in Sao Paulo (UTC-3)
+    assert load_date(datetime(2024, 10, 19, 1, 30, tzinfo=timezone.utc)) == "2024-10-18"
+    assert load_date(datetime(2024, 10, 19, 12, 0, tzinfo=timezone.utc)) == "2024-10-19"
+
+
+def test_reference_fixed_offset_parity():
+    # reference get_datetime_UTC_SaoPaulo: fixed -3h, %Y-%m-%d_%H:%M:%S
+    assert (
+        load_datetime_fixed_offset(datetime(2024, 10, 19, 1, 30))
+        == "2024-10-18_22:30:00"
+    )
+
+
+def test_load_date_col_distributed(spark):
+    df = spark.createDataFrame(
+        [("2024-10-19 01:30:00",), ("2024-10-19 12:00:00",)], "ts string"
+    ).select(load_date_col("ts").alias("d"))
+    assert [str(r["d"]) for r in df.collect()] == ["2024-10-18", "2024-10-19"]
+
+
+# -- pipeline driver (C1) -------------------------------------------------
+
+
+def test_run_pipeline_chains_all_stages(spark, tmp_path):
+    records = [
+        {"id": "1", "name": "A", "brewery_type": "micro", "country": "US"},
+        {"id": "2", "name": "B", "brewery_type": "micro", "country": "US"},
+        {"id": "3", "name": "C", "brewery_type": "nano", "country": "PT"},
+    ]
+
+    def fetcher(url: str) -> str:
+        if url.endswith("/meta"):
+            return json.dumps({"total": len(records)})
+        page = int(url.split("page=")[1].split("&")[0])
+        return json.dumps(records[(page - 1) * 2 : page * 2])
+
+    src = PaginatedRestSource("http://fake/api", per_page=2, fetcher=fetcher)
+    m = run_pipeline(
+        spark,
+        src,
+        str(tmp_path / "bronze"),
+        str(tmp_path / "warehouse"),
+        sys_file_date="2024-06-01",
+    )
+    assert m.counters["bronze_rows"] == 3
+    assert m.counters["rows_written"] == 3 + 2  # silver rows + gold groups
+    assert set(m.timings) >= {"bronze", "silver", "gold", "pipeline_total"}
+    gold = spark.read.parquet(f"{tmp_path}/warehouse/dw/tab_brewery_summary")
+    assert gold.count() == 2

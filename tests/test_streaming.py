@@ -1,0 +1,105 @@
+"""Structured Streaming tests: the unified builders produce identical
+results on a batch DataFrame and on a file-source stream of the same
+data (availableNow trigger -> deterministic, self-terminating)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from docker_airflow_spark_minio_spark.streaming import (
+    session_stats,
+    stream_bronze,
+    tumbling_counts,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+EVENTS = [
+    (1, "click", "2024-05-01 10:05:00"),
+    (1, "click", "2024-05-01 10:45:00"),
+    (2, "view", "2024-05-01 10:50:00"),
+    (1, "click", "2024-05-01 11:20:00"),  # >30min gap for user 1 -> new session
+    (2, "view", "2024-05-01 11:40:00"),
+    (2, "purchase", "2024-05-01 12:10:00"),
+    (1, "view", "2024-05-01 12:59:00"),
+]
+
+
+@pytest.fixture
+def event_files(tmp_path):
+    src = tmp_path / "events_in"
+    src.mkdir()
+    # three files -> three potential micro-batches
+    for i in range(3):
+        with open(src / f"part_{i}.json", "w") as f:
+            for u, e, ts in EVENTS[i::3]:
+                f.write(json.dumps({"user_id": u, "event_type": e, "ts": ts}) + "\n")
+    return str(src)
+
+
+def _run_to_memory(stream_df, name: str, checkpoint: str, mode: str) -> None:
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_tumbling_stream_matches_batch(spark, event_files, tmp_path):
+    batch = spark.createDataFrame(
+        [(u, e, ts) for u, e, ts in EVENTS], "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    expected = sorted(
+        tuple(r) for r in tumbling_counts(batch).collect()
+    )
+
+    stream = stream_bronze(spark, event_files, SCHEMA, max_files_per_trigger=1)
+    assert stream.isStreaming
+    _run_to_memory(
+        tumbling_counts(stream), "tumbling_mem", str(tmp_path / "ckpt_t"), "complete"
+    )
+    got = sorted(tuple(r) for r in spark.table("tumbling_mem").collect())
+    assert got == expected
+    assert len(got) == 6  # 3 hours x types present in each
+
+
+def test_session_window_batch_and_stream(spark, event_files, tmp_path):
+    batch = spark.createDataFrame(
+        [(u, e, ts) for u, e, ts in EVENTS], "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = {
+        (r["user_id"], str(r["window_start"])): r["n_events"]
+        for r in session_stats(batch).collect()
+    }
+    # user 1: 10:05+10:45 merge (40min span, gaps<30min? 10:05->10:45 is 40min -> split)
+    assert rows[(1, "2024-05-01 10:05:00")] == 1
+    assert rows[(1, "2024-05-01 10:45:00")] == 1
+    assert rows[(2, "2024-05-01 11:40:00")] == 2  # 11:40 + 12:10 merge
+
+    # streaming session windows: state-backed merge, append mode with
+    # watermark; availableNow + per-file batches advances the watermark
+    # so earlier sessions finalize
+    stream = stream_bronze(spark, event_files, SCHEMA, max_files_per_trigger=1)
+    _run_to_memory(
+        session_stats(stream), "session_mem", str(tmp_path / "ckpt_s"), "append"
+    )
+    emitted = spark.table("session_mem").collect()
+    # only watermark-finalized sessions appear; every emitted row must
+    # match the batch result exactly
+    for r in emitted:
+        assert rows[(r["user_id"], str(r["window_start"]))] == r["n_events"]
