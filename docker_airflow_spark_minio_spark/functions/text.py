@@ -32,16 +32,26 @@ def tokens_expr(col: Column | str) -> Column:
     return F.split(c, " ")
 
 
-def shingles_expr(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined).  DuckDB equivalent:
-    ``list_distinct(list_transform(generate_series(1, len(t)-n+1),
-    i -> array_to_string(t[i:i+n-1], ' ')))``."""
-    t = tokens_expr(col)
+def shingles_from_tokens(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a PRE-PROJECTED token-array
+    column.  ``tokens`` must be a column reference (``.select(...,
+    tokens_expr(c).alias('t'))`` first), NOT an inline ``split()``
+    expression: lambda bodies are not common-subexpression-eliminated,
+    so an inline split would re-tokenize the whole document once per
+    element -- O(len^2) per doc (measured 15x slower).  DuckDB
+    equivalent: :func:`shingles_sql`."""
     gram = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(t, i + k) for k in range(n)]),
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + k) for k in range(n)]),
     )
     return F.array_distinct(gram)
+
+
+def shingles_expr(col: Column | str, n: int = 3) -> Column:
+    """Convenience single-expression form of :func:`shingles_from_tokens`.
+    Fine for small inputs/tests; on the hot path pre-project the token
+    array and use :func:`shingles_from_tokens` (see its warning)."""
+    return shingles_from_tokens(tokens_expr(col), n)
 
 
 def tokens_sql(expr: str) -> str:

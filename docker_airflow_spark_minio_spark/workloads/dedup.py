@@ -44,7 +44,7 @@ from ..functions.hashing import (
     h32_sql,
     minhash_expr,
 )
-from ..functions.text import shingles_expr, shingles_sql
+from ..functions.text import shingles_from_tokens, shingles_sql, tokens_expr
 from .base import load_tables, register
 
 SHINGLE_N = 3
@@ -151,15 +151,26 @@ ORDER BY doc_a, doc_b
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    sh = docs.select("doc_id", shingles_expr("text", SHINGLE_N).alias("sh"))
-    ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id", h32(F.col("s")).alias("h")
-    )
-    mh = ex.groupBy("doc_id").agg(
+    # tokens materialized in their own projection first -- see the
+    # shingles_from_tokens warning (inline split = O(len^2) per doc)
+    tok = docs.select("doc_id", tokens_expr("text").alias("t"))
+    sh = tok.select(
+        "doc_id", shingles_from_tokens(F.col("t"), SHINGLE_N).alias("sh")
+    ).where(F.size("sh") > 0)
+    # Signatures are per-row array folds (array_min over the permuted
+    # shingle-hash array) -- a pure map, NO shuffle. The explode+groupBy
+    # formulation would shuffle |shingles| rows per doc; this shuffles
+    # nothing until the (band, sig) self-join.
+    def _perm(j: int):
+        return lambda h: minhash_expr(h, j)
+
+    hs = sh.select("doc_id", F.transform("sh", lambda s: h32(s)).alias("hs"))
+    mh = hs.select(
+        "doc_id",
         *[
-            F.min(minhash_expr(F.col("h"), j)).alias(f"mh{j}")
+            F.array_min(F.transform("hs", _perm(j))).alias(f"mh{j}")
             for j in range(MINHASH_K)
-        ]
+        ],
     )
     band_structs = [
         F.struct(
@@ -232,17 +243,27 @@ FROM sig GROUP BY simhash ORDER BY simhash
 )
 def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    ex = (
-        docs.select("doc_id", F.explode(shingles_expr("text", SHINGLE_N)).alias("s"))
-        .select("doc_id", h32(F.col("s")).alias("h"))
+    # Per-row bit votes: vote_i = 2*|{h: bit i set}| - |hashes|, computed
+    # with size(filter(...)) over the shingle-hash array -- a pure map
+    # (the explode+groupBy formulation shuffled |shingles| rows per doc);
+    # the only shuffle left is the final tiny groupBy on the signature.
+    tok = docs.select("doc_id", tokens_expr("text").alias("t"))
+    sh = tok.select(
+        "doc_id", shingles_from_tokens(F.col("t"), SHINGLE_N).alias("sh")
     )
-    votes = ex.groupBy("doc_id").agg(
+    hs = sh.select(
+        "doc_id", F.transform("sh", lambda s: h32(s)).alias("hs")
+    ).where(F.size("hs") > 0)
+    def _bit_set(i: int):
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+    n = F.size("hs")
+    votes = hs.select(
+        "doc_id",
         *[
-            F.sum(
-                F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
-            ).alias(f"s{i}")
+            (2 * F.size(F.filter("hs", _bit_set(i))) - n).alias(f"s{i}")
             for i in range(SIMHASH_BITS)
-        ]
+        ],
     )
     simhash = sum(
         [F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(SIMHASH_BITS)],
