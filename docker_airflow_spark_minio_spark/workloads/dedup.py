@@ -1,6 +1,6 @@
 """Deduplication workloads over the ``documents`` table.
 
-Three families, mirroring what a large-scale training-data pipeline needs
+Five families, mirroring what a large-scale training-data pipeline needs
 (extension surface per SURVEY.md section 7.2.5; the reference itself has no
 dedup -- its only uniqueness notion is day-partition overwrite,
 reference job_silver.py:174-178):
@@ -12,6 +12,10 @@ reference job_silver.py:174-178):
    never all-pairs.
  * **SimHash**   -- 16-bit signed bit-vote signature over shingle hashes;
    collision buckets are near-dup clusters.
+ * **n-gram Jaccard** -- inverted-index candidates on shingle hashes with
+   a doc-frequency cap, exact Jaccard verification.
+ * **embedding-cosine** -- axis-sign LSH buckets over the embedding
+   column, exact cosine verification within buckets.
 
 Scale notes (100 TB posture):
  * every shuffle carries hashes + ids, never the document body; bodies are
@@ -45,6 +49,7 @@ from ..functions.hashing import (
     minhash_expr,
 )
 from ..functions.text import shingles_from_tokens, shingles_sql, tokens_expr
+from ..functions.vectors import sign_bucket_sql
 from .base import load_tables, register
 
 SHINGLE_N = 3
@@ -274,4 +279,167 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .orderBy("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard dedup (inverted-index candidates)
+# ---------------------------------------------------------------------------
+
+# Candidate pairs come from an inverted index on shingle hashes: explode
+# (doc, shingle-hash), drop shingles appearing in more than DF_CAP docs
+# (ubiquitous phrases generate quadratic candidates and carry no dedup
+# signal -- the standard frequency-cap mitigation), then self-join on the
+# hash. The shuffle key is the shingle hash: candidate cost is
+# sum(df^2) over surviving shingles, never |docs|^2.
+JACCARD_DF_CAP = 10
+JACCARD_MIN_BP = 5000  # report pairs with Jaccard >= 0.5
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, {shingles_sql('t', SHINGLE_N)} AS sh FROM tok),
+ex AS (SELECT doc_id, {h32_sql('unnest(sh)')} AS h FROM sh),
+rare AS (
+    SELECT h FROM ex GROUP BY h HAVING COUNT(DISTINCT doc_id) <= {JACCARD_DF_CAP}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM ex a JOIN rare r ON a.h = r.h
+              JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+j AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(FLOOR(10000.0 * len(list_intersect(sa.sh, sb.sh)) /
+                (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+                AS BIGINT) AS jaccard_bp
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard_bp FROM j
+WHERE jaccard_bp >= {JACCARD_MIN_BP}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=_NGRAM_JACCARD_ORACLE,
+    category="dedup",
+    description=f"n-gram Jaccard dedup: inverted-index candidates on "
+    f"shingle hashes (doc-frequency cap {JACCARD_DF_CAP} kills ubiquitous "
+    f"shingles), exact {SHINGLE_N}-gram Jaccard >= "
+    f"{JACCARD_MIN_BP / 10000} verification",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.select("doc_id", tokens_expr("text").alias("t"))
+    sh = tok.select(
+        "doc_id", shingles_from_tokens(F.col("t"), SHINGLE_N).alias("sh")
+    )
+    ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", h32(F.col("s")).alias("h")
+    )
+    rare = (
+        ex.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") <= JACCARD_DF_CAP)
+        .select("h")
+    )
+    posting = ex.join(rare, "h")
+    cand = (
+        posting.alias("a")
+        .join(ex.alias("b"), "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    return (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(10000.0 * inter / union).cast("long").alias("jaccard_bp"),
+        )
+        .where(F.col("jaccard_bp") >= JACCARD_MIN_BP)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (LSH-bucketed)
+# ---------------------------------------------------------------------------
+
+# Near-duplicate vectors via the same axis-sign LSH as the ANN queries:
+# pairs are generated ONLY within a bucket (shuffle key = bucket id,
+# never all-pairs), then verified with exact cosine. Sign-LSH collision
+# probability rises with cosine similarity, so near-identical vectors
+# land in the same bucket with high probability; more recall = fewer
+# bits or multiple hash tables, both linear knobs.
+COSINE_LSH_BITS = 12
+# On real data this sits at ~0.9; the driver's embeddings are uniform
+# random (max within-bucket cosine ~0.4), so the gate is set where it
+# still emits verifiable rows.
+COSINE_MIN_X1E6 = 250_000
+
+_EMB_DOT = "list_dot_product"
+
+
+def _emb_cos_sql(a: str, b: str) -> str:
+    return (
+        f"ROUND({_EMB_DOT}({a}, {b}) / "
+        f"(sqrt({_EMB_DOT}({a}, {a})) * sqrt({_EMB_DOT}({b}, {b}))), 6)"
+    )
+
+
+_EMB_NEARDUP_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           {sign_bucket_sql('CAST(embedding AS DOUBLE[])', COSINE_LSH_BITS)} AS bucket
+    FROM embeddings
+), p AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_emb_cos_sql('a.v', 'b.v')} AS cos_sim
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM p
+WHERE cos_sim * 1000000 >= {COSINE_MIN_X1E6}
+ORDER BY vec_a, vec_b
+"""
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    oracle=_EMB_NEARDUP_ORACLE,
+    category="dedup",
+    description=f"embedding-cosine near-dup: {COSINE_LSH_BITS}-bit axis-sign "
+    f"LSH buckets (pairs only within a bucket, never all-pairs), exact "
+    f"cosine >= {COSINE_MIN_X1E6 / 1e6} verification",
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine_similarity, sign_bucket
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        sign_bucket(F.col("embedding").cast("array<double>"), COSINE_LSH_BITS).alias(
+            "bucket"
+        ),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+    )
+    return pairs.where(F.col("cos_sim") * 1_000_000 >= COSINE_MIN_X1E6).orderBy(
+        "vec_a", "vec_b"
     )
