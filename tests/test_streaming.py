@@ -103,3 +103,34 @@ def test_session_window_batch_and_stream(spark, event_files, tmp_path):
     # match the batch result exactly
     for r in emitted:
         assert rows[(r["user_id"], str(r["window_start"]))] == r["n_events"]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from docker_airflow_spark_minio_spark.streaming import dedup_stream
+
+    src = tmp_path / "dup_in"
+    src.mkdir()
+    rows = [
+        (1, "2024-05-01 10:00:00"),
+        (2, "2024-05-01 10:01:00"),
+        (1, "2024-05-01 10:02:00"),  # dup of key 1
+        (3, "2024-05-01 10:03:00"),
+        (2, "2024-05-01 10:04:00"),  # dup of key 2
+    ]
+    for i, (k, ts) in enumerate(rows):
+        with open(src / f"f{i}.json", "w") as f:
+            f.write(json.dumps({"doc_id": k, "ts": ts}) + "\n")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    stream = stream_bronze(spark, str(src), schema, max_files_per_trigger=2)
+    out = dedup_stream(stream, keys=("doc_id",), ts_col="ts", watermark="1 hour")
+    _run_to_memory(out, "dedup_mem", str(tmp_path / "ckpt_d"), "append")
+    got = sorted(r["doc_id"] for r in spark.table("dedup_mem").collect())
+    assert got == [1, 2, 3]
+
+    # batch path: same builder, same result
+    batch = spark.createDataFrame(rows, "doc_id long, ts string")
+    assert sorted(
+        r["doc_id"] for r in dedup_stream(batch, keys=("doc_id",)).collect()
+    ) == [1, 2, 3]
