@@ -13,6 +13,9 @@ operations):
    (random-hyperplane LSH with axis-aligned hyperplanes, so it is
    deterministic and ANSI-SQL expressible); candidates come from a
    bucket-equality join -- never a cross join.
+ * **IVF top-k** -- coarse quantizer (6dp-rounded centroids) +
+   nearest-centroid inverted lists + nprobe probing: scan cost is
+   nprobe/nlist of the corpus.
  * **bucket histogram** -- LSH partition-balance profile: per-bucket
    counts + exact integer-scaled norm sums.
 
@@ -221,3 +224,133 @@ def embedding_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF top-k (coarse quantizer + inverted lists + probe)
+# ---------------------------------------------------------------------------
+
+# A deterministic IVF index, SQL-expressible end-to-end:
+#  * coarse centroids = per-label mean vectors, ROUND()ed to 6dp so both
+#    engines quantize from bit-identical centroids (a trained k-means
+#    would slot in here unchanged -- the label grouping stands in for
+#    the cluster assignment step so the whole index stays oracle-able)
+#  * every corpus vector joins its NEAREST centroid's inverted list
+#    (max cosine, centroid-id tie-break) -- not necessarily its own label
+#  * a query probes the IVF_NPROBE nearest centroids and reranks only
+#    those lists: scan cost = nprobe/nlist of the corpus, the IVF
+#    trade-off, vs the LSH variant's bucket-collision recall model.
+IVF_NPROBE = 2
+EMB_DIM = 64
+
+
+def _avg_dims_sql(src: str) -> str:
+    """Per-dimension ROUND(AVG(v[i]), 6) centroid components."""
+    return (
+        f"SELECT label, i, ROUND(AVG(v[i]), 6) AS m "
+        f"FROM {src} CROSS JOIN (SELECT unnest(range(1, {EMB_DIM + 1})) AS i) idx "
+        f"GROUP BY label, i"
+    )
+
+
+_IVF_ORACLE = f"""
+WITH c AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id >= {N_QUERIES}
+), q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+), dims AS ({_avg_dims_sql('c')}),
+cent AS (
+    SELECT label, list(m ORDER BY i) AS cv FROM dims GROUP BY label
+), assigned AS (
+    SELECT vec_id, v, label FROM (
+        SELECT c.vec_id, c.v, cent.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY {_cos_sql('c.v', 'cent.cv')} DESC, cent.label) AS rn
+        FROM c CROSS JOIN cent
+    ) WHERE rn = 1
+), probes AS (
+    SELECT query_id, label FROM (
+        SELECT q.query_id, cent.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_cos_sql('q.qv', 'cent.cv')} DESC, cent.label) AS rn
+        FROM q CROSS JOIN cent
+    ) WHERE rn <= {IVF_NPROBE}
+), rerank AS (
+    SELECT q.query_id, a.vec_id,
+           {_cos_sql('q.qv', 'a.v')} AS cos_sim
+    FROM q JOIN probes p ON p.query_id = q.query_id
+           JOIN assigned a ON a.label = p.label
+), r AS (
+    SELECT query_id, vec_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+    FROM rerank
+)
+SELECT query_id, vec_id, rank, cos_sim
+FROM r WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_IVF_ORACLE,
+    category="similarity",
+    description=f"IVF ANN: per-label mean centroids (6dp-rounded coarse "
+    f"quantizer), nearest-centroid inverted lists, {IVF_NPROBE}-probe "
+    f"cosine top-{TOP_K} rerank -- scan cost nprobe/nlist of the corpus",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    vd = F.col("embedding").cast("array<double>")
+    corpus = emb.where(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", "label", vd.alias("v")
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), vd.alias("qv")
+    )
+    # coarse centroids: 64 per-dimension ROUND(AVG, 6) aggregates
+    cent = corpus.groupBy("label").agg(
+        F.array(
+            *[
+                F.round(F.avg(F.element_at("v", i + 1)), 6)
+                for i in range(EMB_DIM)
+            ]
+        ).alias("cv")
+    )
+    cent = F.broadcast(cent.select(F.col("label").alias("c_label"), "cv"))
+
+    # inverted lists: each vector -> nearest centroid (max cos, id tiebreak)
+    sim_vc = cosine_similarity(F.col("v"), F.col("cv"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        sim_vc.desc(), F.col("c_label").asc()
+    )
+    assigned = (
+        corpus.crossJoin(cent)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("c_label").alias("label"))
+    )
+
+    # probe: nprobe nearest centroids per query
+    sim_qc = cosine_similarity(F.col("qv"), F.col("cv"))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        sim_qc.desc(), F.col("c_label").asc()
+    )
+    probes = (
+        queries.crossJoin(cent)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "qv", F.col("c_label").alias("label"))
+    )
+
+    scored = probes.join(assigned, "label").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    return _two_phase_topk(scored)

@@ -34,9 +34,9 @@ def test_filter_and_projection_reach_the_scan(spark):
 
 
 def test_no_cartesian_anywhere_in_the_registry(spark):
-    # brute-force ANN is the one deliberate broadcast cross join (tiny,
-    # fixed-size query side) -- everything else must be key-joined
-    allowed = {"ann_cosine_topk_bruteforce"}
+    # deliberate broadcast cross joins against tiny, bounded sides only:
+    # the fixed query set (brute-force ANN) and the centroid set (IVF)
+    allowed = {"ann_cosine_topk_bruteforce", "ann_ivf_topk"}
     for name, wl in REGISTRY.items():
         if name in allowed:
             continue
