@@ -37,11 +37,17 @@ def asof_join(
     whichever duplicate sorted last).
     """
     marker = 0 if inclusive else 2  # right rows sort before (0) / after (2) equal-ts left rows (1)
+    # keys and left_ts already ride as the partition/order columns;
+    # carrying them inside the payload struct too would double their
+    # shuffled width -- the struct holds only the remaining left columns
+    # and the output is reconstructed from both.
+    dup = set(keys) | {left_ts}
+    payload = [c for c in left.columns if c not in dup]
     l_tagged = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
-        F.struct(*left.columns).alias("__left"),
+        F.struct(*payload).alias("__left"),
         *[F.lit(None).cast(right.schema[v].dataType).alias(v) for v in right_values],
     )
     r_tagged = right.select(
@@ -57,13 +63,20 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged).select(
+        *keys,
+        "__ts",
         "__is_left",
         "__left",
         *[F.last(v, ignorenulls=True).over(w).alias(v) for v in right_values],
     )
     out = carried.filter(F.col("__is_left") == 1)
+    rebuilt = {
+        **{k: F.col(k) for k in keys},
+        left_ts: F.col("__ts").alias(left_ts),
+        **{c: F.col("__left")[c].alias(c) for c in payload},
+    }
     return out.select(
-        *[F.col("__left")[c].alias(c) for c in left.columns],
+        *[rebuilt[c] for c in left.columns],
         *[F.col(v) for v in right_values],
     )
 
