@@ -313,7 +313,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), vd.alias("qv")
     )
-    # coarse centroids: 64 per-dimension ROUND(AVG, 6) aggregates
+    # coarse centroids: 64 per-dimension ROUND(AVG, 6) aggregates.
+    # The quantizer is MODEL METADATA -- nlist tiny rows, collected once
+    # (exactly like a fitted k-means model object) and inlined as a
+    # literal array, so centroid assignment below is a pure map over the
+    # corpus scan: NO crossJoin, NO shuffle of corpus x nlist rows.
     cent = corpus.groupBy("label").agg(
         F.array(
             *[
@@ -322,33 +326,42 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("cv")
     )
-    cent = F.broadcast(cent.select(F.col("label").alias("c_label"), "cv"))
-
-    # inverted lists: each vector -> nearest centroid (max cos, id tiebreak)
-    sim_vc = cosine_similarity(F.col("v"), F.col("cv"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        sim_vc.desc(), F.col("c_label").asc()
-    )
-    assigned = (
-        corpus.crossJoin(cent)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("c_label").alias("label"))
+    cent_rows = sorted(cent.collect(), key=lambda r: r["label"])
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["label"])).cast("long").alias("label"),
+                F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("cv"),
+            )
+            for r in cent_rows
+        ]
     )
 
-    # probe: nprobe nearest centroids per query
-    sim_qc = cosine_similarity(F.col("qv"), F.col("cv"))
-    w_probe = Window.partitionBy("query_id").orderBy(
-        sim_qc.desc(), F.col("c_label").asc()
-    )
-    probes = (
-        queries.crossJoin(cent)
-        .withColumn("rn", F.row_number().over(w_probe))
-        .where(F.col("rn") <= IVF_NPROBE)
-        .select("query_id", "qv", F.col("c_label").alias("label"))
-    )
+    def _scored_cents(vec_col: str):
+        # (cos, neg_label) structs: max/sort order = cos DESC, label ASC,
+        # matching the oracle's ORDER BY cos DESC, label tie-break
+        return F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                F.round(cosine_similarity(F.col(vec_col), c["cv"]), 6).alias("cos"),
+                (-c["label"]).alias("neg_label"),
+            ),
+        )
 
-    scored = probes.join(assigned, "label").select(
+    # inverted lists: per-row argmax over the literal centroid array
+    assigned = corpus.select(
+        "vec_id", "v", (-F.array_max(_scored_cents("v"))["neg_label"]).alias("label")
+    )
+    # probe: per-query top-nprobe centroids, again map-side
+    probes = queries.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.slice(F.sort_array(_scored_cents("qv"), asc=False), 1, IVF_NPROBE)
+        ).alias("p"),
+    ).select("query_id", "qv", (-F.col("p")["neg_label"]).alias("label"))
+
+    scored = assigned.join(F.broadcast(probes), "label").select(
         "query_id",
         "vec_id",
         F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cos_sim"),

@@ -34,9 +34,9 @@ def test_filter_and_projection_reach_the_scan(spark):
 
 
 def test_no_cartesian_anywhere_in_the_registry(spark):
-    # deliberate broadcast cross joins against tiny, bounded sides only:
-    # the fixed query set (brute-force ANN) and the centroid set (IVF)
-    allowed = {"ann_cosine_topk_bruteforce", "ann_ivf_topk"}
+    # the one deliberate broadcast cross join: the fixed, tiny query set
+    # of the brute-force ANN baseline
+    allowed = {"ann_cosine_topk_bruteforce"}
     for name, wl in REGISTRY.items():
         if name in allowed:
             continue
