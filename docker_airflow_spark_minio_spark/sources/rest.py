@@ -127,10 +127,10 @@ class PaginatedRestSource:
         """Fan page fetches out over executors; JSON lines are parsed by
         Spark's distributed JSON reader (schema inferred from the data, as
         the reference's silver read does, job_silver.py:143-147)."""
-        lines = self._lines_rdd(spark, num_pages, parallelism)
-        if lines.isEmpty():
+        n = num_pages or self.total_pages()
+        if n <= 0:
             return spark.createDataFrame([], "id string")
-        return spark.read.json(lines)
+        return spark.read.json(self._lines_rdd(spark, n, parallelism))
 
     def write_bronze(
         self,
