@@ -1,0 +1,46 @@
+"""Salted-join equivalence: results identical to the plain join, salt
+spread actually splits the hot key, and the salt column never leaks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docker_airflow_spark_minio_spark.operators.skew import SALT_COL, salted_join
+
+
+def _skewed_frames(spark):
+    # 90% of probe rows share one hot key
+    probe = spark.createDataFrame(
+        [(("hot" if i % 10 else f"k{i}"), i) for i in range(1000)], "k string, v long"
+    )
+    build = spark.createDataFrame(
+        [("hot", 100), ("k10", 1), ("k20", 2), ("missing", 9)], "k string, w long"
+    )
+    return probe, build
+
+
+def test_salted_join_equals_plain_join(spark):
+    probe, build = _skewed_frames(spark)
+    for how in ("inner", "left"):
+        got = salted_join(probe, build, on=["k"], salts=8, how=how)
+        expected = probe.join(build, ["k"], how)
+        assert SALT_COL not in got.columns
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, expected.collect())
+        )
+
+
+def test_salt_spreads_hot_key(spark):
+    probe, _ = _skewed_frames(spark)
+    spread = probe.where(F.col("k") == "hot").withColumn(
+        SALT_COL, F.floor(F.rand(42) * 8).cast("int")
+    )
+    n_salts = spread.select(SALT_COL).distinct().count()
+    assert n_salts == 8  # 900 hot rows land in all 8 sub-keys
+
+
+def test_salt_by_column_is_deterministic(spark):
+    probe, build = _skewed_frames(spark)
+    a = salted_join(probe, build, on=["k"], salts=4, salt_by="v")
+    b = salted_join(probe, build, on=["k"], salts=4, salt_by="v")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -134,3 +134,33 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in dedup_stream(batch, keys=("doc_id",)).collect()
     ) == [1, 2, 3]
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    from docker_airflow_spark_minio_spark.streaming import running_totals, stream_bronze
+
+    src = tmp_path / "state_in"
+    src.mkdir()
+    batches = [
+        [("a", 1.0), ("b", 2.0)],
+        [("a", 3.0)],
+        [("b", 4.0), ("a", 5.0)],
+    ]
+    for i, rows in enumerate(batches):
+        with open(src / f"f{i}.json", "w") as f:
+            for k, v in rows:
+                f.write(json.dumps({"key": k, "value": v}) + "\n")
+    schema = T.StructType(
+        [T.StructField("key", T.StringType()), T.StructField("value", T.DoubleType())]
+    )
+    stream = stream_bronze(spark, str(src), schema, max_files_per_trigger=1)
+    out = running_totals(stream.groupBy("key"), ttl_ms=3_600_000)
+    _run_to_memory(out, "totals_mem", str(tmp_path / "ckpt_rt"), "update")
+    # memory sink in update mode appends every emission in arbitrary
+    # order; totals are monotone per key, so the max emission is final
+    rows = spark.table("totals_mem").collect()
+    last: dict = {}
+    for r in rows:
+        cur = (r["n_events"], r["total"])
+        last[r["key"]] = max(last.get(r["key"], cur), cur)
+    assert last == {"a": (3, 9.0), "b": (2, 6.0)}
