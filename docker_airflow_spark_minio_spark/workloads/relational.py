@@ -548,3 +548,49 @@ def sql_named_table_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
     return spark.sql(_NAMED_TABLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Skew-mitigated join
+# ---------------------------------------------------------------------------
+
+# The salted join is semantically invisible -- its oracle is the PLAIN
+# join SQL. What salting buys is physical: each hot probe key spreads
+# over `salts` sub-keys so no single reducer owns a hot partition
+# (operators/skew.py; AQE skew-join covers the sort-merge case, salting
+# covers deliberate pre-spreading when the build side is small).
+_SKEW_ORACLE = """
+    SELECT p.p_brand,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice), 2) AS gross
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 10
+    GROUP BY p.p_brand ORDER BY p.p_brand
+"""
+
+
+@register(
+    "skew_salted_join_brands",
+    oracle=_SKEW_ORACLE,
+    category="join",
+    description="salted skew join (8 sub-keys per key, build side "
+    "replicated): result provably identical to the plain join -- the "
+    "oracle IS the plain join",
+)
+def skew_salted_join_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir)
+    build = t["part"].where(F.col("p_size") <= 10).select("p_partkey", "p_brand")
+    probe = t["lineitem"].select(
+        F.col("l_partkey").alias("p_partkey"), "l_extendedprice", "l_orderkey"
+    )
+    joined = salted_join(probe, build, on=["p_partkey"], salts=8, salt_by="l_orderkey")
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("gross"),
+        )
+        .orderBy("p_brand")
+    )
