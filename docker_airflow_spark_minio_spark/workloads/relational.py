@@ -594,3 +594,62 @@ def skew_salted_join_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles / pivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percentile_order_values",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_disc(o_totalprice, 0.5), 2)  AS p50,
+           ROUND(quantile_disc(o_totalprice, 0.9), 2)  AS p90,
+           ROUND(quantile_disc(o_totalprice, 0.99), 2) AS p99
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    category="aggregation",
+    description="exact discrete percentiles (an actual element, not an "
+    "interpolation -- deterministic cross-engine, unlike approx sketches)",
+)
+def percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            *[
+                F.round(
+                    F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY o_totalprice)"),
+                    2,
+                ).alias(name)
+                for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+            ]
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "pivot_returns_by_status",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS status_f,
+           CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS status_o
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    category="aggregation",
+    description="pivot (long->wide): Spark's pivot() compiles to the same "
+    "conditional-aggregate plan the oracle spells out",
+)
+def pivot_returns_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .withColumnRenamed("F", "status_f")
+        .withColumnRenamed("O", "status_o")
+        .orderBy("l_returnflag")
+    )

@@ -233,3 +233,47 @@ def text_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * F.lit(_FP_BASE) + x) % F.lit(_FP_MOD),
     )
     return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / dataset splits
+# ---------------------------------------------------------------------------
+
+# Training-data pipelines need REPRODUCIBLE sampling: membership must be
+# a pure function of the record, not of partitioning or RNG state, so a
+# rerun (or a different cluster) samples the same rows. h32(doc_id) mod N
+# gives exactly that, cross-engine: the same rows sample on Spark and on
+# the DuckDB oracle.
+SPLIT_MOD = 10  # 80/10/10 split by hash residue
+
+
+@register(
+    "text_train_val_test_split",
+    oracle=f"""
+    WITH s AS (
+        SELECT lang,
+               {h32_sql("CAST(doc_id AS VARCHAR)")} % {SPLIT_MOD} AS r
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN r < 8 THEN 'train' WHEN r = 8 THEN 'val' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY 1, 2 ORDER BY lang, split
+    """,
+    category="text",
+    description=f"deterministic train/val/test split: h32(doc_id) mod "
+    f"{SPLIT_MOD} residue -> 80/10/10; membership is a pure function of "
+    "the record, so reruns and other engines sample identically",
+)
+def text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    r = h32(F.col("doc_id").cast("string")) % SPLIT_MOD
+    split = (
+        F.when(r < 8, "train").when(r == 8, "val").otherwise("test").alias("split")
+    )
+    return (
+        docs.select("lang", split)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
