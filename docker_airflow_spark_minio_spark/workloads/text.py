@@ -277,3 +277,64 @@ def text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ln((SELECT COUNT(*) FROM documents) * 1.0 / df.df), 6)
+                   AS tfidf
+        FROM tf JOIN df ON tf.term = df.term
+    ), r AS (
+        SELECT doc_id, term, tfidf,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, rank, tfidf FROM r
+    WHERE rank <= {TFIDF_TOP_K} ORDER BY doc_id, rank
+    """,
+    category="text",
+    description=f"TF-IDF top-{TFIDF_TOP_K} terms per document: tf from an "
+    "exploded token aggregate, idf joined on the term (shuffle key = "
+    "term, bounded by vocabulary), rounded so ln() ulp noise is buried",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    # corpus size is quantizer-style metadata: one count, inlined as a
+    # literal (the oracle's scalar subquery)
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(tokens_expr("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "rank", "tfidf")
+        .orderBy("doc_id", "rank")
+    )

@@ -204,3 +204,53 @@ def first_last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled downsample (hypertable-style continuous aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_gapfill_hourly",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ), grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket, t.event_type
+        FROM bounds, (SELECT DISTINCT event_type FROM events) t
+    ), agg AS (
+        SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS qtd
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.bucket, g.event_type,
+           CAST(COALESCE(a.qtd, 0) AS BIGINT) AS qtd
+    FROM grid g LEFT JOIN agg a
+      ON g.bucket = a.bucket AND g.event_type = a.event_type
+    ORDER BY g.bucket, g.event_type
+    """,
+    category="timeseries",
+    description="gap-filled hourly downsample: dense (bucket x event_type) "
+    "grid via sequence/explode, left join onto the sparse aggregate, "
+    "0-fill -- empty hours appear instead of vanishing",
+)
+def timeseries_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("qtd"))
+    bounds = ev.select(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    # dense grid: one row per hour via sequence+explode, crossed with the
+    # (tiny, bounded) distinct event types -- both sides broadcastable
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    ).crossJoin(ev.select("event_type").distinct())
+    return (
+        grid.join(agg, ["bucket", "event_type"], "left")
+        .select("bucket", "event_type", F.coalesce("qtd", F.lit(0)).alias("qtd"))
+        .orderBy("bucket", "event_type")
+    )

@@ -34,9 +34,10 @@ def test_filter_and_projection_reach_the_scan(spark):
 
 
 def test_no_cartesian_anywhere_in_the_registry(spark):
-    # the one deliberate broadcast cross join: the fixed, tiny query set
-    # of the brute-force ANN baseline
-    allowed = {"ann_cosine_topk_bruteforce"}
+    # deliberate broadcast cross joins against tiny, bounded sides only:
+    # the fixed query set (brute-force ANN baseline) and the hour-grid x
+    # distinct-event-type lattice (gap-fill)
+    allowed = {"ann_cosine_topk_bruteforce", "timeseries_gapfill_hourly"}
     for name, wl in REGISTRY.items():
         if name in allowed:
             continue
