@@ -443,3 +443,70 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(F.col("cos_sim") * 1_000_000 >= COSINE_MIN_X1E6).orderBy(
         "vec_a", "vec_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+# The dedup end-game: pairs -> clusters -> one canonical survivor each.
+# Spark side: iterative min-label propagation (operators/graph.py).
+# Oracle side: DuckDB recursive-CTE reachability closure + MIN -- an
+# exact cross-engine check of an ITERATIVE algorithm.
+CLUSTER_MIN_JACCARD_BP = 5000
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_minhash_cte()},
+bands AS ({_band_sql()}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE FLOOR(10000.0 * len(list_intersect(sa.sh, sb.sh)) /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+          >= {CLUSTER_MIN_JACCARD_BP}
+),
+bi AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(id, r) AS (
+    SELECT a, a FROM bi
+    UNION
+    SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.id
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(id) AS canonical_doc
+FROM comp GROUP BY component ORDER BY component
+"""
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=_CLUSTERS_ORACLE,
+    category="dedup",
+    description=f"near-dup clusters: MinHash pairs (Jaccard >= "
+    f"{CLUSTER_MIN_JACCARD_BP / 10000}) -> connected components via "
+    "iterative min-label propagation; oracle = DuckDB recursive-CTE "
+    "closure -- exact cross-engine check of an iterative algorithm",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).where(
+        F.col("jaccard_bp") >= CLUSTER_MIN_JACCARD_BP
+    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("canonical_doc"))
+        .orderBy("component")
+    )
