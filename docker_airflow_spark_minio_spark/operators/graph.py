@@ -1,0 +1,77 @@
+"""Iterative graph operators: connected components.
+
+The dedup end-game: near-dup PAIRS (from MinHash/SimHash/cosine) must be
+collapsed into CLUSTERS so one canonical document survives per group --
+that is connected components over the pair graph, an operator Spark has
+no built-in for (GraphFrames is an external package).
+
+Implementation: min-label propagation to convergence.  Every node
+starts as its own component; each round, every node takes the min
+component id among itself and its neighbors; stop when no label
+changes.  Rounds needed = graph diameter -- near-dup clusters are
+small and dense (near-cliques), so this converges in 2-3 rounds in
+practice; ``max_iter`` bounds pathological chains.
+
+Scale notes (100 TB posture):
+ * each round is one shuffle on the node id (join + groupBy share the
+   key); edges are shuffled once per round -- the alternative
+   large-star/small-star algorithm lowers round count on huge diameters
+   at the cost of edge rewrites, unnecessary for dedup-shaped graphs
+ * labels are persisted across rounds and the convergence check is a
+   metadata-sized count, not a collect of the labels
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected graph.
+
+    ``edges``: one row per edge (direction irrelevant).  Returns
+    ``(id, component)`` where ``component`` is the smallest node id in
+    the component -- a deterministic canonical representative.
+    """
+    # The edge list is reused EVERY round: without persisting it, each
+    # iteration would re-execute the whole upstream plan that produced
+    # the edges (for dedup, the entire MinHash pipeline -- measured 3x
+    # the total runtime).
+    bi = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .persist()
+    )
+    nodes = bi.select(F.col("a").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("component")).persist()
+    labels.count()  # materialize
+
+    for _ in range(max_iter):
+        msgs = bi.join(labels, bi["a"] == labels["id"]).select(
+            F.col("b").alias("id"), "component"
+        )
+        new_labels = (
+            labels.select("id", "component")
+            .unionAll(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    bi.unpersist()
+    return labels
