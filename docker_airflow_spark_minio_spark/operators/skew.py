@@ -45,6 +45,10 @@ def salted_join(
     nondeterministic salt values are safe; pass ``salt_by`` when you
     want task-stable placement too.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "left_anti"):
+        # right/full joins would surface each unmatched build row once
+        # PER REPLICA (salts copies) -- semantically wrong by construction
+        raise ValueError(f"salted_join supports probe-preserving joins only, not {how!r}")
     if salt_by:
         spread = F.pmod(F.hash(F.col(salt_by)), F.lit(salts))
     else:

@@ -167,7 +167,11 @@ class PaginatedRestSource:
             if n:
                 df.write.mode("overwrite").text(tmp_dir)
                 fsmeta.delete_prefix(spark, day_dir)
-                fsmeta.rename(spark, tmp_dir, day_dir)
+                if not fsmeta.rename(spark, tmp_dir, day_dir):
+                    raise IOError(
+                        f"bronze swap failed: could not rename {tmp_dir} "
+                        f"to {day_dir} (data is intact in the temp prefix)"
+                    )
         finally:
             df.unpersist()
         return n

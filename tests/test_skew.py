@@ -44,3 +44,13 @@ def test_salt_by_column_is_deterministic(spark):
     a = salted_join(probe, build, on=["k"], salts=4, salt_by="v")
     b = salted_join(probe, build, on=["k"], salts=4, salt_by="v")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_salted_join_rejects_build_preserving_joins(spark):
+    import pytest
+
+    probe, build = _skewed_frames(spark)
+    with pytest.raises(ValueError):
+        salted_join(probe, build, on=["k"], how="right")
+    with pytest.raises(ValueError):
+        salted_join(probe, build, on=["k"], how="full")
