@@ -653,3 +653,62 @@ def pivot_returns_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("O", "status_o")
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, 'retailprice' AS measure, ROUND(p_retailprice, 2) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    ORDER BY p_partkey, measure
+    """,
+    category="aggregation",
+    description="unpivot (wide->long) via stack(): the inverse of pivot, "
+    "one output row per (row, measure)",
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_tables(spark, sf_dir)["part"]
+    return (
+        p.select(
+            "p_partkey",
+            F.expr(
+                "stack(2, 'retailprice', ROUND(p_retailprice, 2), "
+                "'size', CAST(p_size AS DOUBLE)) AS (measure, value)"
+            ),
+        )
+        .orderBy("p_partkey", "measure")
+    )
+
+
+@register(
+    "percentile_cont_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25,
+           ROUND(quantile_cont(l_quantity, 0.5), 4)  AS q50,
+           ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    category="aggregation",
+    description="interpolated percentiles (percentile_cont): linear "
+    "interpolation between the two straddling elements -- deterministic "
+    "given identical inputs, ROUND()ed for ulp safety",
+)
+def percentile_cont_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.round(
+                    F.expr(f"percentile_cont({q}) WITHIN GROUP (ORDER BY l_quantity)"),
+                    4,
+                ).alias(name)
+                for name, q in (("q25", 0.25), ("q50", 0.5), ("q75", 0.75))
+            ]
+        )
+        .orderBy("l_returnflag")
+    )

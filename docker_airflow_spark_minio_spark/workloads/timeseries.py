@@ -254,3 +254,50 @@ def timeseries_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "event_type", F.coalesce("qtd", F.lit(0)).alias("qtd"))
         .orderBy("bucket", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE window frame (value-based, not row-based)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_range_frame_7d",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(cnt) OVER (
+               PARTITION BY o_custkey ORDER BY day_n
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS orders_trailing_7d
+    FROM (
+        SELECT o_custkey, o_orderkey,
+               CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day_n,
+               1 AS cnt
+        FROM orders
+    )
+    ORDER BY o_custkey, o_orderkey
+    """,
+    category="timeseries",
+    description="RANGE window frame: trailing-7-day order count per "
+    "customer -- value-based frame bounds (every order in the last 7 "
+    "DAYS, not the last 7 ROWS), exact via integer day numbers",
+)
+def window_range_frame_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_tables(spark, sf_dir)["orders"]
+    day_n = (F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_n")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", day_n.alias("day_n"), F.lit(1).alias("cnt"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum("cnt").over(w).alias("orders_trailing_7d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
