@@ -98,6 +98,29 @@ class SqlCatalog:
     def append(self, df: DataFrame, table: str) -> None:
         self._aligned(df, table).write.insertInto(self.qualified(table), overwrite=False)
 
+    def save_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        n_buckets: int = 32,
+        sort_cols: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Write a bucketed (and optionally sort-ordered) table.
+
+        Bucketing pre-shuffles the data ONCE at write time: two tables
+        bucketed on the same key with the same bucket count join with NO
+        exchange -- the repeated-join shuffle is paid once, at ingest.
+        ``sort_cols`` additionally orders rows inside each bucket file so
+        a sort-merge join can skip its sort.  Bucketing requires the
+        catalog (``saveAsTable``); path-based writes cannot express it.
+        """
+        writer = df.write.format(self.table_format).bucketBy(n_buckets, *bucket_cols)
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.mode(mode).saveAsTable(self.qualified(table))
+
     # -- queries ---------------------------------------------------------
 
     def sql(self, query: str) -> DataFrame:

@@ -50,12 +50,20 @@ class TableManager:
         table: str,
         partition_by: list[str] | None = None,
         mode: str = "overwrite_partitions",
+        sort_within_partitions: list[str] | None = None,
     ) -> str:
         """Write ``df`` as a partitioned table; returns the table path.
 
         mode: 'overwrite_partitions' | 'snapshot' | 'append'
+
+        ``sort_within_partitions`` clusters rows inside each task's
+        output files (no shuffle): parquet min/max row-group stats on
+        those columns become tight, so later range predicates skip
+        row groups instead of scanning them.
         """
         path = self.path(table)
+        if sort_within_partitions:
+            df = df.sortWithinPartitions(*sort_within_partitions)
         writer = df.write.format(self.file_format).option(
             "maxRecordsPerFile", str(self.max_records_per_file)
         )

@@ -82,3 +82,27 @@ def test_catalog_pipeline_end_to_end(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS dw.tab_brewery")
     spark.sql("DROP TABLE IF EXISTS dw.tab_brewery_summary")
     spark.sql("DROP DATABASE IF EXISTS dw")
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    from docker_airflow_spark_minio_spark import plans
+
+    cat = SqlCatalog(spark, database="bkt")
+    cat.ensure_database(location=str(tmp_path / "bkt"))
+    left = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS v")
+    right = spark.range(0, 10_000, 3).selectExpr("id AS k", "id * 7 AS w")
+    cat.save_bucketed(left, "l", ["k"], n_buckets=8, sort_cols=["k"])
+    cat.save_bucketed(right, "r", ["k"], n_buckets=8, sort_cols=["k"])
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt.l").join(spark.table("bkt.r"), "k")
+        # the join consumes the write-time bucketing: zero exchanges
+        assert plans.shuffle_count(j) == 0, plans.physical_plan(j)
+        assert j.count() == 3334  # multiples of 3 in [0, 10000)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt.l")
+        spark.sql("DROP TABLE IF EXISTS bkt.r")
+        spark.sql("DROP DATABASE IF EXISTS bkt")

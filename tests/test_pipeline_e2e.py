@@ -117,3 +117,20 @@ def test_fsmeta_stats_and_delete(spark, lake):
     assert fsmeta.prefix_exists(spark, day_a)
     assert fsmeta.delete_prefix(spark, day_a)
     assert not fsmeta.prefix_exists(spark, day_a)
+
+
+def test_sort_within_partitions_clusters_files(spark, tmp_path):
+    import glob
+
+    from docker_airflow_spark_minio_spark.storage import TableManager
+
+    df = spark.range(0, 10_000).selectExpr(
+        "pmod(hash(id), 1000000) AS k", "id AS v"
+    ).repartition(4)
+    m = TableManager(spark, str(tmp_path / "wh"))
+    m.write(df, "dw.sorted", mode="snapshot", sort_within_partitions=["k"])
+    files = glob.glob(f"{tmp_path}/wh/dw/sorted/*.parquet")
+    assert files
+    for f in files:  # every file individually ordered by k
+        ks = [r["k"] for r in spark.read.parquet(f).select("k").collect()]
+        assert ks == sorted(ks)
