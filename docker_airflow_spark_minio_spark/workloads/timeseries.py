@@ -301,3 +301,106 @@ def window_range_frame_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention / funnel
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_retention_days",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), firsts AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id
+    ), offs AS (
+        SELECT f.cohort_day, date_diff('day', f.cohort_day, a.day) AS offset_days,
+               a.user_id
+        FROM act a JOIN firsts f ON a.user_id = f.user_id
+    )
+    SELECT cohort_day, CAST(offset_days AS BIGINT) AS offset_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM offs WHERE offset_days IN (0, 1, 7)
+    GROUP BY 1, 2 ORDER BY cohort_day, offset_days
+    """,
+    category="timeseries",
+    description="cohort retention: users grouped by first-activity day, "
+    "counted again at day offsets 0/1/7 -- two shuffles (first-day agg + "
+    "cohort count), activity deduped to (user, day) before any join",
+)
+def cohort_retention_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    firsts = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    offs = act.join(firsts, "user_id").select(
+        "cohort_day",
+        F.datediff("day", "cohort_day").cast("long").alias("offset_days"),
+        "user_id",
+    )
+    return (
+        offs.where(F.col("offset_days").isin(0, 1, 7))
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH m AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)     AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)    AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT 'stage1_view' AS stage,
+           CAST(COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS BIGINT) AS n_users
+    FROM m
+    UNION ALL
+    SELECT 'stage2_click',
+           CAST(COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                           THEN 1 END) AS BIGINT)
+    FROM m
+    UNION ALL
+    SELECT 'stage3_purchase',
+           CAST(COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                            AND t_purchase > t_click THEN 1 END) AS BIGINT)
+    FROM m
+    ORDER BY stage
+    """,
+    category="timeseries",
+    description="ordered funnel: first view -> later first click -> later "
+    "first purchase, one conditional-min aggregate per user (single "
+    "shuffle) then three counts; micros epoch keeps comparisons exact",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts_us")))
+
+    m = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    out = m.select(
+        F.sum(s1.cast("long")).alias("stage1_view"),
+        F.sum(s2.cast("long")).alias("stage2_click"),
+        F.sum(s3.cast("long")).alias("stage3_purchase"),
+    )
+    return (
+        out.select(
+            F.expr(
+                "stack(3, 'stage1_view', stage1_view, 'stage2_click', stage2_click, "
+                "'stage3_purchase', stage3_purchase) AS (stage, n_users)"
+            )
+        ).orderBy("stage")
+    )
