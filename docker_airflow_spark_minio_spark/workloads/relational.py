@@ -712,3 +712,60 @@ def percentile_cont_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4)       OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+    category="window",
+    description="ranking-function family beyond row_number: ntile "
+    "quartiles, percent_rank, cume_dist -- exact rationals, unique "
+    "(price, orderkey) ordering so ties cannot differ across engines",
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# Correlated scalar subquery: Catalyst decorrelates this into an
+# aggregate + join under the hood -- same ANSI text runs on both engines.
+_CORRELATED_SQL = """
+    SELECT o.o_custkey, COUNT(*) AS n_above_avg
+    FROM orders o
+    WHERE o.o_totalprice > (
+        SELECT AVG(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+    GROUP BY o.o_custkey
+    ORDER BY o.o_custkey
+"""
+
+
+@register(
+    "sql_correlated_subquery",
+    oracle=_CORRELATED_SQL,
+    category="sql",
+    description="correlated scalar subquery (orders above the customer's "
+    "own average): Catalyst decorrelates to an aggregate + join; "
+    "identical ANSI text on both engines",
+)
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)["orders"].createOrReplaceTempView("orders")
+    return spark.sql(_CORRELATED_SQL)
