@@ -1,0 +1,72 @@
+"""Incremental silver: the streaming twin of ``jobs/job_silver.py``.
+
+The batch silver job re-reads one day per run (cron semantics,
+reference datalake_silver_spark_dag.py).  This variant streams the
+bronze landing zone instead: every newly landed NDJSON file becomes a
+micro-batch that flows through the SAME conformance projection into the
+SAME partitioned table -- exactly-once per file via the checkpoint's
+source log, no day-level re-reads, no scheduler.
+
+The partition column rides in from the directory layout
+(``sys_file_date=<D>/``): the file source populates it from the path
+when it appears in the read schema, and conform casts it to its
+declared type like any other column.
+
+Scale notes: each micro-batch writes only the files that arrived --
+backfill cost is bounded by ``max_files_per_trigger``; the sink append
+is partition-local since rows carry their partition value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from ..conform import conform
+from ..schema import BREWERY_DESCRIBE_LIST, DescribeList, partition_columns, string_read_schema
+from ..storage import TableManager
+from .source import stream_bronze
+
+
+def run_silver_stream(
+    spark: SparkSession,
+    bronze_dir: str,
+    warehouse: str,
+    checkpoint: str,
+    table: str = "dw.tab_brewery",
+    describe_list: DescribeList | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start (and with ``available_now`` run to completion) the
+    incremental silver load.  Returns the StreamingQuery."""
+    describe_list = describe_list or BREWERY_DESCRIBE_LIST
+    part_cols = partition_columns(describe_list) or ["sys_file_date"]
+
+    # data columns read as strings; partition columns appended so the
+    # file source fills them from the directory names
+    schema = string_read_schema(describe_list, exclude=part_cols)
+    for p in part_cols:
+        schema = schema.add(T.StructField(p, T.StringType(), True))
+
+    raw = stream_bronze(
+        spark, bronze_dir, schema, max_files_per_trigger=max_files_per_trigger
+    )
+    out = conform(raw, describe_list)
+
+    manager = TableManager(spark, warehouse)
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        manager.write(batch_df, table, partition_by=part_cols, mode="append")
+
+    writer = (
+        out.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q

@@ -164,3 +164,33 @@ def test_stateful_running_totals(spark, tmp_path):
         cur = (r["n_events"], r["total"])
         last[r["key"]] = max(last.get(r["key"], cur), cur)
     assert last == {"a": (3, 9.0), "b": (2, 6.0)}
+
+
+def test_incremental_silver_exactly_once(spark, tmp_path):
+    from test_pipeline_e2e import DAY_A, DAY_B, RECORDS_A, _write_bronze
+
+    from docker_airflow_spark_minio_spark.streaming.silver import run_silver_stream
+
+    bronze = str(tmp_path / "bronze")
+    warehouse = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    _write_bronze(bronze, DAY_A, RECORDS_A)
+
+    run_silver_stream(spark, bronze, warehouse, ckpt)
+    silver = spark.read.parquet(f"{warehouse}/dw/tab_brewery")
+    assert silver.count() == 3
+    rows = {r["id"]: r for r in silver.collect()}
+    assert rows["1"]["phone"] == 5551234      # conformance applied
+    assert rows["2"]["phone"] is None          # malformed -> null
+    assert str(rows["1"]["sys_file_date"]) == DAY_A  # from the dir name
+
+    # land a new day; rerun with the SAME checkpoint: only new files load
+    _write_bronze(bronze, DAY_B, [{"id": "9", "name": "Z", "brewery_type": "nano",
+                                   "country": "DE"}])
+    run_silver_stream(spark, bronze, warehouse, ckpt)
+    silver = spark.read.parquet(f"{warehouse}/dw/tab_brewery")
+    assert silver.count() == 4                 # 3 + 1, day A not re-ingested
+
+    # a third run with nothing new is a no-op
+    run_silver_stream(spark, bronze, warehouse, ckpt)
+    assert spark.read.parquet(f"{warehouse}/dw/tab_brewery").count() == 4
