@@ -54,3 +54,40 @@ def test_salted_join_rejects_build_preserving_joins(spark):
         salted_join(probe, build, on=["k"], how="right")
     with pytest.raises(ValueError):
         salted_join(probe, build, on=["k"], how="full")
+
+
+def test_aqe_splits_skewed_sortmerge_join(spark):
+    """The session factory turns AQE skew-join on; prove it fires: a
+    hot-key sort-merge join's final adaptive plan carries skew=true
+    (AQE splits the oversized partition into parallel sub-reads)."""
+    from docker_airflow_spark_minio_spark import plans
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        probe = spark.range(0, 300_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k",
+            "repeat('x', 32) AS pad",
+        )
+        build = spark.range(0, 1000).selectExpr("id AS k", "id AS w")
+        j = probe.join(build, "k").select("k")
+        # collect() drives THIS DataFrame's own query execution, so the
+        # adaptive plan below is the final (post-replan) one -- count()
+        # would execute a separate plan instance
+        n = len(j.collect())
+        assert n == 270_000 + 100  # hot key 0 (270k rows) + keys 10,20,...
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
