@@ -20,6 +20,7 @@ is partition-local since rows carry their partition value.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..conform import conform
@@ -61,6 +62,61 @@ def run_silver_stream(
 
     writer = (
         out.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
+def run_gold_stream(
+    spark: SparkSession,
+    warehouse: str,
+    checkpoint: str,
+    silver_table: str = "dw.tab_brewery",
+    gold_table: str = "dw.tab_brewery_summary",
+    available_now: bool = True,
+):
+    """Incremental gold: watch the silver table's files and re-aggregate
+    ONLY the partitions that changed.
+
+    Each micro-batch carries the newly written silver rows; the batch's
+    distinct partition values select which days to recompute from the
+    full silver table, and a dynamic partition overwrite replaces just
+    those days in gold -- the incremental-refresh pattern: work per
+    trigger is O(changed partitions), never a full-table rebuild.
+    """
+    from ..jobs.job_gold import gold_summary
+
+    manager = TableManager(spark, warehouse)
+    silver_path = manager.path(silver_table)
+    silver_schema = spark.read.parquet(silver_path).schema
+
+    stream = spark.readStream.schema(silver_schema).parquet(silver_path)
+
+    def refresh(batch_df, batch_id: int) -> None:
+        # changed partitions only: a metadata-sized collect (distinct
+        # partition values in this micro-batch)
+        days = [
+            r["sys_file_date"]
+            for r in batch_df.select("sys_file_date").distinct().collect()
+        ]
+        if not days:
+            return
+        silver = manager.read(silver_table).where(
+            F.col("sys_file_date").isin(days)
+        )
+        out = gold_summary(silver)
+        manager.write(
+            out, gold_table, partition_by=["sys_file_date"], mode="overwrite_partitions"
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(refresh)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )

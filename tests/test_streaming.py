@@ -194,3 +194,31 @@ def test_incremental_silver_exactly_once(spark, tmp_path):
     # a third run with nothing new is a no-op
     run_silver_stream(spark, bronze, warehouse, ckpt)
     assert spark.read.parquet(f"{warehouse}/dw/tab_brewery").count() == 4
+
+
+def test_incremental_gold_refreshes_changed_partitions(spark, tmp_path):
+    from test_pipeline_e2e import DAY_A, DAY_B, RECORDS_A, _write_bronze
+
+    from docker_airflow_spark_minio_spark.streaming.silver import (
+        run_gold_stream,
+        run_silver_stream,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    warehouse = str(tmp_path / "wh")
+    _write_bronze(bronze, DAY_A, RECORDS_A)
+    run_silver_stream(spark, bronze, warehouse, str(tmp_path / "ck_s"))
+    run_gold_stream(spark, warehouse, str(tmp_path / "ck_g"))
+
+    gold = spark.read.parquet(f"{warehouse}/dw/tab_brewery_summary")
+    got = {(str(r["sys_file_date"]), r["brewery_type"], r["country"]): r["qtd"]
+           for r in gold.collect()}
+    assert got == {(DAY_A, "micro", "US"): 2, (DAY_A, "nano", "PT"): 1}
+
+    # land day B; both stream stages pick up ONLY the new partition
+    _write_bronze(bronze, DAY_B, [{"id": "7", "name": "N", "brewery_type": "micro",
+                                   "country": "US"}])
+    run_silver_stream(spark, bronze, warehouse, str(tmp_path / "ck_s"))
+    run_gold_stream(spark, warehouse, str(tmp_path / "ck_g"))
+    gold = spark.read.parquet(f"{warehouse}/dw/tab_brewery_summary")
+    assert gold.count() == 3  # day A rows intact + 1 day-B group
