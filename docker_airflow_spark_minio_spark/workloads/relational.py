@@ -898,27 +898,28 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     JOIN nation n   ON c.c_nationkey = n.n_nationkey
     WHERE l.l_returnflag = 'R'
-      AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1994-07-01 00:00:00'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
     GROUP BY c.c_custkey, c.c_name, n.n_name
     ORDER BY revenue DESC, c_custkey LIMIT 20
     """,
     category="join",
     description="TPC-H Q10 shape: returned-items revenue per customer in "
-    "a quarter window -- return-flag filter pushed to the lineitem scan, "
+    "a half-year window (dates per the synthetic data range) -- return-flag filter pushed to the lineitem scan, "
     "date filter to orders, broadcast nation, top-20 via "
     "TakeOrderedAndProject",
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    lo = F.lit("1994-01-01 00:00:00").cast("timestamp_ntz")
-    hi = F.lit("1994-07-01 00:00:00").cast("timestamp_ntz")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-07-01 00:00:00").cast("timestamp_ntz")
     li = t["lineitem"].where(F.col("l_returnflag") == "R")
     o = t["orders"].where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -928,7 +929,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        # per-term cast to decimal BEFORE summing: decimal addition is
+        # exact and order-independent, so partial-aggregation order can
+        # never flip a ROUND boundary against the oracle (a plain double
+        # SUM differed by 1 ulp and rounded to the opposite cent here)
+        .agg(
+            F.round(F.sum(rev.cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
