@@ -84,16 +84,38 @@ class SqlCatalog:
         last regardless of DDL order."""
         return df.select(*self.spark.table(self.qualified(table)).columns)
 
+    def _insert_overwrite(self, df: DataFrame, table: str, mode: str) -> None:
+        """INSERT OVERWRITE with an explicit partition-overwrite mode.
+
+        The mode must not leak: a session-wide
+        ``spark.sql.sources.partitionOverwriteMode`` left flipped would
+        silently change the semantics of every later overwrite in the
+        session -- the exact class of data-loss bug (full-table replace,
+        SURVEY.md section 1.3) this module exists to avoid.  A per-writer
+        ``.option(...)`` is NOT honored on the ``insertInto`` path (the
+        option rides ``save()``, not INSERT), so the conf is set for the
+        single statement and restored in ``finally``."""
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(key, None)
+        self.spark.conf.set(key, mode)
+        try:
+            self._aligned(df, table).write.insertInto(
+                self.qualified(table), overwrite=True
+            )
+        finally:
+            if prev is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, prev)
+
     def overwrite_partitions(self, df: DataFrame, table: str) -> None:
         """Replace only the partitions present in ``df``."""
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        self._aligned(df, table).write.insertInto(self.qualified(table), overwrite=True)
+        self._insert_overwrite(df, table, "dynamic")
 
     def snapshot(self, df: DataFrame, table: str) -> None:
         """Full-table replace -- the reference's observable write behavior
         (job_silver.py:174-178 despite its partition spec)."""
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-        self._aligned(df, table).write.insertInto(self.qualified(table), overwrite=True)
+        self._insert_overwrite(df, table, "static")
 
     def append(self, df: DataFrame, table: str) -> None:
         self._aligned(df, table).write.insertInto(self.qualified(table), overwrite=False)

@@ -89,7 +89,7 @@ def run_gold(
                 f"""
                 SELECT sys_file_date, brewery_type, country,
                        count(*) AS qtd
-                FROM {cat.qualified(silver_table) if '.' in silver_table else silver_table}
+                FROM {cat.qualified(silver_table)}
                 WHERE sys_file_date = '{sys_file_date}'
                 GROUP BY 1, 2, 3
                 """

@@ -38,6 +38,16 @@ def connected_components(
     ``edges``: one row per edge (direction irrelevant).  Returns
     ``(id, component)`` where ``component`` is the smallest node id in
     the component -- a deterministic canonical representative.
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iter`` rounds: returning unconverged labels would silently
+    split components (a 25-node chain under max_iter=20 shatters), and
+    wrong-but-plausible dedup clusters are worse than a loud failure.
+    Diameter-shaped graphs need a larger ``max_iter``, not a silent pass.
+
+    The returned DataFrame is persisted (each round builds on the last;
+    the caller reuses it at least once).  Callers should ``unpersist()``
+    it when done.
     """
     # The edge list is reused EVERY round: without persisting it, each
     # iteration would re-execute the whole upstream plan that produced
@@ -52,6 +62,7 @@ def connected_components(
     labels = nodes.select("id", F.col("id").alias("component")).persist()
     labels.count()  # materialize
 
+    changed = -1
     for _ in range(max_iter):
         msgs = bi.join(labels, bi["a"] == labels["id"]).select(
             F.col("b").alias("id"), "component"
@@ -74,4 +85,10 @@ def connected_components(
         if changed == 0:
             break
     bi.unpersist()
+    if changed != 0:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels

@@ -151,6 +151,12 @@ class PaginatedRestSource:
         deletes the day prefix before fetching, bronze dag :269-271 -- a
         durability hazard).  Note: on S3-like stores the swap rename is a
         copy; a real deployment would use a cloud committer there.
+
+        Empty-fetch semantics (explicit): a fetch that SUCCEEDS with zero
+        rows deletes the day prefix -- the source says the day is empty,
+        and keeping yesterday's files would resurrect stale data (this
+        matches the reference's delete-then-fetch observable state).  A
+        fetch that FAILS raises before any delete, preserving prior data.
         """
         from .. import fsmeta
 
@@ -172,6 +178,9 @@ class PaginatedRestSource:
                         f"bronze swap failed: could not rename {tmp_dir} "
                         f"to {day_dir} (data is intact in the temp prefix)"
                     )
+            else:
+                # source reported an empty day: clear any stale prior data
+                fsmeta.delete_prefix(spark, day_dir)
         finally:
             df.unpersist()
         return n

@@ -4,8 +4,18 @@ The batch silver job re-reads one day per run (cron semantics,
 reference datalake_silver_spark_dag.py).  This variant streams the
 bronze landing zone instead: every newly landed NDJSON file becomes a
 micro-batch that flows through the SAME conformance projection into the
-SAME partitioned table -- exactly-once per file via the checkpoint's
-source log, no day-level re-reads, no scheduler.
+SAME partitioned table -- no day-level re-reads, no scheduler.
+
+End-to-end exactly-once: the checkpoint's source log guarantees each
+file enters exactly one micro-batch, and the sink write is IDEMPOTENT
+per batch -- every row carries a ``sys_batch_id`` partition value and
+the write is a dynamic partition overwrite, so a batch replayed after a
+mid-write failure replaces exactly its own (day, batch) output
+directories instead of appending duplicates.  (A blind append sink
+would degrade this to at-least-once.)  The cost is one subdirectory
+per (day, batch) under the table -- bounded by trigger cadence, and
+compactable offline; readers that don't want the bookkeeping column
+just drop it.
 
 The partition column rides in from the directory layout
 (``sys_file_date=<D>/``): the file source populates it from the path
@@ -58,7 +68,14 @@ def run_silver_stream(
     manager = TableManager(spark, warehouse)
 
     def write_batch(batch_df, batch_id: int) -> None:
-        manager.write(batch_df, table, partition_by=part_cols, mode="append")
+        # Idempotent, not append: keyed on batch_id, a replay of this
+        # batch dynamically overwrites exactly its own partitions.
+        manager.write(
+            batch_df.withColumn("sys_batch_id", F.lit(batch_id)),
+            table,
+            partition_by=[*part_cols, "sys_batch_id"],
+            mode="overwrite_partitions",
+        )
 
     writer = (
         out.writeStream.foreachBatch(write_batch)
