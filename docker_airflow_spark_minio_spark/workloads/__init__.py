@@ -10,6 +10,7 @@ registers all workloads.
 from .base import REGISTRY, Workload, load_tables, register  # noqa: F401
 from . import relational  # noqa: F401,E402
 from . import tpch_extra  # noqa: F401,E402
+from . import sketches  # noqa: F401,E402
 from . import timeseries  # noqa: F401,E402
 from . import text  # noqa: F401,E402
 from . import dedup  # noqa: F401,E402

@@ -1,0 +1,143 @@
+"""Approximate-sketch workloads: HLL distinct counts, approximate
+quantiles, mergeable sketch unions.
+
+Sketches are the 100 TB workhorse for cardinality/quantile questions: a
+single pass, fixed memory per group, and -- the property that matters on
+a 1000-executor cluster -- MERGEABILITY: per-partition sketches combine
+associatively, so the shuffle carries kilobyte sketch buffers instead of
+the raw distinct values.
+
+Cross-engine story: Spark's HLL++/GK implementations and DuckDB's
+sketches are different algorithms, so raw estimates can never
+hash-match.  Each query therefore emits (a) the EXACT answer (computed
+alongside, hash-checkable) and (b) a boolean asserting the sketch landed
+inside its published error bound.  The oracle computes the exact answer
+and a literal TRUE -- so a sketch drifting outside its bound fails the
+correctness gate, which is precisely the contract a sketch offers.
+(The exact twin is for the gate at test scale; production at 100 TB
+runs the sketch alone.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import load_tables, register
+
+HLL_RSD = 0.05          # approx_count_distinct relative standard deviation
+HLL_TOL = 0.15          # gate at 3 sigma
+PCTL_ACCURACY = 1000    # GK sketch accuracy knob: rank error <= n/accuracy
+
+
+@register(
+    "sketch_hll_distinct_bound",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE                      AS hll_within_bound
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    category="sketch",
+    description=f"HLL++ distinct estimate vs exact per group: emits the "
+    f"exact count and asserts the sketch is within {HLL_TOL:.0%} "
+    f"(3 sigma at rsd={HLL_RSD}); the estimate itself is "
+    "engine-specific, the bound is the contract",
+)
+def sketch_hll_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd=HLL_RSD).alias("est"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("est") - F.col("exact_parts"))
+                <= F.lit(HLL_TOL) * F.col("exact_parts")
+            ).alias("hll_within_bound"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "sketch_quantile_bound",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_disc(o_totalprice, 0.5), 2) AS exact_p50,
+           TRUE AS approx_within_rank_bound
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    category="sketch",
+    description=f"GK-sketch median vs exact per group: emits the exact "
+    f"p50 and asserts the approx value lies inside the sketch's rank "
+    f"bound (between the exact p45 and p55 for accuracy={PCTL_ACCURACY})",
+)
+def sketch_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+
+    def disc(q: float):
+        return F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY o_totalprice)")
+
+    # rank error of approx_percentile is n/accuracy; the p45..p55 window
+    # is 0.05*n ranks wide on each side, far beyond n/1000 -- a sketch
+    # violating it is broken, not unlucky
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(disc(0.5), 2).alias("exact_p50"),
+            F.expr(f"approx_percentile(o_totalprice, 0.5, {PCTL_ACCURACY})").alias("ap"),
+            disc(0.45).alias("lo"),
+            disc(0.55).alias("hi"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_p50",
+            ((F.col("ap") >= F.col("lo")) & (F.col("ap") <= F.col("hi"))).alias(
+                "approx_within_rank_bound"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "sketch_hll_merge_bound",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS exact_total,
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_sketches,
+           TRUE AS union_within_bound
+    FROM lineitem
+    """,
+    category="sketch",
+    description="Datasketches-HLL mergeability: one sketch per "
+    "returnflag group, merged with hll_union_agg into a global distinct "
+    "estimate -- the shuffle carries sketch buffers, never the distinct "
+    "values; asserts the merged estimate is within bound of the exact "
+    "global count",
+)
+def sketch_hll_merge_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    # stage 1: one HLL sketch per group (what each executor/partition
+    # would hold); stage 2: merge sketches + estimate -- the two-level
+    # shape that makes sketches work on a 1000-executor cluster
+    per_group = li.groupBy("l_returnflag").agg(
+        F.expr("hll_sketch_agg(l_partkey)").alias("sk")
+    )
+    merged = per_group.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+        F.count(F.lit(1)).alias("n_sketches"),
+    )
+    exact = li.agg(F.countDistinct("l_partkey").alias("exact_total"))
+    return exact.crossJoin(merged).select(
+        "exact_total",
+        "n_sketches",
+        (
+            F.abs(F.col("est") - F.col("exact_total"))
+            <= F.lit(HLL_TOL) * F.col("exact_total")
+        ).alias("union_within_bound"),
+    )
