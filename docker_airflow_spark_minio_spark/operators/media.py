@@ -138,3 +138,44 @@ def extract_byte_features(
     return df.select(id_col, payload_col).mapInPandas(
         _batches, schema=BYTE_FEATURE_SCHEMA
     )
+
+
+FRAME_BYTES = 64  # fixed-size frame window for sample_frame_rows
+
+FRAME_ROW_SCHEMA = "doc_id long, frame_idx long, frame_len long, frame_sum long"
+
+
+def sample_frame_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_bytes: int = FRAME_BYTES,
+) -> DataFrame:
+    """Split each payload into fixed-size frames: ONE INPUT ROW -> N
+    OUTPUT ROWS, the video-frame-sampling / audio-windowing shape.
+
+    ``mapInPandas`` is the right operator for row-expanding media work:
+    the output row count per input is data-dependent (a UDTF shape a
+    scalar pandas_udf cannot express), payload bytes stay inside the
+    Arrow batch on the executor, and downstream sees only small typed
+    frame rows.  A real video pipeline swaps the byte-slice for a codec
+    frame iterator; the plumbing (batch iteration, schema, expansion) is
+    identical and oracle-tested here.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, sums = [], [], [], []
+            for doc_id, buf in zip(pdf[id_col], pdf[payload_col]):
+                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                for i in range(0, max((b.size + frame_bytes - 1) // frame_bytes, 0)):
+                    fr = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    lens.append(int(fr.size))
+                    sums.append(int(fr.sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_len": lens, "frame_sum": sums}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_frames, schema=FRAME_ROW_SCHEMA)

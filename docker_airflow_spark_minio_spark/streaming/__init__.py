@@ -9,6 +9,7 @@ turns the bronze NDJSON landing zone into an incremental stream.
 """
 
 from .dedup import dedup_stream  # noqa: F401
+from .joins import interval_join  # noqa: F401
 from .silver import run_gold_stream, run_silver_stream  # noqa: F401
 from .stateful import running_totals  # noqa: F401
 from .windows import hopping_counts, session_stats, tumbling_counts  # noqa: F401

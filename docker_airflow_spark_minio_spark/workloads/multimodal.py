@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.media import FRAME_STEP, extract_byte_features
+from ..operators.media import (
+    FRAME_BYTES,
+    FRAME_STEP,
+    extract_byte_features,
+    sample_frame_rows,
+)
 from .base import load_tables, register
 
 
@@ -114,3 +119,53 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _with_payload(load_tables(spark, sf_dir)["documents"])
     return extract_byte_features(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: one payload -> N frame rows (the video/audio shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS frame_idx,
+               CAST(least({FRAME_BYTES}, len(text) - i * {FRAME_BYTES}) AS BIGINT)
+                   AS frame_len,
+               CAST(list_sum(list_transform(
+                    range(i * {FRAME_BYTES} + 1,
+                          i * {FRAME_BYTES}
+                            + least({FRAME_BYTES}, len(text) - i * {FRAME_BYTES}) + 1),
+                    j -> ord(text[j]))) AS BIGINT) AS frame_sum
+        FROM documents
+        CROSS JOIN (SELECT unnest(range(0, 200)) AS i)
+        WHERE i * {FRAME_BYTES} < len(text)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)      AS n_frames,
+           CAST(SUM(frame_len) AS BIGINT) AS total_len,
+           CAST(SUM(frame_sum) AS BIGINT) AS total_sum,
+           CAST(MAX(frame_sum) AS BIGINT) AS max_frame_sum
+    FROM f GROUP BY doc_id ORDER BY doc_id
+    """,
+    category="multimodal",
+    description=f"frame sampling (1 payload -> N {FRAME_BYTES}-byte frame "
+    "rows via mapInPandas, the video/audio windowing shape), then a "
+    "per-doc roll-up over the expanded frames -- payload bytes never "
+    "leave the executor, the shuffle carries only typed frame rows",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_payload(load_tables(spark, sf_dir)["documents"])
+    frames = sample_frame_rows(docs)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("frame_len").alias("total_len"),
+            F.sum("frame_sum").alias("total_sum"),
+            F.max("frame_sum").alias("max_frame_sum"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,76 @@
+"""Multimodal operator tests: Arrow-batched byte features, frame
+sampling (row expansion), and the gated decode stubs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docker_airflow_spark_minio_spark.operators.media import (
+    FRAME_BYTES,
+    decode_audio,
+    decode_image,
+    extract_byte_features,
+    sample_frame_rows,
+)
+
+
+@pytest.fixture
+def payloads(spark):
+    rows = [
+        (1, b"abc"),
+        (2, b""),                        # empty payload edge
+        (3, bytes(range(200)) * 2),      # 400 bytes -> multiple frames
+    ]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_extract_byte_features(spark, payloads):
+    got = {r["doc_id"]: r for r in extract_byte_features(payloads).collect()}
+    assert got[1]["n_bytes"] == 3
+    assert got[1]["byte_sum"] == ord("a") + ord("b") + ord("c")
+    assert got[1]["first_byte"] == ord("a") and got[1]["last_byte"] == ord("c")
+    assert got[2]["n_bytes"] == 0 and got[2]["first_byte"] == -1
+    assert got[3]["n_bytes"] == 400
+    assert got[3]["byte_sum"] == sum(range(200)) * 2
+
+
+def test_sample_frame_rows_expands(spark, payloads):
+    frames = sample_frame_rows(payloads).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 3 bytes -> 1 partial frame; empty -> 0 frames; 400 bytes -> 7 frames
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["frame_len"] == 3
+    assert 2 not in by_doc
+    assert len(by_doc[3]) == (400 + FRAME_BYTES - 1) // FRAME_BYTES
+    # frame sums reassemble to the full byte sum (no byte lost/duplicated)
+    assert sum(r["frame_sum"] for r in by_doc[3]) == sum(range(200)) * 2
+    assert sum(r["frame_len"] for r in by_doc[3]) == 400
+    # frame indexes are dense from 0
+    assert sorted(r["frame_idx"] for r in by_doc[3]) == list(range(len(by_doc[3])))
+
+
+def test_frame_rows_roll_up(spark, payloads):
+    """Rolling the expanded frames back up recovers whole-payload totals."""
+    rolled = (
+        sample_frame_rows(payloads)
+        .groupBy("doc_id")
+        .agg(F.sum("frame_sum").alias("s"), F.sum("frame_len").alias("n"))
+    )
+    got = {r["doc_id"]: (r["s"], r["n"]) for r in rolled.collect()}
+    assert got[1] == (ord("a") + ord("b") + ord("c"), 3)
+    assert got[3] == (sum(range(200)) * 2, 400)
+
+
+def test_decode_stubs_are_gated(spark):
+    """The real decode entry points fail loudly (NotImplementedError)
+    when the media libs are absent -- never a silent wrong answer."""
+    for fn in (decode_image, decode_audio):
+        try:
+            fn(b"\x00\x01")
+        except NotImplementedError:
+            pass  # expected here: libs not installed
+        except Exception as exc:  # noqa: BLE001
+            pytest.fail(f"{fn.__name__} raised {type(exc).__name__}, expected "
+                        "NotImplementedError gate")

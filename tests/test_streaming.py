@@ -222,3 +222,56 @@ def test_incremental_gold_refreshes_changed_partitions(spark, tmp_path):
     run_gold_stream(spark, warehouse, str(tmp_path / "ck_g"))
     gold = spark.read.parquet(f"{warehouse}/dw/tab_brewery_summary")
     assert gold.count() == 3  # day A rows intact + 1 day-B group
+
+
+def test_interval_join_stream_matches_batch(spark, event_files, tmp_path):
+    """Stream-stream interval join: purchases paired with the clicks of
+    the preceding hour, identical result on batch and streaming inputs."""
+    from docker_airflow_spark_minio_spark.streaming import interval_join, stream_bronze
+
+    batch = spark.createDataFrame(
+        [(u, e, ts) for u, e, ts in EVENTS], "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b_left = batch.where(F.col("event_type") == "purchase")
+    b_right = batch.where(F.col("event_type") == "click")
+    expected = sorted(
+        (r["user_id"], str(r["ts"]), str(r["r_ts"]))
+        for r in interval_join(b_left, b_right, lookback="1 hour").collect()
+    )
+    # user 2 purchases at 12:10 but has no clicks; no user-1 purchase
+    assert expected == []
+
+    # a purchase for user 1 at 11:45 catches the 11:20 click and the
+    # 10:45 click (exactly on the inclusive 1-hour boundary)
+    extra = spark.createDataFrame(
+        [(1, "purchase", "2024-05-01 11:45:00")],
+        "user_id long, event_type string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    expected2 = sorted(
+        (r["user_id"], str(r["ts"]), str(r["r_ts"]))
+        for r in interval_join(extra, b_right, lookback="1 hour").collect()
+    )
+    assert expected2 == [
+        (1, "2024-05-01 11:45:00", "2024-05-01 10:45:00"),
+        (1, "2024-05-01 11:45:00", "2024-05-01 11:20:00"),
+    ]
+
+    # streaming twin: both sides as file streams, same rows out
+    import json as _json
+
+    src = tmp_path / "purchases_in"
+    src.mkdir()
+    with open(src / "p0.json", "w") as f:
+        f.write(_json.dumps({"user_id": 1, "event_type": "purchase",
+                             "ts": "2024-05-01 11:45:00"}) + "\n")
+    s_left = stream_bronze(spark, str(src), SCHEMA)
+    s_right = stream_bronze(spark, event_files, SCHEMA).where(
+        F.col("event_type") == "click"
+    )
+    out = interval_join(s_left, s_right, lookback="1 hour")
+    _run_to_memory(out, "ij_mem", str(tmp_path / "ckpt_ij"), "append")
+    got = sorted(
+        (r["user_id"], str(r["ts"]), str(r["r_ts"]))
+        for r in spark.table("ij_mem").collect()
+    )
+    assert got == expected2
