@@ -5,12 +5,12 @@ collapsed into CLUSTERS so one canonical document survives per group --
 that is connected components over the pair graph, an operator Spark has
 no built-in for (GraphFrames is an external package).
 
-Implementation: min-label propagation to convergence.  Every node
+Implementation: min-label propagation with path halving.  Every node
 starts as its own component; each round, every node takes the min
-component id among itself and its neighbors; stop when no label
-changes.  Rounds needed = graph diameter -- near-dup clusters are
-small and dense (near-cliques), so this converges in 2-3 rounds in
-practice; ``max_iter`` bounds pathological chains.
+component id among itself, its neighbors, and its current label's own
+label (pointer jumping) -- so chains collapse in O(log diameter)
+rounds, not O(diameter).  Near-dup clusters are small and dense
+(near-cliques), converging in 2-3 rounds; ``max_iter`` bounds the rest.
 
 Scale notes (100 TB posture):
  * each round is one shuffle on the node id (join + groupBy share the
@@ -41,13 +41,14 @@ def connected_components(
 
     Raises ``RuntimeError`` if labels are still changing after
     ``max_iter`` rounds: returning unconverged labels would silently
-    split components (a 25-node chain under max_iter=20 shatters), and
-    wrong-but-plausible dedup clusters are worse than a loud failure.
-    Diameter-shaped graphs need a larger ``max_iter``, not a silent pass.
+    split components, and wrong-but-plausible dedup clusters are worse
+    than a loud failure.  With path halving, rounds grow with
+    log(diameter), so max_iter=20 covers any graph of practical size;
+    raise it rather than accepting a silent pass.
 
-    The returned DataFrame is persisted (each round builds on the last;
-    the caller reuses it at least once).  Callers should ``unpersist()``
-    it when done.
+    The returned DataFrame is localCheckpoint-backed (materialized,
+    lineage truncated); its blocks are freed when the DataFrame is
+    garbage-collected.
     """
     # The edge list is reused EVERY round: without persisting it, each
     # iteration would re-execute the whole upstream plan that produced
@@ -59,20 +60,37 @@ def connected_components(
         .persist()
     )
     nodes = bi.select(F.col("a").alias("id")).distinct()
-    labels = nodes.select("id", F.col("id").alias("component")).persist()
-    labels.count()  # materialize
+    # localCheckpoint (not bare persist): each round's plan references
+    # the previous labels several times (neighbors + path-halving
+    # shortcut), so without lineage truncation the logical plan grows
+    # exponentially with the round count and analysis time dominates.
+    # Checkpointing materializes AND cuts the plan to the cached blocks.
+    labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint(
+        eager=True
+    )
 
     changed = -1
     for _ in range(max_iter):
         msgs = bi.join(labels, bi["a"] == labels["id"]).select(
             F.col("b").alias("id"), "component"
         )
+        # Path halving: each node also adopts its current label's OWN
+        # label (component pointers jump two hops per round), so chains
+        # collapse in O(log diameter) rounds instead of O(diameter).
+        # The extra join unions into the same aggregation -- still one
+        # job per round, the fixed per-round cost is unchanged.
+        shortcut = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.component") == F.col("y.id"))
+            .select(F.col("x.id").alias("id"), F.col("y.component").alias("component"))
+        )
         new_labels = (
             labels.select("id", "component")
             .unionAll(msgs)
+            .unionAll(shortcut)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -80,13 +98,11 @@ def connected_components(
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     bi.unpersist()
     if changed != 0:
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing); raise max_iter"

@@ -12,6 +12,7 @@ from . import relational  # noqa: F401,E402
 from . import tpch_extra  # noqa: F401,E402
 from . import sketches  # noqa: F401,E402
 from . import layout  # noqa: F401,E402
+from . import semistructured  # noqa: F401,E402
 from . import timeseries  # noqa: F401,E402
 from . import text  # noqa: F401,E402
 from . import dedup  # noqa: F401,E402

@@ -218,7 +218,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
     union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
-    return (
+    verified = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select(
@@ -226,8 +226,12 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             F.floor(10000.0 * inter / union).cast("long").alias("jaccard_bp"),
         )
-        .orderBy("doc_a", "doc_b")
     )
+    # Persist the (tiny) verified set before the ORDER BY: a global sort
+    # range-samples its child, which would re-execute the whole verify
+    # join a second time (measured ~2x the query).  The cached rows are
+    # the final pairs only -- kilobytes.
+    return verified.persist().orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -381,7 +385,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
     union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
-    return (
+    verified = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select(
@@ -390,8 +394,10 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(10000.0 * inter / union).cast("long").alias("jaccard_bp"),
         )
         .where(F.col("jaccard_bp") >= JACCARD_MIN_BP)
-        .orderBy("doc_a", "doc_b")
     )
+    # persist before the sort: see dedup_minhash_lsh_pairs (range-sample
+    # double execution); the surviving pairs are kilobytes
+    return verified.persist().orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
