@@ -81,6 +81,78 @@ def asof_join(
     )
 
 
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+) -> DataFrame:
+    """Backward as-of join via ``cogroup().applyInPandas`` -- the
+    Arrow-batched expression of :func:`asof_join` (same semantics,
+    inclusive bound): both sides are co-partitioned on ``keys`` and each
+    key's pair of pandas frames is merged with ``pd.merge_asof``.
+
+    When to prefer which: :func:`asof_join` (tag-union + window) stays
+    fully JVM-side -- the default.  The cogrouped form is the template
+    for per-key logic that has NO window expression (model scoring,
+    curve interpolation, pandas-native algorithms): same one-shuffle
+    co-partitioning, custom Python per key.  Requirement: column names
+    across sides must be distinct, and the right side unique per
+    (keys, right_ts) -- pre-aggregate duplicates (merge_asof would take
+    the last, matching :func:`asof_join`, but keep the contract tight).
+
+    Scale notes: one shuffle on ``keys`` for each side; per-key groups
+    must fit in executor memory (they arrive as whole pandas frames) --
+    true of user/session keys, NOT of global keys; salt or pre-reduce
+    those first.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_fields = list(left.schema.fields) + [
+        T.StructField(v, right.schema[v].dataType, True) for v in right_values
+    ]
+    out_schema = T.StructType(out_fields)
+    l_cols = [f.name for f in left.schema.fields]
+    # pandas nullable dtype per output column so unmatched rows (NaN)
+    # survive the Arrow cast back to Spark integral types
+    _pd_dtype = {"bigint": "Int64", "int": "Int32", "smallint": "Int16"}
+    r_dtypes = {
+        v: _pd_dtype.get(right.schema[v].dataType.simpleString()) for v in right_values
+    }
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if l_pdf.empty:
+            out = l_pdf.copy()
+            for v in right_values:
+                out[v] = pd.Series(dtype="object")
+            return out
+        l_sorted = l_pdf.sort_values(left_ts)
+        if r_pdf.empty:
+            out = l_sorted.copy()
+            for v in right_values:
+                out[v] = None
+        else:
+            r_sorted = r_pdf.sort_values(right_ts)[[right_ts, *right_values]]
+            out = pd.merge_asof(
+                l_sorted, r_sorted, left_on=left_ts, right_on=right_ts,
+                direction="backward", allow_exact_matches=True,
+            )
+        for v, dt in r_dtypes.items():
+            if dt is not None:
+                out[v] = out[v].astype(dt)
+        return out[l_cols + list(right_values)]
+
+    return (
+        left.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
+        .applyInPandas(merge, schema=out_schema)
+    )
+
+
 def sessionize(
     df: DataFrame,
     key: str,

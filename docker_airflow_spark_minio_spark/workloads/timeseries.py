@@ -177,6 +177,56 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_cogrouped",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    purchases AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, c.click_id,
+           COALESCE(p.ts_us - c.ts_us, -1) AS since_click_us
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+    """,
+    category="timeseries",
+    description="the SAME as-of semantics via cogroup().applyInPandas "
+    "(pd.merge_asof per key, Arrow-batched) -- the template for per-key "
+    "pandas-native logic; oracle identical to asof_join_purchase_click, "
+    "so both implementations are pinned to one another",
+)
+def asof_join_cogrouped_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join_cogrouped
+
+    ev = load_tables(spark, sf_dir)["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", F.col("ts_us").alias("r_ts"), "click_id",
+                F.col("ts_us").alias("click_ts_us"))
+    )
+    joined = asof_join_cogrouped(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts_us",
+        right_ts="r_ts",
+        right_values=["click_id", "click_ts_us"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "click_id",
+        F.coalesce(F.col("ts_us") - F.col("click_ts_us"), F.lit(-1)).alias("since_click_us"),
+    )
+
+
+@register(
     "first_last_event_per_user",
     oracle="""
     WITH ranked AS (

@@ -68,3 +68,43 @@ def test_write_bronze_layout(spark, tmp_path):
     # idempotent re-run replaces the day prefix
     assert src.write_bronze(spark, out, "2024-05-01") == len(DATA)
     assert spark.read.json(f"{out}/sys_file_date=2024-05-01").count() == len(DATA)
+
+
+# -- Spark 4 Python DataSource variant ------------------------------------
+
+
+def test_paginated_rest_datasource_file_mode(spark, tmp_path):
+    """The DataFrame-reader expression of the REST source: partition
+    planning, page fetch, validation, and raw-line output -- exercised
+    through the file:// page protocol (same code path as HTTP minus the
+    socket)."""
+    from docker_airflow_spark_minio_spark.sources.rest_datasource import (
+        PaginatedRestDataSource,
+    )
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    for p in range(1, 4):
+        rows = DATA[(p - 1) * PER_PAGE : p * PER_PAGE]
+        (pages / f"page_{p}.json").write_text(json.dumps(rows))
+    (pages / f"page_4.json").write_text("[]")          # empty page skipped
+    (pages / f"page_5.json").write_text("not json")    # invalid page skipped
+
+    spark.dataSource.register(PaginatedRestDataSource)
+    df = (
+        spark.read.format("paginated_rest")
+        .option("url", f"file://{pages}")
+        .option("pages_per_partition", "2")
+        .load()
+    )
+    assert df.schema.simpleString() == "struct<value:string>"
+    # partition planning: 5 pages / 2 per partition = 3 input partitions
+    assert df.rdd.getNumPartitions() == 3
+    vals = [json.loads(r["value"]) for r in df.collect()]
+    assert len(vals) == len(DATA)
+    assert sorted(v["id"] for v in vals) == sorted(d["id"] for d in DATA)
+
+    # raw lines flow into the same distributed JSON parse as bronze
+    parsed = spark.read.json(df.rdd.map(lambda r: r["value"]))
+    assert parsed.count() == len(DATA)
+    assert set(parsed.columns) == {"id", "brewery_type"}
