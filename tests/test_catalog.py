@@ -106,3 +106,28 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt.l")
         spark.sql("DROP TABLE IF EXISTS bkt.r")
         spark.sql("DROP DATABASE IF EXISTS bkt")
+
+
+def test_overwrite_modes_do_not_leak_session_conf(spark, tmp_path):
+    """snapshot/overwrite_partitions must restore the session's
+    partitionOverwriteMode: a leaked 'static' silently turns later
+    dynamic overwrites into full-table replaces (data loss)."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key)
+    cat = SqlCatalog(spark, database="leakchk")
+    cat.ensure_database(location=str(tmp_path / "leakchk"))
+    df = spark.createDataFrame([(1, "a")], "id long, part string")
+    spark.sql(
+        "CREATE TABLE IF NOT EXISTS leakchk.t (id BIGINT, part STRING) "
+        "USING parquet PARTITIONED BY (part)"
+    )
+    try:
+        cat.snapshot(df, "t")
+        assert spark.conf.get(key) == before
+        cat.overwrite_partitions(df, "t")
+        assert spark.conf.get(key) == before
+        cat.append(df, "t")
+        assert spark.table("leakchk.t").count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS leakchk.t")
+        spark.sql("DROP DATABASE IF EXISTS leakchk")
