@@ -109,3 +109,21 @@ def test_run_pipeline_chains_all_stages(spark, tmp_path):
     assert set(m.timings) >= {"bronze", "silver", "gold", "pipeline_total"}
     gold = spark.read.parquet(f"{tmp_path}/warehouse/dw/tab_brewery_summary")
     assert gold.count() == 2
+
+
+def test_q6_all_predicates_reach_the_scan(spark):
+    """TPC-H Q6 is the pushdown stress test: every predicate is
+    single-column, so all of them must show up as PushedFilters."""
+    df = REGISTRY["q6_revenue_change"].fn(spark, SF_DIR)
+    pushed = " ".join(plans.pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q19_disjunction_prefilter_extracted(spark):
+    """Catalyst must extract the common single-side conjuncts of Q19's
+    OR-of-ANDs (quantity ranges on lineitem) as a pushed pre-filter --
+    without it the scan reads every row and the join does all the work."""
+    df = REGISTRY["q19_disjunctive_revenue"].fn(spark, SF_DIR)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_quantity" in pushed, f"no quantity prefilter pushed: {pushed}"
