@@ -941,3 +941,43 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (iterative SQL without leaving the engine)
+# ---------------------------------------------------------------------------
+
+# A synthetic binary-tree hierarchy over custkeys (parent = k/2) walked
+# to the root with WITH RECURSIVE -- Spark 4's recursive CTE support
+# executes the same ANSI text DuckDB runs, so an ITERATIVE computation
+# is oracle-checked with zero driver-side looping (contrast
+# operators/graph.py, which drives iteration from Python).  The parent
+# step is CAST(FLOOR(x/2) AS BIGINT): `/` yields DOUBLE in both engines
+# but a bare CAST to BIGINT TRUNCATES in Spark and ROUNDS in DuckDB --
+# FLOOR first makes the halving identical text, identical result.
+_RECURSIVE_SQL = """
+    WITH RECURSIVE walk(node, anc, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey >= 1
+        UNION ALL
+        SELECT w.node, CAST(FLOOR(w.anc / 2) AS BIGINT), w.depth + 1
+        FROM walk w WHERE w.anc > 1
+    )
+    SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(node) AS min_node, MAX(node) AS max_node
+    FROM walk WHERE anc = 1
+    GROUP BY depth ORDER BY depth
+"""
+
+
+@register(
+    "sql_recursive_tree_depth",
+    oracle=_RECURSIVE_SQL,
+    category="sql",
+    description="WITH RECURSIVE ancestor walk (binary-tree hierarchy "
+    "over custkeys): per-depth node histogram -- iterative SQL executed "
+    "by both engines from identical text; recursion depth is "
+    "log2(customers), each step one self-join on the working set",
+)
+def sql_recursive_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)["customer"].createOrReplaceTempView("customer")
+    return spark.sql(_RECURSIVE_SQL)
