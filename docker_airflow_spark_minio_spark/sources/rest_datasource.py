@@ -38,7 +38,12 @@ import math
 from dataclasses import dataclass
 from typing import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from .rest import fetch_with_retry, is_valid_json_list
 
@@ -107,6 +112,44 @@ class PaginatedRestReader(DataSourceReader):
                 yield (json.dumps(rec),)
 
 
+class PaginatedRestStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin: the page number IS the offset.
+
+    Each micro-batch re-probes the dataset size and reads every page
+    that appeared since the last committed offset -- the incremental
+    expression of the reference's daily full re-fetch (its cron re-reads
+    all pages every run; here a page is fetched exactly once, and the
+    checkpoint's offset log makes restarts resume, not restart).
+    ``readBetweenOffsets`` replays a committed range deterministically
+    for recovery, which is sound because REST pages are stable within a
+    day (the same assumption the reference's day-partitioned refetch
+    makes).
+    """
+
+    def __init__(self, options: dict):
+        self.inner = PaginatedRestReader(options)
+
+    def initialOffset(self) -> dict:
+        return {"next_page": 1}
+
+    def read(self, start: dict):
+        first = start["next_page"]
+        last = self.inner._total_pages()  # current high-water mark
+        # iter(list(...)), not a bare generator or list: the runtime
+        # pickles the prefetched rows into its driver-side cache
+        # (generators don't pickle) AND calls next() on the handle when
+        # the offset did not advance (lists aren't iterators)
+        rows = list(self.readBetweenOffsets(start, {"next_page": last + 1}))
+        return iter(rows), {"next_page": max(first, last + 1)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for page in range(start["next_page"], end["next_page"]):
+            yield from self.inner.read(PageRange(page, page + 1))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: pages are immutable within a run
+
+
 class PaginatedRestDataSource(DataSource):
     """``spark.read.format("paginated_rest")`` -- see module docstring."""
 
@@ -121,3 +164,6 @@ class PaginatedRestDataSource(DataSource):
 
     def reader(self, schema) -> PaginatedRestReader:  # noqa: ANN001
         return PaginatedRestReader(self.options)
+
+    def simpleStreamReader(self, schema) -> PaginatedRestStreamReader:  # noqa: ANN001
+        return PaginatedRestStreamReader(self.options)

@@ -108,3 +108,51 @@ def test_paginated_rest_datasource_file_mode(spark, tmp_path):
     parsed = spark.read.json(df.rdd.map(lambda r: r["value"]))
     assert parsed.count() == len(DATA)
     assert set(parsed.columns) == {"id", "brewery_type"}
+
+
+def test_paginated_rest_datasource_streaming_incremental(spark, tmp_path):
+    """Streaming variant: the page number is the offset.  New pages
+    landed between runs are picked up incrementally; already-read pages
+    are never re-fetched (checkpointed offset log).  File sink: the
+    memory sink cannot recover from a checkpoint across restarts."""
+    from docker_airflow_spark_minio_spark.sources.rest_datasource import (
+        PaginatedRestDataSource,
+    )
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    for p in (1, 2):
+        rows = DATA[(p - 1) * PER_PAGE : p * PER_PAGE]
+        (pages / f"page_{p}.json").write_text(json.dumps(rows))
+
+    spark.dataSource.register(PaginatedRestDataSource)
+
+    def run_batch():
+        q = (
+            spark.readStream.format("paginated_rest")
+            .option("url", f"file://{pages}")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch()
+    assert spark.read.parquet(out_dir).count() == 2 * PER_PAGE
+
+    # a third page lands; the next run reads ONLY it
+    (pages / "page_3.json").write_text(json.dumps(DATA[2 * PER_PAGE :]))
+    run_batch()
+    got = [json.loads(r["value"])["id"] for r in spark.read.parquet(out_dir).collect()]
+    assert len(got) == len(DATA)          # no page re-read, no duplicates
+    assert sorted(got) == sorted(d["id"] for d in DATA)
+
+    # an unchanged source is a no-op micro-batch
+    run_batch()
+    assert spark.read.parquet(out_dir).count() == len(DATA)
