@@ -70,9 +70,10 @@ def connected_components(
     )
 
     changed = -1
+    null_old = F.lit(None).cast(labels.schema["component"].dataType)
     for _ in range(max_iter):
         msgs = bi.join(labels, bi["a"] == labels["id"]).select(
-            F.col("b").alias("id"), "component"
+            F.col("b").alias("id"), "component", null_old.alias("old")
         )
         # Path halving: each node also adopts its current label's OWN
         # label (component pointers jump two hops per round), so chains
@@ -82,23 +83,28 @@ def connected_components(
         shortcut = (
             labels.alias("x")
             .join(labels.alias("y"), F.col("x.component") == F.col("y.id"))
-            .select(F.col("x.id").alias("id"), F.col("y.component").alias("component"))
+            .select(
+                F.col("x.id").alias("id"),
+                F.col("y.component").alias("component"),
+                null_old.alias("old"),
+            )
         )
+        # The previous label rides along as `old` (exactly one non-null
+        # per id, from the self branch), so convergence is read off the
+        # SAME checkpointed result with a cached-block count -- no
+        # separate join-the-old-labels job per round (halves the
+        # per-round job count; the fixed per-job overhead dominates on
+        # dedup-shaped graphs).
         new_labels = (
-            labels.select("id", "component")
+            labels.select("id", "component", F.col("component").alias("old"))
             .unionAll(msgs)
             .unionAll(shortcut)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(F.min("component").alias("component"), F.min("old").alias("old"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("component") != F.col("old")).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     bi.unpersist()

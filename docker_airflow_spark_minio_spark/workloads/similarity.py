@@ -314,10 +314,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), vd.alias("qv")
     )
     # coarse centroids: 64 per-dimension ROUND(AVG, 6) aggregates.
-    # The quantizer is MODEL METADATA -- nlist tiny rows, collected once
-    # (exactly like a fitted k-means model object) and inlined as a
-    # literal array, so centroid assignment below is a pure map over the
-    # corpus scan: NO crossJoin, NO shuffle of corpus x nlist rows.
+    # The quantizer is MODEL METADATA -- nlist tiny rows, folded into ONE
+    # array<struct> value on a single-row frame and attached to every
+    # corpus row via a broadcast cross join (1 row -- a pure map, no
+    # shuffle of corpus x nlist).  Exactly a fitted k-means model object
+    # shipped to the executors, but with no driver collect() and no
+    # nlist x dim literal expression tree (the literal-inline version
+    # measured 3.8s of analyzer/codegen per cold call at nlist=10).
     cent = corpus.groupBy("label").agg(
         F.array(
             *[
@@ -326,40 +329,37 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("cv")
     )
-    cent_rows = sorted(cent.collect(), key=lambda r: r["label"])
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["label"])).cast("long").alias("label"),
-                F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("cv"),
-            )
-            for r in cent_rows
-        ]
+    cents = cent.agg(
+        F.sort_array(F.collect_list(F.struct("label", "cv"))).alias("cents")
     )
 
     def _scored_cents(vec_col: str):
         # (cos, neg_label) structs: max/sort order = cos DESC, label ASC,
         # matching the oracle's ORDER BY cos DESC, label tie-break
         return F.transform(
-            cent_arr,
+            "cents",
             lambda c: F.struct(
                 F.round(cosine_similarity(F.col(vec_col), c["cv"]), 6).alias("cos"),
                 (-c["label"]).alias("neg_label"),
             ),
         )
 
-    # inverted lists: per-row argmax over the literal centroid array
-    assigned = corpus.select(
+    # inverted lists: per-row argmax over the attached centroid array
+    assigned = corpus.crossJoin(F.broadcast(cents)).select(
         "vec_id", "v", (-F.array_max(_scored_cents("v"))["neg_label"]).alias("label")
     )
     # probe: per-query top-nprobe centroids, again map-side
-    probes = queries.select(
-        "query_id",
-        "qv",
-        F.explode(
-            F.slice(F.sort_array(_scored_cents("qv"), asc=False), 1, IVF_NPROBE)
-        ).alias("p"),
-    ).select("query_id", "qv", (-F.col("p")["neg_label"]).alias("label"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.slice(F.sort_array(_scored_cents("qv"), asc=False), 1, IVF_NPROBE)
+            ).alias("p"),
+        )
+        .select("query_id", "qv", (-F.col("p")["neg_label"]).alias("label"))
+    )
 
     scored = assigned.join(F.broadcast(probes), "label").select(
         "query_id",
