@@ -1,0 +1,329 @@
+"""Training-corpus assembly operators over the ``documents`` table.
+
+The steps a large-scale LLM-data pipeline runs AFTER cleaning/dedup to
+turn a document pool into training batches (extension surface per
+SURVEY.md section 7.2.5; the reference has no corpus operations):
+
+ * **sequence packing** -- greedy arrival-order packing of documents
+   into fixed token-budget bins (one window cumsum per source; the
+   streaming-friendly packer, vs first-fit-decreasing which needs a
+   global sort by length).
+ * **corpus mixing / resampling** -- per-source deterministic
+   downsampling to a uniform token budget: the hash-gated keep decision
+   is a pure map, reproducible across runs and engines.
+ * **cluster representatives** -- the dedup end-game: keep exactly one
+   canonical document per near-dup cluster (longest text wins,
+   smallest id tie-break).
+ * **stopword scrub** -- function-word removal stats per language: the
+   token/byte shrink a cleaning pass would produce.
+
+Scale notes (100 TB posture):
+ * packing and mixing shuffle once on ``source`` (window partition key);
+   no driver-side state, no collect -- both are one-pass window/agg
+   shapes that scale with the partition count
+ * arrival-order packing keeps bins contiguous in ingest order, so the
+   written bins preserve locality for sequential training reads
+ * the resample keep-decision is ``h32(doc_id) % 10000 < rate_bp`` -- a
+   deterministic per-row predicate: re-running the pipeline (or running
+   it on another engine) keeps the SAME documents, the property that
+   makes corpus builds auditable
+ * representatives reuse the persisted MinHash pair frame and the
+   connected-components operator (operators/graph.py); the argmax per
+   cluster is a window head, one shuffle on the component id
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import h32, h32_sql
+from ..functions.text import LANG_PROFILES, tokens_expr
+from .base import load_tables, register
+from .dedup import (
+    CLUSTER_MIN_JACCARD_BP,
+    _band_sql,
+    _minhash_cte,
+    dedup_minhash_lsh_pairs,
+)
+
+PACK_BUDGET_TOKENS = 512
+MIX_TARGET_TOKENS = 600
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seqpack_token_bins",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ), c AS (
+        SELECT source, n_tok,
+               COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM t
+    ), b AS (
+        SELECT source, CAST(FLOOR(cum_before / {PACK_BUDGET_TOKENS}.0) AS BIGINT) AS bin,
+               n_tok
+        FROM c
+    )
+    SELECT source, bin,
+           CAST(COUNT(*) AS BIGINT)  AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+           CAST(FLOOR(10000.0 * SUM(n_tok) / {PACK_BUDGET_TOKENS}) AS BIGINT) AS fill_bp
+    FROM b GROUP BY source, bin ORDER BY source, bin
+    """,
+    category="pipeline",
+    description=f"sequence packing: greedy arrival-order bins of "
+    f"{PACK_BUDGET_TOKENS} tokens per source (window cumsum, one shuffle); "
+    "a boundary-straddling doc spills into the open bin -- the one-pass "
+    "streaming packer",
+)
+def seqpack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = docs.select("source", "doc_id", F.size(tokens_expr("text")).alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = t.select(
+        "source",
+        "n_tok",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / PACK_BUDGET_TOKENS
+        ).alias("bin"),
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tok_sum"),
+            F.floor(10000.0 * F.sum("n_tok") / PACK_BUDGET_TOKENS).alias("fill_bp"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixing / deterministic resample
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_mix_resample",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ), s AS (
+        SELECT source, doc_id, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source) AS tok_total
+        FROM t
+    ), r AS (
+        SELECT source, doc_id, n_tok, tok_total,
+               LEAST(10000, CAST(FLOOR(10000.0 * {MIX_TARGET_TOKENS} / tok_total)
+                                 AS BIGINT)) AS rate_bp
+        FROM s
+    ), k AS (
+        SELECT source, n_tok, tok_total, rate_bp,
+               CASE WHEN {h32_sql('CAST(doc_id AS VARCHAR)')} % 10000 < rate_bp
+                    THEN 1 ELSE 0 END AS keep
+        FROM r
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)      AS n_docs,
+           CAST(SUM(keep) AS BIGINT)     AS n_kept,
+           CAST(MAX(tok_total) AS BIGINT) AS tok_total,
+           CAST(SUM(keep * n_tok) AS BIGINT) AS tok_kept,
+           CAST(MAX(rate_bp) AS BIGINT)  AS rate_bp
+    FROM k GROUP BY source ORDER BY source
+    """,
+    category="pipeline",
+    description=f"corpus mixing: downsample every source to ~{MIX_TARGET_TOKENS} "
+    "tokens with a deterministic hash gate (h32(doc_id) % 10000 < rate) -- "
+    "reproducible across runs and engines; per-source kept/total stats",
+)
+def corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = docs.select("source", "doc_id", F.size(tokens_expr("text")).alias("n_tok"))
+    w = Window.partitionBy("source")
+    s = t.withColumn("tok_total", F.sum("n_tok").over(w))
+    rate = F.least(
+        F.lit(10000),
+        F.floor(10000.0 * MIX_TARGET_TOKENS / F.col("tok_total")),
+    )
+    k = s.withColumn("rate_bp", rate).withColumn(
+        "keep",
+        F.when(
+            h32(F.col("doc_id").cast("string")) % 10000 < F.col("rate_bp"), 1
+        ).otherwise(0),
+    )
+    return (
+        k.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("n_kept"),
+            F.max("tok_total").alias("tok_total"),
+            F.sum(F.col("keep") * F.col("n_tok")).alias("tok_kept"),
+            F.max("rate_bp").alias("rate_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster representatives (dedup end-game)
+# ---------------------------------------------------------------------------
+
+
+_REPRESENTATIVES_ORACLE = f"""
+WITH RECURSIVE {_minhash_cte()},
+bands AS ({_band_sql()}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE FLOOR(10000.0 * len(list_intersect(sa.sh, sb.sh)) /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+          >= {CLUSTER_MIN_JACCARD_BP}
+),
+bi AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(id, r) AS (
+    SELECT a, a FROM bi
+    UNION
+    SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.id
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+ranked AS (
+    SELECT comp.component, d.doc_id, d.n_chars,
+           COUNT(*) OVER (PARTITION BY comp.component) AS n_docs,
+           ROW_NUMBER() OVER (
+               PARTITION BY comp.component
+               ORDER BY d.n_chars DESC, d.doc_id) AS rn
+    FROM comp JOIN documents d ON d.doc_id = comp.id
+)
+SELECT component,
+       CAST(n_docs AS BIGINT)  AS n_docs,
+       doc_id                  AS rep_doc,
+       CAST(n_chars AS BIGINT) AS rep_chars
+FROM ranked WHERE rn = 1 ORDER BY component
+"""
+
+
+@register(
+    "dedup_cluster_representatives",
+    oracle=_REPRESENTATIVES_ORACLE,
+    category="dedup",
+    description="one canonical survivor per near-dup cluster: MinHash "
+    "pairs -> connected components -> per-cluster argmax (longest text, "
+    "smallest doc_id tie-break) -- the row a dedup pipeline actually keeps",
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).where(
+        F.col("jaccard_bp") >= CLUSTER_MIN_JACCARD_BP
+    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+    joined = comp.join(docs, comp["id"] == docs["doc_id"]).select(
+        "component", "doc_id", "n_chars"
+    )
+    wc = Window.partitionBy("component")
+    wr = wc.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        joined.withColumn("n_docs", F.count(F.lit(1)).over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("doc_id").alias("rep_doc"),
+            F.col("n_chars").cast("long").alias("rep_chars"),
+        )
+        .orderBy("component")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stopword scrub stats
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = sorted({w for words in LANG_PROFILES.values() for w in words})
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+@register(
+    "text_stopword_scrub_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, string_split(text, ' ') AS t FROM documents
+    ), s AS (
+        SELECT lang, len(t) AS n_tok,
+               list_filter(t, x -> list_contains({_STOP_SQL}, x)) AS removed
+        FROM t
+    ), m AS (
+        SELECT lang, n_tok, len(removed) AS n_removed,
+               COALESCE(list_sum(list_transform(removed, x -> length(x))), 0)
+                   AS bytes_removed
+        FROM s
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)           AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT)         AS tok_total,
+           CAST(SUM(n_removed) AS BIGINT)     AS tok_removed,
+           CAST(SUM(bytes_removed) AS BIGINT) AS bytes_removed,
+           CAST(FLOOR(10000.0 * SUM(n_removed) / SUM(n_tok)) AS BIGINT)
+               AS removed_bp
+    FROM m GROUP BY lang ORDER BY lang
+    """,
+    category="text",
+    description="cleaning-pass scrub stats: function-word (stopword) "
+    "token and byte removal per language -- pure array expressions, "
+    "no shuffle before the per-lang rollup",
+)
+def text_stopword_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS])
+    t = docs.select("lang", tokens_expr("text").alias("t"))
+    s = t.select(
+        "lang",
+        F.size("t").alias("n_tok"),
+        F.filter("t", lambda x: F.array_contains(stop, x)).alias("removed"),
+    )
+    m = s.select(
+        "lang",
+        "n_tok",
+        F.size("removed").alias("n_removed"),
+        F.aggregate(
+            "removed", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("bytes_removed"),
+    )
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tok_total"),
+            F.sum("n_removed").alias("tok_removed"),
+            F.sum("bytes_removed").alias("bytes_removed"),
+            F.floor(10000.0 * F.sum("n_removed") / F.sum("n_tok")).alias("removed_bp"),
+        )
+        .orderBy("lang")
+    )
