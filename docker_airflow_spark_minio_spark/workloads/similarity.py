@@ -367,3 +367,85 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
     )
     return _two_phase_topk(scored)
+
+
+# ---------------------------------------------------------------------------
+# Normalize + int8 quantization (the vector-storage pipeline step)
+# ---------------------------------------------------------------------------
+
+# Symmetric int8 quantization of L2-normalized vectors: q_i =
+# FLOOR(127 * v_i / ||v||).  Both engines evaluate the identical IEEE
+# double expression (divide, multiply, floor -- no accumulation), so the
+# integer codes are bit-identical and the per-label roll-up is exact.
+# The max reconstruction error |q/127 - v/norm| is <= 1/127 by
+# construction; it is emitted ROUND()ed as the quality measure a
+# quantized ANN index would monitor.
+QUANT_SCALE = 127
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, label, v, sqrt({_DOT}(v, v)) AS nrm FROM v
+    ), q AS (
+        SELECT vec_id, label,
+               list_transform(v, x -> CAST(FLOOR({QUANT_SCALE} * x / nrm)
+                                           AS BIGINT)) AS q,
+               list_max(list_transform(v, x ->
+                   abs(CAST(FLOOR({QUANT_SCALE} * x / nrm) AS DOUBLE)
+                       / {QUANT_SCALE} - x / nrm))) AS max_err
+        FROM n
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT)                   AS n_vectors,
+           CAST(SUM(list_sum(q)) AS BIGINT)           AS sum_codes,
+           CAST(MIN(list_min(q)) AS BIGINT)           AS min_code,
+           CAST(MAX(list_max(q)) AS BIGINT)           AS max_code,
+           ROUND(MAX(max_err), 6)                     AS max_abs_err
+    FROM q GROUP BY label ORDER BY label
+    """,
+    category="similarity",
+    description=f"vector storage prep: L2-normalize + symmetric int8 "
+    f"quantization (scale {QUANT_SCALE}), per-label exact code sums and "
+    "max reconstruction error -- bit-identical integer codes across "
+    "engines, a pure map before the roll-up",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = v.withColumn("nrm", l2_norm(F.col("v")))
+    q = n.select(
+        "label",
+        F.transform(
+            "v", lambda x: F.floor(QUANT_SCALE * x / F.col("nrm")).cast("long")
+        ).alias("q"),
+        F.array_max(
+            F.transform(
+                "v",
+                lambda x: F.abs(
+                    F.floor(QUANT_SCALE * x / F.col("nrm")).cast("double")
+                    / QUANT_SCALE
+                    - x / F.col("nrm")
+                ),
+            )
+        ).alias("max_err"),
+    )
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x)).alias(
+                "sum_codes"
+            ),
+            F.min(F.array_min("q")).alias("min_code"),
+            F.max(F.array_max("q")).alias("max_code"),
+            F.round(F.max("max_err"), 6).alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )

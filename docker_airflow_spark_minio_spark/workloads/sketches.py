@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .base import load_tables, register
 
@@ -140,4 +141,83 @@ def sketch_hll_merge_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est") - F.col("exact_total"))
             <= F.lit(HLL_TOL) * F.col("exact_total")
         ).alias("union_within_bound"),
+    )
+
+
+MG_COUNTERS = 8         # Misra-Gries counter budget per partition summary
+MG_TOP = 5              # verified heavy hitters
+
+
+@register(
+    "sketch_mg_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), cnt AS (
+        SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY token
+    ), top AS (
+        SELECT token, exact_cnt,
+               ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, token) AS rn
+        FROM cnt
+    )
+    SELECT token,
+           CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           TRUE                      AS mg_within_bound
+    FROM top WHERE rn <= {MG_TOP} ORDER BY token
+    """,
+    category="sketch",
+    description=f"Misra-Gries heavy hitters over document tokens: one "
+    f"{MG_COUNTERS}-counter MG summary per partition (mapInPandas), "
+    "merged by per-token summation -- the summed estimate undercounts "
+    "each true frequency by at most N/k, which is the asserted bound; "
+    "the shuffle carries <= k rows per partition, never the token stream",
+)
+def sketch_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens_expr
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    ex = docs.select(F.explode(tokens_expr("text")).alias("token"))
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["token"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < MG_COUNTERS:
+                    counters[tok] = 1
+                else:
+                    # decrement-all step; drop exhausted counters
+                    for t in list(counters):
+                        counters[t] -= 1
+                        if counters[t] == 0:
+                            del counters[t]
+        yield pd.DataFrame(
+            {"token": list(counters), "est": list(counters.values())}
+        )
+
+    summary = ex.mapInPandas(mg_partition, schema="token string, est long")
+    merged = summary.groupBy("token").agg(F.sum("est").alias("est"))
+    exact = ex.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    n_total = ex.agg(F.count(F.lit(1)).alias("n"))
+    # TakeOrderedAndProject (distributed partial top-k), not a global
+    # window: the vocab-sized count frame never funnels through one task
+    top = exact.orderBy(F.col("exact_cnt").desc(), F.col("token")).limit(MG_TOP)
+    return (
+        top.join(merged, "token", "left")
+        .crossJoin(n_total)
+        .select(
+            "token",
+            "exact_cnt",
+            (
+                (F.coalesce(F.col("est"), F.lit(0)) <= F.col("exact_cnt"))
+                & (
+                    F.col("exact_cnt") - F.coalesce(F.col("est"), F.lit(0))
+                    <= F.col("n") / MG_COUNTERS
+                )
+            ).alias("mg_within_bound"),
+        )
+        .orderBy("token")
     )
