@@ -36,12 +36,15 @@ def test_filter_and_projection_reach_the_scan(spark):
 def test_no_cartesian_anywhere_in_the_registry(spark):
     # deliberate broadcast cross joins against tiny, bounded sides only:
     # the fixed query set (brute-force ANN baseline), the hour-grid x
-    # distinct-event-type lattice (gap-fill), and the 1x1 scalar combine
-    # of the sketch-union estimate with the exact count
+    # distinct-event-type lattice (gap-fill), the 1x1/1xT scalar combines
+    # of sketch estimates with exact counts, and the single-row centroid
+    # model attach (IVF)
     allowed = {
         "ann_cosine_topk_bruteforce",
         "timeseries_gapfill_hourly",
         "sketch_hll_merge_bound",
+        "sketch_mg_heavy_hitters",
+        "ann_ivf_topk",
     }
     for name, wl in REGISTRY.items():
         if name in allowed:
