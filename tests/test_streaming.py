@@ -136,6 +136,51 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     ) == [1, 2, 3]
 
 
+def test_streaming_dedup_state_survives_restart(spark, tmp_path):
+    # the operational contract of checkpointed dedup: a duplicate that
+    # arrives AFTER a stop/restart (same checkpoint) is still dropped,
+    # because the key state is restored from the state store
+    from docker_airflow_spark_minio_spark.streaming import dedup_stream
+
+    src = tmp_path / "restart_in"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    ckpt = str(tmp_path / "ckpt_restart")
+    sink = str(tmp_path / "restart_out")
+
+    def run_once():
+        # file sink, not memory: the memory sink refuses checkpoint
+        # recovery, and recovery is exactly what this test exercises
+        stream = stream_bronze(spark, str(src), schema, max_files_per_trigger=1)
+        out = dedup_stream(stream, keys=("doc_id",), ts_col="ts", watermark="1 hour")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with open(src / "f0.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "ts": "2024-05-01 10:00:00"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "ts": "2024-05-01 10:01:00"}) + "\n")
+    run_once()
+
+    # second run: one replayed key (1), one new key (3) -- both inside
+    # the watermark horizon of the first run's data
+    with open(src / "f1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "ts": "2024-05-01 10:02:00"}) + "\n")
+        f.write(json.dumps({"doc_id": 3, "ts": "2024-05-01 10:03:00"}) + "\n")
+    run_once()
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2, 3]  # the restarted query dropped the replayed key 1
+
+
 def test_stateful_running_totals(spark, tmp_path):
     from docker_airflow_spark_minio_spark.streaming import running_totals, stream_bronze
 
