@@ -577,3 +577,187 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("customer", "orders"):
         t[name].createOrReplaceTempView(name)
     return spark.sql(_Q22_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q11 / Q20: the partsupp-family shapes, adapted.  The synthetic
+# schema has no partsupp table; the (l_partkey, l_suppkey) associations
+# observed in lineitem stand in for it, with MIN(l_extendedprice /
+# l_quantity) as the per-pair supply cost and SUM(l_quantity) as the
+# available quantity.  The operator shapes -- correlated per-group MIN
+# (Q2), global-fraction HAVING (Q11), aggregate-derived semi-join chain
+# (Q20) -- are preserved.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               MIN(l_extendedprice / l_quantity) AS sc
+        FROM lineitem GROUP BY 1, 2
+    ), eps AS (
+        SELECT ps.pk, ps.sk, ps.sc, s.s_acctbal, s.s_name, n.n_name
+        FROM ps
+        JOIN supplier s ON s.s_suppkey = ps.sk
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT ROUND(e.s_acctbal, 2) AS s_acctbal_r, e.s_name, e.n_name,
+           p.p_partkey, p.p_brand, e.sk AS s_suppkey,
+           ROUND(e.sc, 2) AS supplycost_r
+    FROM part p JOIN eps e ON e.pk = p.p_partkey
+    WHERE p.p_size = 15
+      AND e.sc = (SELECT MIN(e2.sc) FROM eps e2 WHERE e2.pk = p.p_partkey)
+    ORDER BY s_acctbal_r DESC, n_name, s_name, p_partkey, s_suppkey
+    LIMIT 20
+    """,
+    category="join",
+    description="TPC-H Q2 shape: min-supply-cost supplier per part in a "
+    "region -- correlated per-group MIN (window-min + filter on the Spark "
+    "side), fixed dims broadcast, the derived partsupp association joined "
+    "once",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    ps = (
+        t["lineitem"]
+        .groupBy(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("sc"))
+    )
+    eps = (
+        ps.join(t["supplier"], ps["sk"] == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select("pk", "sk", "sc", "s_acctbal", "s_name", "n_name")
+    )
+    msc = F.min("sc").over(Window.partitionBy("pk"))
+    best = eps.withColumn("msc", msc).where(F.col("sc") == F.col("msc"))
+    return (
+        t["part"]
+        .where(F.col("p_size") == 15)
+        .join(best, F.col("p_partkey") == best["pk"])
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal_r"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("sk").alias("s_suppkey"),
+            F.round("sc", 2).alias("supplycost_r"),
+        )
+        .orderBy(
+            F.col("s_acctbal_r").desc(), "n_name", "s_name", "p_partkey", "s_suppkey"
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH v AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS v
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_7'
+        GROUP BY 1
+    ), g AS (
+        SELECT CAST(SUM(v) AS DOUBLE) AS total, COUNT(*) AS n FROM v
+    )
+    SELECT v.l_partkey,
+           CAST(ROUND(v.v, 2) AS DOUBLE) AS part_value
+    FROM v, g
+    WHERE CAST(v.v AS DOUBLE) * g.n * 100 > 130 * g.total
+    ORDER BY part_value DESC, l_partkey
+    """,
+    category="aggregation",
+    description="TPC-H Q11 shape: per-part value filtered against a "
+    "fraction of the GLOBAL total (1.3x the mean) -- the "
+    "aggregate-vs-scalar-subquery HAVING pattern; the global total is a "
+    "1-row broadcast combine, exact decimal sums on both engines",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    v = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name") == "NATION_7")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+            ).alias("v")
+        )
+    )
+    g = v.agg(
+        F.sum("v").cast("double").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        v.crossJoin(g)
+        .where(F.col("v").cast("double") * F.col("n") * 100 > 130 * F.col("total"))
+        .select(
+            "l_partkey", F.round("v", 2).cast("double").alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+    WITH pq AS (
+        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1, 2
+    )
+    SELECT s.s_suppkey, s.s_name, ROUND(s.s_acctbal, 2) AS s_acctbal_r
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+          SELECT pq.l_suppkey
+          FROM pq JOIN part p ON p.p_partkey = pq.l_partkey
+          WHERE p.p_name LIKE '%bolt%' AND pq.qty > 40)
+    ORDER BY s_suppkey
+    """,
+    category="join",
+    description="TPC-H Q20 shape: suppliers with excess shipped quantity "
+    "of a part family in a year -- an aggregate-derived candidate set "
+    "consumed by a LEFT SEMI join (no row multiplication), date filter on "
+    "the scan",
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    pq = (
+        t["lineitem"]
+        .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    eligible = (
+        pq.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .where(F.col("p_name").contains("bolt") & (F.col("qty") > 40))
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name") == "NATION_3")
+        .join(eligible, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal_r"))
+        .orderBy("s_suppkey")
+    )

@@ -45,6 +45,7 @@ def test_no_cartesian_anywhere_in_the_registry(spark):
         "sketch_hll_merge_bound",
         "sketch_mg_heavy_hitters",
         "ann_ivf_topk",
+        "q11_important_parts",
     }
     for name, wl in REGISTRY.items():
         if name in allowed:
