@@ -62,14 +62,17 @@ TABLES = (
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the synthetic tables with engine-portable time semantics.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; it is read as nanos-since-epoch longs
-    (``nanosAsLong``) and converted to TIMESTAMP_NTZ.  The integer ``div``
-    keeps full precision (a double division would lose microseconds at
-    1e18 nanos).  A microsecond epoch column survives as ``ts_us`` for
-    exact duration arithmetic -- micros, not nanos, because DuckDB's
-    parquet reader truncates nanos to micros, so micros is the precision
-    both engines share (oracle equivalent: ``epoch_us(ts)``).
+    ``events.ts`` has shipped in two physical encodings across driver
+    testdata generations: parquet TIMESTAMP(NANOS) (which Spark's
+    vectorized reader rejects -- read as nanos-since-epoch longs via
+    ``nanosAsLong``) and plain TIMESTAMP(MICROS) (read natively as
+    TIMESTAMP_NTZ).  The loader adapts to whichever it finds and always
+    exposes the same two columns: ``ts`` TIMESTAMP_NTZ and a microsecond
+    epoch ``ts_us`` for exact duration arithmetic -- micros, not nanos,
+    because DuckDB's parquet reader truncates nanos to micros, so micros
+    is the precision both engines share (oracle equivalent:
+    ``epoch_us(ts)``).  Integer ``div``/``unix_micros`` keep full
+    precision (a double division would lose microseconds at 1e18 nanos).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -77,9 +80,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{t}.parquet")
         if t == "events":
-            df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
-                "ts", F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz")
-            )
+            if df.schema["ts"].dataType.simpleString() == "bigint":  # nanos
+                df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+                    "ts", F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz")
+                )
+            else:  # native micros timestamp (ntz; session tz pinned UTC)
+                df = df.withColumn(
+                    "ts", F.col("ts").cast("timestamp_ntz")
+                ).withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
         if t in ("documents", "embeddings"):
             df = _spread(spark, df)
         out[t] = df
