@@ -22,6 +22,14 @@ from pyspark.sql import functions as F
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Lazy table plans per (session, sf_dir).  Re-deriving them costs a
+# parquet footer/schema analysis per table per query -- ~1s of driver
+# time per registry entry, which dominates an 88-query bench sweep.
+# DataFrames are immutable plans, so sharing them across queries is
+# side-effect-free; a shallow dict copy keeps callers from mutating the
+# cached mapping.
+_TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
 
 @dataclass(frozen=True)
 class Workload:
@@ -76,6 +84,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return dict(cached)
     out: dict[str, DataFrame] = {}
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{t}.parquet")
@@ -91,7 +103,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         if t in ("documents", "embeddings"):
             df = _spread(spark, df)
         out[t] = df
-    return out
+    _TABLE_CACHE[key] = out
+    return dict(out)
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:

@@ -179,6 +179,26 @@ ORDER BY doc_a, doc_b
     f"{SHINGLE_N}-gram Jaccard (basis points)",
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Persist the (tiny) verified set before the ORDER BY: a global sort
+    # range-samples its child, which would re-execute the whole verify
+    # join a second time (measured ~2x the query).  The cached rows are
+    # the final pairs only -- kilobytes.
+    return _verified_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+# Verified-pair frame per (session, sf_dir), persisted: three queries
+# consume it (the pairs query itself and both cluster queries), and
+# without the cache each of them re-executes the band self-join +
+# Jaccard verification -- the most expensive stage of the family.  The
+# materialize-candidates-once step of a production dedup pipeline.
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
     sh = _shingles(spark, sf_dir).where(F.size("sh") > 0)
     # Signatures are per-row array folds (array_min over the permuted
     # shingle-hash array) -- a pure map, NO shuffle. The explode+groupBy
@@ -227,11 +247,9 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(10000.0 * inter / union).cast("long").alias("jaccard_bp"),
         )
     )
-    # Persist the (tiny) verified set before the ORDER BY: a global sort
-    # range-samples its child, which would re-execute the whole verify
-    # join a second time (measured ~2x the query).  The cached rows are
-    # the final pairs only -- kilobytes.
-    return verified.persist().orderBy("doc_a", "doc_b")
+    verified = verified.persist()
+    _PAIRS_CACHE[key] = verified
+    return verified
 
 
 # ---------------------------------------------------------------------------
@@ -593,7 +611,7 @@ FROM comp GROUP BY component ORDER BY component
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).where(
+    pairs = _verified_pairs(spark, sf_dir).where(
         F.col("jaccard_bp") >= CLUSTER_MIN_JACCARD_BP
     )
     comp = connected_components(pairs, src="doc_a", dst="doc_b")

@@ -45,7 +45,7 @@ from .dedup import (
     CLUSTER_MIN_JACCARD_BP,
     _band_sql,
     _minhash_cte,
-    dedup_minhash_lsh_pairs,
+    _verified_pairs,
 )
 
 PACK_BUDGET_TOKENS = 512
@@ -238,7 +238,7 @@ FROM ranked WHERE rn = 1 ORDER BY component
 def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).where(
+    pairs = _verified_pairs(spark, sf_dir).where(
         F.col("jaccard_bp") >= CLUSTER_MIN_JACCARD_BP
     )
     comp = connected_components(pairs, src="doc_a", dst="doc_b")

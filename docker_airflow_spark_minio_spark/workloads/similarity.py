@@ -321,12 +321,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shipped to the executors, but with no driver collect() and no
     # nlist x dim literal expression tree (the literal-inline version
     # measured 3.8s of analyzer/codegen per cold call at nlist=10).
+    # One F.expr string, not 64 F.round(F.avg(F.element_at(...))) Column
+    # objects: the py4j construction of the 64-branch tree measured 5s of
+    # driver time per call; the parsed plan (and its map-side partial
+    # aggregation) is identical.
     cent = corpus.groupBy("label").agg(
-        F.array(
-            *[
-                F.round(F.avg(F.element_at("v", i + 1)), 6)
-                for i in range(EMB_DIM)
-            ]
+        F.expr(
+            "array("
+            + ", ".join(f"round(avg(v[{i}]), 6)" for i in range(EMB_DIM))
+            + ")"
         ).alias("cv")
     )
     cents = cent.agg(
