@@ -19,3 +19,4 @@ from . import dedup  # noqa: F401,E402
 from . import similarity  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
+from . import corpus_extra  # noqa: F401,E402

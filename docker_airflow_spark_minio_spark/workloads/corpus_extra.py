@@ -1,0 +1,358 @@
+"""Corpus-preparation workloads: chunking, repetition, contamination,
+and iterative k-means bucketing.
+
+Second batch of training-data pipeline operators (extension surface per
+SURVEY.md section 7.2.5; the reference has none of these):
+
+ * **sliding-window chunking** -- split documents into overlapping
+   fixed-token windows (the tokenize-and-pack precursor): per-source
+   chunk counts, duplicated-token overhead of the overlap.
+ * **repetition ratio** -- duplicate-2-gram fraction per document (the
+   Gopher-style repetition quality gate); per-language roll-up.
+ * **contamination check** -- n-gram overlap of corpus documents against
+   a held-out "benchmark" subset (here: doc_id % 97 == 0), the
+   train/test-leakage scan every training pipeline runs before a bake.
+ * **k-means bucketing** -- deterministic Lloyd iterations over the
+   embedding column (operators/clustering.py); oracle replays both
+   unrolled iterations in SQL -- an exact cross-engine check of an
+   iterative ML algorithm.
+
+Scale notes (100 TB posture):
+ * chunking and repetition are pure per-row array expressions -- maps
+   over the scan, no shuffle before the final per-group roll-up
+ * contamination shuffles (doc, shingle-hash) pairs, never text; the
+   benchmark hash set is orders of magnitude smaller than the corpus
+   (AQE broadcasts it at test scale; at 100 TB it is still the side you
+   would broadcast or bloom-filter)
+ * k-means assignment attaches the k centroids as one broadcast
+   single-row value: per-iteration shuffle is partitions x k x dim
+   partial sums, independent of corpus size
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h32, h32_sql
+from ..functions.text import shingles_sql, tokens_expr, tokens_sql
+from ..operators.clustering import kmeans_assign
+from .base import load_tables, register
+from .dedup import SHINGLE_N, _shingles
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+REP_THRESHOLD_BP = 1000
+CONTAM_MOD = 97
+CONTAM_MIN_SHARED = 2
+KMEANS_K = 8
+KMEANS_ITER = 2
+KMEANS_DIM = 64
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_chunk_sliding_windows",
+    oracle=f"""
+    WITH t AS (SELECT source, {tokens_sql('text')} AS t FROM documents),
+    c AS (
+        SELECT source, len(t) AS n,
+               len(range(0, len(t), {CHUNK_STRIDE})) AS n_chunks,
+               CAST(list_sum(list_transform(range(0, len(t), {CHUNK_STRIDE}),
+                    s -> least({CHUNK_TOKENS}, len(t) - s))) AS BIGINT)
+                   AS chunk_tok
+        FROM t WHERE len(t) >= 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)       AS n_docs,
+           CAST(SUM(n_chunks) AS BIGINT)  AS n_chunks,
+           CAST(SUM(n) AS BIGINT)         AS tok_total,
+           CAST(SUM(chunk_tok) AS BIGINT) AS chunk_tok_total,
+           CAST(SUM(chunk_tok) - SUM(n) AS BIGINT) AS dup_tokens,
+           CAST(FLOOR(100.0 * SUM(chunk_tok) / SUM(n_chunks)) AS BIGINT)
+               AS avg_chunk_x100
+    FROM c GROUP BY source ORDER BY source
+    """,
+    category="text",
+    description=f"sliding-window chunking ({CHUNK_TOKENS}-token windows, "
+    f"stride {CHUNK_STRIDE}): per-source chunk counts and the "
+    "duplicated-token overhead of the overlap -- a pure map (array "
+    "expressions), no per-chunk explode",
+)
+def text_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = docs.select("source", tokens_expr("text").alias("t"))
+    n = F.size("t")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STRIDE))
+    chunk_tok = F.aggregate(
+        starts,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.least(F.lit(CHUNK_TOKENS), n - s),
+    )
+    c = t.where(n >= 1).select(
+        "source",
+        n.alias("n"),
+        F.size(starts).alias("n_chunks"),
+        chunk_tok.alias("chunk_tok"),
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("n").alias("tok_total"),
+            F.sum("chunk_tok").alias("chunk_tok_total"),
+            (F.sum("chunk_tok") - F.sum("n")).alias("dup_tokens"),
+            F.floor(100.0 * F.sum("chunk_tok") / F.sum("n_chunks"))
+            .cast("long")
+            .alias("avg_chunk_x100"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition ratio (duplicate 2-grams)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH t AS (SELECT lang, {tokens_sql('text')} AS t FROM documents),
+    g AS (
+        SELECT lang, len(t) - 1 AS n_grams,
+               len(list_distinct(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> array_to_string(t[i:i+1], ' ')))) AS n_distinct
+        FROM t WHERE len(t) >= 2
+    ),
+    r AS (
+        SELECT lang, n_grams, n_grams - n_distinct AS n_dup,
+               CAST(FLOOR(10000.0 * (n_grams - n_distinct) / n_grams)
+                    AS BIGINT) AS rep_bp
+        FROM g
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)   AS n_docs,
+           CAST(FLOOR(10000.0 * SUM(n_dup) / SUM(n_grams)) AS BIGINT)
+               AS corpus_rep_bp,
+           CAST(MAX(rep_bp) AS BIGINT) AS max_rep_bp,
+           CAST(SUM(CASE WHEN rep_bp >= {REP_THRESHOLD_BP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repetitive
+    FROM r GROUP BY lang ORDER BY lang
+    """,
+    category="text",
+    description="repetition quality gate: duplicate-2-gram fraction per "
+    f"document (Gopher-style), per-language roll-up + docs over "
+    f"{REP_THRESHOLD_BP} bp -- pure array expressions, map-only",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = docs.select("lang", tokens_expr("text").alias("t"))
+    n = F.size("t")
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("t", i), F.element_at("t", i + 1)
+        ),
+    )
+    g = t.where(n >= 2).select(
+        "lang",
+        (n - 1).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+    )
+    r = g.select(
+        "lang",
+        "n_grams",
+        (F.col("n_grams") - F.col("n_distinct")).alias("n_dup"),
+        F.floor(
+            10000.0 * (F.col("n_grams") - F.col("n_distinct")) / F.col("n_grams")
+        )
+        .cast("long")
+        .alias("rep_bp"),
+    )
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.floor(10000.0 * F.sum("n_dup") / F.sum("n_grams"))
+            .cast("long")
+            .alias("corpus_rep_bp"),
+            F.max("rep_bp").alias("max_rep_bp"),
+            F.sum(
+                F.when(F.col("rep_bp") >= REP_THRESHOLD_BP, 1).otherwise(0)
+            ).alias("n_repetitive"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination check
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_contamination_check",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+    sh AS (SELECT doc_id, {shingles_sql('t', SHINGLE_N)} AS sh FROM tok),
+    ex AS (SELECT doc_id, {h32_sql('unnest(sh)')} AS h FROM sh),
+    bench AS (SELECT DISTINCT h FROM ex WHERE doc_id % {CONTAM_MOD} = 0),
+    corp AS (SELECT * FROM ex WHERE doc_id % {CONTAM_MOD} <> 0),
+    shared AS (
+        SELECT doc_id, COUNT(*) AS n_shared
+        FROM corp JOIN bench USING (h) GROUP BY doc_id
+    ),
+    d AS (
+        SELECT doc_id, source FROM documents
+        WHERE doc_id % {CONTAM_MOD} <> 0
+    ),
+    m AS (
+        SELECT d.source, COALESCE(s.n_shared, 0) AS n_shared
+        FROM d LEFT JOIN shared s ON s.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_shared >= {CONTAM_MIN_SHARED} THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_contaminated,
+           CAST(SUM(n_shared) AS BIGINT) AS shared_shingles,
+           CAST(FLOOR(10000.0 * SUM(CASE WHEN n_shared >=
+                {CONTAM_MIN_SHARED} THEN 1 ELSE 0 END) / COUNT(*))
+                AS BIGINT) AS contaminated_bp
+    FROM m GROUP BY source ORDER BY source
+    """,
+    category="text",
+    description=f"train/test contamination scan: corpus docs sharing >= "
+    f"{CONTAM_MIN_SHARED} distinct {SHINGLE_N}-gram shingles with the "
+    f"held-out benchmark subset (doc_id % {CONTAM_MOD} == 0); shuffles "
+    "(doc, shingle-hash) pairs, never text",
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", h32(F.col("s")).alias("h")
+    )
+    is_bench = F.col("doc_id") % CONTAM_MOD == 0
+    # The benchmark hash set is corpus/97-sized here and fixed-small in a
+    # real bake -- no forced broadcast; AQE picks broadcast at test scale.
+    bench = ex.where(is_bench).select("h").distinct()
+    shared = (
+        ex.where(~is_bench)
+        .join(bench, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .where(~is_bench)
+        .select("doc_id", "source")
+    )
+    m = docs.join(shared, "doc_id", "left").select(
+        "source", F.coalesce("n_shared", F.lit(0)).alias("n_shared")
+    )
+    contaminated = F.when(
+        F.col("n_shared") >= CONTAM_MIN_SHARED, 1
+    ).otherwise(0)
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(contaminated).alias("n_contaminated"),
+            F.sum("n_shared").alias("shared_shingles"),
+            F.floor(10000.0 * F.sum(contaminated) / F.count(F.lit(1)))
+            .cast("long")
+            .alias("contaminated_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-means bucketing (iterative, oracle replays the unrolled iterations)
+# ---------------------------------------------------------------------------
+
+
+def _km_dist_sql(a: str, b: str) -> str:
+    """Same IEEE op order as operators/clustering.py::_sq_dist."""
+    d = "list_dot_product"
+    return f"({d}({a}, {a}) - 2 * {d}({a}, {b}) + {d}({b}, {b}))"
+
+
+def _km_cent_sql(src: str, idx: int) -> str:
+    """dims + list CTE pair computing 6dp-rounded per-cluster means."""
+    return f"""
+    d{idx} AS (
+        SELECT cid, i, ROUND(AVG(v[i]), 6) AS m
+        FROM {src} CROSS JOIN
+             (SELECT unnest(range(1, {KMEANS_DIM + 1})) AS i) idx
+        GROUP BY cid, i
+    ),
+    c{idx} AS (SELECT cid, list(m ORDER BY i) AS cv FROM d{idx} GROUP BY cid)
+    """
+
+
+def _km_assign_sql(cent: str, idx: int) -> str:
+    return f"""
+    a{idx} AS (
+        SELECT vec_id, v, cid, d AS sq_dist FROM (
+            SELECT v.vec_id, v.v, c.cid,
+                   {_km_dist_sql('v.v', 'c.cv')} AS d,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_km_dist_sql('v.v', 'c.cv')} ASC, c.cid) AS rn
+            FROM v CROSS JOIN {cent} c
+        ) WHERE rn = 1
+    )
+    """
+
+
+_KMEANS_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+a0 AS (SELECT vec_id, v, vec_id % {KMEANS_K} AS cid FROM v),
+{_km_cent_sql('a0', 0)},
+{_km_assign_sql('c0', 1)},
+{_km_cent_sql('a1', 1)},
+{_km_assign_sql('c1', 2)}
+SELECT cid AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CAST(FLOOR(sq_dist * 1000000) AS BIGINT)) AS BIGINT)
+           AS inertia_x1e6,
+       MIN(vec_id) AS min_vec_id
+FROM a2 GROUP BY cid ORDER BY cluster
+"""
+
+
+@register(
+    "kmeans_embedding_buckets",
+    oracle=_KMEANS_ORACLE,
+    category="similarity",
+    description=f"deterministic Lloyd k-means (k={KMEANS_K}, "
+    f"{KMEANS_ITER} iterations, modulo init, 6dp-rounded centroids) over "
+    "the embedding column; per-cluster sizes + integer-exact inertia -- "
+    "the oracle replays both iterations unrolled in SQL",
+)
+def kmeans_embedding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    assigned = kmeans_assign(
+        v, k=KMEANS_K, n_iter=KMEANS_ITER, dim=KMEANS_DIM
+    )
+    return (
+        assigned.groupBy(F.col("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.floor(F.col("sq_dist") * 1_000_000).cast("long")).alias(
+                "inertia_x1e6"
+            ),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("cluster")
+    )
