@@ -81,6 +81,84 @@ class TableManager:
         writer.save(path)
         return path
 
+    def merge_upsert(
+        self,
+        updates: DataFrame,
+        table: str,
+        keys: list[str],
+        partition_by: list[str],
+        order_by: str,
+    ) -> str:
+        """Key-based upsert (MERGE latest-wins) into a partitioned table.
+
+        The CDC pattern the reference's full-table overwrite cannot
+        express (SURVEY.md section 1.3): only partitions PRESENT IN THE
+        UPDATE BATCH are read back, merged, and rewritten -- cost scales
+        with the changed partitions, not the table.  Within a key,
+        the row with the greatest ``order_by`` value survives; on a tie
+        the update beats the existing row (deterministic re-apply:
+        running the same batch twice is a no-op).
+
+        Assumes a key's partition value is stable (the usual CDC contract
+        -- the partition column is part of the record identity, e.g. a
+        load date).  An update that MOVES a key across partitions leaves
+        the old partition's copy in place unless that partition is also
+        touched by the batch.
+
+        Scale notes: the affected-partition list is collected driver-side
+        -- it is partition METADATA (days, not rows), the same
+        cardinality dynamic partition overwrite itself tracks.  The merge
+        shuffles only the affected partitions' rows + the batch, once,
+        on the key.
+        """
+        import functools
+        import operator
+
+        from pyspark.sql import Window, functions as F
+
+        path = self.path(table)
+        # A read attempt is the backend-portable existence probe
+        # (AnalysisException -> first load).
+        try:
+            existing = self.read(table)
+        except Exception:  # noqa: BLE001 -- missing table: first load
+            w0 = Window.partitionBy(*keys).orderBy(F.col(order_by).desc())
+            first = (
+                updates.withColumn("__rn", F.row_number().over(w0))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            return self.write(
+                first, table, partition_by=partition_by, mode="overwrite_partitions"
+            )
+        affected = [
+            tuple(r) for r in updates.select(*partition_by).distinct().collect()
+        ]
+        match = functools.reduce(
+            operator.or_,
+            (
+                functools.reduce(
+                    operator.and_,
+                    (F.col(c) == F.lit(v) for c, v in zip(partition_by, vals)),
+                )
+                for vals in affected
+            ),
+        )
+        base = existing.where(match).withColumn("__upd", F.lit(0))
+        merged = base.unionByName(updates.withColumn("__upd", F.lit(1)))
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(order_by).desc(), F.col("__upd").desc()
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__upd")
+        )
+        self.write(
+            latest, table, partition_by=partition_by, mode="overwrite_partitions"
+        )
+        return path
+
     # -- reads -----------------------------------------------------------
 
     def read(self, table: str) -> DataFrame:

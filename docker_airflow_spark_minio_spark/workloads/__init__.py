@@ -20,3 +20,4 @@ from . import similarity  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import corpus_extra  # noqa: F401,E402
+from . import etl_extra  # noqa: F401,E402

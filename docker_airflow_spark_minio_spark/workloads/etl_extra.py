@@ -1,0 +1,145 @@
+"""ETL-core workloads: SCD2 history build and single-pass column profiling.
+
+The reference is a medallion ETL platform whose only change-handling
+notion is day-partition overwrite (reference job_silver.py:174-178;
+SURVEY.md section 1.3).  These workloads cover the two ETL shapes a user
+of such a platform reaches for next:
+
+ * **SCD type-2 history** -- collapse an event stream into versioned
+   dimension rows with validity intervals (change detection via lag,
+   interval close via lead): the warehouse-standard slowly-changing-
+   dimension build, one shuffle on the entity key.
+ * **column profiling** -- per-column null/distinct counts in ONE pass
+   over the scan (a single aggregate, then an unpivot of the one-row
+   result): the data-quality probe run before every load.  The
+   reference's only profiling is an object count/byte sum over storage
+   listings (reference decase/utils.py:81-114).
+
+Scale notes (100 TB posture):
+ * SCD2: one shuffle on user_id; change rows only (the lag filter)
+   enter the second window -- interval assembly never re-shuffles
+   (same partition key), Catalyst collapses both windows into one sort
+ * profiling: COUNT + COUNT DISTINCT for all columns in one aggregate
+   = one scan + one partial-aggregated reduce; the unpivot runs on a
+   single row.  At 100 TB the same plan holds; approx_count_distinct
+   would replace the exact distinct (noted, exact kept for the oracle)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .base import load_tables, register
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history from the event stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_user_event_history",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        FROM events
+    ),
+    chg AS (
+        SELECT user_id, event_type, ts_us,
+               LAG(event_type) OVER w AS prev_type
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    v AS (
+        SELECT user_id, event_type, ts_us AS valid_from_us
+        FROM chg
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    h AS (
+        SELECT user_id, event_type, valid_from_us,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+               COALESCE(LEAD(valid_from_us) OVER w, -1) AS valid_to_us,
+               CASE WHEN LEAD(valid_from_us) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_current
+        FROM v WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_us)
+    )
+    SELECT user_id, version, event_type, valid_from_us, valid_to_us,
+           CAST(is_current AS BIGINT) AS is_current
+    FROM h ORDER BY user_id, version
+    """,
+    category="etl",
+    description="SCD type-2 dimension build: event-stream change "
+    "detection (lag) -> versioned validity intervals (lead), open "
+    "interval marked current -- one shuffle on the entity key, both "
+    "windows share the sort",
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    we = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chg = ev.withColumn("prev_type", F.lag("event_type").over(we))
+    v = chg.where(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    ).select("user_id", "event_type", F.col("ts_us").alias("valid_from_us"))
+    wv = Window.partitionBy("user_id").orderBy("valid_from_us")
+    nxt = F.lead("valid_from_us").over(wv)
+    return (
+        v.select(
+            "user_id",
+            F.row_number().over(wv).cast("long").alias("version"),
+            "event_type",
+            "valid_from_us",
+            F.coalesce(nxt, F.lit(-1)).alias("valid_to_us"),
+            F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Single-pass column profiling
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    "l_orderkey l_partkey l_suppkey l_linenumber l_quantity l_extendedprice "
+    "l_discount l_tax l_returnflag l_linestatus l_shipdate"
+).split()
+
+
+@register(
+    "profile_lineitem_columns",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(COUNT(*) AS BIGINT)            AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT)  AS n_distinct
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    )
+    + " ORDER BY col_name",
+    category="etl",
+    description="data-quality profile: per-column null + exact distinct "
+    "counts for all 11 lineitem columns in ONE scan (single aggregate, "
+    "unpivoted via stack) -- at 100 TB swap the exact distinct for "
+    "approx_count_distinct, same plan shape",
+)
+def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).cast("long").alias(f"nd_{c}"))
+    one = li.agg(*aggs)
+    stack = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS)
+    return (
+        one.selectExpr(
+            "n_rows",
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS (col_name, n_nulls, n_distinct)",
+        )
+        .select("col_name", "n_rows", "n_nulls", "n_distinct")
+        .orderBy("col_name")
+    )
