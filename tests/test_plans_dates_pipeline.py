@@ -38,7 +38,7 @@ def test_no_cartesian_anywhere_in_the_registry(spark):
     # the fixed query set (brute-force ANN baseline), the hour-grid x
     # distinct-event-type lattice (gap-fill), the 1x1/1xT scalar combines
     # of sketch estimates with exact counts, and the single-row centroid
-    # model attach (IVF)
+    # model attach (IVF + k-means)
     allowed = {
         "ann_cosine_topk_bruteforce",
         "timeseries_gapfill_hourly",
@@ -46,6 +46,7 @@ def test_no_cartesian_anywhere_in_the_registry(spark):
         "sketch_mg_heavy_hitters",
         "ann_ivf_topk",
         "q11_important_parts",
+        "kmeans_embedding_buckets",
     }
     for name, wl in REGISTRY.items():
         if name in allowed:
