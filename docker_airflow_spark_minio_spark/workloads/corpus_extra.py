@@ -274,6 +274,106 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sampling (uniform + per-group balanced)
+# ---------------------------------------------------------------------------
+
+SAMPLE_N = 200
+BALANCED_K = 100
+
+
+@register(
+    "corpus_uniform_hash_sample",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, lang, n_chars,
+               {h32_sql("CAST(doc_id AS VARCHAR)")} AS hv
+        FROM documents
+    ),
+    s AS (
+        SELECT * FROM h ORDER BY hv, doc_id LIMIT {SAMPLE_N}
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)     AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sampled,
+           MIN(doc_id)                  AS min_doc_id
+    FROM s GROUP BY lang ORDER BY lang
+    """,
+    category="text",
+    description=f"deterministic uniform sample: the {SAMPLE_N} docs with "
+    "the smallest md5-derived hash (reproducible across runs AND "
+    "engines, no RNG state); plans as TakeOrdered -- partial top-N per "
+    "partition, never a global sort",
+)
+def corpus_uniform_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    h = docs.select(
+        "doc_id", "lang", "n_chars",
+        h32(F.col("doc_id").cast("string")).alias("hv"),
+    )
+    s = h.orderBy("hv", "doc_id").limit(SAMPLE_N)
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("chars_sampled"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "corpus_balanced_sample",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, lang, n_chars,
+               {h32_sql("CAST(doc_id AS VARCHAR)")} AS hv
+        FROM documents
+    ),
+    r AS (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+        FROM h
+    )
+    SELECT lang,
+           CAST(SUM(CASE WHEN rn <= {BALANCED_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN rn <= {BALANCED_K} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_kept,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM r GROUP BY lang ORDER BY lang
+    """,
+    category="text",
+    description=f"language-balanced sample: keep the {BALANCED_K} "
+    "smallest-hash docs PER LANGUAGE (window head, one shuffle on lang) "
+    "-- the class-rebalancing step of a corpus mix, deterministic "
+    "across runs and engines",
+)
+def corpus_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    h = docs.select(
+        "lang", "doc_id", "n_chars",
+        h32(F.col("doc_id").cast("string")).alias("hv"),
+    )
+    w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    r = h.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") <= BALANCED_K, 1).otherwise(0)
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.sum(kept).alias("n_kept"),
+            F.sum(
+                F.when(F.col("rn") <= BALANCED_K, F.col("n_chars")).otherwise(0)
+            ).alias("chars_kept"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # K-means bucketing (iterative, oracle replays the unrolled iterations)
 # ---------------------------------------------------------------------------
 
