@@ -114,3 +114,72 @@ def connected_components(
             f"({changed} labels still changing); raise max_iter"
         )
     return labels
+
+
+# PageRank in integer nano-units: double accumulation order differs
+# between engines (and between Spark partitions run-to-run), so a float
+# PageRank could never be oracle-checked exactly.  All arithmetic here is
+# int64 -- contributions use integer division, the damping step is
+# (850 * s) div 1000 -- so the ranks are bit-identical everywhere, and
+# an ANSI-SQL oracle can replay the unrolled iterations.
+PAGERANK_SCALE = 1_000_000_000  # initial rank per node, "nano-rank"
+PAGERANK_DAMP_NUM = 850         # 0.85 damping as an integer ratio
+PAGERANK_DAMP_DEN = 1000
+
+
+def pagerank_int(
+    edges: DataFrame,
+    n_iter: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic damped PageRank over an undirected graph.
+
+    Returns ``(id, rank)`` with ranks in integer nano-units
+    (initial = PAGERANK_SCALE).  Update rule per iteration:
+
+        rank' = (1-d)*SCALE + d * sum_{neighbors u} (rank_u div deg_u)
+
+    with d = 850/1000 applied as integer multiply-then-div.  Nodes keep
+    the base term even with no in-edges.
+
+    Scale notes: the edge list (with the out-degree attached once) is
+    persisted and reused every round; each iteration is ONE shuffle --
+    a join on the source id followed by a groupBy on the destination
+    (same key chain as connected_components).  Ranks are
+    localCheckpoint-backed per round so the plan stays flat.
+    """
+    bi = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    deg = bi.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    bi_deg = bi.join(deg, "a").persist()
+    nodes = bi_deg.select(F.col("a").alias("id")).distinct()
+    base = (PAGERANK_SCALE * (PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM)) // PAGERANK_DAMP_DEN
+    ranks = nodes.select(
+        "id", F.lit(PAGERANK_SCALE).cast("long").alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        contrib = bi_deg.join(ranks, bi_deg["a"] == ranks["id"]).select(
+            F.col("b").alias("id"),
+            F.expr("rank div deg").alias("c"),
+        )
+        summed = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"(({PAGERANK_DAMP_NUM} * coalesce(s, 0L)) div "
+                        f"{PAGERANK_DAMP_DEN})"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    bi_deg.unpersist()
+    return ranks

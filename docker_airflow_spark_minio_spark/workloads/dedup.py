@@ -278,19 +278,13 @@ FROM sig GROUP BY simhash ORDER BY simhash
 """
 
 
-@register(
-    "dedup_simhash_clusters",
-    oracle=_SIMHASH_ORACLE,
-    category="dedup",
-    description=f"SimHash near-dup clustering: {SIMHASH_BITS}-bit signed "
-    "bit-vote signature over shingle hashes; buckets with n_docs > 1 are "
-    "near-dup clusters",
-)
-def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Per-row bit votes: vote_i = 2*|{h: bit i set}| - |hashes|, computed
-    # with size(filter(...)) over the shingle-hash array -- a pure map
-    # (the explode+groupBy formulation shuffled |shingles| rows per doc);
-    # the only shuffle left is the final tiny groupBy on the signature.
+def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, simhash)`` signatures.
+
+    Per-row bit votes: vote_i = 2*|{h: bit i set}| - |hashes|, computed
+    with size(filter(...)) over the shingle-hash array -- a pure map
+    (the explode+groupBy formulation shuffled |shingles| rows per doc).
+    """
     sh = _shingles(spark, sf_dir)
     hs = sh.select(
         "doc_id", F.transform("sh", lambda s: h32(s)).alias("hs")
@@ -310,12 +304,87 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(SIMHASH_BITS)],
         F.lit(0),
     ).cast("long")
+    return votes.select("doc_id", simhash.alias("simhash"))
+
+
+@register(
+    "dedup_simhash_clusters",
+    oracle=_SIMHASH_ORACLE,
+    category="dedup",
+    description=f"SimHash near-dup clustering: {SIMHASH_BITS}-bit signed "
+    "bit-vote signature over shingle hashes; buckets with n_docs > 1 are "
+    "near-dup clusters",
+)
+def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The only shuffle is the final tiny groupBy on the signature.
     return (
-        votes.select("doc_id", simhash.alias("simhash"))
+        _simhash_frame(spark, sf_dir)
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .orderBy("simhash")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification within SimHash buckets
+# ---------------------------------------------------------------------------
+
+# Candidate pairs come from SimHash-bucket equality (cost ~ collision
+# buckets, never all-pairs); verification is levenshtein over a bounded
+# prefix -- the O(prefix^2) DP cost per pair is a constant, so total
+# cost is linear in candidates.  Both engines implement the classic
+# unit-cost edit distance, so the integers agree exactly.
+LEV_PREFIX = 80
+LEV_MAX = 40
+
+_EDIT_DISTANCE_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, {shingles_sql('t', SHINGLE_N)} AS sh FROM tok),
+ex AS (SELECT doc_id, {h32_sql('unnest(sh)')} AS h FROM sh),
+votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM ex GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM votes),
+d AS (
+    SELECT s.doc_id, s.simhash, substr(doc.text, 1, {LEV_PREFIX}) AS pfx
+    FROM sig s JOIN documents doc ON doc.doc_id = s.doc_id
+),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, edit_dist FROM p
+WHERE edit_dist <= {LEV_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_edit_distance_pairs",
+    oracle=_EDIT_DISTANCE_ORACLE,
+    category="dedup",
+    description=f"edit-distance dedup: SimHash-bucket candidate pairs "
+    f"verified with levenshtein over the first {LEV_PREFIX} chars "
+    f"(<= {LEV_MAX}); bounded-prefix DP keeps per-pair cost constant",
+)
+def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _simhash_frame(spark, sf_dir)
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", F.substring("text", 1, LEV_PREFIX).alias("pfx")
+    )
+    d = sig.join(docs, "doc_id")
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(b, "simhash")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+            .cast("long")
+            .alias("edit_dist"),
+        )
+    )
+    return pairs.where(F.col("edit_dist") <= LEV_MAX).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -597,6 +666,77 @@ SELECT component,
        MIN(id) AS canonical_doc
 FROM comp GROUP BY component ORDER BY component
 """
+
+
+# PageRank over the same pair graph: in integer nano-units, so the
+# iterative double-free arithmetic is bit-identical across engines and
+# the oracle replays the 3 unrolled iterations (operators/graph.py).
+PAGERANK_ITERS = 3
+
+
+def _pagerank_iter_sql(prev: str, idx: int) -> str:
+    return f"""
+    c{idx} AS (
+        SELECT bi.b AS id, {prev}.rank // deg.deg AS c
+        FROM bi JOIN {prev} ON {prev}.id = bi.a
+                JOIN deg ON deg.a = bi.a
+    ),
+    s{idx} AS (SELECT id, SUM(c) AS s FROM c{idx} GROUP BY id),
+    r{idx} AS (
+        SELECT n.id,
+               CAST(150000000 + (850 * COALESCE(s{idx}.s, 0)) // 1000
+                    AS BIGINT) AS rank
+        FROM n LEFT JOIN s{idx} ON s{idx}.id = n.id
+    )
+    """
+
+
+_PAGERANK_ORACLE = f"""
+WITH RECURSIVE {_minhash_cte()},
+bands AS ({_band_sql()}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE FLOOR(10000.0 * len(list_intersect(sa.sh, sb.sh)) /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+          >= {CLUSTER_MIN_JACCARD_BP}
+),
+bi AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM bi GROUP BY a),
+n AS (SELECT DISTINCT a AS id FROM bi),
+r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank FROM n),
+{",".join(_pagerank_iter_sql(f"r{i}", i + 1) for i in range(PAGERANK_ITERS))}
+SELECT id AS doc_id, rank FROM r{PAGERANK_ITERS} ORDER BY doc_id
+"""
+
+
+@register(
+    "graph_pagerank_neardup",
+    oracle=_PAGERANK_ORACLE,
+    category="graph",
+    description=f"damped PageRank ({PAGERANK_ITERS} iterations, integer "
+    "nano-units -- no float accumulation, bit-identical across engines) "
+    "over the near-dup pair graph; one join+groupBy shuffle per "
+    "iteration, checkpointed ranks",
+)
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_int
+
+    pairs = _verified_pairs(spark, sf_dir).where(
+        F.col("jaccard_bp") >= CLUSTER_MIN_JACCARD_BP
+    )
+    ranks = pagerank_int(pairs, n_iter=PAGERANK_ITERS, src="doc_a", dst="doc_b")
+    return ranks.select(F.col("id").alias("doc_id"), "rank").orderBy("doc_id")
 
 
 @register(

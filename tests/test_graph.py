@@ -38,3 +38,28 @@ def test_unconverged_raises(spark):
     e = spark.createDataFrame([(i, i + 1) for i in range(8)], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(e, max_iter=1)
+
+
+def test_pagerank_regular_graph_is_stationary(spark):
+    from docker_airflow_spark_minio_spark.operators.graph import (
+        PAGERANK_SCALE,
+        pagerank_int,
+    )
+
+    # On a single edge both endpoints have degree 1: each iteration maps
+    # rank 1e9 -> 150e6 + 850e6 = 1e9, the exact stationary point.
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank_int(e, n_iter=4).collect()}
+    assert got == {1: PAGERANK_SCALE, 2: PAGERANK_SCALE}
+
+
+def test_pagerank_star_ranks_hub_highest(spark):
+    from docker_airflow_spark_minio_spark.operators.graph import pagerank_int
+
+    e = spark.createDataFrame([(0, i) for i in (1, 2, 3)], "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank_int(e, n_iter=1).collect()}
+    # hub: 150e6 + 850*(3 * 1e9)//1000; leaves: 150e6 + 850*(1e9//3)//1000
+    assert got[0] == 150_000_000 + (850 * 3_000_000_000) // 1000
+    leaf = 150_000_000 + (850 * (1_000_000_000 // 3)) // 1000
+    assert got[1] == got[2] == got[3] == leaf
+    assert got[0] > got[1]
