@@ -179,3 +179,63 @@ def sample_frame_rows(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_frames, schema=FRAME_ROW_SCHEMA)
+
+
+RESIZE_BLOCK = 8  # box-filter block size for resize_block_downsample
+
+RESIZE_SCHEMA = (
+    "doc_id long, n_blocks long, block_checksum long, max_block_sum long, "
+    "first_block_sum long"
+)
+
+
+def resize_block_downsample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    block: int = RESIZE_BLOCK,
+) -> DataFrame:
+    """Box-filter downsample of each payload: the RESIZE shape.
+
+    Treats the payload as a 1-D uint8 signal and reduces every ``block``
+    bytes to one integer block sum (a box filter without the final
+    divide, so the output stays integer-exact and oracle-able).  A real
+    image resize swaps the reshape for a 2-D block mean over the decoded
+    array -- the plumbing (vectorized numpy kernel per Arrow batch,
+    fixed small output schema, payloads never leaving the executor) is
+    identical.  Trailing partial blocks are dropped, as a strided
+    resize would.
+    """
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, buf in zip(pdf[id_col], pdf[payload_col]):
+                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                n = (b.size // block) * block
+                sums = (
+                    b[:n].reshape(-1, block).sum(axis=1, dtype=np.int64)
+                    if n
+                    else np.empty(0, dtype=np.int64)
+                )
+                out.append(
+                    (
+                        int(doc_id),
+                        int(sums.size),
+                        int(sums.sum()),
+                        int(sums.max()) if sums.size else -1,
+                        int(sums[0]) if sums.size else -1,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_blocks",
+                    "block_checksum",
+                    "max_block_sum",
+                    "first_block_sum",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_batches, schema=RESIZE_SCHEMA)

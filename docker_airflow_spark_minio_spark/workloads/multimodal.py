@@ -29,7 +29,9 @@ from pyspark.sql import functions as F
 from ..operators.media import (
     FRAME_BYTES,
     FRAME_STEP,
+    RESIZE_BLOCK,
     extract_byte_features,
+    resize_block_downsample,
     sample_frame_rows,
 )
 from .base import load_tables, register
@@ -169,3 +171,39 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize: box-filter block downsample (one payload -> fixed smaller signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_resize_downsample",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id,
+               len(text) // {RESIZE_BLOCK} AS n_blocks,
+               list_transform(range(0, len(text) // {RESIZE_BLOCK}),
+                   i -> CAST(list_sum(list_transform(
+                            range(i * {RESIZE_BLOCK} + 1,
+                                  i * {RESIZE_BLOCK} + {RESIZE_BLOCK} + 1),
+                            j -> ord(text[j]))) AS BIGINT)) AS sums
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_blocks AS BIGINT) AS n_blocks,
+           CAST(COALESCE(list_sum(sums), 0) AS BIGINT) AS block_checksum,
+           CAST(COALESCE(list_max(sums), -1) AS BIGINT) AS max_block_sum,
+           CAST(COALESCE(sums[1], -1) AS BIGINT)        AS first_block_sum
+    FROM r ORDER BY doc_id
+    """,
+    category="multimodal",
+    description=f"resize shape: box-filter downsample of each payload "
+    f"({RESIZE_BLOCK}-byte blocks -> integer block sums, vectorized "
+    "numpy reshape per Arrow batch); a real image resize swaps the "
+    "reshape for a 2-D block mean, same plumbing",
+)
+def multimodal_resize_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_payload(load_tables(spark, sf_dir)["documents"])
+    return resize_block_downsample(docs).orderBy("doc_id")

@@ -74,3 +74,24 @@ def test_decode_stubs_are_gated(spark):
         except Exception as exc:  # noqa: BLE001
             pytest.fail(f"{fn.__name__} raised {type(exc).__name__}, expected "
                         "NotImplementedError gate")
+
+
+def test_resize_block_downsample_edges(spark):
+    from docker_airflow_spark_minio_spark.operators.media import (
+        resize_block_downsample,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"A" * 20)),  # 2 full 8-byte blocks, 4 dropped
+            (2, bytearray(b"xyz")),     # shorter than one block
+            (3, bytearray(b"")),        # empty payload
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in resize_block_downsample(df).collect()}
+    assert got[1]["n_blocks"] == 2
+    assert got[1]["block_checksum"] == 16 * ord("A")
+    assert got[1]["first_block_sum"] == 8 * ord("A")
+    assert got[2]["n_blocks"] == 0 and got[2]["max_block_sum"] == -1
+    assert got[3]["n_blocks"] == 0 and got[3]["block_checksum"] == 0
