@@ -56,6 +56,37 @@ def test_no_cartesian_anywhere_in_the_registry(spark):
         ), f"{name} has a cartesian/nested-loop join"
 
 
+def test_chunking_is_map_only_before_the_rollup(spark):
+    # The chunk fan-out is array expressions, never an explode: the only
+    # exchanges are the final per-source aggregation + output sort, and
+    # the scan reads just the two needed columns.
+    df = REGISTRY["text_chunk_sliding_windows"].fn(spark, SF_DIR)
+    assert plans.shuffle_count(df) <= 2
+    assert plans.read_schema_columns(df) <= {"source", "text"}
+
+
+def test_scd2_windows_share_one_shuffle(spark):
+    # Change detection (lag) and interval close (lead) both partition by
+    # user_id: Catalyst must plan ONE hash exchange (+ the output sort).
+    df = REGISTRY["scd2_user_event_history"].fn(spark, SF_DIR)
+    assert plans.shuffle_count(df) <= 2
+
+
+def test_uniform_sample_plans_as_take_ordered(spark):
+    # Top-N by hash must be partial-top-N-per-partition, not a global
+    # sort of the corpus.
+    df = REGISTRY["corpus_uniform_hash_sample"].fn(spark, SF_DIR)
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_profile_reads_the_table_once(spark):
+    # 11 columns x (nulls + distinct) in ONE scan -- the whole point vs
+    # the oracle's 11 UNION ALL scans.
+    df = REGISTRY["profile_lineitem_columns"].fn(spark, SF_DIR)
+    assert plans.physical_plan(df).count("FileScan parquet") == 1
+
+
 def test_star_join_broadcasts_fixed_dims(spark):
     df = REGISTRY["q5_local_supplier_volume"].fn(spark, SF_DIR)
     assert plans.broadcast_join_count(df) >= 2  # nation + region at least
