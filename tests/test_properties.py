@@ -81,3 +81,61 @@ def test_h32_matches_duckdb_and_stays_32bit(spark, strings):
         expected = con.execute(f"SELECT {h32_sql('?')}", [s]).fetchone()[0]
         assert got[s] == expected, f"h32 mismatch for {s!r}"
         assert 0 <= got[s] < 2**32
+
+
+# -- merge_upsert model check ----------------------------------------------
+
+# Rows are (key, day, seq); seqs are globally unique by construction so
+# the latest-wins pick is fully determined and the dict model below is
+# exact.  The deliberate-tie semantics (update beats existing on equal
+# seq) are pinned separately in test_merge_upsert.py.
+_mk_batches = st.lists(
+    st.lists(
+        st.tuples(st.integers(1, 4), st.sampled_from(["d1", "d2"])),
+        min_size=1,
+        max_size=5,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_mk_batches)
+def test_merge_upsert_matches_dict_model(spark, tmp_path_factory, batches):
+    from docker_airflow_spark_minio_spark.storage import TableManager
+
+    tm = TableManager(spark, warehouse=str(tmp_path_factory.mktemp("wh")))
+    schema = "k long, day string, v string, seq long"
+    # model state: (k, day) may coexist across days; within the batch's
+    # affected days the per-key latest wins globally.
+    state: dict[tuple[int, str], tuple[str, int]] = {}
+    seq = 0
+    for batch in batches:
+        rows = []
+        for k, day in batch:
+            seq += 1
+            rows.append((k, day, f"v{seq}", seq))
+        tm.merge_upsert(
+            spark.createDataFrame(rows, schema),
+            "dw.t", keys=["k"], partition_by=["day"], order_by="seq",
+        )
+        affected = {day for _, day, _, _ in rows}
+        pool = [
+            (k, day, v, s)
+            for (k, day), (v, s) in state.items()
+            if day in affected
+        ] + rows
+        for (k, day) in [key for key in state if key[1] in affected]:
+            del state[(k, day)]
+        best: dict[int, tuple[int, str, str]] = {}
+        for k, day, v, s in pool:
+            if k not in best or s > best[k][0]:
+                best[k] = (s, day, v)
+        for k, (s, day, v) in best.items():
+            state[(k, day)] = (v, s)
+        got = {
+            (r["k"], r["day"]): (r["v"], r["seq"])
+            for r in tm.read("dw.t").collect()
+        }
+        assert got == state
