@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine_similarity, l2_norm, sign_bucket, sign_bucket_sql
-from .base import load_tables, register
+from .base import REGISTRY, load_tables, register
 
 N_QUERIES = 8          # query set: vec_id < 8
 TOP_K = 5
@@ -451,4 +451,58 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("max_err"), 6).alias("max_abs_err"),
         )
         .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality monitor: recall@k of the LSH index vs the exact baseline
+# ---------------------------------------------------------------------------
+
+# The evaluation query every ANN deployment runs before trusting an
+# index: how much of the exact top-k does the approximate index return?
+# Both result sets are the already-registered queries, so the oracle is
+# their two SQL bodies composed as CTEs -- the recall check itself is a
+# left join + per-query roll-up.  At scale both sides are the k*Q-row
+# OUTPUTS of their pipelines, so the join is metadata-sized regardless
+# of corpus size.
+_BF_ORACLE = REGISTRY["ann_cosine_topk_bruteforce"].oracle
+_LSH_ORACLE = REGISTRY["ann_lsh_sign_bucket_topk"].oracle
+
+
+@register(
+    "ann_lsh_recall_at_k",
+    oracle=f"""
+    WITH bf AS ({_BF_ORACLE}),
+    lsh AS ({_LSH_ORACLE})
+    SELECT bf.query_id,
+           CAST(COUNT(lsh.vec_id) AS BIGINT) AS n_hits,
+           CAST(FLOOR(10000.0 * COUNT(lsh.vec_id) / {TOP_K}) AS BIGINT)
+               AS recall_bp
+    FROM bf LEFT JOIN lsh
+      ON lsh.query_id = bf.query_id AND lsh.vec_id = bf.vec_id
+    GROUP BY bf.query_id ORDER BY bf.query_id
+    """,
+    category="similarity",
+    description=f"ANN quality monitor: recall@{TOP_K} of the "
+    f"{LSH_BITS}-bit sign-LSH index against the exact brute-force "
+    "top-k, per query -- the acceptance check run before trusting an "
+    "approximate index",
+)
+def ann_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = ann_cosine_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    ls = (
+        ann_lsh_sign_bucket_topk(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    j = bf.join(ls, ["query_id", "vec_id"], "left")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+            F.floor(10000.0 * F.sum(F.coalesce("hit", F.lit(0))) / TOP_K)
+            .cast("long")
+            .alias("recall_bp"),
+        )
+        .orderBy("query_id")
     )

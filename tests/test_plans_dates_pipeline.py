@@ -47,6 +47,7 @@ def test_no_cartesian_anywhere_in_the_registry(spark):
         "ann_ivf_topk",
         "q11_important_parts",
         "kmeans_embedding_buckets",
+        "ann_lsh_recall_at_k",  # composes the brute-force baseline
     }
     for name, wl in REGISTRY.items():
         if name in allowed:
