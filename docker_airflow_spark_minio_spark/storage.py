@@ -99,11 +99,14 @@ class TableManager:
         the update beats the existing row (deterministic re-apply:
         running the same batch twice is a no-op).
 
-        Assumes a key's partition value is stable (the usual CDC contract
-        -- the partition column is part of the record identity, e.g. a
-        load date).  An update that MOVES a key across partitions leaves
-        the old partition's copy in place unless that partition is also
-        touched by the batch.
+        Affected partitions are cleared explicitly before the rewrite:
+        dynamic partition overwrite alone only replaces partitions
+        present in the OUTPUT, so an affected partition whose rows all
+        lose the merge (e.g. a key moving days) would otherwise keep its
+        stale copy -- found by the hypothesis model test.  An update
+        moving a key to a partition NOT in the batch still leaves the
+        old partition untouched (the usual CDC contract: the partition
+        column is part of the record identity).
 
         Scale notes: the affected-partition list is collected driver-side
         -- it is partition METADATA (days, not rows), the same
@@ -154,9 +157,24 @@ class TableManager:
             .where(F.col("__rn") == 1)
             .drop("__rn", "__upd")
         )
-        self.write(
-            latest, table, partition_by=partition_by, mode="overwrite_partitions"
-        )
+        # Materialize BEFORE clearing the affected partitions: latest's
+        # plan reads them, and a lazy write after the delete would scan
+        # nothing.  The cache holds only the affected partitions' merged
+        # rows, the same data the write is about to move anyway.  (A
+        # production object-store deployment would stage the merged
+        # partitions to a temp prefix and swap, like write_bronze does,
+        # instead of relying on the cache surviving the delete window.)
+        latest = latest.persist()
+        latest.count()
+        from .fsmeta import delete_prefix
+
+        for vals in affected:
+            part_dir = "/".join(
+                f"{c}={v}" for c, v in zip(partition_by, vals)
+            )
+            delete_prefix(self.spark, f"{path}/{part_dir}")
+        self.write(latest, table, partition_by=partition_by, mode="append")
+        latest.unpersist()
         return path
 
     # -- reads -----------------------------------------------------------
