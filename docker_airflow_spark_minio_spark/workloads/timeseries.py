@@ -454,3 +454,67 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# Live Structured Streaming entry: the tumbling aggregate, actually streamed
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_tumbling_hourly_live",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS qtd, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    category="streaming",
+    description="the tumbling 1h aggregate executed as a REAL Structured "
+    "Streaming query: availableNow micro-batches over the parquet file "
+    "source into a complete-mode memory sink -- proves the streaming "
+    "path hash-matches the batch oracle end-to-end",
+)
+def streaming_tumbling_hourly_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # load_tables pins the session timezone + nanosAsLong conf the
+    # streaming read needs for parity with the oracle.
+    load_tables(spark, sf_dir)
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # The file stream source wants a DIRECTORY; scope it to the events
+    # file with a glob filter.
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    if dict(src.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) generation
+        src = src.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    else:
+        src = src.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    agg = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("qtd"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "qtd", "sum_value"
+        )
+    )
+    name = "streaming_tumbling_hourly_live_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name).orderBy("window_start", "event_type")
