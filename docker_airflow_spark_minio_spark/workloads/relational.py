@@ -981,3 +981,60 @@ _RECURSIVE_SQL = """
 def sql_recursive_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)["customer"].createOrReplaceTempView("customer")
     return spark.sql(_RECURSIVE_SQL)
+
+
+# The scalable twin of window_rank_family: identical output (same
+# oracle), but the rank comes from operators/rank.py::distributed_rank
+# -- range-sharded local sorts + broadcast offsets -- instead of a
+# 3-reducer window, and ntile/percent_rank/cume_dist are reconstructed
+# arithmetically from (rank, group size).  On 600k rows both finish in
+# seconds; at 100 TB the direct window serializes on 3 tasks while this
+# one scales with the cluster.
+@register(
+    "window_rank_family_scalable",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4)       OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+    category="window",
+    description="rank family via the distributed-rank operator: "
+    "range-sharded local sorts + broadcast chunk offsets replace the "
+    "low-cardinality window (3 reducer tasks -> cluster-wide); ntile/"
+    "percent_rank/cume_dist reconstructed exactly from (rank, n)",
+)
+def window_rank_family_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import distributed_rank
+
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    ranked = distributed_rank(
+        o, ["o_orderstatus"], ["o_totalprice", "o_orderkey"]
+    )
+    sizes = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    j = ranked.join(F.broadcast(sizes), "o_orderstatus")
+    rn, n = F.col("rn"), F.col("n")
+    # SQL-standard NTILE: the first n%4 buckets take one extra row.
+    q = F.expr("n div 4")
+    r = n % 4
+    first_span = r * (q + 1)
+    quartile = F.when(
+        rn <= first_span, F.expr("(rn - 1) div (n div 4 + 1) + 1")
+    ).otherwise(r + F.expr("(rn - (n % 4) * (n div 4 + 1) - 1) div (n div 4)") + 1)
+    pct = F.when(n == 1, F.lit(0.0)).otherwise(
+        F.round((rn - 1) / (n - 1), 6)
+    )
+    return (
+        j.select(
+            "o_orderkey",
+            quartile.cast("int").alias("quartile"),
+            pct.alias("pct_rank"),
+            F.round(rn / n, 6).alias("cume"),
+        )
+        .orderBy("o_orderkey")
+    )
