@@ -338,3 +338,53 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "rank", "tfidf")
         .orderBy("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar pandas_udf template (the Arrow-vectorized Python scalar path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pandas_udf_bpe_tokens",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)  AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS bpe_total,
+           CAST(MAX(n_bpe) AS BIGINT) AS bpe_max
+    FROM c GROUP BY lang ORDER BY lang
+    """,
+    category="text",
+    description="scalar @pandas_udf template: BPE-ish token counting via "
+    "vectorized pandas str.count over Arrow batches -- completes the "
+    "Python taxonomy (mapInPandas / applyInPandas / cogrouped / UDTF / "
+    "scalar); the JVM twin (regexp_extract_all, functions/text.py::"
+    "bpe_token_count) is the production default, ~10x faster",
+)
+def pandas_udf_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    # The regex uses only constructs with identical semantics in Python
+    # re, Java regex, and RE2, so all three paths count the same tokens.
+    # no type annotations: `from __future__ import annotations` turns
+    # them into strings, which pandas_udf's signature inference rejects
+    @pandas_udf("long")
+    def n_bpe_tokens(s):
+        return s.str.count(BPE_TOKEN_RE)
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    c = docs.select("lang", n_bpe_tokens("text").alias("n_bpe"))
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").alias("bpe_total"),
+            F.max("n_bpe").alias("bpe_max"),
+        )
+        .orderBy("lang")
+    )
