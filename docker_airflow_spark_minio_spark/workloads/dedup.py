@@ -760,3 +760,83 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("canonical_doc"))
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: bloom-style prefilter of a new batch vs the corpus
+# ---------------------------------------------------------------------------
+
+# The incremental-ingest pattern: dedup a NEW batch against the existing
+# corpus without joining the corpus' full content -- a compact bucket
+# filter (here a 1-hash bloom: content-hash mod 2^12) prunes candidates,
+# then only survivors pay the exact verification. False positives are a
+# deterministic property of the filter, so both engines count them
+# identically; the reported fp column is the filter-quality metric a
+# production pipeline monitors to size its bloom.
+BLOOM_BITS = 4096  # 2^12 buckets
+
+
+@register(
+    "dedup_incremental_bloom",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, source, md5(text) AS dg,
+               {h32_sql('text')} % {BLOOM_BITS} AS bucket
+        FROM documents
+    ),
+    corpus AS (SELECT * FROM h WHERE doc_id % 10 <> 0),
+    batch  AS (SELECT * FROM h WHERE doc_id % 10 = 0),
+    cb AS (SELECT DISTINCT bucket FROM corpus),
+    cd AS (SELECT DISTINCT dg FROM corpus),
+    m AS (
+        SELECT b.source,
+               CASE WHEN cb.bucket IS NOT NULL THEN 1 ELSE 0 END AS hit,
+               CASE WHEN cd.dg     IS NOT NULL THEN 1 ELSE 0 END AS dup
+        FROM batch b
+        LEFT JOIN cb ON cb.bucket = b.bucket
+        LEFT JOIN cd ON cd.dg = b.dg
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)        AS n_new,
+           CAST(SUM(hit) AS BIGINT)        AS n_bloom_hits,
+           CAST(SUM(dup) AS BIGINT)        AS n_exact_dups,
+           CAST(SUM(hit) - SUM(dup) AS BIGINT) AS n_false_positives
+    FROM m GROUP BY source ORDER BY source
+    """,
+    category="dedup",
+    description=f"incremental dedup prefilter: new batch (doc_id%10==0) "
+    f"tested against a {BLOOM_BITS}-bucket content-hash filter of the "
+    "corpus, exact md5 verify behind it -- the dedup-on-ingest pattern; "
+    "the filter side shuffles bucket ids, never text",
+)
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("dg"),
+        (h32(F.col("text")) % BLOOM_BITS).alias("bucket"),
+    )
+    is_batch = F.col("doc_id") % 10 == 0
+    corpus, batch = h.where(~is_batch), h.where(is_batch)
+    cb = corpus.select("bucket").distinct().withColumn("hit", F.lit(1))
+    cd = corpus.select("dg").distinct().withColumn("dup", F.lit(1))
+    m = (
+        batch.join(cb, "bucket", "left")
+        .join(cd, "dg", "left")
+        .select(
+            "source",
+            F.coalesce("hit", F.lit(0)).alias("hit"),
+            F.coalesce("dup", F.lit(0)).alias("dup"),
+        )
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum("hit").alias("n_bloom_hits"),
+            F.sum("dup").alias("n_exact_dups"),
+            (F.sum("hit") - F.sum("dup")).alias("n_false_positives"),
+        )
+        .orderBy("source")
+    )

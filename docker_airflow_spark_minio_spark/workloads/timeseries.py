@@ -518,3 +518,49 @@ def streaming_tumbling_hourly_live(spark: SparkSession, sf_dir: str) -> DataFram
     q.awaitTermination()
     q.stop()
     return spark.table(name).orderBy("window_start", "event_type")
+
+
+@register(
+    "streaming_dedup_distinct_users_live",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    category="streaming",
+    description="stateful streaming dedup executed live: dropDuplicates "
+    "on (user_id, event_type) holds per-key state across availableNow "
+    "micro-batches, then a complete-mode count per type -- hash-matches "
+    "the batch COUNT(DISTINCT) oracle",
+)
+def streaming_dedup_distinct_users_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    load_tables(spark, sf_dir)  # pins session tz + conf
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .select("user_id", "event_type")
+    )
+    agg = (
+        src.dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    name = "streaming_dedup_distinct_users_live_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name).orderBy("event_type")
