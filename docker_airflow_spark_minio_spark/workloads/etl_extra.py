@@ -143,3 +143,75 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("col_name", "n_rows", "n_nulls", "n_distinct")
         .orderBy("col_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation: diff two table states by key + content digest
+# ---------------------------------------------------------------------------
+
+# The data-reconciliation scan run after every backfill or migration:
+# full-outer join two snapshots on the key, compare content digests,
+# classify added / removed / changed / unchanged.  Here "old" is the
+# doc_id % 7 != 0 subset and "new" is documents with text mutated for
+# doc_id % 11 == 0 -- deterministic, so both engines see identical
+# snapshots.  At scale the join shuffles (key, digest) pairs only.
+
+
+@register(
+    "etl_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT doc_id, source, md5(text) AS dg FROM documents
+        WHERE doc_id % 7 <> 0
+    ),
+    new AS (
+        SELECT doc_id, source,
+               md5(CASE WHEN doc_id % 11 = 0 THEN text || '!' ELSE text END)
+                   AS dg
+        FROM documents
+    ),
+    j AS (
+        SELECT COALESCE(n.source, o.source) AS source,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN n.dg <> o.dg      THEN 'changed'
+                    ELSE 'unchanged' END AS state
+        FROM new n FULL OUTER JOIN old o ON n.doc_id = o.doc_id
+    )
+    SELECT source, state, CAST(COUNT(*) AS BIGINT) AS n
+    FROM j GROUP BY source, state ORDER BY source, state
+    """,
+    category="etl",
+    description="snapshot reconciliation: full-outer join of two table "
+    "states on the key, digest compare -> added/removed/changed/"
+    "unchanged counts per source; shuffles (key, digest) pairs, never "
+    "content",
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    old = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id", "source", F.md5("text").alias("dg")
+    )
+    new = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat("text", F.lit("!"))
+            ).otherwise(F.col("text"))
+        ).alias("dg"),
+    )
+    n, o = new.alias("n"), old.alias("o")
+    j = n.join(o, F.col("n.doc_id") == F.col("o.doc_id"), "full_outer").select(
+        F.coalesce(F.col("n.source"), F.col("o.source")).alias("source"),
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("n.dg") != F.col("o.dg"), "changed")
+        .otherwise("unchanged")
+        .alias("state"),
+    )
+    return (
+        j.groupBy("source", "state")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source", "state")
+    )
