@@ -21,7 +21,7 @@ from pyspark.sql import SparkSession
 from .. import fsmeta
 from ..catalog import SqlCatalog
 from ..conform import conform, with_literal_partition
-from ..metrics import RunMetrics
+from ..metrics import RunMetrics, observe_quality
 from ..schema import (
     BREWERY_DESCRIBE_LIST,
     DescribeList,
@@ -74,6 +74,15 @@ def run_silver(
     with metrics.timed("transform_write"):
         out = conform(df, describe_list)
         out = with_literal_partition(out, part_cols[0], sys_file_date)
+        # Piggybacked data-quality metrics: row + null counts ride the
+        # write job itself, zero extra scans (the reference re-counts
+        # the frame per metric instead, job_silver.py:149,152).
+        quality_cols = [
+            e["col_name"]
+            for e in describe_list
+            if "#" not in e["col_name"] and e["col_name"] not in part_cols
+        ][:3]
+        out, harvest = observe_quality(out, quality_cols)
         if backend == "catalog":
             db, tbl = table.split(".", 1) if "." in table else ("dw", table)
             cat = SqlCatalog(spark, database=db)
@@ -91,6 +100,8 @@ def run_silver(
             manager.write(out, table, partition_by=part_cols, mode=mode)
             read_back = manager.read(table)
 
+    for name, value in harvest().items():
+        metrics.count(f"observed_{name}", int(value))
     n = read_back.filter(read_back[part_cols[0]] == sys_file_date).count()
     metrics.count("rows_written", n)
     return n

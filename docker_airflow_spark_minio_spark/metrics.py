@@ -14,6 +14,29 @@ from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 
+def observe_quality(df, columns):
+    """Attach piggybacked data-quality metrics to ``df``.
+
+    Returns ``(df, harvest)`` where ``harvest()`` -- callable AFTER the
+    next action on the returned frame -- yields ``{"rows": n,
+    "null_<col>": n, ...}``.  ``df.observe`` accumulates the aggregates
+    inside the SAME job that materializes the frame (the write, here):
+    row counts and null counts cost ZERO extra scans, unlike the
+    reference's pattern of re-counting the frame per metric (reference
+    job_silver.py:149,152 runs the scan twice just for logging).
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    exprs = [F.count(F.lit(1)).alias("rows")]
+    for c in columns:
+        exprs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}")
+        )
+    return df.observe(obs, *exprs), (lambda: dict(obs.get))
+
+
 def format_duration(seconds: float) -> str:
     """HH:MM:SS, as the reference logs pipeline duration
     (datalake_pipeline_breweries.py:151-163)."""

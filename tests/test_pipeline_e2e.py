@@ -134,3 +134,27 @@ def test_sort_within_partitions_clusters_files(spark, tmp_path):
     for f in files:  # every file individually ordered by k
         ks = [r["k"] for r in spark.read.parquet(f).select("k").collect()]
         assert ks == sorted(ks)
+
+
+def test_observe_quality_counts(spark):
+    from docker_airflow_spark_minio_spark.metrics import observe_quality
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x"), (None, None)], "a int, b string"
+    )
+    out, harvest = observe_quality(df, ["a", "b"])
+    out.write.format("noop").mode("overwrite").save()
+    assert harvest() == {"rows": 3, "null_a": 1, "null_b": 2}
+
+
+def test_silver_emits_observed_metrics(spark, lake):
+    from docker_airflow_spark_minio_spark.metrics import RunMetrics
+
+    bronze, warehouse = lake
+    m = RunMetrics()
+    n = run_silver(spark, bronze, DAY_A, warehouse, metrics=m)
+    # row count observed on the write job itself, no extra scan
+    assert m.counters["observed_rows"] == n == 3
+    null_keys = sorted(k for k in m.counters if k.startswith("observed_null_"))
+    assert len(null_keys) == 3
+    assert all(0 <= m.counters[k] <= 3 for k in null_keys)
