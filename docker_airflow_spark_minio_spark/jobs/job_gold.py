@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import SqlCatalog
-from ..metrics import RunMetrics
+from ..metrics import RunMetrics, observe_quality
 from ..schema import DescribeList
 from ..storage import TableManager
 
@@ -96,6 +96,9 @@ def run_gold(
             )
             cat.ensure_database(location=f"{warehouse.rstrip('/')}/{db}")
             cat.ensure_table(tbl, GOLD_SUMMARY_DESCRIBE_LIST)
+            # Observed row count rides the write job (zero extra scan);
+            # the read-back count below stays as on-disk verification.
+            out, harvest = observe_quality(out, [])
             if mode == "snapshot":
                 cat.snapshot(out, tbl)
             else:
@@ -105,9 +108,11 @@ def run_gold(
             manager = TableManager(spark, warehouse)
             silver = manager.read(silver_table)
             out = gold_summary(silver, sys_file_date)
+            out, harvest = observe_quality(out, [])
             manager.write(out, gold_table, partition_by=["sys_file_date"], mode=mode)
             read_back = manager.read(gold_table)
 
+    metrics.count("observed_rows", int(harvest()["rows"]))
     n = read_back.filter(read_back["sys_file_date"] == sys_file_date).count()
     metrics.count("rows_written", n)
     return n
