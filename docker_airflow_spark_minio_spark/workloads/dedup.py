@@ -840,3 +840,78 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle count over the pair graph (clustering-coefficient signal)
+# ---------------------------------------------------------------------------
+
+# Triangles distinguish dense near-clique dup clusters from chain-shaped
+# false-positive paths -- the structural signal used to decide whether a
+# connected component is a real duplicate group.  Classic two-join
+# counting over canonically ordered edges (a < b): each triangle is
+# counted exactly once.  At scale both joins shuffle on a node id, and
+# the degree-ordered variant (orient edges low-degree -> high-degree)
+# bounds the join fan-out; noted, unnecessary at dedup-pair densities.
+
+
+@register(
+    "graph_triangles_neardup",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_cte()},
+    bands AS ({_band_sql()}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE FLOOR(10000.0 * len(list_intersect(sa.sh, sb.sh)) /
+              (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+              >= {CLUSTER_MIN_JACCARD_BP}
+    ),
+    tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(DISTINCT n) FROM
+                 (SELECT unnest([a, b, c]) AS n FROM tri)) AS BIGINT)
+               AS n_tri_nodes
+    """,
+    category="graph",
+    description="triangle count over the near-dup pair graph: canonical "
+    "edge orientation (a<b) + two joins, each triangle counted once -- "
+    "the clique-vs-chain structural check on dup clusters",
+)
+def graph_triangles_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _verified_pairs(spark, sf_dir).where(
+        F.col("jaccard_bp") >= CLUSTER_MIN_JACCARD_BP
+    ).select("doc_a", "doc_b")
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    # One aggregate over the exploded corners: every triangle contributes
+    # exactly 3 rows, so n_triangles = rows/3 -- no scalar-combine join.
+    ex = tri.select(F.explode(F.array("a", "b", "c")).alias("n"))
+    return ex.agg(
+        (F.count(F.lit(1)) / 3).cast("long").alias("n_triangles"),
+        F.countDistinct("n").cast("long").alias("n_tri_nodes"),
+    )
