@@ -327,3 +327,79 @@ def text_stopword_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# REST ingest roundtrip: the bronze pipeline under the oracle gate
+# ---------------------------------------------------------------------------
+
+# The ingestion operators (paginated REST source with retry fan-out,
+# NDJSON bronze landing with temp-prefix swap) previously had pytest
+# coverage only.  This entry drives the WHOLE path -- size probe ->
+# executor-side page fetches -> bronze write -> partitioned NDJSON read
+# back -> aggregate -- against a deterministic fetcher that serves the
+# documents table as a paginated JSON API, so the driver's DuckDB gate
+# verifies the pipeline end-to-end: the aggregate over what landed in
+# bronze must hash-match the aggregate over the source table.
+REST_PER_PAGE = 100
+
+
+@register(
+    "pipeline_rest_ingest_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)     AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    category="pipeline",
+    description="bronze ingest roundtrip: paginated REST source (meta "
+    "probe, executor-side page fetch fan-out, retry path) -> NDJSON "
+    "bronze landing (temp-prefix swap) -> partitioned read-back -> "
+    "aggregate; the oracle checks the landed data against the source "
+    "table, putting the ingestion operators under the correctness gate",
+)
+def pipeline_rest_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.files import read_ndjson
+    from ..sources.rest import PaginatedRestSource
+
+    path = f"{sf_dir.rstrip('/')}/documents.parquet"
+    per_page = REST_PER_PAGE
+
+    # Nested so cloudpickle ships it by value to the executors; serves
+    # the parquet table as a paginated JSON API, deterministically.
+    def fetcher(url: str) -> str:
+        import json as _json
+        import re as _re
+
+        import pyarrow.parquet as _pq
+
+        if url.endswith("/meta"):
+            total = _pq.ParquetFile(path).metadata.num_rows
+            return _json.dumps({"total": int(total)})
+        page = int(_re.search(r"page=(\d+)", url).group(1))
+        rows = _pq.read_table(
+            path, columns=["doc_id", "lang", "n_chars"]
+        ).to_pylist()
+        lo = (page - 1) * per_page
+        return _json.dumps(rows[lo : lo + per_page])
+
+    src = PaginatedRestSource(
+        "http://example.invalid/docs",
+        per_page=per_page,
+        fetcher=fetcher,
+        wait_time=0.0,
+    )
+    out_dir = tempfile.mkdtemp(prefix="bronze_roundtrip_")
+    src.write_bronze(spark, out_dir, "2024-01-01")
+    landed = read_ndjson(spark, f"{out_dir}/sys_file_date=2024-01-01")
+    return (
+        landed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+        )
+        .orderBy("lang")
+    )
