@@ -1,13 +1,23 @@
 #!/usr/bin/env python
 """Benchmark harness: every registered workload at the bench scale factor.
 
-Prints exactly ONE JSON line on stdout:
+Prints exactly ONE compact JSON line on stdout:
 
     {"metric": "total_query_wall_seconds", "value": N, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+     "sf": 0.1, "n_queries": 108, "n_failed": 0,
+     "queries": {"<10 slowest>": sec, ...}}
 
-All Spark chatter goes to stderr; per-query failures are recorded as null
-and never abort the run, so the line always parses.
+The final line stays small no matter how large the registry grows (the
+round-3 full per-query map outgrew the driver's output-tail capture and
+made the artifact unparseable), so:
+
+* every per-query time is ALSO streamed to stderr as it completes
+  (``TIME <name> <sec>`` lines), and
+* the complete per-query map is written to ``bench_full.json`` next to
+  this script.
+
+Per-query failures are recorded as null and never abort the run, so the
+line always parses.
 
 Each query is materialized with a ``noop``-format write: the full plan
 executes on the executors (same work a real sink would do) but nothing is
@@ -17,6 +27,7 @@ materialization of result sets.
 Environment:
     SPARK_GRAFT_SF_DIR  data dir    (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS    local cores (default 32)
+    SPARK_GRAFT_BENCH_ONLY  comma-separated query names (default: all)
 """
 
 from __future__ import annotations
@@ -72,24 +83,52 @@ def main() -> int:
     except Exception as exc:  # noqa: BLE001
         print(f"python warmup failed: {exc}", file=sys.stderr)
 
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    selected = sorted(set(only.split(",")) & set(REGISTRY)) if only else sorted(REGISTRY)
+
     times: dict[str, float | None] = {}
-    for name in sorted(REGISTRY):
+    for name in selected:
         t0 = time.perf_counter()
         try:
             _materialize(REGISTRY[name].fn(spark, sf_dir))
             times[name] = round(time.perf_counter() - t0, 3)
+            print(f"TIME {name} {times[name]}", file=sys.stderr, flush=True)
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: {exc}", file=sys.stderr)
             times[name] = None
 
-    total = round(sum(t for t in times.values() if t is not None), 3)
+    ok = {k: v for k, v in times.items() if v is not None}
+    total = round(sum(ok.values()), 3)
+    sf = _sf_from_dir(sf_dir)
+
+    # Full per-query map: sidecar file (unbounded) + stderr lines above.
+    full = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    try:
+        with open(full_path, "w", encoding="utf-8") as fh:
+            json.dump(full, fh)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"bench_full.json write failed: {exc}", file=sys.stderr)
+
+    # Final stdout line: compact summary only (top-10 slowest), so it
+    # survives the driver's output-tail capture at any registry size.
+    slowest = dict(sorted(ok.items(), key=lambda kv: kv[1], reverse=True)[:10])
     line = json.dumps(
         {
             "metric": "total_query_wall_seconds",
             "value": total,
             "unit": "sec",
-            "queries": times,
-            "sf": _sf_from_dir(sf_dir),
+            "sf": sf,
+            "n_queries": len(times),
+            "n_failed": len(times) - len(ok),
+            "queries": slowest,
         }
     )
     print(line, flush=True)
