@@ -14,6 +14,7 @@ hash-match the Spark result:
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 from typing import Callable
 
@@ -21,6 +22,75 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# One lock guards every workload-level cache: registry queries may be
+# driven concurrently (e.g. a threaded bench harness), and dict mutation
+# + unpersist must not interleave.
+_CACHE_LOCK = threading.RLock()
+
+# All PersistCache instances, so clear_persist_caches() can reach them.
+_PERSIST_CACHES: list["PersistCache"] = []
+
+
+class PersistCache:
+    """(applicationId, sf_dir)-keyed cache of *persisted* DataFrames.
+
+    Lifecycle rules (the round-3 leak fix):
+
+     * introducing a new sf_dir for an application **evicts and
+       unpersists** that application's entries for other sf_dirs --
+       a session sweeping several scale factors holds at most one
+       scale factor's worth of pinned blocks per cache;
+     * :func:`clear_persist_caches` unpersists everything (the hook a
+       bench harness calls between scale factors);
+     * all mutation happens under a shared lock, so concurrent registry
+       queries are safe.
+
+    Unpersisting is always safe: a consumer plan built on an evicted
+    frame recomputes from lineage (slower, never wrong).
+    """
+
+    def __init__(self, name: str) -> None:
+        self.name = name
+        self._entries: dict[tuple[str, str], DataFrame] = {}
+        with _CACHE_LOCK:
+            _PERSIST_CACHES.append(self)
+
+    def get_or_build(
+        self, spark: SparkSession, sf_dir: str, build: Callable[[], DataFrame]
+    ) -> DataFrame:
+        app = spark.sparkContext.applicationId
+        with _CACHE_LOCK:
+            df = self._entries.get((app, sf_dir))
+            if df is not None:
+                return df
+            for k in [k for k in self._entries if k[0] == app and k[1] != sf_dir]:
+                try:
+                    self._entries.pop(k).unpersist()
+                except Exception:  # noqa: BLE001 -- stopped context etc.
+                    self._entries.pop(k, None)
+            df = build().persist()
+            self._entries[(app, sf_dir)] = df
+            return df
+
+    def clear(self) -> None:
+        with _CACHE_LOCK:
+            for df in self._entries.values():
+                try:
+                    df.unpersist()
+                except Exception:  # noqa: BLE001
+                    pass
+            self._entries.clear()
+
+
+def clear_persist_caches() -> None:
+    """Unpersist and drop every workload-level cached frame (and the
+    lazy table-plan cache).  Call between scale factors in a long-lived
+    session to release executor storage."""
+    with _CACHE_LOCK:
+        for cache in _PERSIST_CACHES:
+            cache.clear()
+        _TABLE_CACHE.clear()
 
 # Lazy table plans per (session, sf_dir).  Re-deriving them costs a
 # parquet footer/schema analysis per table per query -- ~1s of driver
@@ -85,9 +155,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _TABLE_CACHE.get(key)
-    if cached is not None:
-        return dict(cached)
+    with _CACHE_LOCK:
+        cached = _TABLE_CACHE.get(key)
+        if cached is not None:
+            return dict(cached)
     out: dict[str, DataFrame] = {}
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{t}.parquet")
@@ -103,7 +174,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         if t in ("documents", "embeddings"):
             df = _spread(spark, df)
         out[t] = df
-    _TABLE_CACHE[key] = out
+    with _CACHE_LOCK:
+        # Plans only (nothing persisted) -- still bounded: keep the most
+        # recent few (sf_dir, app) plan sets instead of growing forever.
+        while len(_TABLE_CACHE) >= 8:
+            _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+        _TABLE_CACHE[key] = out
     return dict(out)
 
 

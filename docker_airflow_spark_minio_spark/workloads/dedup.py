@@ -25,8 +25,9 @@ Scale notes (100 TB posture):
    pathological bucket (thousands of identical docs) degrades locally --
    the standard mitigation at scale is a per-bucket size cap or salt,
    noted here and cheap to add because the bucket key is explicit
- * band signatures are concat strings here for oracle clarity; at 100 TB
-   you would hash them to 64-bit (one extra md5) to shrink the shuffle
+ * band signatures are xxhash64(band, mh...) longs on the Spark side (an
+   8-byte shuffle key); the oracle keeps exact string-tuple equality for
+   clarity -- identical candidates modulo a ~2^-64 hash collision
  * Jaccard values are emitted as floor-scaled basis points (integer), so
    results are bit-identical across engines regardless of float rounding
    mode
@@ -50,7 +51,7 @@ from ..functions.hashing import (
 )
 from ..functions.text import shingles_from_tokens, shingles_sql, tokens_expr
 from ..functions.vectors import sign_bucket_sql
-from .base import load_tables, register
+from .base import PersistCache, load_tables, register
 
 SHINGLE_N = 3
 SIMHASH_BITS = 16
@@ -62,22 +63,23 @@ SIMHASH_BITS = 16
 # (measured 3x the query wall-clock).  At 100 TB this is the
 # materialize-signatures-once step of every production dedup pipeline;
 # there you would write it to a table instead of caching it.
-_SH_CACHE: dict[tuple[str, str], DataFrame] = {}
+# PersistCache evicts+unpersists on scale-factor change and is cleared
+# by base.clear_persist_caches() -- no unbounded pinned storage.
+_SH_CACHE = PersistCache("dedup_shingles")
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(doc_id, sh)`` with ``sh`` the distinct word n-gram shingle
     array; computed once per (session, sf_dir) and persisted."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _SH_CACHE.get(key)
-    if df is None:
+
+    def build() -> DataFrame:
         docs = load_tables(spark, sf_dir)["documents"]
         tok = docs.select("doc_id", tokens_expr("text").alias("t"))
-        df = tok.select(
+        return tok.select(
             "doc_id", shingles_from_tokens(F.col("t"), SHINGLE_N).alias("sh")
-        ).persist()
-        _SH_CACHE[key] = df
-    return df
+        )
+
+    return _SH_CACHE.get_or_build(spark, sf_dir, build)
 
 
 # ---------------------------------------------------------------------------
@@ -191,14 +193,17 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # without the cache each of them re-executes the band self-join +
 # Jaccard verification -- the most expensive stage of the family.  The
 # materialize-candidates-once step of a production dedup pipeline.
-_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+# PersistCache: evicted+unpersisted on scale-factor change / clear hook.
+_PAIRS_CACHE = PersistCache("dedup_minhash_pairs")
 
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _PAIRS_CACHE.get(key)
-    if cached is not None:
-        return cached
+    return _PAIRS_CACHE.get_or_build(
+        spark, sf_dir, lambda: _build_verified_pairs(spark, sf_dir)
+    )
+
+
+def _build_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir).where(F.size("sh") > 0)
     # Signatures are per-row array folds (array_min over the permuted
     # shingle-hash array) -- a pure map, NO shuffle. The explode+groupBy
@@ -215,23 +220,26 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(MINHASH_K)
         ],
     )
-    band_structs = [
-        F.struct(
-            F.lit(k).alias("band"),
-            F.concat_ws(
-                "-",
-                *[F.col(f"mh{k * MINHASH_ROWS + j}").cast("string") for j in range(MINHASH_ROWS)],
-            ).alias("sig"),
-        )
+    # Band signature = xxhash64(band, mh...) -- an 8-byte long join key
+    # instead of the ~40-byte concat string (the 100 TB shuffle-shrink
+    # documented in the module header; the band id is folded into the
+    # hash so the join key is ONE long).  The oracle keeps the exact
+    # string-tuple equality: both sides produce the same candidate set
+    # unless xxhash64 collides across distinct band tuples (~2^-64 per
+    # pair -- negligible at any corpus size we can verify).
+    band_sigs = [
+        F.xxhash64(
+            F.lit(k), *[F.col(f"mh{k * MINHASH_ROWS + j}") for j in range(MINHASH_ROWS)]
+        ).alias("sig")
         for k in range(MINHASH_BANDS)
     ]
     bands = mh.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        "doc_id", F.explode(F.array(*band_sigs)).alias("sig")
+    )
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
-        a.join(b, ["band", "sig"])
+        a.join(b, ["sig"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -247,8 +255,6 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(10000.0 * inter / union).cast("long").alias("jaccard_bp"),
         )
     )
-    verified = verified.persist()
-    _PAIRS_CACHE[key] = verified
     return verified
 
 
@@ -326,31 +332,71 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Edit-distance verification within SimHash buckets
+# Edit-distance verification within banded 64-bit SimHash buckets
 # ---------------------------------------------------------------------------
 
-# Candidate pairs come from SimHash-bucket equality (cost ~ collision
-# buckets, never all-pairs); verification is levenshtein over a bounded
-# prefix -- the O(prefix^2) DP cost per pair is a constant, so total
-# cost is linear in candidates.  Both engines implement the classic
-# unit-cost edit distance, so the integers agree exactly.
+# Candidate pairs come from a *banded 64-bit* SimHash: two independent
+# 32-bit md5-derived hash streams per shingle (the second salted) give 64
+# bit votes, split into 4 bands x 16 bits; docs sharing ANY band key are
+# candidates.  This is the scale-safe form of SimHash pairing: a single
+# 16-bit signature has only 65,536 buckets (at 10^9 docs that is ~10^5
+# docs per bucket -> within-bucket quadratic blowup), whereas each
+# 16-bit *band of a 64-bit signature* holds hamming-correlated docs and
+# the expected random-collision occupancy per band stays n/65,536 per
+# band with 4 independent chances for a true near-dup to collide --
+# candidate cost stays ~ sum over bands of bucket^2 with uniform small
+# buckets, never all-pairs on one shared key.  Widening further (8x16
+# bands of a 128-bit signature) is the same construction with more hash
+# streams.  Verification is levenshtein over a bounded prefix -- the
+# O(prefix^2) DP cost per pair is a constant, so total cost is linear in
+# candidates.  Both engines implement the classic unit-cost edit
+# distance, so the integers agree exactly.
 LEV_PREFIX = 80
 LEV_MAX = 40
+SIMHASH64_BANDS = 4
+SIMHASH64_BAND_BITS = 16
+
+
+def _sim64_votes_sql() -> str:
+    """64 signed bit-vote sums: bits 0-31 from h1, 32-63 from salted h2."""
+    terms = []
+    for g in range(SIMHASH64_BANDS * SIMHASH64_BAND_BITS):
+        src, bit = ("h1", g) if g < 32 else ("h2", g - 32)
+        terms.append(f"SUM(CASE WHEN ({src} >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS v{g}")
+    return ", ".join(terms)
+
+
+def _sim64_band_key_sql(k: int) -> str:
+    """Band k key in [0, 2^16): sign bits of its 16 votes, offset by the
+    band id so one BIGINT encodes (band, key)."""
+    bits = " + ".join(
+        f"CASE WHEN v{k * SIMHASH64_BAND_BITS + j} >= 0 THEN {1 << j} ELSE 0 END"
+        for j in range(SIMHASH64_BAND_BITS)
+    )
+    return f"({k} * 65536 + {bits})"
+
 
 _EDIT_DISTANCE_ORACLE = f"""
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (SELECT doc_id, {shingles_sql('t', SHINGLE_N)} AS sh FROM tok),
-ex AS (SELECT doc_id, {h32_sql('unnest(sh)')} AS h FROM sh),
-votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM ex GROUP BY doc_id),
-sig AS (SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM votes),
-d AS (
-    SELECT s.doc_id, s.simhash, substr(doc.text, 1, {LEV_PREFIX}) AS pfx
-    FROM sig s JOIN documents doc ON doc.doc_id = s.doc_id
+exs AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+ex AS (SELECT doc_id, {h32_sql('s')} AS h1, {h32_sql("s || '#2'")} AS h2 FROM exs),
+votes AS (SELECT doc_id, {_sim64_votes_sql()} FROM ex GROUP BY doc_id),
+bands AS ({" UNION ALL ".join(
+    f"SELECT doc_id, CAST({_sim64_band_key_sql(k)} AS BIGINT) AS bkey FROM votes"
+    for k in range(SIMHASH64_BANDS)
+)}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
 ),
+d AS (SELECT doc_id, substr(text, 1, {LEV_PREFIX}) AS pfx FROM documents),
 p AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
-    FROM d a JOIN d b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(da.pfx, db.pfx) AS BIGINT) AS edit_dist
+    FROM cand c
+    JOIN d da ON da.doc_id = c.doc_a
+    JOIN d db ON db.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b, edit_dist FROM p
 WHERE edit_dist <= {LEV_MAX}
@@ -358,28 +404,75 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _simhash64_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, bkey)``: one row per (doc, band) with the combined
+    band-id + 16-bit band-signature key.  Pure per-row map (array folds
+    over the two shingle-hash streams) -- no shuffle until the bucket
+    self-join."""
+    sh = _shingles(spark, sf_dir)
+    hs = sh.select(
+        "doc_id",
+        F.transform("sh", lambda s: h32(s)).alias("h1"),
+        F.transform("sh", lambda s: h32(F.concat(s, F.lit("#2")))).alias("h2"),
+    ).where(F.size("h1") > 0)
+
+    def _bit_set(i: int):
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+    n = F.size("h1")
+    band_keys = []
+    for k in range(SIMHASH64_BANDS):
+        src = "h1" if k < 2 else "h2"
+        base = (k % 2) * SIMHASH64_BAND_BITS
+        key = sum(
+            [
+                F.when(
+                    2 * F.size(F.filter(src, _bit_set(base + j))) - n >= 0,
+                    F.lit(1 << j),
+                ).otherwise(F.lit(0))
+                for j in range(SIMHASH64_BAND_BITS)
+            ],
+            F.lit(k * 65536),
+        )
+        band_keys.append(key.cast("long").alias(f"b{k}"))
+    wide = hs.select("doc_id", *band_keys)
+    return wide.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"b{k}") for k in range(SIMHASH64_BANDS)])).alias(
+            "bkey"
+        ),
+    )
+
+
 @register(
     "dedup_edit_distance_pairs",
     oracle=_EDIT_DISTANCE_ORACLE,
     category="dedup",
-    description=f"edit-distance dedup: SimHash-bucket candidate pairs "
-    f"verified with levenshtein over the first {LEV_PREFIX} chars "
-    f"(<= {LEV_MAX}); bounded-prefix DP keeps per-pair cost constant",
+    description=f"edit-distance dedup: banded 64-bit SimHash candidates "
+    f"({SIMHASH64_BANDS} bands x {SIMHASH64_BAND_BITS} bits -- no "
+    f"single-16-bit-key quadratic bucket at 10^9 docs), verified with "
+    f"levenshtein over the first {LEV_PREFIX} chars (<= {LEV_MAX}); "
+    f"bounded-prefix DP keeps per-pair cost constant",
 )
 def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _simhash_frame(spark, sf_dir)
+    bands = _simhash64_bands(spark, sf_dir)
     docs = load_tables(spark, sf_dir)["documents"].select(
         "doc_id", F.substring("text", 1, LEV_PREFIX).alias("pfx")
     )
-    d = sig.join(docs, "doc_id")
-    a, b = d.alias("a"), d.alias("b")
-    pairs = (
-        a.join(b, "simhash")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, "bkey")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(docs.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
+        .join(docs.alias("db"), F.col("doc_b") == F.col("db.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("da.pfx"), F.col("db.pfx"))
             .cast("long")
             .alias("edit_dist"),
         )
@@ -427,6 +520,13 @@ ORDER BY doc_a, doc_b
 """
 
 
+# Posting lists + the verified n-gram pair output, cached like the
+# MinHash family: both have two consumers (within the query / across
+# repeat invocations), and PersistCache bounds the pinned storage.
+_POSTING_CACHE = PersistCache("dedup_posting_lists")
+_NGRAM_PAIRS_CACHE = PersistCache("dedup_ngram_pairs")
+
+
 @register(
     "dedup_ngram_jaccard_pairs",
     oracle=_NGRAM_JACCARD_ORACLE,
@@ -437,6 +537,14 @@ ORDER BY doc_a, doc_b
     f"{JACCARD_MIN_BP / 10000} verification",
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persist before the sort: see dedup_minhash_lsh_pairs (range-sample
+    # double execution); the surviving pairs are kilobytes
+    return _NGRAM_PAIRS_CACHE.get_or_build(
+        spark, sf_dir, lambda: _build_ngram_jaccard_pairs(spark, sf_dir)
+    ).orderBy("doc_a", "doc_b")
+
+
+def _build_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir)
     ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id", h32(F.col("s")).alias("h")
@@ -449,8 +557,10 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JACCARD_DF_CAP for pair generation, so no group can blow up a task.
     # Persisted because two consumers read it (rare pairs + frequent-
     # shingle doc stats); it is one row per distinct shingle hash.
-    posting = (
-        ex.groupBy("h").agg(F.collect_set("doc_id").alias("docs")).persist()
+    posting = _POSTING_CACHE.get_or_build(
+        spark,
+        sf_dir,
+        lambda: ex.groupBy("h").agg(F.collect_set("doc_id").alias("docs")),
     )
     rare = posting.where(F.size("docs").between(2, JACCARD_DF_CAP)).select(
         F.sort_array("docs").alias("d")
@@ -543,9 +653,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard_bp") >= JACCARD_MIN_BP)
     )
-    # persist before the sort: see dedup_minhash_lsh_pairs (range-sample
-    # double execution); the surviving pairs are kilobytes
-    return verified.persist().orderBy("doc_a", "doc_b")
+    return verified
 
 
 # ---------------------------------------------------------------------------
@@ -558,7 +666,20 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probability rises with cosine similarity, so near-identical vectors
 # land in the same bucket with high probability; more recall = fewer
 # bits or multiple hash tables, both linear knobs.
-COSINE_LSH_BITS = 12
+#
+# The bucket width SCALES WITH THE CORPUS (the round-3 fix): a static
+# width w means expected occupancy n/2^w and within-bucket pair cost
+# n^2/2^(w+1) -- quadratic once n outgrows 2^w (12 bits = 4,096 buckets
+# is ~250k vectors/bucket at 10^9).  Instead both engines compute a
+# 40-bit sign bucket and mask it to
+#     bits = clamp(ceil(log2(n_vec)) + 1, 8, 40)
+# derived from COUNT(*) -- occupancy stays ~0.5 vectors/bucket and the
+# expected random-collision pair count stays ~n/4, i.e. LINEAR in the
+# corpus, at every scale up to 2^40 (the embedding has 64 axes, so the
+# cap can rise with one constant).  log2 is exact at powers of two in
+# IEEE double, so ceil() never straddles an engine-dependent boundary.
+COSINE_LSH_MAX_BITS = 40
+COSINE_LSH_MIN_BITS = 8
 # On real data this sits at ~0.9; the driver's embeddings are uniform
 # random (max within-bucket cosine ~0.4), so the gate is set where it
 # still emits verifiable rows.
@@ -575,10 +696,16 @@ def _emb_cos_sql(a: str, b: str) -> str:
 
 
 _EMB_NEARDUP_ORACLE = f"""
-WITH v AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-           {sign_bucket_sql('CAST(embedding AS DOUBLE[])', COSINE_LSH_BITS)} AS bucket
+WITH bitsel AS (
+    SELECT LEAST({COSINE_LSH_MAX_BITS},
+                 GREATEST({COSINE_LSH_MIN_BITS},
+                          CAST(ceil(log2(COUNT(*))) AS INT) + 1)) AS bits
     FROM embeddings
+), v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           {sign_bucket_sql('CAST(embedding AS DOUBLE[])', COSINE_LSH_MAX_BITS)}
+               % (CAST(1 AS BIGINT) << bits) AS bucket
+    FROM embeddings, bitsel
 ), p AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {_emb_cos_sql('a.v', 'b.v')} AS cos_sim
@@ -594,20 +721,40 @@ ORDER BY vec_a, vec_b
     "dedup_embedding_cosine_pairs",
     oracle=_EMB_NEARDUP_ORACLE,
     category="dedup",
-    description=f"embedding-cosine near-dup: {COSINE_LSH_BITS}-bit axis-sign "
-    f"LSH buckets (pairs only within a bucket, never all-pairs), exact "
-    f"cosine >= {COSINE_MIN_X1E6 / 1e6} verification",
+    description=f"embedding-cosine near-dup: corpus-scaled axis-sign LSH "
+    f"buckets (bits = clamp(ceil(log2 n)+1, {COSINE_LSH_MIN_BITS}, "
+    f"{COSINE_LSH_MAX_BITS}) -- occupancy ~1 at any n; pairs only within "
+    f"a bucket, never all-pairs), exact cosine >= "
+    f"{COSINE_MIN_X1E6 / 1e6} verification",
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import cosine_similarity, sign_bucket
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    v = emb.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-        sign_bucket(F.col("embedding").cast("array<double>"), COSINE_LSH_BITS).alias(
-            "bucket"
+    # bits from COUNT(*): a 1-row broadcast attach (metadata-sized), the
+    # same dynamic-knob pattern as the IVF centroid frame.
+    nrow = emb.groupBy().agg(F.count(F.lit(1)).alias("n_vec"))
+    bits = F.least(
+        F.lit(COSINE_LSH_MAX_BITS),
+        F.greatest(
+            F.lit(COSINE_LSH_MIN_BITS),
+            F.ceil(F.log2("n_vec")).cast("int") + F.lit(1),
         ),
+    )
+    v = (
+        emb.crossJoin(F.broadcast(nrow))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            (
+                sign_bucket(
+                    F.col("embedding").cast("array<double>"), COSINE_LSH_MAX_BITS
+                )
+                # pow is exact at powers of two <= 2^40 (pyspark's
+                # shiftleft only takes a literal shift, not a column)
+                % F.pow(F.lit(2.0), bits).cast("long")
+            ).alias("bucket"),
+        )
     )
     a, b = v.alias("a"), v.alias("b")
     pairs = (
