@@ -62,6 +62,17 @@ class TableManager:
         row groups instead of scanning them.
         """
         path = self.path(table)
+        self._write_path(df, path, partition_by, mode, sort_within_partitions)
+        return path
+
+    def _write_path(
+        self,
+        df: DataFrame,
+        path: str,
+        partition_by: list[str] | None,
+        mode: str,
+        sort_within_partitions: list[str] | None = None,
+    ) -> None:
         if sort_within_partitions:
             df = df.sortWithinPartitions(*sort_within_partitions)
         writer = df.write.format(self.file_format).option(
@@ -79,7 +90,6 @@ class TableManager:
         else:
             raise ValueError(f"unknown write mode: {mode}")
         writer.save(path)
-        return path
 
     def merge_upsert(
         self,
@@ -107,6 +117,16 @@ class TableManager:
         moving a key to a partition NOT in the batch still leaves the
         old partition untouched (the usual CDC contract: the partition
         column is part of the record identity).
+
+        Durability: the merged rows are STAGED to a temp prefix before
+        any live partition is touched (the write_bronze write-then-swap
+        pattern), then swapped in with per-partition renames.  The swap
+        never depends on the deleted source files -- an executor loss
+        cannot trigger a lineage recompute over deleted data, and a
+        crash mid-swap leaves every partition either old-complete,
+        new-complete, or absent-but-present-in-tmp (recoverable), never
+        silently empty.  (On S3-like stores rename is a server-side
+        copy, not atomic -- same caveat as every path-rooted swap.)
 
         Scale notes: the affected-partition list is collected driver-side
         -- it is partition METADATA (days, not rows), the same
@@ -137,6 +157,10 @@ class TableManager:
         affected = [
             tuple(r) for r in updates.select(*partition_by).distinct().collect()
         ]
+        if not affected:
+            # Empty update batch on an existing table: a no-op (and the
+            # or-reduce below would raise on an empty iterable).
+            return path
         match = functools.reduce(
             operator.or_,
             (
@@ -157,24 +181,30 @@ class TableManager:
             .where(F.col("__rn") == 1)
             .drop("__rn", "__upd")
         )
-        # Materialize BEFORE clearing the affected partitions: latest's
-        # plan reads them, and a lazy write after the delete would scan
-        # nothing.  The cache holds only the affected partitions' merged
-        # rows, the same data the write is about to move anyway.  (A
-        # production object-store deployment would stage the merged
-        # partitions to a temp prefix and swap, like write_bronze does,
-        # instead of relying on the cache surviving the delete window.)
-        latest = latest.persist()
-        latest.count()
-        from .fsmeta import delete_prefix
+        from .fsmeta import _fs_and_path, delete_prefix, rename
 
+        # Stage durably FIRST: once the temp write commits, the merged
+        # rows exist on the target filesystem and nothing below re-reads
+        # the soon-to-be-deleted source partitions.
+        tmp_path = f"{path}__merge_tmp"
+        delete_prefix(self.spark, tmp_path)
+        self._write_path(latest, tmp_path, partition_by, "snapshot")
+
+        fs, _ = _fs_and_path(self.spark, path)
+        jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path
         for vals in affected:
             part_dir = "/".join(
                 f"{c}={v}" for c, v in zip(partition_by, vals)
             )
             delete_prefix(self.spark, f"{path}/{part_dir}")
-        self.write(latest, table, partition_by=partition_by, mode="append")
-        latest.unpersist()
+            src = jvm_path(f"{tmp_path}/{part_dir}")
+            if fs.exists(src):
+                dst = jvm_path(f"{path}/{part_dir}")
+                fs.mkdirs(dst.getParent())
+                rename(self.spark, f"{tmp_path}/{part_dir}", f"{path}/{part_dir}")
+            # else: every row of this partition lost the merge -- the
+            # delete alone is the correct result (see docstring).
+        delete_prefix(self.spark, tmp_path)
         return path
 
     # -- reads -----------------------------------------------------------

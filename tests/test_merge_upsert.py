@@ -70,3 +70,26 @@ def test_stale_update_does_not_regress(spark, tmp_path):
     )
     [r] = tm.read("dw.dim").collect()
     assert (r["v"], r["seq"]) == ("new", 5)
+
+
+def test_empty_update_batch_is_noop(spark, tmp_path):
+    tm = TableManager(spark, warehouse=str(tmp_path))
+    schema = "k long, day string, v string, seq long"
+    base = spark.createDataFrame([(1, "d1", "a", 1)], schema)
+    tm.merge_upsert(base, "dw.dim", keys=["k"], partition_by=["day"], order_by="seq")
+    empty = spark.createDataFrame([], schema)
+    tm.merge_upsert(empty, "dw.dim", keys=["k"], partition_by=["day"], order_by="seq")
+    assert _rows(tm.read("dw.dim")) == {(1, "d1"): ("a", 1)}
+
+
+def test_merge_staging_prefix_is_cleaned(spark, tmp_path):
+    import os
+
+    tm = TableManager(spark, warehouse=str(tmp_path))
+    schema = "k long, day string, v string, seq long"
+    base = spark.createDataFrame([(1, "d1", "a", 1)], schema)
+    tm.merge_upsert(base, "dw.dim", keys=["k"], partition_by=["day"], order_by="seq")
+    upd = spark.createDataFrame([(1, "d1", "a2", 2)], schema)
+    tm.merge_upsert(upd, "dw.dim", keys=["k"], partition_by=["day"], order_by="seq")
+    assert not os.path.exists(tm.path("dw.dim") + "__merge_tmp")
+    assert _rows(tm.read("dw.dim")) == {(1, "d1"): ("a2", 2)}
