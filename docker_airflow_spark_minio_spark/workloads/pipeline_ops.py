@@ -360,6 +360,8 @@ REST_PER_PAGE = 100
     "table, putting the ingestion operators under the correctness gate",
 )
 def pipeline_rest_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
     import tempfile
 
     from ..sources.files import read_ndjson
@@ -370,21 +372,38 @@ def pipeline_rest_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
 
     # Nested so cloudpickle ships it by value to the executors; serves
     # the parquet table as a paginated JSON API, deterministically.
+    # (Test-harness stand-in for an HTTP endpoint: it reads the source
+    # parquet directly, so the executors must see the same filesystem --
+    # true in local mode and in any cluster whose testdata lives on
+    # shared storage; a real deployment points the source at an actual
+    # REST service and this closure disappears.)
     def fetcher(url: str) -> str:
         import json as _json
         import re as _re
 
         import pyarrow.parquet as _pq
 
+        pf = _pq.ParquetFile(path)
         if url.endswith("/meta"):
-            total = _pq.ParquetFile(path).metadata.num_rows
-            return _json.dumps({"total": int(total)})
+            return _json.dumps({"total": int(pf.metadata.num_rows)})
         page = int(_re.search(r"page=(\d+)", url).group(1))
-        rows = _pq.read_table(
-            path, columns=["doc_id", "lang", "n_chars"]
-        ).to_pylist()
-        lo = (page - 1) * per_page
-        return _json.dumps(rows[lo : lo + per_page])
+        lo, hi = (page - 1) * per_page, page * per_page
+        # Row-group pruned read: only the groups overlapping this page's
+        # row range are decoded -- per-page cost is O(page + row group),
+        # not O(table) (the previous full read_table().to_pylist() per
+        # page made the fetch phase O(pages x table rows)).
+        out, start = [], 0
+        for rg in range(pf.num_row_groups):
+            n = pf.metadata.row_group(rg).num_rows
+            if start < hi and start + n > lo:
+                rows = pf.read_row_group(
+                    rg, columns=["doc_id", "lang", "n_chars"]
+                ).to_pylist()
+                out.extend(rows[max(0, lo - start) : min(n, hi - start)])
+            start += n
+            if start >= hi:
+                break
+        return _json.dumps(out)
 
     src = PaginatedRestSource(
         "http://example.invalid/docs",
@@ -392,7 +411,14 @@ def pipeline_rest_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         fetcher=fetcher,
         wait_time=0.0,
     )
-    out_dir = tempfile.mkdtemp(prefix="bronze_roundtrip_")
+    # Deterministic landing dir keyed by sf_dir, cleared before each run:
+    # repeat invocations reuse one prefix instead of leaking a fresh
+    # mkdtemp per call.
+    out_dir = (
+        f"{tempfile.gettempdir()}/bronze_roundtrip_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
     src.write_bronze(spark, out_dir, "2024-01-01")
     landed = read_ndjson(spark, f"{out_dir}/sys_file_date=2024-01-01")
     return (
