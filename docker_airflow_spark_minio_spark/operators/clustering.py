@@ -13,11 +13,27 @@ Design (100 TB posture):
    workloads/similarity.py).
  * each Lloyd iteration is one map (assign) + one partial-aggregated
    groupBy (re-average): shuffle bytes per iteration = partitions x k x
-   dim doubles, independent of corpus size.
- * determinism: fixed modulo init, 6dp-rounded centroid components, and
-   (distance, cluster-id) lexicographic argmin -- bit-identical across
-   engines, so an ANSI-SQL oracle can replay the whole iteration
-   unrolled (workloads/corpus_extra.py).
+   dim integers, independent of corpus size.
+ * determinism: INTEGER-EXACT arithmetic (the PageRank pattern).  Vector
+   components are pre-quantized to micro-units (floor(x * 1e6), a single
+   IEEE multiply + floor -- bit-identical across engines), and from
+   there every quantity is an integer:
+     - centroid component = floor(sum(q) / n) -- integer sum is
+       order-independent, the one division is a single IEEE op;
+     - squared distance via the dot identity a.a - 2a.b + b.b, where
+       every product and partial sum stays below 2^53 (|q| <= ~1e6,
+       dims <= 64 -> max ~8e13), so even a double-typed accumulator is
+       EXACT regardless of accumulation order.
+   The earlier round(avg(double), 6) centroids had a residual flake
+   mode: Spark partial aggregation and DuckDB accumulate doubles in
+   different orders, and a mean landing within one ulp of a 0.5e-6
+   rounding boundary could flip the hash gate.  Integer arithmetic has
+   no such boundary.
+ * argmin ties break (distance, cluster-id) lexicographically -- the
+   oracle's ORDER BY dist, cid.
+
+``sq_dist`` is reported in quantized units (micro-unit^2 = 1e-12 of the
+input's squared scale).
 
 The reference has no clustering surface (SURVEY.md section 2.8); this is
 extension surface per SURVEY.md section 7.2.5.
@@ -30,20 +46,39 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import dot_product
 
+QUANT = 1_000_000
 
-def _sq_dist(v, cv):
-    """||v - c||^2 via the dot identity, evaluated in the same IEEE
-    operation order as the oracle's ``a - 2*b + c`` (left-assoc)."""
-    return dot_product(v, v) - 2 * dot_product(v, cv) + dot_product(cv, cv)
+
+def quantize(vec) -> "F.Column":
+    """array<double> -> array<long> micro-units: floor(x * 1e6) per
+    component.  One multiply + one floor per element -- single IEEE ops,
+    bit-identical across engines (no accumulation involved)."""
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(c, lambda x: F.floor(x * F.lit(float(QUANT))).cast("long"))
+
+
+def _sq_dist_q(v, cv):
+    """Integer ||v - c||^2 via the dot identity.  All inputs are
+    micro-unit integers; every intermediate is an integer below 2^53, so
+    the double accumulator inside dot_product is exact and
+    order-independent."""
+    return (
+        dot_product(v, v) - 2 * dot_product(v, cv) + dot_product(cv, cv)
+    ).cast("long")
 
 
 def _centroids(assigned: DataFrame, dim: int) -> DataFrame:
-    """Per-cluster 6dp-rounded mean vectors.  One F.expr string, not dim
-    py4j Column objects (the py4j tree measured ~5s of driver time at
-    dim=64); the plan and its map-side partial aggregation are
-    identical."""
+    """Per-cluster integer centroid vectors: floor(sum / count) per
+    component.  One F.expr string, not dim py4j Column objects (the py4j
+    tree measured ~5s of driver time at dim=64); the plan and its
+    map-side partial aggregation are identical."""
     arr = (
-        "array(" + ", ".join(f"round(avg(v[{i}]), 6)" for i in range(dim)) + ")"
+        "array("
+        + ", ".join(
+            f"cast(floor(cast(sum(v[{i}]) as double) / count(1)) as bigint)"
+            for i in range(dim)
+        )
+        + ")"
     )
     return assigned.groupBy("cid").agg(F.expr(arr).alias("cv"))
 
@@ -59,12 +94,16 @@ def kmeans_assign(
     """Deterministic Lloyd k-means; returns ``(id, cluster, sq_dist)``.
 
     ``vectors`` must expose an integer id column and an array<double>
-    vector column.  Init: cluster j = mean of vectors with id % k == j.
-    Each iteration re-assigns every vector to the nearest centroid
-    (squared euclidean; ties break to the smaller cluster id) and
-    re-averages.  ``sq_dist`` is the distance to the FINAL centroid set.
+    vector column (quantized internally -- see module docstring).  Init:
+    cluster j = mean of vectors with id % k == j.  Each iteration
+    re-assigns every vector to the nearest centroid (squared euclidean
+    over micro-unit integers; ties break to the smaller cluster id) and
+    re-averages.  ``sq_dist`` is the integer quantized distance to the
+    FINAL centroid set.
     """
-    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("v")
+    )
     assigned = v.withColumn("cid", F.pmod(F.col("vec_id"), F.lit(k)))
     for _ in range(n_iter):
         cents = _centroids(assigned, dim).agg(
@@ -76,7 +115,7 @@ def kmeans_assign(
             F.transform(
                 "cents",
                 lambda c: F.struct(
-                    _sq_dist(F.col("v"), c["cv"]).alias("d"),
+                    _sq_dist_q(F.col("v"), c["cv"]).alias("d"),
                     c["cid"].alias("cid"),
                 ),
             )

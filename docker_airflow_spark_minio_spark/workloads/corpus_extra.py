@@ -379,16 +379,26 @@ def corpus_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _km_dist_sql(a: str, b: str) -> str:
-    """Same IEEE op order as operators/clustering.py::_sq_dist."""
+    """Integer-exact squared distance over micro-unit vectors: every
+    product and partial sum is an integer below 2^53, so the double
+    accumulation inside list_dot_product is exact and order-independent
+    (same argument as operators/clustering.py::_sq_dist_q)."""
     d = "list_dot_product"
-    return f"({d}({a}, {a}) - 2 * {d}({a}, {b}) + {d}({b}, {b}))"
+
+    def dd(x: str, y: str) -> str:
+        return f"{d}(CAST({x} AS DOUBLE[]), CAST({y} AS DOUBLE[]))"
+
+    return f"CAST({dd(a, a)} - 2 * {dd(a, b)} + {dd(b, b)} AS BIGINT)"
 
 
 def _km_cent_sql(src: str, idx: int) -> str:
-    """dims + list CTE pair computing 6dp-rounded per-cluster means."""
+    """dims + list CTE pair computing integer floor(sum/count) centroid
+    components -- integer sums are order-independent, the one division
+    is a single IEEE op (no rounding-boundary flake mode)."""
     return f"""
     d{idx} AS (
-        SELECT cid, i, ROUND(AVG(v[i]), 6) AS m
+        SELECT cid, i,
+               CAST(FLOOR(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
         FROM {src} CROSS JOIN
              (SELECT unnest(range(1, {KMEANS_DIM + 1})) AS i) idx
         GROUP BY cid, i
@@ -414,7 +424,10 @@ def _km_assign_sql(cent: str, idx: int) -> str:
 
 _KMEANS_ORACLE = f"""
 WITH v AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS v
+    FROM embeddings
 ),
 a0 AS (SELECT vec_id, v, vec_id % {KMEANS_K} AS cid FROM v),
 {_km_cent_sql('a0', 0)},
@@ -423,8 +436,7 @@ a0 AS (SELECT vec_id, v, vec_id % {KMEANS_K} AS cid FROM v),
 {_km_assign_sql('c1', 2)}
 SELECT cid AS cluster,
        CAST(COUNT(*) AS BIGINT) AS n_vectors,
-       CAST(SUM(CAST(FLOOR(sq_dist * 1000000) AS BIGINT)) AS BIGINT)
-           AS inertia_x1e6,
+       CAST(SUM(sq_dist) AS BIGINT) AS inertia_q,
        MIN(vec_id) AS min_vec_id
 FROM a2 GROUP BY cid ORDER BY cluster
 """
@@ -435,7 +447,8 @@ FROM a2 GROUP BY cid ORDER BY cluster
     oracle=_KMEANS_ORACLE,
     category="similarity",
     description=f"deterministic Lloyd k-means (k={KMEANS_K}, "
-    f"{KMEANS_ITER} iterations, modulo init, 6dp-rounded centroids) over "
+    f"{KMEANS_ITER} iterations, modulo init, integer micro-unit "
+    "arithmetic -- order-independent, no float-rounding flake mode) over "
     "the embedding column; per-cluster sizes + integer-exact inertia -- "
     "the oracle replays both iterations unrolled in SQL",
 )
@@ -449,9 +462,7 @@ def kmeans_embedding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.groupBy(F.col("cluster"))
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.sum(F.floor(F.col("sq_dist") * 1_000_000).cast("long")).alias(
-                "inertia_x1e6"
-            ),
+            F.sum("sq_dist").cast("long").alias("inertia_q"),
             F.min("vec_id").alias("min_vec_id"),
         )
         .orderBy("cluster")
