@@ -76,6 +76,91 @@ def run_pipeline(
     return metrics
 
 
+# ---------------------------------------------------------------------------
+# Airflow task callables (airflow_integration/spec.py targets)
+# ---------------------------------------------------------------------------
+#
+# Stage-granular entry points so an Airflow deployment can map one task
+# per stage (the reference's DAG shape) onto this pipeline.  Config comes
+# from env vars (the usual Airflow Variable -> env handoff) overridable
+# per-call via op_kwargs; each stage opens and closes its own session,
+# matching the reference's one-spark-submit-per-DAG model (reference
+# datalake_silver_spark_dag.py:169).
+
+
+def stage_config(**overrides) -> dict:
+    import os
+
+    cfg = {
+        "base_url": os.environ.get("PIPELINE_BASE_URL", ""),
+        "bronze_dir": os.environ.get("PIPELINE_BRONZE_DIR", ""),
+        "warehouse": os.environ.get("PIPELINE_WAREHOUSE", ""),
+        "date": os.environ.get("PIPELINE_DATE")
+        or load_date(datetime.now(timezone.utc)),
+        "per_page": int(os.environ.get("PIPELINE_PER_PAGE", "200")),
+        "backend": os.environ.get("PIPELINE_BACKEND", "path"),
+    }
+    cfg.update({k: v for k, v in overrides.items() if v is not None})
+    return cfg
+
+
+def probe_source_total(**kw) -> int:
+    """Meta-endpoint dataset-size probe (no Spark session needed) --
+    the reference's task_fetch_breweries_meta."""
+    cfg = stage_config(**kw)
+    src = PaginatedRestSource(cfg["base_url"], per_page=cfg["per_page"])
+    return src.total_pages()
+
+
+def branch_on_source_total(total_pages: int | None = None, **kw) -> str:
+    """Branch-on-empty (reference task_check_and_clean_breweries_meta):
+    returns the task_id to follow, per airflow_integration.spec
+    BRONZE_DAG choices."""
+    if total_pages is None:
+        total_pages = probe_source_total(**kw)
+    return "task_fetch_and_land" if total_pages > 0 else "task_skip_empty"
+
+
+def _with_session(fn):
+    from ..session import get_spark_session
+
+    spark = get_spark_session("pipeline-stage")
+    try:
+        return fn(spark)
+    finally:
+        spark.stop()
+
+
+def run_bronze_stage(**kw) -> int:
+    cfg = stage_config(**kw)
+    src = PaginatedRestSource(cfg["base_url"], per_page=cfg["per_page"])
+    return _with_session(
+        lambda spark: src.write_bronze(spark, cfg["bronze_dir"], cfg["date"])
+    )
+
+
+def run_silver_stage(**kw) -> None:
+    cfg = stage_config(**kw)
+    _with_session(
+        lambda spark: run_silver(
+            spark,
+            cfg["bronze_dir"],
+            cfg["date"],
+            cfg["warehouse"],
+            backend=cfg["backend"],
+        )
+    )
+
+
+def run_gold_stage(**kw) -> None:
+    cfg = stage_config(**kw)
+    _with_session(
+        lambda spark: run_gold(
+            spark, cfg["warehouse"], cfg["date"], backend=cfg["backend"]
+        )
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     from ..session import get_spark_session
 
