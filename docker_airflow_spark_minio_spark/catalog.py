@@ -10,10 +10,15 @@ that surface Spark-first against the *session* catalog:
  * DDL is generated from the same declarative describe-list that drives
    :mod:`.conform` -- one schema source of truth, not a hand-typed DDL
    string to drift out of sync (the reference maintains both).
- * ``USING parquet`` here; on a cluster, pointing
-   ``spark.sql.catalog.*`` at an Iceberg/Hive catalog (the conf surface
-   :mod:`.session` already exposes) upgrades the identical DDL/DML to
-   Iceberg -- the statements are catalog-agnostic by design.
+ * ``USING parquet`` by default; ``table_format="iceberg"`` emits the
+   reference's exact DDL shape (``USING ICEBERG PARTITIONED BY (...)``,
+   job_silver.py:66-88) and :data:`ICEBERG_WRITE_OPTIONS` carries its
+   snapshot-retention write options (job_silver.py:174-178).  This
+   container has no iceberg-spark-runtime jar, so the Iceberg form is
+   pinned at the SQL-parser level by tests/test_iceberg_syntax.py
+   (statements parse; execution is exercised only where the jar +
+   ``spark.sql.catalog.*`` conf are present) -- syntax-validated, not
+   runtime-validated, offline.
  * Partition replacement uses dynamic-overwrite ``INSERT OVERWRITE``
    semantics, not the reference's full-table ``saveAsTable`` replace
    (its silent snapshot bug, SURVEY.md section 1.3); ``snapshot``
@@ -32,6 +37,23 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from .schema import DescribeList, data_entries, partition_columns, spark_type
+
+# The reference's Iceberg snapshot-retention write options (reference
+# job_silver.py:174-178, job_gold.py:96-101): expire metadata files on
+# commit, keep at most 10 previous versions.  Applied by writers only
+# when the table format is iceberg -- parquet tables have no metadata
+# log to retain.
+ICEBERG_WRITE_OPTIONS: dict[str, str] = {
+    "write.metadata.delete-after-commit.enabled": "true",
+    "write.metadata.previous-versions-max": "10",
+}
+
+
+def format_write_options(table_format: str) -> dict[str, str]:
+    """Per-format writer options (reference parity for iceberg)."""
+    if table_format.lower() == "iceberg":
+        return dict(ICEBERG_WRITE_OPTIONS)
+    return {}
 
 
 @dataclass
@@ -139,6 +161,8 @@ class SqlCatalog:
         catalog (``saveAsTable``); path-based writes cannot express it.
         """
         writer = df.write.format(self.table_format).bucketBy(n_buckets, *bucket_cols)
+        for k, v in format_write_options(self.table_format).items():
+            writer = writer.option(k, v)
         if sort_cols:
             writer = writer.sortBy(*sort_cols)
         writer.mode(mode).saveAsTable(self.qualified(table))
