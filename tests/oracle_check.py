@@ -97,19 +97,20 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
     return problems
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+def run_check(
+    spark, sf_dir: str, only: set[str] | None = None, verbose: bool = True
+) -> tuple[list[str], list[str], list[str]]:
+    """Run the side-by-side comparison; returns (passed, failed, rows_only).
 
+    Importable (tests/test_full_registry_oracle.py wraps it over the
+    whole registry) as well as CLI-driven via :func:`main`.
+    """
     import __spark_entry__ as entrymod
-    from docker_airflow_spark_minio_spark.session import get_spark_session
 
-    spark = get_spark_session(
-        "oracle-check",
-        master=os.environ.get("SPARK_GRAFT_MASTER", "local[8]"),
-        shuffle_partitions=8,
-        extra_conf={"spark.driver.memory": "8g"},
-    )
+    def report(msg: str) -> None:
+        if verbose:
+            print(msg)
+
     con = duck_connection(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
@@ -121,29 +122,45 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
             failed.append(name)
-            print(f"FAIL {name}: spark raised {type(exc).__name__}: {str(exc)[:300]}")
+            report(f"FAIL {name}: spark raised {type(exc).__name__}: {str(exc)[:300]}")
             continue
         if name not in oracles:
             rows_only.append(name)
-            print(f"ROWS {name}: {len(sdf)} rows (no oracle)")
+            report(f"ROWS {name}: {len(sdf)} rows (no oracle)")
             continue
         try:
             ddf = con.execute(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             failed.append(name)
-            print(f"FAIL {name}: duckdb raised {type(exc).__name__}: {str(exc)[:300]}")
+            report(f"FAIL {name}: duckdb raised {type(exc).__name__}: {str(exc)[:300]}")
             continue
         problems = compare(name, sdf, ddf)
         if problems:
             failed.append(name)
-            print(f"FAIL {name}:")
+            report(f"FAIL {name}:")
             for p in problems:
-                print(f"     {p}")
+                report(f"     {p}")
         else:
             passed.append(name)
-            print(f"PASS {name} ({len(sdf)} rows)")
+            report(f"PASS {name} ({len(sdf)} rows)")
 
-    print(f"\n{len(passed)} passed, {len(failed)} failed, {len(rows_only)} rows-only")
+    report(f"\n{len(passed)} passed, {len(failed)} failed, {len(rows_only)} rows-only")
+    return passed, failed, rows_only
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from docker_airflow_spark_minio_spark.session import get_spark_session
+
+    spark = get_spark_session(
+        "oracle-check",
+        master=os.environ.get("SPARK_GRAFT_MASTER", "local[8]"),
+        shuffle_partitions=8,
+        extra_conf={"spark.driver.memory": "8g"},
+    )
+    _, failed, _ = run_check(spark, sf_dir, only or None)
     spark.stop()
     return 1 if failed else 0
 
