@@ -48,9 +48,15 @@ def run_silver_stream(
     describe_list: DescribeList | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    on_batch_commit=None,
 ):
     """Start (and with ``available_now`` run to completion) the
-    incremental silver load.  Returns the StreamingQuery."""
+    incremental silver load.  Returns the StreamingQuery.
+
+    ``on_batch_commit(batch_id)`` fires AFTER the sink write commits and
+    BEFORE the checkpoint advances -- a commit listener for metrics, and
+    the fault-injection point the exactly-once restart tests use to
+    prove a kill in that window replays without duplicating rows."""
     describe_list = describe_list or BREWERY_DESCRIBE_LIST
     part_cols = partition_columns(describe_list) or ["sys_file_date"]
 
@@ -76,6 +82,8 @@ def run_silver_stream(
             partition_by=[*part_cols, "sys_batch_id"],
             mode="overwrite_partitions",
         )
+        if on_batch_commit is not None:
+            on_batch_commit(batch_id)
 
     writer = (
         out.writeStream.foreachBatch(write_batch)
@@ -97,6 +105,7 @@ def run_gold_stream(
     silver_table: str = "dw.tab_brewery",
     gold_table: str = "dw.tab_brewery_summary",
     available_now: bool = True,
+    on_batch_commit=None,
 ):
     """Incremental gold: watch the silver table's files and re-aggregate
     ONLY the partitions that changed.
@@ -131,6 +140,8 @@ def run_gold_stream(
         manager.write(
             out, gold_table, partition_by=["sys_file_date"], mode="overwrite_partitions"
         )
+        if on_batch_commit is not None:
+            on_batch_commit(batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(refresh)

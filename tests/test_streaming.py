@@ -320,3 +320,78 @@ def test_interval_join_stream_matches_batch(spark, event_files, tmp_path):
         for r in spark.table("ij_mem").collect()
     )
     assert got == expected2
+
+
+def test_silver_replay_after_kill_between_commit_and_checkpoint(spark, tmp_path):
+    # Exactly-once under the worst failure window: the sink write has
+    # COMMITTED but the process dies before the checkpoint advances.
+    # The restart replays the same micro-batch (same batch_id); the
+    # batch-keyed dynamic overwrite must replace its own output instead
+    # of appending a second copy.
+    from test_pipeline_e2e import DAY_A, RECORDS_A, _write_bronze
+
+    from docker_airflow_spark_minio_spark.streaming.silver import run_silver_stream
+
+    bronze = str(tmp_path / "bronze")
+    warehouse = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    _write_bronze(bronze, DAY_A, RECORDS_A)
+
+    class Kill(Exception):
+        pass
+
+    def die_after_commit(batch_id: int) -> None:
+        raise Kill(f"killed after commit of batch {batch_id}")
+
+    with pytest.raises(Exception):  # StreamingQueryException wrapping Kill
+        run_silver_stream(
+            spark, bronze, warehouse, ckpt, on_batch_commit=die_after_commit
+        )
+    # The write itself committed before the kill.
+    silver_path = f"{warehouse}/dw/tab_brewery"
+    assert spark.read.parquet(silver_path).count() == 3
+
+    # Restart with the same checkpoint: the batch replays, rows do NOT
+    # duplicate, and ids survive exactly once.
+    run_silver_stream(spark, bronze, warehouse, ckpt)
+    silver = spark.read.parquet(silver_path)
+    assert silver.count() == 3
+    assert sorted(r["id"] for r in silver.collect()) == ["1", "2", "3"]
+
+    # Nothing pending afterwards.
+    run_silver_stream(spark, bronze, warehouse, ckpt)
+    assert spark.read.parquet(silver_path).count() == 3
+
+
+def test_gold_replay_after_kill_between_commit_and_checkpoint(spark, tmp_path):
+    from test_pipeline_e2e import DAY_A, RECORDS_A, _write_bronze
+
+    from docker_airflow_spark_minio_spark.streaming.silver import (
+        run_gold_stream,
+        run_silver_stream,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    warehouse = str(tmp_path / "wh")
+    _write_bronze(bronze, DAY_A, RECORDS_A)
+    run_silver_stream(spark, bronze, warehouse, str(tmp_path / "ck_s"))
+
+    def die_after_commit(batch_id: int) -> None:
+        raise RuntimeError(f"killed after commit of batch {batch_id}")
+
+    with pytest.raises(Exception):
+        run_gold_stream(
+            spark, warehouse, str(tmp_path / "ck_g"), on_batch_commit=die_after_commit
+        )
+    gold_path = f"{warehouse}/dw/tab_brewery_summary"
+    expected = {(DAY_A, "micro", "US"): 2, (DAY_A, "nano", "PT"): 1}
+    got = {(str(r["sys_file_date"]), r["brewery_type"], r["country"]): r["qtd"]
+           for r in spark.read.parquet(gold_path).collect()}
+    assert got == expected  # committed before the kill
+
+    # Replay: the changed-day overwrite recomputes the SAME days -- no
+    # duplicate groups, identical aggregates.
+    run_gold_stream(spark, warehouse, str(tmp_path / "ck_g"))
+    got = {(str(r["sys_file_date"]), r["brewery_type"], r["country"]): r["qtd"]
+           for r in spark.read.parquet(gold_path).collect()}
+    assert got == expected
