@@ -48,6 +48,9 @@ def test_no_cartesian_anywhere_in_the_registry(spark):
         "q11_important_parts",
         "kmeans_embedding_buckets",
         "ann_lsh_recall_at_k",  # composes the brute-force baseline
+        # single-row COUNT(*) attach deriving the corpus-scaled LSH
+        # bucket width (workloads/dedup.py) -- broadcast 1x1, not data
+        "dedup_embedding_cosine_pairs",
     }
     for name, wl in REGISTRY.items():
         if name in allowed:
