@@ -467,3 +467,126 @@ def kmeans_embedding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDedup: semantic dedup against per-cluster representatives
+# ---------------------------------------------------------------------------
+
+# The SemDedup recipe (cluster embeddings, then drop members that sit
+# within a cosine threshold of their cluster representative) on top of
+# the deterministic k-means above.  Representative = the member closest
+# to the centroid (integer sq_dist, vec_id tie-break -- exact in both
+# engines); members at cos >= threshold of the representative are the
+# semantic duplicates a curation pass would drop.
+#
+# Scale notes: representative selection is a partial-aggregated
+# min-of-struct groupBy (k rows out -- NOT a window over k partitions,
+# which would funnel the corpus through k reducers); the representative
+# table is k rows, broadcast back for the cosine pass, which is a pure
+# map over the corpus scan.  On real data the gate sits ~0.95; the
+# driver's embeddings are uniform random (within-cluster cosine ~0.1-
+# 0.4), so the gate is set where it still emits verifiable rows.
+SEMDEDUP_MIN_COS_X1E6 = 100_000
+
+_SEMDEDUP_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS v
+    FROM embeddings
+),
+a0 AS (SELECT vec_id, v, vec_id % {KMEANS_K} AS cid FROM v),
+{_km_cent_sql('a0', 0)},
+{_km_assign_sql('c0', 1)},
+{_km_cent_sql('a1', 1)},
+{_km_assign_sql('c1', 2)},
+rep AS (
+    SELECT cid, vec_id AS rep_vec_id FROM (
+        SELECT cid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY cid ORDER BY sq_dist, vec_id) AS rn
+        FROM a2
+    ) WHERE rn = 1
+),
+raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS rv FROM embeddings),
+m AS (
+    SELECT a.cid, a.vec_id, r.rep_vec_id,
+           ROUND(list_dot_product(ra.rv, rr.rv) /
+                 (sqrt(list_dot_product(ra.rv, ra.rv)) *
+                  sqrt(list_dot_product(rr.rv, rr.rv))), 6) AS cos_sim
+    FROM a2 a
+    JOIN rep r ON r.cid = a.cid
+    JOIN raw ra ON ra.vec_id = a.vec_id
+    JOIN raw rr ON rr.vec_id = r.rep_vec_id
+)
+SELECT cid AS cluster,
+       MIN(rep_vec_id) AS rep_vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN vec_id <> rep_vec_id
+                      AND cos_sim * 1000000 >= {SEMDEDUP_MIN_COS_X1E6}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_semantic_dups
+FROM m GROUP BY cid ORDER BY cluster
+"""
+
+
+@register(
+    "dedup_semantic_representatives",
+    oracle=_SEMDEDUP_ORACLE,
+    category="dedup",
+    description=f"SemDedup: k-means clusters -> centroid-nearest "
+    f"representative per cluster (integer distance, deterministic "
+    f"tie-break) -> members at cosine >= "
+    f"{SEMDEDUP_MIN_COS_X1E6 / 1e6} of their representative counted as "
+    "semantic duplicates; representative selection is a min-of-struct "
+    "groupBy, the cosine pass a broadcast map",
+)
+def dedup_semantic_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine_similarity
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    raw = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("rv"))
+    assigned = kmeans_assign(
+        raw.withColumnRenamed("rv", "v"),
+        k=KMEANS_K,
+        n_iter=KMEANS_ITER,
+        dim=KMEANS_DIM,
+    )
+    rep = (
+        assigned.groupBy("cluster")
+        .agg(F.min(F.struct("sq_dist", "vec_id")).alias("m"))
+        .select("cluster", F.col("m.vec_id").alias("rep_vec_id"))
+    )
+    m = (
+        assigned.withColumnRenamed("vec_id", "member_id")
+        .join(rep, "cluster")
+        .join(
+            raw.select(F.col("vec_id").alias("ma_id"), F.col("rv").alias("ma_rv")),
+            F.col("member_id") == F.col("ma_id"),
+        )
+        .join(
+            raw.select(
+                F.col("vec_id").alias("rrid"), F.col("rv").alias("rep_rv")
+            ),
+            F.col("rep_vec_id") == F.col("rrid"),
+        )
+        .select(
+            "cluster",
+            "member_id",
+            "rep_vec_id",
+            F.round(cosine_similarity(F.col("ma_rv"), F.col("rep_rv")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    is_dup = (F.col("member_id") != F.col("rep_vec_id")) & (
+        F.col("cos_sim") * 1_000_000 >= SEMDEDUP_MIN_COS_X1E6
+    )
+    return (
+        m.groupBy("cluster")
+        .agg(
+            F.min("rep_vec_id").alias("rep_vec_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.when(is_dup, 1).otherwise(0)).alias("n_semantic_dups"),
+        )
+        .orderBy("cluster")
+    )

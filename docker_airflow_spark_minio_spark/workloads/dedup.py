@@ -203,12 +203,22 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _build_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_band_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, sig)``: one row per (doc, band) with the hashed band
+    signature.  Signatures are per-row array folds (array_min over the
+    permuted shingle-hash array) -- a pure map, NO shuffle until a
+    consumer joins on ``sig``.
+
+    Band signature = xxhash64(band, mh...) -- an 8-byte long join key
+    instead of the ~40-byte concat string (the 100 TB shuffle-shrink
+    documented in the module header; the band id is folded into the
+    hash so the join key is ONE long).  The oracle keeps the exact
+    string-tuple equality: both sides produce the same candidate set
+    unless xxhash64 collides across distinct band tuples (~2^-64 per
+    pair -- negligible at any corpus size we can verify).
+    """
     sh = _shingles(spark, sf_dir).where(F.size("sh") > 0)
-    # Signatures are per-row array folds (array_min over the permuted
-    # shingle-hash array) -- a pure map, NO shuffle. The explode+groupBy
-    # formulation would shuffle |shingles| rows per doc; this shuffles
-    # nothing until the (band, sig) self-join.
+
     def _perm(j: int):
         return lambda h: minhash_expr(h, j)
 
@@ -220,22 +230,18 @@ def _build_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(MINHASH_K)
         ],
     )
-    # Band signature = xxhash64(band, mh...) -- an 8-byte long join key
-    # instead of the ~40-byte concat string (the 100 TB shuffle-shrink
-    # documented in the module header; the band id is folded into the
-    # hash so the join key is ONE long).  The oracle keeps the exact
-    # string-tuple equality: both sides produce the same candidate set
-    # unless xxhash64 collides across distinct band tuples (~2^-64 per
-    # pair -- negligible at any corpus size we can verify).
     band_sigs = [
         F.xxhash64(
             F.lit(k), *[F.col(f"mh{k * MINHASH_ROWS + j}") for j in range(MINHASH_ROWS)]
         ).alias("sig")
         for k in range(MINHASH_BANDS)
     ]
-    bands = mh.select(
-        "doc_id", F.explode(F.array(*band_sigs)).alias("sig")
-    )
+    return mh.select("doc_id", F.explode(F.array(*band_sigs)).alias("sig"))
+
+
+def _build_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir).where(F.size("sh") > 0)
+    bands = _minhash_band_frame(spark, sf_dir)
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -984,6 +990,94 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("hit").alias("n_bloom_hits"),
             F.sum("dup").alias("n_exact_dups"),
             (F.sum("hit") - F.sum("dup")).alias("n_false_positives"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental FUZZY dedup: new batch vs corpus via the MinHash band index
+# ---------------------------------------------------------------------------
+
+# The fuzzy twin of dedup_incremental_bloom: a NEW batch (doc_id%10==0)
+# is near-dup-checked against the existing corpus without any
+# batch x corpus comparison -- batch band signatures join the corpus's
+# band index (the signature table a production pipeline maintains
+# incrementally), and only colliding candidates pay the exact Jaccard
+# verification.  Shuffle cost: |batch| x bands signature rows against an
+# index lookup, independent of corpus row width; this is THE
+# dedup-on-ingest pattern for continuously growing training corpora.
+INCR_MINHASH_MIN_BP = CLUSTER_MIN_JACCARD_BP
+
+_INCR_MINHASH_ORACLE = f"""
+WITH {_minhash_cte()},
+bands AS ({_band_sql()}),
+bb AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+cb AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+cand AS (
+    SELECT DISTINCT bb.doc_id AS doc_a, cb.doc_id AS doc_b
+    FROM bb JOIN cb ON bb.band = cb.band AND bb.sig = cb.sig
+),
+matched AS (
+    SELECT DISTINCT c.doc_a
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE FLOOR(10000.0 * len(list_intersect(sa.sh, sb.sh)) /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+          >= {INCR_MINHASH_MIN_BP}
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_batch,
+       CAST(SUM(CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_near_dup
+FROM documents d
+LEFT JOIN matched m ON m.doc_a = d.doc_id
+WHERE d.doc_id % 10 = 0
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_INCR_MINHASH_ORACLE,
+    category="dedup",
+    description="incremental fuzzy dedup: new batch (doc_id%10==0) "
+    "near-dup-checked against the corpus via the MinHash band index "
+    f"(verified Jaccard >= {INCR_MINHASH_MIN_BP / 10000}); batch "
+    "signatures join the index -- never batch x corpus -- the "
+    "dedup-on-ingest pattern for growing corpora",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir).where(F.size("sh") > 0)
+    bands = _minhash_band_frame(spark, sf_dir)
+    is_batch = F.col("doc_id") % 10 == 0
+    bb, cb = bands.where(is_batch).alias("bb"), bands.where(~is_batch).alias("cb")
+    cand = (
+        bb.join(cb, "sig")
+        .select(F.col("bb.doc_id").alias("doc_a"), F.col("cb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    matched = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .where(
+            F.floor(10000.0 * inter / union).cast("long") >= INCR_MINHASH_MIN_BP
+        )
+        .select("doc_a")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "source")
+    return (
+        docs.where(is_batch)
+        .join(matched, F.col("doc_id") == F.col("doc_a"), "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_near_dup"),
         )
         .orderBy("source")
     )
