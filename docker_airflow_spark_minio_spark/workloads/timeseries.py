@@ -564,3 +564,76 @@ def streaming_dedup_distinct_users_live(
     q.awaitTermination()
     q.stop()
     return spark.table(name).orderBy("event_type")
+
+
+@register(
+    "streaming_session_windows_live",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) >= {GAP_US}
+                    THEN 1
+                    WHEN LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events),
+    s AS (
+        SELECT user_id, value, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM g)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    category="streaming",
+    description="session windows (30min gap) executed as a REAL "
+    "Structured Streaming query: session_window state merges sessions "
+    "across availableNow micro-batches into a complete-mode memory sink "
+    "-- the live twin of session_window_stats, hash-matching the same "
+    "islands oracle",
+)
+def streaming_session_windows_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)  # pins session tz + nanosAsLong conf
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    if dict(src.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) generation
+        src = src.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    else:
+        src = src.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    agg = (
+        src.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = "streaming_session_windows_live_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name).orderBy("user_id", "session_start")
