@@ -1,9 +1,9 @@
 """Deduplication workloads over the ``documents`` table.
 
-Five families, mirroring what a large-scale training-data pipeline needs
+The dedup families a large-scale training-data pipeline needs
 (extension surface per SURVEY.md section 7.2.5; the reference itself has no
 dedup -- its only uniqueness notion is day-partition overwrite,
-reference job_silver.py:174-178):
+reference job_silver.py:174-178).  Core candidate generators:
 
  * **exact**     -- group by the 128-bit md5 of the body; keep-first by id.
  * **MinHash-LSH** -- shingle -> 16 minhash permutations -> 4 bands x 4 rows
@@ -14,8 +14,15 @@ reference job_silver.py:174-178):
    collision buckets are near-dup clusters.
  * **n-gram Jaccard** -- inverted-index candidates on shingle hashes with
    a doc-frequency cap, exact Jaccard verification.
- * **embedding-cosine** -- axis-sign LSH buckets over the embedding
-   column, exact cosine verification within buckets.
+ * **embedding-cosine** -- corpus-scaled axis-sign LSH buckets over the
+   embedding column, exact cosine verification within buckets.
+
+Built on them: edit-distance pairs (banded 64-bit SimHash candidates),
+connected-component clusters + PageRank/triangles over the verified
+pair graph, and two incremental-ingest forms (exact bloom prefilter,
+fuzzy MinHash-band-index check of a new batch vs the corpus).
+SemDedup (cluster-representative cosine dedup) lives with the k-means
+it builds on in :mod:`.corpus_extra`.
 
 Scale notes (100 TB posture):
  * every shuffle carries hashes + ids, never the document body; bodies are
