@@ -47,6 +47,7 @@ def test_no_cartesian_anywhere_in_the_registry(spark):
         "ann_ivf_topk",
         "q11_important_parts",
         "kmeans_embedding_buckets",
+        "dedup_semantic_representatives",  # composes kmeans_assign
         "ann_lsh_recall_at_k",  # composes the brute-force baseline
         # single-row COUNT(*) attach deriving the corpus-scaled LSH
         # bucket width (workloads/dedup.py) -- broadcast 1x1, not data
