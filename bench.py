@@ -84,7 +84,18 @@ def main() -> int:
         print(f"python warmup failed: {exc}", file=sys.stderr)
 
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
-    selected = sorted(set(only.split(",")) & set(REGISTRY)) if only else sorted(REGISTRY)
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = wanted - set(REGISTRY)
+        if unknown:
+            # Fail loudly: a typo must not produce a plausible-looking
+            # artifact benchmarking a silently shrunken query set.
+            print(f"unknown SPARK_GRAFT_BENCH_ONLY names: {sorted(unknown)}", file=sys.stderr)
+            spark.stop()
+            return 2
+        selected = sorted(wanted)
+    else:
+        selected = sorted(REGISTRY)
 
     times: dict[str, float | None] = {}
     for name in selected:

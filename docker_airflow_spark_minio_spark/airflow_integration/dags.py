@@ -59,16 +59,30 @@ def build_dag(spec: DagSpec):
                 "task_id": t.task_id,
                 "retries": t.retries,
                 "retry_delay": timedelta(seconds=t.retry_delay_s),
+                "trigger_rule": t.trigger_rule,
             }
+
+            def _callable(ts):
+                fn = _resolve(ts.target)
+                if not ts.xcom_arg_from:
+                    return fn
+
+                def pull_and_call(ti, **_ctx):
+                    return fn(ti.xcom_pull(task_ids=ts.xcom_arg_from))
+
+                return pull_and_call
+
             if t.kind == "empty":
-                ops[t.task_id] = EmptyOperator(task_id=t.task_id)
+                ops[t.task_id] = EmptyOperator(
+                    task_id=t.task_id, trigger_rule=t.trigger_rule
+                )
             elif t.kind == "python":
                 ops[t.task_id] = PythonOperator(
-                    python_callable=_resolve(t.target), **common
+                    python_callable=_callable(t), **common
                 )
             elif t.kind == "branch":
                 ops[t.task_id] = BranchPythonOperator(
-                    python_callable=_resolve(t.target), **common
+                    python_callable=_callable(t), **common
                 )
             elif t.kind == "trigger_dag":
                 ops[t.task_id] = TriggerDagRunOperator(

@@ -31,6 +31,14 @@ class TaskSpec:
     # trigger_dag semantics (reference pipeline DAG :218-236)
     wait_for_completion: bool = False
     reset_dag_run: bool = False
+    # Airflow trigger rule; a join task downstream of a branch needs
+    # 'none_failed_min_one_success' or the skipped arm's skip cascades
+    # into it and it never runs.
+    trigger_rule: str = "all_success"
+    # python/branch tasks: task_id whose XCom return value is passed as
+    # this callable's first positional argument (e.g. the branch
+    # consumes the probe's result instead of re-fetching it).
+    xcom_arg_from: str = ""
 
 
 @dataclass(frozen=True)
@@ -76,6 +84,9 @@ BRONZE_DAG = DagSpec(
             "branch",
             target=f"{_JOBS}.pipeline.branch_on_source_total",
             choices=("task_fetch_and_land", "task_skip_empty"),
+            # Decide from the probe task's XCom result -- no second meta
+            # fetch (which would carry the branch's weaker retry policy).
+            xcom_arg_from="task_probe_meta",
         ),
         TaskSpec(
             "task_fetch_and_land",
@@ -83,7 +94,9 @@ BRONZE_DAG = DagSpec(
             target=f"{_JOBS}.pipeline.run_bronze_stage",
         ),
         TaskSpec("task_skip_empty", "empty"),
-        TaskSpec("task_end", "empty"),
+        # Join of the two branch arms: exactly one arm is skipped per
+        # run, so all_success would skip the join forever.
+        TaskSpec("task_end", "empty", trigger_rule="none_failed_min_one_success"),
     ),
     edges=(
         ("task_init", "task_probe_meta"),

@@ -89,10 +89,22 @@ class SqlCatalog:
             for e in cols
         )
         part_ddl = f"\n    PARTITIONED BY ({', '.join(parts)})" if parts else ""
+        # Iceberg retention rides the TABLE, not the writer: insertInto
+        # does not honor per-writer .option()s (see _insert_overwrite),
+        # so TBLPROPERTIES is the one place every write path -- INSERT
+        # OVERWRITE, append, saveAsTable -- picks the policy up from.
+        props = format_write_options(self.table_format)
+        props_ddl = (
+            "\n    TBLPROPERTIES ("
+            + ", ".join(f"'{k}'='{v}'" for k, v in sorted(props.items()))
+            + ")"
+            if props
+            else ""
+        )
         return (
             f"CREATE TABLE IF NOT EXISTS {self.qualified(table)} (\n"
             f"        {col_ddl}\n"
-            f"    )\n    USING {self.table_format}{part_ddl}"
+            f"    )\n    USING {self.table_format}{part_ddl}{props_ddl}"
         )
 
     def ensure_table(self, table: str, describe_list: DescribeList) -> None:

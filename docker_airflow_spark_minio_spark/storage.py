@@ -124,7 +124,9 @@ class TableManager:
         never depends on the deleted source files -- an executor loss
         cannot trigger a lineage recompute over deleted data, and a
         crash mid-swap leaves every partition either old-complete,
-        new-complete, or absent-but-present-in-tmp (recoverable), never
+        new-complete, or absent-but-present-in-tmp -- the next
+        merge_upsert call auto-completes the interrupted swap from the
+        staging prefix before doing anything else, so nothing is ever
         silently empty.  (On S3-like stores rename is a server-side
         copy, not atomic -- same caveat as every path-rooted swap.)
 
@@ -140,6 +142,12 @@ class TableManager:
         from pyspark.sql import Window, functions as F
 
         path = self.path(table)
+        tmp_path = f"{path}__merge_tmp"
+        # Complete a previous crashed swap FIRST: a partition staged in
+        # tmp whose live copy is missing was deleted mid-swap -- move it
+        # in before reading the current state, or the retry would merge
+        # against (and then discard) a table missing those rows.
+        self._recover_staging(path, tmp_path, len(partition_by))
         # A read attempt is the backend-portable existence probe
         # (AnalysisException -> first load).
         try:
@@ -166,7 +174,10 @@ class TableManager:
             (
                 functools.reduce(
                     operator.and_,
-                    (F.col(c) == F.lit(v) for c, v in zip(partition_by, vals)),
+                    (
+                        F.col(c).isNull() if v is None else F.col(c) == F.lit(v)
+                        for c, v in zip(partition_by, vals)
+                    ),
                 )
                 for vals in affected
             ),
@@ -186,16 +197,17 @@ class TableManager:
         # Stage durably FIRST: once the temp write commits, the merged
         # rows exist on the target filesystem and nothing below re-reads
         # the soon-to-be-deleted source partitions.
-        tmp_path = f"{path}__merge_tmp"
         delete_prefix(self.spark, tmp_path)
         self._write_path(latest, tmp_path, partition_by, "snapshot")
 
         fs, _ = _fs_and_path(self.spark, path)
         jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path
         for vals in affected:
-            part_dir = "/".join(
-                f"{c}={v}" for c, v in zip(partition_by, vals)
-            )
+            # Directory names must match what Spark's writer produced:
+            # Hive path escaping + __HIVE_DEFAULT_PARTITION__ for null
+            # (a raw f-string over a value like 'a:b' would probe a
+            # nonexistent dir and silently skip the swap).
+            part_dir = self._partition_dir(partition_by, vals)
             delete_prefix(self.spark, f"{path}/{part_dir}")
             src = jvm_path(f"{tmp_path}/{part_dir}")
             if fs.exists(src):
@@ -206,6 +218,50 @@ class TableManager:
             # delete alone is the correct result (see docstring).
         delete_prefix(self.spark, tmp_path)
         return path
+
+    def _partition_dir(self, partition_by: list[str], vals: tuple) -> str:
+        """Relative partition directory exactly as Spark's writer lays it
+        out: Hive path escaping on names and values (the same
+        ``ExternalCatalogUtils.escapePathName`` the write path uses, so
+        the charsets cannot drift), nulls as the Hive default partition
+        name."""
+        esc = self.spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        parts = []
+        for c, v in zip(partition_by, vals):
+            pv = "__HIVE_DEFAULT_PARTITION__" if v is None else esc.escapePathName(str(v))
+            parts.append(f"{esc.escapePathName(c)}={pv}")
+        return "/".join(parts)
+
+    def _recover_staging(self, path: str, tmp_path: str, depth: int) -> None:
+        """Finish a crashed merge swap: every partition directory staged
+        under ``tmp_path`` whose live twin is MISSING was deleted
+        mid-swap -- move it into place (the live copy, when present, is
+        authoritative: the crash happened before its delete).  Always
+        ends by clearing the staging prefix."""
+        from .fsmeta import _fs_and_path, delete_prefix
+
+        fs, tmp_p = _fs_and_path(self.spark, tmp_path)
+        if not fs.exists(tmp_p):
+            return
+        jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path
+
+        def leaves(p, d: int, rel: str):
+            if d == 0:
+                yield p, rel
+                return
+            for st in fs.listStatus(p):
+                if st.isDirectory():
+                    name = st.getPath().getName()
+                    yield from leaves(
+                        st.getPath(), d - 1, f"{rel}/{name}" if rel else name
+                    )
+
+        for leaf, rel in leaves(tmp_p, depth, ""):
+            dst = jvm_path(f"{path}/{rel}")
+            if not fs.exists(dst):
+                fs.mkdirs(dst.getParent())
+                fs.rename(leaf, dst)
+        delete_prefix(self.spark, tmp_path)
 
     # -- reads -----------------------------------------------------------
 

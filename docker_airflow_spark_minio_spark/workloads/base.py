@@ -48,6 +48,13 @@ class PersistCache:
 
     Unpersisting is always safe: a consumer plan built on an evicted
     frame recomputes from lineage (slower, never wrong).
+
+    Known trade, deliberate: build() runs under the lock, so concurrent
+    cache misses serialize, and two threads sweeping DIFFERENT sf_dirs
+    in one application would evict each other's entries on every miss
+    (thrash, still correct).  The consumers (bench sweep, oracle gate,
+    pytest) are sequential per application; hold-one-sf-per-app is the
+    memory bound they need.
     """
 
     def __init__(self, name: str) -> None:

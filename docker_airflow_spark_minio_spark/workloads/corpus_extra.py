@@ -487,6 +487,10 @@ def kmeans_embedding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map over the corpus scan.  On real data the gate sits ~0.95; the
 # driver's embeddings are uniform random (within-cluster cosine ~0.1-
 # 0.4), so the gate is set where it still emits verifiable rows.
+# Cross-engine determinism of the cosine: both engines fold the SAME
+# array left-to-right (F.aggregate / list_dot_product are sequential
+# folds, functions/vectors.py) -- unlike group aggregation, there is no
+# engine-chosen accumulation order to flip a rounding boundary.
 SEMDEDUP_MIN_COS_X1E6 = 100_000
 
 _SEMDEDUP_ORACLE = f"""

@@ -74,6 +74,14 @@ def test_bronze_branch_on_empty():
     assert bronze.downstream("task_skip_empty") == ("task_end",)
     # The meta probe carries the reference's 5x retry policy.
     assert bronze.task("task_probe_meta").retries == 5
+    # The branch consumes the probe's XCom result (no second fetch
+    # under the branch's weaker retry policy), and its source is a real
+    # upstream task.
+    assert branch.xcom_arg_from == "task_probe_meta"
+    assert ("task_probe_meta", "task_branch_on_empty") in bronze.edges
+    # The rejoin downstream of the branch must not inherit all_success
+    # or the skipped arm's skip cascades into it every run.
+    assert bronze.task("task_end").trigger_rule == "none_failed_min_one_success"
 
 
 def test_python_targets_resolve():

@@ -56,8 +56,9 @@ def test_clear_persist_caches_releases_everything(spark):
 
 def test_table_plan_cache_is_bounded(spark):
     base.clear_persist_caches()
+    # 12 DISTINCT cache keys (trailing slashes: same data, new key), so
+    # the eviction loop actually fires -- removing the bound must fail
+    # this test, not pass it vacuously.
     for i in range(12):
-        # Distinct keys via trailing slashes: same data, new cache key.
-        base.load_tables(spark, SF_A + "/" * (i % 2) or SF_A)
-        base.load_tables(spark, SF_B)
+        base.load_tables(spark, SF_A + "/" * i)
     assert len(base._TABLE_CACHE) <= 8

@@ -47,6 +47,18 @@ def test_iceberg_ddl_shape_matches_reference(iceberg_catalog):
     # Partition column emitted last in the column list (stored order).
     cols_part = ddl.split("USING", 1)[0].split("(", 1)[1].rsplit(")", 1)[0]
     assert cols_part.rstrip().endswith("sys_file_date DATE")
+    # Retention policy lives on the TABLE (TBLPROPERTIES), so every
+    # write path honors it -- insertInto ignores per-writer options.
+    assert "TBLPROPERTIES" in ddl
+    assert "'write.metadata.previous-versions-max'='10'" in ddl
+    assert "'write.metadata.delete-after-commit.enabled'='true'" in ddl
+
+
+def test_parquet_ddl_has_no_tblproperties(spark):
+    ddl = SqlCatalog(spark, database="dw", table_format="parquet").create_table_ddl(
+        "tab_brewery", BREWERY_DESCRIBE_LIST
+    )
+    assert "TBLPROPERTIES" not in ddl
 
 
 def test_iceberg_ddl_fails_only_on_missing_jar(spark, iceberg_catalog):

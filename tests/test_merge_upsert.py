@@ -93,3 +93,46 @@ def test_merge_staging_prefix_is_cleaned(spark, tmp_path):
     tm.merge_upsert(upd, "dw.dim", keys=["k"], partition_by=["day"], order_by="seq")
     assert not os.path.exists(tm.path("dw.dim") + "__merge_tmp")
     assert _rows(tm.read("dw.dim")) == {(1, "d1"): ("a2", 2)}
+
+
+def test_partition_values_needing_hive_escaping(spark, tmp_path):
+    # Spark writes day='a:b' as day=a%3Ab; the swap must probe the
+    # escaped directory or it silently discards the merged rows.
+    tm = TableManager(spark, warehouse=str(tmp_path))
+    schema = "k long, day string, v string, seq long"
+    base = spark.createDataFrame([(1, "a:b", "x", 1), (2, "plain", "y", 1)], schema)
+    tm.merge_upsert(base, "dw.dim", keys=["k"], partition_by=["day"], order_by="seq")
+    upd = spark.createDataFrame([(1, "a:b", "x2", 2)], schema)
+    tm.merge_upsert(upd, "dw.dim", keys=["k"], partition_by=["day"], order_by="seq")
+    assert _rows(tm.read("dw.dim")) == {
+        (1, "a:b"): ("x2", 2),
+        (2, "plain"): ("y", 1),
+    }
+
+
+def test_crashed_swap_recovers_on_next_merge(spark, tmp_path):
+    # Simulate the worst window: a partition was deleted from the live
+    # table but its merged replacement still sits in the staging prefix
+    # (crash between delete and rename).  The next merge_upsert must
+    # complete the swap before merging, not wipe the staging copy.
+    import os
+    import shutil
+
+    tm = TableManager(spark, warehouse=str(tmp_path))
+    schema = "k long, day string, v string, seq long"
+    base = spark.createDataFrame([(1, "d1", "a", 1), (2, "d2", "b", 1)], schema)
+    tm.merge_upsert(base, "dw.dim", keys=["k"], partition_by=["day"], order_by="seq")
+
+    live = tm.path("dw.dim")
+    tmp = live + "__merge_tmp"
+    os.makedirs(tmp, exist_ok=True)
+    shutil.move(f"{live}/day=d1", f"{tmp}/day=d1")  # crashed mid-swap
+    assert not os.path.exists(f"{live}/day=d1")
+
+    upd = spark.createDataFrame([(2, "d2", "b2", 2)], schema)
+    tm.merge_upsert(upd, "dw.dim", keys=["k"], partition_by=["day"], order_by="seq")
+    assert _rows(tm.read("dw.dim")) == {
+        (1, "d1"): ("a", 1),      # restored from staging, not lost
+        (2, "d2"): ("b2", 2),
+    }
+    assert not os.path.exists(tmp)
