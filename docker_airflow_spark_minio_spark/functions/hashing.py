@@ -62,6 +62,26 @@ def h32_sql(expr: str) -> str:
     return f"CAST(md5_number_lower({expr}) % 4294967296 AS BIGINT)"
 
 
+def h32_hi(col: Column | str) -> Column:
+    """The OTHER 32 bits of the same md5 low-quadword (digest bytes
+    12..15): an independent second hash stream for the price of zero
+    extra digests -- one md5 yields both :func:`h32` and this."""
+    c = F.col(col) if isinstance(col, str) else col
+    hexd = F.md5(c)
+    le = F.concat(
+        F.substring(hexd, 31, 2),
+        F.substring(hexd, 29, 2),
+        F.substring(hexd, 27, 2),
+        F.substring(hexd, 25, 2),
+    )
+    return F.conv(le, 16, 10).cast("long")
+
+
+def h32_hi_sql(expr: str) -> str:
+    """DuckDB equivalent of :func:`h32_hi`."""
+    return f"CAST((md5_number_lower({expr}) // 4294967296) % 4294967296 AS BIGINT)"
+
+
 def minhash_expr(hash_col: Column, j: int) -> Column:
     """j-th MinHash permutation of a 32-bit hash column (Spark side)."""
     a, b = MINHASH_PARAMS[j]

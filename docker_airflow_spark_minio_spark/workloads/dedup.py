@@ -53,6 +53,8 @@ from ..functions.hashing import (
     MINHASH_PRIME,
     MINHASH_ROWS,
     h32,
+    h32_hi,
+    h32_hi_sql,
     h32_sql,
     minhash_expr,
 )
@@ -349,8 +351,9 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Candidate pairs come from a *banded 64-bit* SimHash: two independent
-# 32-bit md5-derived hash streams per shingle (the second salted) give 64
-# bit votes, split into 4 bands x 16 bits; docs sharing ANY band key are
+# 32-bit hash streams per shingle -- the low and high halves of ONE md5
+# quadword (h32 / h32_hi: no second digest computed) -- give 64 bit
+# votes, split into 4 bands x 16 bits; docs sharing ANY band key are
 # candidates.  This is the scale-safe form of SimHash pairing: a single
 # 16-bit signature has only 65,536 buckets (at 10^9 docs that is ~10^5
 # docs per bucket -> within-bucket quadratic blowup), whereas each
@@ -371,7 +374,7 @@ SIMHASH64_BAND_BITS = 16
 
 
 def _sim64_votes_sql() -> str:
-    """64 signed bit-vote sums: bits 0-31 from h1, 32-63 from salted h2."""
+    """64 signed bit-vote sums: bits 0-31 from h1 (md5 low half), 32-63 from h2 (the same digest's high half)."""
     terms = []
     for g in range(SIMHASH64_BANDS * SIMHASH64_BAND_BITS):
         src, bit = ("h1", g) if g < 32 else ("h2", g - 32)
@@ -393,7 +396,7 @@ _EDIT_DISTANCE_ORACLE = f"""
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (SELECT doc_id, {shingles_sql('t', SHINGLE_N)} AS sh FROM tok),
 exs AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-ex AS (SELECT doc_id, {h32_sql('s')} AS h1, {h32_sql("s || '#2'")} AS h2 FROM exs),
+ex AS (SELECT doc_id, {h32_sql('s')} AS h1, {h32_hi_sql('s')} AS h2 FROM exs),
 votes AS (SELECT doc_id, {_sim64_votes_sql()} FROM ex GROUP BY doc_id),
 bands AS ({" UNION ALL ".join(
     f"SELECT doc_id, CAST({_sim64_band_key_sql(k)} AS BIGINT) AS bkey FROM votes"
@@ -426,7 +429,7 @@ def _simhash64_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     hs = sh.select(
         "doc_id",
         F.transform("sh", lambda s: h32(s)).alias("h1"),
-        F.transform("sh", lambda s: h32(F.concat(s, F.lit("#2")))).alias("h2"),
+        F.transform("sh", lambda s: h32_hi(s)).alias("h2"),
     ).where(F.size("h1") > 0)
 
     def _bit_set(i: int):
