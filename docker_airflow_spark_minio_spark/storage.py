@@ -237,7 +237,15 @@ class TableManager:
         under ``tmp_path`` whose live twin is MISSING was deleted
         mid-swap -- move it into place (the live copy, when present, is
         authoritative: the crash happened before its delete).  Always
-        ends by clearing the staging prefix."""
+        ends by clearing the staging prefix.
+
+        Known limit: on stores where recursive delete/rename are not
+        atomic (S3 without a committer), a crash INSIDE one of those
+        operations can leave a partial live directory, which this
+        recovery then treats as authoritative.  Closing that window
+        needs a per-partition commit marker or a table format with
+        snapshot commits (catalog.py's iceberg path) -- documented
+        rather than half-solved here."""
         from .fsmeta import _fs_and_path, delete_prefix
 
         fs, tmp_p = _fs_and_path(self.spark, tmp_path)
