@@ -1006,6 +1006,98 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Band-bucket skew profile: the pre-flight check for the LSH self-join
+# ---------------------------------------------------------------------------
+
+# The module header notes that a pathological bucket (thousands of
+# identical docs) degrades the band self-join locally and that the
+# mitigation is a cap on the explicit bucket key.  This is the profile
+# that DECIDES: per band, bucket count, the largest bucket, how many
+# buckets exceed the cap, and the candidate-pair cost both uncapped
+# (sum d*(d-1)/2) and with over-cap buckets excluded -- the number a
+# production run compares against its task-memory budget before
+# launching the join.  Pure aggregation over the band frame: one
+# shuffle on (band, sig), then one tiny per-band roll-up.
+BUCKET_CAP = 50
+
+
+@register(
+    "dedup_minhash_bucket_profile",
+    oracle=f"""
+    WITH {_minhash_cte()},
+    bands AS ({_band_sql()}),
+    b AS (
+        SELECT band, sig, CAST(COUNT(*) AS BIGINT) AS d
+        FROM bands GROUP BY band, sig
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT)                        AS n_buckets,
+           CAST(MAX(d) AS BIGINT)                          AS max_bucket,
+           CAST(SUM(CASE WHEN d > {BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_over_cap,
+           CAST(SUM(d * (d - 1) / 2) AS BIGINT)            AS pairs_uncapped,
+           CAST(SUM(CASE WHEN d <= {BUCKET_CAP} THEN d * (d - 1) / 2
+                         ELSE 0 END) AS BIGINT)            AS pairs_capped
+    FROM b GROUP BY band ORDER BY band
+    """,
+    category="dedup",
+    description=f"LSH band-bucket skew profile: per-band bucket count, "
+    f"max occupancy, buckets over the cap ({BUCKET_CAP}), and candidate-"
+    "pair cost uncapped vs with hot buckets excluded -- the pre-flight "
+    "check a production dedup runs against its task-memory budget "
+    "before the band self-join",
+)
+def dedup_minhash_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The Spark side profiles the SAME (band, sig) space the oracle
+    # sees; xxhash64 folds (band, tuple) 1:1 (modulo ~2^-64 collisions),
+    # so bucket cardinalities and occupancies are identical.  Keep the
+    # band id alongside the hashed sig for the per-band roll-up.
+    sh = _shingles(spark, sf_dir).where(F.size("sh") > 0)
+
+    def _perm(j: int):
+        return lambda h: minhash_expr(h, j)
+
+    hs = sh.select("doc_id", F.transform("sh", lambda s: h32(s)).alias("hs"))
+    mh = hs.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("hs", _perm(j))).alias(f"mh{j}")
+            for j in range(MINHASH_K)
+        ],
+    )
+    band_structs = [
+        F.struct(
+            F.lit(k).alias("band"),
+            F.xxhash64(
+                F.lit(k),
+                *[F.col(f"mh{k * MINHASH_ROWS + j}") for j in range(MINHASH_ROWS)],
+            ).alias("sig"),
+        )
+        for k in range(MINHASH_BANDS)
+    ]
+    bands = mh.select(F.explode(F.array(*band_structs)).alias("bs")).select(
+        F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    b = bands.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("d"))
+    pairs = F.col("d") * (F.col("d") - 1) / 2
+    return (
+        b.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("d").alias("max_bucket"),
+            F.sum(F.when(F.col("d") > BUCKET_CAP, 1).otherwise(0)).alias(
+                "n_over_cap"
+            ),
+            F.sum(pairs).cast("long").alias("pairs_uncapped"),
+            F.sum(F.when(F.col("d") <= BUCKET_CAP, pairs).otherwise(0))
+            .cast("long")
+            .alias("pairs_capped"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental FUZZY dedup: new batch vs corpus via the MinHash band index
 # ---------------------------------------------------------------------------
 
