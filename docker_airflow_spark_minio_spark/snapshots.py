@@ -1,0 +1,283 @@
+"""Versioned snapshot log over path-rooted tables (time travel + retention).
+
+The reference's silver/gold tables are Iceberg -- every write is a
+snapshot commit, old snapshots stay readable (time travel) and are
+expired by retention options (reference spark/jobs/job_silver.py:66-88,
+174-178; job_gold.py:96-101).  :mod:`.catalog` pins that DDL/option
+surface at the SQL level (no iceberg runtime jar in this container);
+THIS module makes the snapshot *semantics* real, Spark-first, with a
+minimal manifest log over any Hadoop filesystem (file://, s3a://, hdfs://).
+
+Layout::
+
+    <root>/data/v{N}/...           immutable per-commit data directories
+    <root>/_manifests/v{N}.json    snapshot manifest
+
+A manifest maps each live partition directory (Hive ``col=value`` form;
+``""`` is the unpartitioned slot) to the LIST of data-directory names
+holding its current rows -- a list because ``append`` accumulates
+commits without rewriting old files.
+
+Commit protocol (optimistic, single-winner per version)::
+
+    1. write the new rows under data/v{N}/   (never touches live dirs)
+    2. write the manifest to _manifests/.v{N}.json.tmp
+    3. rename -> _manifests/v{N}.json
+
+On HDFS-semantics stores rename fails when the destination exists, so
+two racing committers cannot both claim version N -- the loser gets
+:class:`SnapshotConflict` and may retry against the new head.  A crash
+before (3) leaves a dangling tmp + an orphan data dir: invisible to
+every reader, reclaimed by :meth:`SnapshotStore.expire_snapshots`.
+(On S3 without a committer, rename is copy+delete, not atomic -- the
+same caveat :mod:`.storage` documents for its swap; a real deployment
+puts the manifest dir on a store with atomic rename or a CAS endpoint.)
+
+Write modes mirror :class:`..storage.TableManager`:
+
+ * ``snapshot``             -- manifest points every partition at v{N}
+ * ``append``               -- parent mapping + v{N} appended per new partition
+ * ``overwrite_partitions`` -- parent mapping with only the partitions
+                               PRESENT IN ``df`` repointed at v{N}
+
+Reads resolve one manifest (latest or ``as_of``) into one scan per
+referenced data directory -- with ``basePath`` set so Hive partition
+columns survive -- unioned by name.  The number of referenced data dirs
+is bounded by retention, and every per-version scan is a plain
+partitioned parquet scan: partition pruning and pushdown work unchanged.
+
+Scale notes (100 TB posture): manifests are partition METADATA (one
+entry per partition directory, the same cardinality dynamic partition
+overwrite tracks); commits never rewrite previous data files, so commit
+cost is O(new data) like Iceberg, not O(table); time travel is free
+(old manifests + immutable data dirs); ``expire_snapshots(keep_last=10)``
+is the reference's ``write.metadata.previous-versions-max: 10`` retention
+behavior, executed.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .fsmeta import _fs_and_path, delete_prefix
+
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+
+
+class SnapshotConflict(RuntimeError):
+    """Another committer claimed this version first (optimistic-commit
+    loser).  The table is unchanged; re-read the head and retry."""
+
+
+@dataclass
+class SnapshotStore:
+    """Snapshot-versioned table rooted at ``root``."""
+
+    spark: SparkSession
+    root: str
+
+    # -- manifest plumbing ------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return f"{self.root.rstrip('/')}/{MANIFEST_DIR}/v{version}.json"
+
+    def versions(self) -> list[int]:
+        """Committed versions, ascending (tmp files are not commits)."""
+        fs, p = _fs_and_path(self.spark, f"{self.root.rstrip('/')}/{MANIFEST_DIR}")
+        if not fs.exists(p):
+            return []
+        out = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _read_manifest(self, version: int) -> dict:
+        fs, p = _fs_and_path(self.spark, self._manifest_path(version))
+        stream = fs.open(p)
+        try:
+            # Slurp JVM-side (commons-io ships with Spark): one py4j
+            # round-trip for the whole manifest instead of one per byte.
+            raw = bytes(
+                self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        return json.loads(raw.decode("utf-8"))
+
+    def _commit_manifest(self, version: int, manifest: dict) -> None:
+        final = self._manifest_path(version)
+        tmp = f"{self.root.rstrip('/')}/{MANIFEST_DIR}/.v{version}.json.tmp"
+        fs, tmp_p = _fs_and_path(self.spark, tmp)
+        fs.mkdirs(tmp_p.getParent())
+        out = fs.create(tmp_p, True)
+        try:
+            out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+        finally:
+            out.close()
+        _, final_p = _fs_and_path(self.spark, final)
+        if fs.exists(final_p) or not fs.rename(tmp_p, final_p):
+            fs.delete(tmp_p, False)
+            raise SnapshotConflict(
+                f"version {version} already committed at {final}"
+            )
+
+    def history(self) -> list[dict]:
+        """Commit metadata per version, ascending (the ``.history``
+        equivalent of an Iceberg table)."""
+        return [
+            {k: m[k] for k in ("version", "parent", "mode", "committed_at_ms")}
+            for m in (self._read_manifest(v) for v in self.versions())
+        ]
+
+    # -- writes -----------------------------------------------------------
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "snapshot",
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Commit ``df`` as a new snapshot; returns the committed version.
+
+        mode: 'snapshot' | 'append' | 'overwrite_partitions'
+        ``partition_by`` must be stable across the table's lifetime
+        (checked against the parent manifest).
+        """
+        if mode not in ("snapshot", "append", "overwrite_partitions"):
+            raise ValueError(f"unknown snapshot write mode: {mode}")
+        parent_v = self.latest_version()
+        parent = self._read_manifest(parent_v) if parent_v is not None else None
+        pby = list(partition_by or [])
+        if parent is not None and parent["partition_by"] != pby:
+            raise ValueError(
+                f"partition_by {pby} != table's {parent['partition_by']}"
+            )
+        version = 0 if parent_v is None else parent_v + 1
+        vdir = f"v{version}"
+        data_path = f"{self.root.rstrip('/')}/{DATA_DIR}/{vdir}"
+        writer = df.write.format("parquet").mode("overwrite")
+        if pby:
+            writer = writer.partitionBy(*pby)
+        writer.save(data_path)
+        new_parts = self._list_partition_dirs(data_path, len(pby))
+        if mode == "snapshot" or parent is None:
+            partitions = {p: [vdir] for p in new_parts}
+        elif mode == "append":
+            partitions = {k: list(v) for k, v in parent["partitions"].items()}
+            for p in new_parts:
+                partitions.setdefault(p, []).append(vdir)
+        else:  # overwrite_partitions: repoint only partitions present in df
+            partitions = {k: list(v) for k, v in parent["partitions"].items()}
+            for p in new_parts:
+                partitions[p] = [vdir]
+        manifest = {
+            "version": version,
+            "parent": parent_v,
+            "mode": mode,
+            "partition_by": pby,
+            "partitions": partitions,
+            "committed_at_ms": int(time.time() * 1000),
+        }
+        try:
+            self._commit_manifest(version, manifest)
+        except SnapshotConflict:
+            # Loser's data dir is orphaned (invisible); reclaim eagerly.
+            delete_prefix(self.spark, data_path)
+            raise
+        return version
+
+    def _list_partition_dirs(self, data_path: str, depth: int) -> list[str]:
+        """Relative Hive partition dirs under a committed data dir
+        (``[""]`` for unpartitioned) -- a metadata-sized listing, the
+        same walk storage._recover_staging uses."""
+        fs, base = _fs_and_path(self.spark, data_path)
+
+        def leaves(p, d: int, rel: str):
+            if d == 0:
+                yield rel
+                return
+            for st in fs.listStatus(p):
+                if st.isDirectory():
+                    name = st.getPath().getName()
+                    yield from leaves(
+                        st.getPath(), d - 1, f"{rel}/{name}" if rel else name
+                    )
+
+        return sorted(leaves(base, depth, ""))
+
+    # -- reads ------------------------------------------------------------
+
+    def read(self, as_of: int | None = None) -> DataFrame:
+        """Scan one snapshot (latest, or time-travel to ``as_of``)."""
+        version = self.latest_version() if as_of is None else as_of
+        if version is None:
+            raise ValueError(f"no snapshots committed under {self.root}")
+        manifest = self._read_manifest(version)
+        # Group live partitions by data dir: one basePath-anchored scan
+        # per referenced version dir, unioned by name.
+        by_vdir: dict[str, list[str]] = {}
+        for part, vdirs in manifest["partitions"].items():
+            for vd in vdirs:
+                by_vdir.setdefault(vd, []).append(part)
+        scans = []
+        base_root = f"{self.root.rstrip('/')}/{DATA_DIR}"
+        for vd, parts in sorted(by_vdir.items()):
+            base = f"{base_root}/{vd}"
+            paths = [base] if parts == [""] else [f"{base}/{p}" for p in sorted(parts)]
+            scans.append(
+                self.spark.read.option("basePath", base).parquet(*paths)
+            )
+        return reduce(lambda a, b: a.unionByName(b), scans)
+
+    # -- retention --------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 10) -> dict:
+        """Drop all but the newest ``keep_last`` snapshots and every data
+        directory no kept snapshot references -- the executed equivalent
+        of the reference's ``write.metadata.previous-versions-max``
+        retention (catalog.ICEBERG_WRITE_OPTIONS).  Also sweeps crashed
+        commits (dangling manifest tmps, orphan data dirs)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        keep = set(vs[-keep_last:])
+        live_vdirs: set[str] = set()
+        for v in keep:
+            for vdirs in self._read_manifest(v)["partitions"].values():
+                live_vdirs.update(vdirs)
+        dropped_manifests = 0
+        for v in vs:
+            if v not in keep:
+                delete_prefix(self.spark, self._manifest_path(v))
+                dropped_manifests += 1
+        fs, mdir = _fs_and_path(self.spark, f"{self.root.rstrip('/')}/{MANIFEST_DIR}")
+        if fs.exists(mdir):
+            for st in fs.listStatus(mdir):
+                if st.getPath().getName().endswith(".tmp"):
+                    fs.delete(st.getPath(), False)
+        dropped_data = 0
+        droot = f"{self.root.rstrip('/')}/{DATA_DIR}"
+        fs, dp = _fs_and_path(self.spark, droot)
+        if fs.exists(dp):
+            for st in fs.listStatus(dp):
+                name = st.getPath().getName()
+                if st.isDirectory() and name not in live_vdirs:
+                    delete_prefix(self.spark, f"{droot}/{name}")
+                    dropped_data += 1
+        return {
+            "kept_versions": sorted(keep),
+            "dropped_manifests": dropped_manifests,
+            "dropped_data_dirs": dropped_data,
+        }

@@ -215,3 +215,77 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("source", "state")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot commits + time travel (the reference's Iceberg surface, executed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_time_travel_read",
+    oracle="""
+    WITH v1src AS (
+        SELECT * FROM documents WHERE lang <> 'es'
+        UNION ALL
+        SELECT * FROM documents WHERE lang = 'es' AND doc_id % 2 = 0
+    )
+    SELECT CAST(0 AS INT) AS version, lang,
+           CAST(COUNT(*) AS BIGINT)     AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT)  AS sum_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT CAST(1 AS INT), lang,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT)
+    FROM v1src GROUP BY lang
+    ORDER BY version, lang
+    """,
+    category="etl",
+    description="snapshot log end-to-end: commit documents as v0 "
+    "(partitioned by lang), dynamic-overwrite the 'es' partition as v1 "
+    "(keeping even doc_ids only), then aggregate BOTH a time-travel read "
+    "of v0 and the latest snapshot; the oracle recomputes both versions "
+    "from the source table -- the reference's Iceberg snapshot/time-"
+    "travel behavior (job_silver.py:174-178) under the correctness gate",
+)
+def snapshot_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    # Deterministic table root keyed by sf_dir, rebuilt per run (the
+    # pipeline_rest_ingest_roundtrip landing-dir pattern).
+    root = (
+        f"{tempfile.gettempdir()}/snapshot_tt_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(spark, root)
+    v0 = store.write(docs, mode="snapshot", partition_by=["lang"])
+    upd = docs.where((F.col("lang") == "es") & (F.col("doc_id") % 2 == 0))
+    store.write(upd, mode="overwrite_partitions", partition_by=["lang"])
+
+    def _agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum("n_chars").alias("sum_chars"),
+        ).select(
+            F.lit(version).cast("int").alias("version"),
+            "lang",
+            "n_docs",
+            "sum_doc_id",
+            "sum_chars",
+        )
+
+    return (
+        _agg(store.read(as_of=v0), 0)
+        .unionByName(_agg(store.read(), 1))
+        .orderBy("version", "lang")
+    )

@@ -1,0 +1,132 @@
+"""Snapshot log: commit modes, time travel, retention, crash/conflict.
+
+Covers the reference's Iceberg snapshot behaviors (job_silver.py:174-178
+retention, snapshot-per-write commits) as executed semantics on the
+manifest log in `snapshots.py`.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from docker_airflow_spark_minio_spark.snapshots import SnapshotConflict, SnapshotStore
+
+
+@pytest.fixture()
+def root(tmp_path):
+    p = tmp_path / "snaptab"
+    yield str(p)
+    shutil.rmtree(p, ignore_errors=True)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_snapshot_and_time_travel(spark, root):
+    store = SnapshotStore(spark, root)
+    df0 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    df1 = spark.createDataFrame([(3, "c")], "id int, v string")
+    assert store.write(df0, mode="snapshot") == 0
+    assert store.write(df1, mode="snapshot") == 1
+    assert _rows(store.read()) == [(3, "c")]
+    assert _rows(store.read(as_of=0)) == [(1, "a"), (2, "b")]
+    hist = store.history()
+    assert [h["version"] for h in hist] == [0, 1]
+    assert hist[1]["parent"] == 0 and hist[1]["mode"] == "snapshot"
+
+
+def test_append_accumulates(spark, root):
+    store = SnapshotStore(spark, root)
+    store.write(spark.createDataFrame([(1, "a")], "id int, v string"))
+    store.write(spark.createDataFrame([(2, "b")], "id int, v string"), mode="append")
+    assert _rows(store.read()) == [(1, "a"), (2, "b")]
+    assert _rows(store.read(as_of=0)) == [(1, "a")]
+
+
+def test_overwrite_partitions_repoints_only_touched(spark, root):
+    store = SnapshotStore(spark, root)
+    base = spark.createDataFrame(
+        [(1, "x", "d1"), (2, "y", "d1"), (3, "z", "d2")], "id int, v string, day string"
+    )
+    store.write(base, mode="snapshot", partition_by=["day"])
+    upd = spark.createDataFrame([(9, "w", "d2")], "id int, v string, day string")
+    v1 = store.write(upd, mode="overwrite_partitions", partition_by=["day"])
+    got = _rows(store.read().select("id", "v", "day"))
+    assert got == [(1, "x", "d1"), (2, "y", "d1"), (9, "w", "d2")]
+    # d1 still served from v0's files, d2 from v1's (no rewrite of d1).
+    m = store._read_manifest(v1)
+    assert m["partitions"]["day=d1"] == ["v0"]
+    assert m["partitions"]["day=d2"] == ["v1"]
+    # time travel sees the pre-overwrite d2
+    assert _rows(store.read(as_of=0).select("id", "v", "day")) == [
+        (1, "x", "d1"),
+        (2, "y", "d1"),
+        (3, "z", "d2"),
+    ]
+
+
+def test_partition_pruning_survives_manifest_read(spark, root):
+    store = SnapshotStore(spark, root)
+    base = spark.createDataFrame(
+        [(1, "d1"), (2, "d2"), (3, "d2")], "id int, day string"
+    )
+    store.write(base, partition_by=["day"])
+    df = store.read().filter("day = 'd2'")
+    assert df.count() == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the d1 directory must not appear in the scanned partitions
+    assert "day=d1" not in plan
+
+
+def test_expire_snapshots_retention(spark, root):
+    store = SnapshotStore(spark, root)
+    for i in range(4):
+        store.write(spark.createDataFrame([(i,)], "id int"), mode="snapshot")
+    out = store.expire_snapshots(keep_last=2)
+    assert out["kept_versions"] == [2, 3]
+    assert store.versions() == [2, 3]
+    # snapshot-mode commits orphan all older data dirs -> reclaimed
+    assert out["dropped_data_dirs"] == 2
+    with pytest.raises(Exception):
+        store.read(as_of=0)
+    assert _rows(store.read()) == [(3,)]
+    # append-referenced old dirs survive retention
+    store.write(spark.createDataFrame([(9,)], "id int"), mode="append")
+    store.expire_snapshots(keep_last=1)
+    assert _rows(store.read()) == [(3,), (9,)]
+
+
+def test_conflict_and_crash_recovery(spark, root):
+    store = SnapshotStore(spark, root)
+    store.write(spark.createDataFrame([(1,)], "id int"))
+    # two committers racing for v1: the rename-commit admits exactly one
+    m = store._read_manifest(0)
+    m["version"] = 1
+    store._commit_manifest(1, m)
+    with pytest.raises(SnapshotConflict):
+        store._commit_manifest(1, m)
+    # a post-conflict retry lands on the next version as a normal commit
+    assert store.write(spark.createDataFrame([(2,)], "id int")) == 2
+    assert store.versions() == [0, 1, 2]
+    assert _rows(store.read()) == [(2,)]
+    # dangling tmp (crash before rename) is invisible and swept
+    tmp = f"{root}/_manifests/.v9.json.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write("{}")
+    assert store.versions() == [0, 1, 2]
+    store.expire_snapshots(keep_last=10)
+    import os
+
+    assert not os.path.exists(tmp)
+
+
+def test_partition_by_must_be_stable(spark, root):
+    store = SnapshotStore(spark, root)
+    store.write(
+        spark.createDataFrame([(1, "d1")], "id int, day string"), partition_by=["day"]
+    )
+    with pytest.raises(ValueError):
+        store.write(spark.createDataFrame([(2, "d1")], "id int, day string"))
