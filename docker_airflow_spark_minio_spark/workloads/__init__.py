@@ -21,3 +21,4 @@ from . import multimodal  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import corpus_extra  # noqa: F401,E402
 from . import etl_extra  # noqa: F401,E402
+from . import curation  # noqa: F401,E402
