@@ -68,3 +68,16 @@ def delete_prefix(spark: SparkSession, uri: str) -> bool:
     if fs.exists(path):
         return bool(fs.delete(path, True))
     return False
+
+
+def hive_partition_dir(spark: SparkSession, cols: list[str], vals: tuple) -> str:
+    """Relative partition directory exactly as Spark's writer lays it
+    out: Hive path escaping on names and values (the same
+    ``ExternalCatalogUtils.escapePathName`` the write path uses, so the
+    charsets cannot drift), nulls as the Hive default partition name."""
+    esc = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    parts = []
+    for c, v in zip(cols, vals):
+        pv = "__HIVE_DEFAULT_PARTITION__" if v is None else esc.escapePathName(str(v))
+        parts.append(f"{esc.escapePathName(c)}={pv}")
+    return "/".join(parts)

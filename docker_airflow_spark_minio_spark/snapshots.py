@@ -65,6 +65,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 
 from .fsmeta import _fs_and_path, delete_prefix
+from .fsmeta import hive_partition_dir as _hive_partition_dir
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
@@ -137,9 +138,25 @@ class SnapshotStore:
         """Commit metadata per version, ascending (the ``.history``
         equivalent of an Iceberg table)."""
         return [
-            {k: m[k] for k in ("version", "parent", "mode", "committed_at_ms")}
+            {
+                k: m.get(k)
+                for k in ("version", "parent", "mode", "committed_at_ms", "metadata")
+            }
             for m in (self._read_manifest(v) for v in self.versions())
         ]
+
+    def committed_metadata(self, key: str) -> set:
+        """Every value of ``metadata[key]`` across committed snapshots.
+        The streaming-sink idempotence probe: a replayed micro-batch
+        whose batch id is already here was fully committed before the
+        crash and must be skipped.  O(versions) manifest reads --
+        metadata-plane, bounded by retention."""
+        out = set()
+        for v in self.versions():
+            val = self._read_manifest(v).get("metadata", {}).get(key)
+            if val is not None:
+                out.add(val)
+        return out
 
     # -- writes -----------------------------------------------------------
 
@@ -148,12 +165,25 @@ class SnapshotStore:
         df: DataFrame,
         mode: str = "snapshot",
         partition_by: list[str] | None = None,
+        metadata: dict | None = None,
+        claimed_partitions: list[tuple] | None = None,
     ) -> int:
         """Commit ``df`` as a new snapshot; returns the committed version.
 
         mode: 'snapshot' | 'append' | 'overwrite_partitions'
         ``partition_by`` must be stable across the table's lifetime
         (checked against the parent manifest).
+        ``metadata`` is recorded verbatim in the manifest -- e.g. a
+        streaming sink's batch id, which makes commit idempotence
+        checkable via :meth:`committed_metadata` (the atomic manifest
+        rename means a commit either fully carries its metadata or
+        never happened).
+        ``claimed_partitions`` (overwrite_partitions mode only): value
+        tuples this commit takes ownership of even when ``df`` holds NO
+        rows for them -- a claimed partition absent from the output is
+        REMOVED from the table.  Without it, replacement is inferred
+        from the partitions present in ``df``, which cannot express
+        "this partition is now empty" (the CDC delete case).
         """
         if mode not in ("snapshot", "append", "overwrite_partitions"):
             raise ValueError(f"unknown snapshot write mode: {mode}")
@@ -180,6 +210,10 @@ class SnapshotStore:
                 partitions.setdefault(p, []).append(vdir)
         else:  # overwrite_partitions: repoint only partitions present in df
             partitions = {k: list(v) for k, v in parent["partitions"].items()}
+            for vals in claimed_partitions or []:
+                # Claimed-but-absent-from-output partitions are dropped;
+                # claimed-and-present ones are re-pointed just below.
+                partitions.pop(_hive_partition_dir(self.spark, pby, vals), None)
             for p in new_parts:
                 partitions[p] = [vdir]
         manifest = {
@@ -189,6 +223,7 @@ class SnapshotStore:
             "partition_by": pby,
             "partitions": partitions,
             "committed_at_ms": int(time.time() * 1000),
+            "metadata": dict(metadata or {}),
         }
         try:
             self._commit_manifest(version, manifest)

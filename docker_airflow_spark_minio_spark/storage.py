@@ -220,17 +220,9 @@ class TableManager:
         return path
 
     def _partition_dir(self, partition_by: list[str], vals: tuple) -> str:
-        """Relative partition directory exactly as Spark's writer lays it
-        out: Hive path escaping on names and values (the same
-        ``ExternalCatalogUtils.escapePathName`` the write path uses, so
-        the charsets cannot drift), nulls as the Hive default partition
-        name."""
-        esc = self.spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        parts = []
-        for c, v in zip(partition_by, vals):
-            pv = "__HIVE_DEFAULT_PARTITION__" if v is None else esc.escapePathName(str(v))
-            parts.append(f"{esc.escapePathName(c)}={pv}")
-        return "/".join(parts)
+        from .fsmeta import hive_partition_dir
+
+        return hive_partition_dir(self.spark, partition_by, vals)
 
     def _recover_staging(self, path: str, tmp_path: str, depth: int) -> None:
         """Finish a crashed merge swap: every partition directory staged

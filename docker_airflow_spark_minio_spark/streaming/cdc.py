@@ -1,0 +1,173 @@
+"""Streaming CDC: exactly-once MERGE (upsert + delete) into the snapshot log.
+
+The batch CDC path (``storage.merge_upsert``) rewrites affected
+partitions with a multi-rename swap; its crash windows are recoverable
+but not atomic (its docstring documents the limit).  This sink routes
+the same latest-wins merge through :class:`..snapshots.SnapshotStore`
+instead, which upgrades both guarantees the reference's Iceberg tables
+get from snapshot commits (reference job_silver.py:174-178):
+
+ * **atomic commit** -- the merge lands as ONE manifest rename; a crash
+   mid-write leaves an orphan data directory invisible to readers, never
+   a half-swapped table.
+ * **exactly-once under replay** -- the micro-batch id is recorded IN
+   the committed manifest (same atomic unit), so a batch replayed after
+   a crash between sink commit and checkpoint advance is detected via
+   :meth:`SnapshotStore.committed_metadata` and skipped.  This closes
+   the window the dynamic-overwrite silver sink handles with
+   batch-keyed partition overwrite -- here no bookkeeping column is
+   needed in the data at all.
+ * **deletes** -- a partition rewrite can DROP rows, so CDC delete
+   records (``soft_delete_col``) work; dynamic partition overwrite
+   alone cannot express a delete without rewriting unrelated rows.
+
+Scale notes: per batch, only partitions PRESENT in the batch are read
+back and rewritten (cost ~ changed partitions, not table); the merge
+shuffles affected rows + batch once on the key; the affected-partition
+list is a driver-side metadata collect (same cardinality dynamic
+overwrite tracks); old versions stay readable (time travel) until
+``expire_snapshots``.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..snapshots import SnapshotStore
+
+BATCH_KEY = "batch_id"
+
+
+def upsert_snapshot_batch(
+    store: SnapshotStore,
+    updates: DataFrame,
+    keys: list[str],
+    partition_by: list[str],
+    order_by: str,
+    batch_id: int | None = None,
+    soft_delete_col: str | None = None,
+) -> int | None:
+    """One transactional latest-wins merge; returns the committed
+    version, or None when ``batch_id`` was already committed (replay).
+
+    Within a key the greatest ``order_by`` wins; on a tie the update
+    beats the stored row (re-applying a batch is a no-op).  When
+    ``soft_delete_col`` is set, a surviving update with that column true
+    removes the key from the table.
+    """
+    if batch_id is not None and batch_id in store.committed_metadata(BATCH_KEY):
+        return None
+    meta = {BATCH_KEY: batch_id} if batch_id is not None else None
+
+    if soft_delete_col is None:
+        updates = updates.withColumn("__del", F.lit(False))
+    else:
+        updates = updates.withColumnRenamed(soft_delete_col, "__del")
+
+    if store.latest_version() is None:
+        w0 = Window.partitionBy(*keys).orderBy(F.col(order_by).desc())
+        first = (
+            updates.withColumn("__rn", F.row_number().over(w0))
+            .where((F.col("__rn") == 1) & (~F.col("__del")))
+            .drop("__rn", "__del")
+        )
+        return store.write(
+            first, mode="snapshot", partition_by=partition_by, metadata=meta
+        )
+
+    affected = [
+        tuple(r) for r in updates.select(*partition_by).distinct().collect()
+    ]
+    if not affected:
+        return None
+    match = functools.reduce(
+        operator.or_,
+        (
+            functools.reduce(
+                operator.and_,
+                (
+                    F.col(c).isNull() if v is None else F.col(c) == F.lit(v)
+                    for c, v in zip(partition_by, vals)
+                ),
+            )
+            for vals in affected
+        ),
+    )
+    base = (
+        store.read()
+        .where(match)
+        .withColumn("__del", F.lit(False))
+        .withColumn("__upd", F.lit(0))
+    )
+    merged = base.unionByName(updates.withColumn("__upd", F.lit(1)))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_by).desc(), F.col("__upd").desc()
+    )
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (~F.col("__del")))
+        .drop("__rn", "__upd", "__del")
+    )
+    return store.write(
+        latest,
+        mode="overwrite_partitions",
+        partition_by=partition_by,
+        metadata=meta,
+        # Claim every batch-touched partition: one whose rows ALL lose
+        # the merge (e.g. the last key deleted) must be dropped from the
+        # manifest, not left serving its stale files.
+        claimed_partitions=affected,
+    )
+
+
+def run_cdc_stream(
+    spark: SparkSession,
+    updates_dir: str,
+    schema: str,
+    store_root: str,
+    keys: list[str],
+    partition_by: list[str],
+    order_by: str,
+    checkpoint: str,
+    soft_delete_col: str | None = None,
+    available_now: bool = True,
+    on_batch_commit=None,
+):
+    """Stream NDJSON update files into a snapshot-log table as
+    exactly-once MERGE commits; returns the StreamingQuery.
+
+    ``on_batch_commit(batch_id)`` fires after the snapshot commit and
+    before the checkpoint advances -- the fault-injection point the
+    replay test uses to kill inside the worst window.
+    """
+    store = SnapshotStore(spark, store_root)
+    updates = spark.readStream.schema(schema).json(updates_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_snapshot_batch(
+            store,
+            batch_df,
+            keys=keys,
+            partition_by=partition_by,
+            order_by=order_by,
+            batch_id=batch_id,
+            soft_delete_col=soft_delete_col,
+        )
+        if on_batch_commit is not None:
+            on_batch_commit(batch_id)
+
+    writer = (
+        updates.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q

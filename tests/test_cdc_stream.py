@@ -1,0 +1,161 @@
+"""Streaming CDC into the snapshot log: merge semantics, deletes,
+time travel, and exactly-once across the commit-to-checkpoint window.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from docker_airflow_spark_minio_spark.snapshots import SnapshotStore
+from docker_airflow_spark_minio_spark.streaming.cdc import run_cdc_stream
+
+SCHEMA = "id INT, v STRING, day STRING, ts INT, deleted BOOLEAN"
+
+
+def _write_updates(updates_dir: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(updates_dir, exist_ok=True)
+    with open(os.path.join(updates_dir, name), "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run(spark, tmp_path, **kw):
+    return run_cdc_stream(
+        spark,
+        str(tmp_path / "upd"),
+        SCHEMA,
+        str(tmp_path / "tab"),
+        keys=["id"],
+        partition_by=["day"],
+        order_by="ts",
+        checkpoint=str(tmp_path / "ckpt"),
+        soft_delete_col="deleted",
+        **kw,
+    )
+
+
+def _table(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "tab"))
+    return sorted(
+        (r["id"], r["v"], r["day"]) for r in store.read().collect()
+    )
+
+
+def test_cdc_upsert_delete_and_time_travel(spark, tmp_path):
+    upd = str(tmp_path / "upd")
+    _write_updates(
+        upd,
+        "b0.json",
+        [
+            {"id": 1, "v": "a", "day": "d1", "ts": 1, "deleted": False},
+            {"id": 2, "v": "b", "day": "d1", "ts": 1, "deleted": False},
+            {"id": 3, "v": "c", "day": "d2", "ts": 1, "deleted": False},
+        ],
+    )
+    _run(spark, tmp_path)
+    assert _table(spark, tmp_path) == [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")]
+
+    # update id=1, DELETE id=2, insert id=4; d2 untouched
+    _write_updates(
+        upd,
+        "b1.json",
+        [
+            {"id": 1, "v": "a2", "day": "d1", "ts": 2, "deleted": False},
+            {"id": 2, "v": "b", "day": "d1", "ts": 2, "deleted": True},
+            {"id": 4, "v": "d", "day": "d1", "ts": 2, "deleted": False},
+        ],
+    )
+    _run(spark, tmp_path)
+    assert _table(spark, tmp_path) == [(1, "a2", "d1"), (3, "c", "d2"), (4, "d", "d1")]
+
+    store = SnapshotStore(spark, str(tmp_path / "tab"))
+    # d2 still served by v0's files (only d1 was rewritten)
+    m = store._read_manifest(store.latest_version())
+    assert m["partitions"]["day=d2"] == ["v0"]
+    # time travel shows the pre-merge state including the deleted row
+    v0 = sorted((r["id"], r["v"]) for r in store.read(as_of=0).collect())
+    assert v0 == [(1, "a"), (2, "b"), (3, "c")]
+    # batch ids rode the manifests
+    assert store.committed_metadata("batch_id") == {0, 1}
+
+
+def test_cdc_delete_empties_whole_partition(spark, tmp_path):
+    # The bug the first library drive caught: when a delete removes the
+    # LAST row of a partition, the merge output holds no rows for it, so
+    # partition-presence inference would keep the stale files; the sink
+    # must claim the partition and drop it from the manifest.
+    upd = str(tmp_path / "upd")
+    _write_updates(
+        upd,
+        "b0.json",
+        [
+            {"id": 1, "v": "a", "day": "d1", "ts": 1, "deleted": False},
+            {"id": 2, "v": "b", "day": "d2", "ts": 1, "deleted": False},
+        ],
+    )
+    _run(spark, tmp_path)
+    _write_updates(
+        upd, "b1.json", [{"id": 2, "v": "b", "day": "d2", "ts": 2, "deleted": True}]
+    )
+    _run(spark, tmp_path)
+    assert _table(spark, tmp_path) == [(1, "a", "d1")]
+    store = SnapshotStore(spark, str(tmp_path / "tab"))
+    m = store._read_manifest(store.latest_version())
+    assert "day=d2" not in m["partitions"]
+    # ... but time travel to v0 still shows it
+    assert sorted(r["id"] for r in store.read(as_of=0).collect()) == [1, 2]
+
+
+def test_cdc_stale_update_loses(spark, tmp_path):
+    upd = str(tmp_path / "upd")
+    _write_updates(
+        upd, "b0.json", [{"id": 1, "v": "new", "day": "d1", "ts": 5, "deleted": False}]
+    )
+    _run(spark, tmp_path)
+    _write_updates(
+        upd, "b1.json", [{"id": 1, "v": "old", "day": "d1", "ts": 3, "deleted": False}]
+    )
+    _run(spark, tmp_path)
+    assert _table(spark, tmp_path) == [(1, "new", "d1")]
+
+
+def test_cdc_replay_after_kill_between_commit_and_checkpoint(spark, tmp_path):
+    upd = str(tmp_path / "upd")
+    _write_updates(
+        upd,
+        "b0.json",
+        [
+            {"id": 1, "v": "a", "day": "d1", "ts": 1, "deleted": False},
+            {"id": 2, "v": "b", "day": "d1", "ts": 1, "deleted": False},
+        ],
+    )
+
+    class Kill(Exception):
+        pass
+
+    def die_after_commit(batch_id: int) -> None:
+        raise Kill(f"killed after commit of batch {batch_id}")
+
+    with pytest.raises(Exception):  # StreamingQueryException wrapping Kill
+        _run(spark, tmp_path, on_batch_commit=die_after_commit)
+
+    # The snapshot committed before the kill.
+    store = SnapshotStore(spark, str(tmp_path / "tab"))
+    assert store.versions() == [0]
+
+    # Restart with the same checkpoint: batch 0 replays, is detected as
+    # committed via its manifest batch id, and is NOT re-applied.
+    _run(spark, tmp_path)
+    store = SnapshotStore(spark, str(tmp_path / "tab"))
+    assert store.versions() == [0]  # no duplicate commit
+    assert _table(spark, tmp_path) == [(1, "a", "d1"), (2, "b", "d1")]
+
+    # New data after recovery still flows.
+    _write_updates(
+        upd, "b1.json", [{"id": 3, "v": "c", "day": "d1", "ts": 2, "deleted": False}]
+    )
+    _run(spark, tmp_path)
+    assert _table(spark, tmp_path) == [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d1")]
