@@ -420,38 +420,63 @@ ORDER BY doc_a, doc_b
 """
 
 
+_SIMHASH64_CACHE = PersistCache("dedup_simhash64_bands")
+
+
 def _simhash64_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(doc_id, bkey)``: one row per (doc, band) with the combined
     band-id + 16-bit band-signature key.  Pure per-row map (array folds
     over the two shingle-hash streams) -- no shuffle until the bucket
-    self-join."""
+    self-join.  Persisted: the candidate self-join consumes it TWICE
+    (both sides), and without the persist each side re-runs the
+    64-bit-test signature map over every document (measured ~2x the
+    query's wall time at sf0.1; at real scale this frame is the
+    signatures table you materialize once)."""
+    return _SIMHASH64_CACHE.get_or_build(
+        spark, sf_dir, lambda: _simhash64_bands_plan(spark, sf_dir)
+    )
+
+
+def _simhash64_bands_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode -> hash once -> 64 bit-vote partial aggregates.
+
+    NOT array-folds over (h1, h2) transform columns: projection collapse
+    inlines the md5 transform into every one of the 64 bit-test lambdas
+    (higher-order functions get no codegen subexpression elimination),
+    recomputing each shingle's digest 64x -- measured 5.9s vs 0.9s at
+    sf0.1 for the same result.  Here each shingle is hashed exactly once;
+    the vote aggregation partial-aggregates to ONE 64-long row per doc
+    before the shuffle (explode preserves doc locality), so the shuffle
+    carries |docs| rows of longs, never the shingle fan-out."""
     sh = _shingles(spark, sf_dir)
-    hs = sh.select(
-        "doc_id",
-        F.transform("sh", lambda s: h32(s)).alias("h1"),
-        F.transform("sh", lambda s: h32_hi(s)).alias("h2"),
-    ).where(F.size("h1") > 0)
-
-    def _bit_set(i: int):
-        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
-
-    n = F.size("h1")
+    ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", h32(F.col("s")).alias("h1"), h32_hi(F.col("s")).alias("h2")
+    )
+    votes = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright("h1" if g < 32 else "h2", g % 32)
+                .bitwiseAND(F.lit(1))
+                .cast("long")
+                * 2
+                - 1
+            ).alias(f"v{g}")
+            for g in range(SIMHASH64_BANDS * SIMHASH64_BAND_BITS)
+        ]
+    )
     band_keys = []
     for k in range(SIMHASH64_BANDS):
-        src = "h1" if k < 2 else "h2"
-        base = (k % 2) * SIMHASH64_BAND_BITS
         key = sum(
             [
                 F.when(
-                    2 * F.size(F.filter(src, _bit_set(base + j))) - n >= 0,
-                    F.lit(1 << j),
+                    F.col(f"v{k * SIMHASH64_BAND_BITS + j}") >= 0, F.lit(1 << j)
                 ).otherwise(F.lit(0))
                 for j in range(SIMHASH64_BAND_BITS)
             ],
             F.lit(k * 65536),
         )
         band_keys.append(key.cast("long").alias(f"b{k}"))
-    wide = hs.select("doc_id", *band_keys)
+    wide = votes.select("doc_id", *band_keys)
     return wide.select(
         "doc_id",
         F.explode(F.array(*[F.col(f"b{k}") for k in range(SIMHASH64_BANDS)])).alias(

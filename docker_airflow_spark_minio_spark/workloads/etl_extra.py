@@ -267,8 +267,13 @@ def snapshot_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     store = SnapshotStore(spark, root)
-    v0 = store.write(docs, mode="snapshot", partition_by=["lang"])
-    upd = docs.where((F.col("lang") == "es") & (F.col("doc_id") % 2 == 0))
+    # Cluster rows by the partition column before the write: without it
+    # every input split holds every lang, so the commit fans out to
+    # n_splits x n_langs small files (measured 2x the entry's wall time
+    # in file overhead at sf0.1).  Same move a real table write makes.
+    by_lang = docs.repartition("lang")
+    v0 = store.write(by_lang, mode="snapshot", partition_by=["lang"])
+    upd = by_lang.where((F.col("lang") == "es") & (F.col("doc_id") % 2 == 0))
     store.write(upd, mode="overwrite_partitions", partition_by=["lang"])
 
     def _agg(df: DataFrame, version: int) -> DataFrame:
