@@ -254,8 +254,12 @@ class SnapshotStore:
 
     # -- reads ------------------------------------------------------------
 
-    def read(self, as_of: int | None = None) -> DataFrame:
-        """Scan one snapshot (latest, or time-travel to ``as_of``)."""
+    def read(
+        self, as_of: int | None = None, partitions: list[str] | None = None
+    ) -> DataFrame:
+        """Scan one snapshot (latest, or time-travel to ``as_of``);
+        ``partitions`` restricts to the given relative partition dirs
+        (manifest-level pruning -- the scan never lists the others)."""
         version = self.latest_version() if as_of is None else as_of
         if version is None:
             raise ValueError(f"no snapshots committed under {self.root}")
@@ -264,8 +268,14 @@ class SnapshotStore:
         # per referenced version dir, unioned by name.
         by_vdir: dict[str, list[str]] = {}
         for part, vdirs in manifest["partitions"].items():
+            if partitions is not None and part not in partitions:
+                continue
             for vd in vdirs:
                 by_vdir.setdefault(vd, []).append(part)
+        if not by_vdir:
+            raise ValueError(
+                f"no matching partitions in snapshot v{version} under {self.root}"
+            )
         scans = []
         base_root = f"{self.root.rstrip('/')}/{DATA_DIR}"
         for vd, parts in sorted(by_vdir.items()):
@@ -275,6 +285,45 @@ class SnapshotStore:
                 self.spark.read.option("basePath", base).parquet(*paths)
             )
         return reduce(lambda a, b: a.unionByName(b), scans)
+
+    # -- maintenance ------------------------------------------------------
+
+    def compact(self, all_partitions: bool = False) -> int | None:
+        """Rewrite fragmented partitions into single data directories --
+        the OPTIMIZE/rewrite-data-files maintenance a table accumulating
+        append / CDC commits needs (each append leaves every touched
+        partition referencing one more directory; a streaming sink
+        commits many small files per day).
+
+        By default only partitions referenced by MORE THAN ONE data dir
+        are rewritten (cost ~ fragmentation, not table size);
+        ``all_partitions=True`` rewrites everything.  Returns the
+        committed version, or None if nothing is fragmented.  Rows are
+        unchanged; the rewrite clusters by the partition columns so each
+        lands as one directory of full files.  Old directories stay
+        readable (time travel) until :meth:`expire_snapshots`.
+        """
+        head = self.latest_version()
+        if head is None:
+            return None
+        manifest = self._read_manifest(head)
+        targets = [
+            p
+            for p, vdirs in manifest["partitions"].items()
+            if all_partitions or len(vdirs) > 1
+        ]
+        if not targets:
+            return None
+        pby = manifest["partition_by"]
+        df = self.read(partitions=targets)
+        if pby:
+            df = df.repartition(*pby)
+        return self.write(
+            df,
+            mode="overwrite_partitions",
+            partition_by=pby,
+            metadata={"compaction": True, "compacted": sorted(targets)},
+        )
 
     # -- retention --------------------------------------------------------
 

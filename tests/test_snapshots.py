@@ -130,3 +130,41 @@ def test_partition_by_must_be_stable(spark, root):
     )
     with pytest.raises(ValueError):
         store.write(spark.createDataFrame([(2, "d1")], "id int, day string"))
+
+
+def test_compact_defragments_appended_partitions(spark, root):
+    store = SnapshotStore(spark, root)
+    store.write(
+        spark.createDataFrame([(1, "d1"), (2, "d2")], "id int, day string"),
+        partition_by=["day"],
+    )
+    for i in (3, 4):
+        store.write(
+            spark.createDataFrame([(i, "d1")], "id int, day string"),
+            mode="append",
+            partition_by=["day"],
+        )
+    m = store._read_manifest(store.latest_version())
+    assert len(m["partitions"]["day=d1"]) == 3  # fragmented
+    before = _rows(store.read().select("id", "day"))
+
+    v = store.compact()
+    m = store._read_manifest(v)
+    assert m["partitions"]["day=d1"] == [f"v{v}"]  # defragmented
+    assert m["partitions"]["day=d2"] == ["v0"]  # untouched (not fragmented)
+    assert _rows(store.read().select("id", "day")) == before
+    assert m["metadata"] == {"compaction": True, "compacted": ["day=d1"]}
+    # nothing left fragmented -> no-op
+    assert store.compact() is None
+    # retention reclaims the pre-compaction directories for d1
+    store.expire_snapshots(keep_last=1)
+    assert _rows(store.read().select("id", "day")) == before
+
+
+def test_compact_unpartitioned(spark, root):
+    store = SnapshotStore(spark, root)
+    store.write(spark.createDataFrame([(1,)], "id int"))
+    store.write(spark.createDataFrame([(2,)], "id int"), mode="append")
+    v = store.compact()
+    assert store._read_manifest(v)["partitions"][""] == [f"v{v}"]
+    assert _rows(store.read()) == [(1,), (2,)]
