@@ -105,7 +105,12 @@ def run_gold(
                 cat.overwrite_partitions(out, tbl)
             read_back = cat.read(tbl)
         else:
-            manager = TableManager(spark, warehouse)
+            if backend == "snapshots":
+                from ..snapshots import SnapshotTableManager
+
+                manager = SnapshotTableManager(spark, warehouse)
+            else:
+                manager = TableManager(spark, warehouse)
             silver = manager.read(silver_table)
             out = gold_summary(silver, sys_file_date)
             out, harvest = observe_quality(out, [])

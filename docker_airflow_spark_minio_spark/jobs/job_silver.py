@@ -95,6 +95,12 @@ def run_silver(
             else:
                 cat.append(out, tbl)
             read_back = cat.read(tbl)
+        elif backend == "snapshots":
+            from ..snapshots import SnapshotTableManager
+
+            manager = SnapshotTableManager(spark, warehouse)
+            manager.write(out, table, partition_by=part_cols, mode=mode)
+            read_back = manager.read(table)
         else:
             manager = TableManager(spark, warehouse)
             manager.write(out, table, partition_by=part_cols, mode=mode)

@@ -169,7 +169,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bronze-dir", required=True)
     p.add_argument("--warehouse", required=True)
     p.add_argument("--date", default=None, help="load date YYYY-MM-DD (default: today, America/Sao_Paulo)")
-    p.add_argument("--backend", choices=["path", "catalog"], default="path")
+    p.add_argument(
+        "--backend", choices=["path", "catalog", "snapshots"], default="path"
+    )
     p.add_argument("--per-page", type=int, default=200)
     args = p.parse_args(argv)
 

@@ -365,3 +365,45 @@ class SnapshotStore:
             "dropped_manifests": dropped_manifests,
             "dropped_data_dirs": dropped_data,
         }
+
+
+@dataclass
+class SnapshotTableManager:
+    """:class:`..storage.TableManager`-compatible facade over per-table
+    snapshot logs: same ``write``/``read``/``read_partition`` surface,
+    but every write is an atomic snapshot commit with time travel and
+    retention -- the executed equivalent of running the reference's
+    silver/gold on Iceberg tables (reference job_silver.py:174-178).
+    Jobs select it with ``backend='snapshots'``.
+    """
+
+    spark: SparkSession
+    warehouse: str
+
+    def path(self, table: str) -> str:
+        return f"{self.warehouse.rstrip('/')}/{table.replace('.', '/')}"
+
+    def store(self, table: str) -> SnapshotStore:
+        return SnapshotStore(self.spark, self.path(table))
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        mode: str = "overwrite_partitions",
+        sort_within_partitions: list[str] | None = None,
+    ) -> str:
+        if sort_within_partitions:
+            df = df.sortWithinPartitions(*sort_within_partitions)
+        self.store(table).write(df, mode=mode, partition_by=partition_by)
+        return self.path(table)
+
+    def read(self, table: str, as_of: int | None = None) -> DataFrame:
+        return self.store(table).read(as_of=as_of)
+
+    def read_partition(self, table: str, **partition_values: str) -> DataFrame:
+        df = self.read(table)
+        for col, value in partition_values.items():
+            df = df.filter(df[col] == value)
+        return df

@@ -1,0 +1,55 @@
+"""Silver/gold e2e on the snapshot-log backend: every write is an atomic
+snapshot commit, day reruns repoint only their partition, prior states
+stay readable by time travel, and retention bounds the log -- the
+reference's Iceberg silver/gold behavior (job_silver.py:174-178),
+executed.
+"""
+
+from __future__ import annotations
+
+from docker_airflow_spark_minio_spark.jobs import run_gold, run_silver
+from docker_airflow_spark_minio_spark.snapshots import SnapshotStore
+from test_pipeline_e2e import DAY_A, DAY_B, RECORDS_A, lake  # noqa: F401
+
+
+def test_snapshots_backend_e2e_with_time_travel(spark, lake):  # noqa: F811
+    bronze, warehouse = lake
+    n_a = run_silver(spark, bronze, DAY_A, warehouse, backend="snapshots")
+    n_b = run_silver(spark, bronze, DAY_B, warehouse, backend="snapshots")
+    assert (n_a, n_b) == (3, 1)
+    # two gold groups for day A: (micro, US) and (nano, PT)
+    assert run_gold(spark, warehouse, DAY_A, backend="snapshots") == 2
+
+    silver = SnapshotStore(spark, f"{warehouse}/dw/tab_brewery")
+    assert silver.versions() == [0, 1]
+
+    # Re-run day A (idempotent): a NEW snapshot commit repointing only
+    # day A's partition; day B still served from its original commit.
+    assert run_silver(spark, bronze, DAY_A, warehouse, backend="snapshots") == 3
+    assert silver.versions() == [0, 1, 2]
+    m = silver._read_manifest(2)
+    assert m["partitions"][f"sys_file_date={DAY_A}"] == ["v2"]
+    assert m["partitions"][f"sys_file_date={DAY_B}"] == ["v1"]
+
+    # The head equals the pre-rerun state (idempotence), and time travel
+    # to v1 shows the same rows too.
+    ids_now = sorted(
+        r["id"] for r in silver.read().where(f"sys_file_date = '{DAY_A}'").collect()
+    )
+    ids_v1 = sorted(
+        r["id"]
+        for r in silver.read(as_of=1).where(f"sys_file_date = '{DAY_A}'").collect()
+    )
+    assert ids_now == ids_v1 == ["1", "2", "3"]
+
+    # Retention: keep only the head; the table still reads completely.
+    silver.expire_snapshots(keep_last=1)
+    assert silver.versions() == [2]
+    assert silver.read().count() == 4
+
+    gold = SnapshotStore(spark, f"{warehouse}/dw/tab_brewery_summary")
+    rows = {
+        (r["brewery_type"], r["country"]): r["qtd"]
+        for r in gold.read().where(f"sys_file_date = '{DAY_A}'").collect()
+    }
+    assert rows == {("micro", "US"): 2, ("nano", "PT"): 1}
