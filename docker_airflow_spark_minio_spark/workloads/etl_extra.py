@@ -294,3 +294,88 @@ def snapshot_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_agg(store.read(), 1))
         .orderBy("version", "lang")
     )
+
+
+@register(
+    "snapshot_cdc_merge_read",
+    oracle="""
+    WITH v1src AS (
+        SELECT lang,
+               CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END
+                   AS n_chars
+        FROM documents WHERE doc_id % 7 <> 0
+    )
+    SELECT CAST(0 AS INT) AS version, lang,
+           CAST(COUNT(*) AS BIGINT)     AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT CAST(1 AS INT), lang,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT)
+    FROM v1src GROUP BY lang
+    ORDER BY version, lang
+    """,
+    category="etl",
+    description="CDC MERGE under the gate: load documents as snapshot "
+    "v0, apply one batch of updates (doc_id%5: n_chars+1) and deletes "
+    "(doc_id%7, which beat a same-key update deterministically via the "
+    "order column), then aggregate both the pre-merge and post-merge "
+    "snapshots; the oracle recomputes both states from the source table",
+)
+def snapshot_cdc_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+    from ..streaming.cdc import upsert_snapshot_batch
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    root = (
+        f"{tempfile.gettempdir()}/snapshot_cdc_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(spark, root)
+    base = docs.repartition("lang").withColumn("op_seq", F.lit(0))
+    v0 = store.write(base, mode="snapshot", partition_by=["lang"])
+
+    upd = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .withColumn("n_chars", F.col("n_chars") + 1)
+        .withColumn("op_seq", F.lit(1))
+        .withColumn("del", F.lit(False))
+    )
+    dele = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .withColumn("op_seq", F.lit(2))
+        .withColumn("del", F.lit(True))
+    )
+    batch = upd.unionByName(dele)
+    upsert_snapshot_batch(
+        store,
+        batch,
+        keys=["doc_id"],
+        partition_by=["lang"],
+        order_by="op_seq",
+        batch_id=1,
+        soft_delete_col="del",
+    )
+
+    def _agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        ).select(
+            F.lit(version).cast("int").alias("version"),
+            "lang",
+            "n_docs",
+            "sum_chars",
+        )
+
+    return (
+        _agg(store.read(as_of=v0), 0)
+        .unionByName(_agg(store.read(), 1))
+        .orderBy("version", "lang")
+    )

@@ -52,6 +52,10 @@ def test_no_cartesian_anywhere_in_the_registry(spark):
         # single-row COUNT(*) attach deriving the corpus-scaled LSH
         # bucket width (workloads/dedup.py) -- broadcast 1x1, not data
         "dedup_embedding_cosine_pairs",
+        # single-row PQ codebook model attach (the kmeans/IVF pattern)
+        "ann_pq_adc_topk",
+        # single-row corpus-stats (N, avgdl, df) attach for BM25 scoring
+        "text_bm25_topk",
     }
     for name, wl in REGISTRY.items():
         if name in allowed:
