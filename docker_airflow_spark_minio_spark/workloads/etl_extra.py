@@ -379,3 +379,126 @@ def snapshot_cdc_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_agg(store.read(), 1))
         .orderBy("version", "lang")
     )
+
+
+@register(
+    "streaming_cdc_upsert_live",
+    oracle="""
+    WITH es AS (SELECT * FROM documents WHERE lang = 'es'),
+    v1src AS (
+        SELECT source,
+               CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END
+                   AS n_chars
+        FROM es WHERE doc_id % 7 <> 0
+    )
+    SELECT CAST(0 AS INT) AS version, source,
+           CAST(COUNT(*) AS BIGINT)     AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM es GROUP BY source
+    UNION ALL
+    SELECT CAST(1 AS INT), source,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT)
+    FROM v1src GROUP BY source
+    ORDER BY version, source
+    """,
+    category="streaming",
+    description="LIVE streaming CDC: two availableNow StreamingQuery "
+    "runs drive NDJSON update files through the foreachBatch merge sink "
+    "into the snapshot log (insert batch, then update+delete batch); "
+    "the result aggregates both committed snapshots -- same oracle as "
+    "the batch twin snapshot_cdc_merge_read, so the streaming merge "
+    "path itself sits under the correctness gate",
+)
+def streaming_cdc_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+    from ..streaming.cdc import run_cdc_stream
+
+    # The es slice: the batch twin covers the full table; the live
+    # entry exercises the identical streaming machinery at a cost that
+    # does not dominate the sweep (two cold StreamingQuery starts are
+    # already its floor).
+    docs = load_tables(spark, sf_dir)["documents"].where(F.col("lang") == "es")
+    base_dir = (
+        f"{tempfile.gettempdir()}/stream_cdc_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(base_dir, ignore_errors=True)
+    upd_dir, tab, ckpt = (
+        f"{base_dir}/upd",
+        f"{base_dir}/tab",
+        f"{base_dir}/ckpt",
+    )
+    schema = (
+        "doc_id LONG, text STRING, lang STRING, source STRING, "
+        "n_chars LONG, op_seq INT, del BOOLEAN"
+    )
+
+    def _run() -> None:
+        # glob: each micro-batch's files land in their own subdirectory
+        run_cdc_stream(
+            spark,
+            f"{upd_dir}/*",
+            schema,
+            tab,
+            keys=["doc_id"],
+            partition_by=["source"],
+            order_by="op_seq",
+            checkpoint=ckpt,
+            soft_delete_col="del",
+        )
+
+    base = docs.repartition("source").select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        F.lit(0).alias("op_seq"),
+        F.lit(False).alias("del"),
+    )
+    base.write.mode("overwrite").json(f"{upd_dir}/b0")
+    _run()
+    upd = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        (F.col("n_chars") + 1).alias("n_chars"),
+        F.lit(1).alias("op_seq"),
+        F.lit(False).alias("del"),
+    )
+    dele = docs.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        F.lit(2).alias("op_seq"),
+        F.lit(True).alias("del"),
+    )
+    upd.unionByName(dele).write.mode("overwrite").json(f"{upd_dir}/b1")
+    _run()
+
+    store = SnapshotStore(spark, tab)
+
+    def _agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        ).select(
+            F.lit(version).cast("int").alias("version"),
+            "source",
+            "n_docs",
+            "sum_chars",
+        )
+
+    return (
+        _agg(store.read(as_of=0), 0)
+        .unionByName(_agg(store.read(), 1))
+        .orderBy("version", "source")
+    )
