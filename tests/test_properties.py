@@ -139,3 +139,69 @@ def test_merge_upsert_matches_dict_model(spark, tmp_path_factory, batches):
             for r in tm.read("dw.t").collect()
         }
         assert got == state
+
+
+# -- snapshot log model check -----------------------------------------------
+
+# Random sequences of snapshot-log operations checked against a dict
+# model: every committed version's visible rows must equal the model's
+# state AT THAT VERSION (time travel included), across write modes,
+# compaction (row-preserving), and retention (drops old versions only).
+_snap_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.sampled_from(["snapshot", "append", "overwrite_partitions"]),
+            st.lists(
+                st.tuples(st.integers(0, 99), st.sampled_from(["d1", "d2", "d3"])),
+                min_size=1,
+                max_size=4,
+            ),
+        ),
+        st.just(("compact", None)),
+        st.just(("expire", None)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_snap_ops)
+def test_snapshot_log_matches_dict_model(spark, tmp_path_factory, ops):
+    from docker_airflow_spark_minio_spark.snapshots import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path_factory.mktemp("snap")) + "/t")
+    schema = "id long, day string"
+    # model: version -> multiset of (id, day); surviving = versions not
+    # yet expired (read requires >= 1, expire keeps the newest 2)
+    versions: dict[int, list[tuple[int, str]]] = {}
+    seq = 0
+    for op, rows in ops:
+        head = max(versions) if versions else None
+        if op == "compact":
+            v = store.compact()
+            if v is not None:
+                versions[v] = list(versions[head])
+            continue
+        if op == "expire":
+            if head is None:
+                continue
+            store.expire_snapshots(keep_last=2)
+            for old in [k for k in versions if k < head - 1]:
+                del versions[old]
+            continue
+        seq += 1
+        rows = [(id_ + 100 * seq, day) for id_, day in rows]  # unique ids
+        df = spark.createDataFrame(rows, schema)
+        v = store.write(df, mode=op, partition_by=["day"])
+        prev = versions.get(head, []) if head is not None else []
+        if op == "snapshot" or head is None:
+            versions[v] = list(rows)
+        elif op == "append":
+            versions[v] = prev + rows
+        else:  # overwrite_partitions
+            days = {d for _, d in rows}
+            versions[v] = [r for r in prev if r[1] not in days] + rows
+    for v, expect in versions.items():
+        got = sorted((r["id"], r["day"]) for r in store.read(as_of=v).collect())
+        assert got == sorted(expect), f"version {v}"
