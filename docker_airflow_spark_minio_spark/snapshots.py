@@ -284,7 +284,15 @@ class SnapshotStore:
             scans.append(
                 self.spark.read.option("basePath", base).parquet(*paths)
             )
-        return reduce(lambda a, b: a.unionByName(b), scans)
+        # allowMissingColumns = additive schema evolution: a snapshot
+        # that added a column still reads together with directories
+        # written before it (old rows null-fill the new column) -- the
+        # same read-time widening a parquet mergeSchema scan performs.
+        # Incompatible changes (type change on an existing name) still
+        # fail loudly at analysis, which is the right outcome.
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), scans
+        )
 
     # -- maintenance ------------------------------------------------------
 

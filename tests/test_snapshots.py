@@ -168,3 +168,26 @@ def test_compact_unpartitioned(spark, root):
     v = store.compact()
     assert store._read_manifest(v)["partitions"][""] == [f"v{v}"]
     assert _rows(store.read()) == [(1,), (2,)]
+
+
+def test_additive_schema_evolution(spark, root):
+    store = SnapshotStore(spark, root)
+    store.write(
+        spark.createDataFrame([(1, "d1")], "id int, day string"), partition_by=["day"]
+    )
+    store.write(
+        spark.createDataFrame([(2, "d2", "x")], "id int, day string, extra string"),
+        mode="append",
+        partition_by=["day"],
+    )
+    got = sorted(
+        (r["id"], r["day"], r["extra"]) for r in store.read().collect()
+    )
+    assert got == [(1, "d1", None), (2, "d2", "x")]
+    # pre-evolution snapshot reads with its own (narrower) schema
+    assert store.read(as_of=0).columns == ["id", "day"]
+    # compaction carries the widened schema through
+    v = store.compact(all_partitions=True)
+    assert v is not None
+    got2 = sorted((r["id"], r["day"], r["extra"]) for r in store.read().collect())
+    assert got2 == got
