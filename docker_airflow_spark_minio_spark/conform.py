@@ -44,6 +44,51 @@ def conform(df: DataFrame, describe_list: DescribeList) -> DataFrame:
     return df.select(*exprs)
 
 
+def conform_with_rejects(
+    df: DataFrame, describe_list: DescribeList
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`conform`, plus a quarantine frame of the rows that LOST
+    data to the null-on-malformed casts (a non-null input became NULL).
+
+    The reference silently nulls malformed values (utils.py:258-263);
+    production ETL routes them to a reject table for replay after a
+    schema fix.  Returns ``(valid, rejects)`` where ``rejects`` carries
+    the ORIGINAL (uncast) row plus a ``_reject_cols`` array naming every
+    column that failed its cast.  Both frames derive from one scan; the
+    reject predicate is the same single projection, so Catalyst plans a
+    scan + filter per side with no shuffle.  Note ``valid`` here means
+    "no value was lost": rows with declared-but-missing columns pass
+    (missing -> NULL is schema evolution, not corruption).
+    """
+    incoming = {f.name.lower(): f for f in df.schema.fields}
+    fail_flags: list[Column] = []
+    for entry in data_entries(describe_list):
+        name = entry["col_name"]
+        target = spark_type(entry["data_type"])
+        field = incoming.get(name.lower())
+        if field is None:
+            continue
+        src = F.col(field.name)
+        fail_flags.append(
+            F.when(
+                src.isNotNull() & src.try_cast(target).isNull(), F.lit(name)
+            ).otherwise(F.lit(None))
+        )
+    if fail_flags:
+        reject_cols = F.array_compact(F.array(*fail_flags))
+        rejects = (
+            df.withColumn("_reject_cols", reject_cols)
+            .where(F.size("_reject_cols") > 0)
+        )
+        valid = conform(df.where(F.size(reject_cols) == 0), describe_list)
+    else:
+        rejects = df.withColumn(
+            "_reject_cols", F.array().cast("array<string>")
+        ).where(F.lit(False))
+        valid = conform(df, describe_list)
+    return valid, rejects
+
+
 def with_literal_partition(
     df: DataFrame, col_name: str, value: str, data_type: str = "date"
 ) -> DataFrame:

@@ -17,10 +17,11 @@ Deviations, on purpose (SURVEY.md section 8):
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from .. import fsmeta
 from ..catalog import SqlCatalog
-from ..conform import conform, with_literal_partition
+from ..conform import conform, conform_with_rejects, with_literal_partition
 from ..metrics import RunMetrics, observe_quality
 from ..schema import (
     BREWERY_DESCRIBE_LIST,
@@ -42,6 +43,7 @@ def run_silver(
     mode: str = "overwrite_partitions",
     metrics: RunMetrics | None = None,
     backend: str = "path",
+    quarantine_table: str | None = None,
 ) -> int:
     """Run the silver conformance load for one day; returns rows written
     (0 = skipped on empty input, mirroring the reference's branch).
@@ -72,7 +74,28 @@ def run_silver(
             return 0
 
     with metrics.timed("transform_write"):
-        out = conform(df, describe_list)
+        if quarantine_table:
+            # Route rows that would LOSE a value to the null-on-malformed
+            # casts into a reject table (original raw row + the failing
+            # column names) instead of silently nulling them -- both
+            # frames derive from the same scan, no shuffle.
+            out, rejects = conform_with_rejects(df, describe_list)
+            rej = with_literal_partition(rejects, part_cols[0], sys_file_date)
+            q_manager = TableManager(spark, warehouse)
+            q_manager.write(
+                rej,
+                quarantine_table,
+                partition_by=part_cols,
+                mode="overwrite_partitions",
+            )
+            n_rej = (
+                q_manager.read(quarantine_table)
+                .filter(F.col(part_cols[0]) == sys_file_date)
+                .count()
+            )
+            metrics.count("rows_rejected", n_rej)
+        else:
+            out = conform(df, describe_list)
         out = with_literal_partition(out, part_cols[0], sys_file_date)
         # Piggybacked data-quality metrics: row + null counts ride the
         # write job itself, zero extra scans (the reference re-counts

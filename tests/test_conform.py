@@ -79,3 +79,52 @@ def test_with_literal_partition(spark):
     row = out.collect()[0]
     assert str(row["sys_file_date"]) == "2024-03-05"
     assert out.schema["sys_file_date"].dataType == T.DateType()
+
+
+def test_conform_with_rejects_routes_lossy_rows(spark):
+    from docker_airflow_spark_minio_spark.conform import conform_with_rejects
+    from docker_airflow_spark_minio_spark.schema import BREWERY_DESCRIBE_LIST
+
+    df = spark.createDataFrame(
+        [
+            ("1", "Alpha", "5551234"),          # clean
+            ("2", "Beta", "not-a-phone"),       # phone loses its value
+            ("3", "Gamma", None),               # NULL input is not a loss
+        ],
+        "id string, name string, phone string",
+    )
+    valid, rejects = conform_with_rejects(df, BREWERY_DESCRIBE_LIST)
+    assert sorted(r["id"] for r in valid.collect()) == ["1", "3"]
+    rej = rejects.collect()
+    assert [r["id"] for r in rej] == ["2"]
+    assert rej[0]["_reject_cols"] == ["phone"]
+    # the reject row carries the ORIGINAL raw value for replay
+    assert rej[0]["phone"] == "not-a-phone"
+
+
+def test_silver_quarantine_table(spark, tmp_path):
+    import json, os
+
+    from docker_airflow_spark_minio_spark.jobs import run_silver
+    from docker_airflow_spark_minio_spark.metrics import RunMetrics
+    from docker_airflow_spark_minio_spark.storage import TableManager
+
+    bronze = str(tmp_path / "bronze")
+    day = "2024-03-01"
+    os.makedirs(f"{bronze}/sys_file_date={day}")
+    with open(f"{bronze}/sys_file_date={day}/f.json", "w") as f:
+        for rec in [
+            {"id": "1", "name": "A", "phone": "5551234"},
+            {"id": "2", "name": "B", "phone": "bad-value"},
+        ]:
+            f.write(json.dumps(rec) + "\n")
+    wh = str(tmp_path / "wh")
+    m = RunMetrics()
+    n = run_silver(
+        spark, bronze, day, wh, metrics=m, quarantine_table="dw.tab_brewery_rejects"
+    )
+    assert n == 1  # only the clean row lands in silver
+    assert m.counters["rows_rejected"] == 1
+    rej = TableManager(spark, wh).read("dw.tab_brewery_rejects").collect()
+    assert len(rej) == 1 and rej[0]["phone"] == "bad-value"
+    assert rej[0]["_reject_cols"] == ["phone"]
