@@ -637,3 +637,63 @@ def streaming_session_windows_live(spark: SparkSession, sf_dir: str) -> DataFram
     q.awaitTermination()
     q.stop()
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+@register(
+    "streaming_static_enrich_live",
+    oracle="""
+    SELECT user_id % 3 AS tier, event_type,
+           CAST(COUNT(*) AS BIGINT) AS qtd,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events WHERE user_id % 5 <> 0
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    category="streaming",
+    description="stream-static enrichment executed live: the event "
+    "stream inner-joins a batch-built user dimension (membership drops "
+    "~20% of events, so the join does real filtering) before a "
+    "complete-mode aggregate -- the static side is re-planned per "
+    "micro-batch and broadcast; hash-matches the batch oracle",
+)
+def streaming_static_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir)
+    # Static dimension, built batch-side: the users the business knows
+    # about (user_id % 5 != 0) with a derived tier.  In production this
+    # is a warehouse dim table; the stream-static join semantics are
+    # identical.
+    dim = (
+        tables["events"]
+        .select("user_id")
+        .distinct()
+        .where(F.col("user_id") % 5 != 0)
+        .withColumn("tier", (F.col("user_id") % 3).cast("long"))
+    )
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    enriched = src.join(F.broadcast(dim), "user_id")
+    agg = (
+        enriched.groupBy("tier", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("qtd"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    name = "streaming_static_enrich_live_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name).orderBy("tier", "event_type")
