@@ -83,6 +83,20 @@ def main() -> int:
     except Exception as exc:  # noqa: BLE001
         print(f"python warmup failed: {exc}", file=sys.stderr)
 
+    # Plain-RDD Python workers are a SEPARATE pool from the Arrow/pandas
+    # one; warm them too (interpreter spawn + the pyarrow import the REST
+    # fan-out pays inside its fetch closure).
+    try:
+
+        def _warm(_):
+            import pyarrow.parquet  # noqa: F401
+
+            return 1
+
+        spark.sparkContext.parallelize(range(cpus), cpus).map(_warm).count()
+    except Exception as exc:  # noqa: BLE001
+        print(f"rdd warmup failed: {exc}", file=sys.stderr)
+
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     if only:
         wanted = {n.strip() for n in only.split(",") if n.strip()}
