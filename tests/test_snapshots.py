@@ -191,3 +191,37 @@ def test_additive_schema_evolution(spark, root):
     assert v is not None
     got2 = sorted((r["id"], r["day"], r["extra"]) for r in store.read().collect())
     assert got2 == got
+
+
+def test_concurrent_committers_one_winner_per_version(spark, root):
+    # Two threads race full write() calls against the same table; the
+    # rename-commit must serialize them into distinct versions (or
+    # reject one with SnapshotConflict) -- never two commits claiming
+    # one version, never a lost update.
+    import threading
+
+    store = SnapshotStore(spark, root)
+    store.write(spark.createDataFrame([(0,)], "id int"))
+    results, errors = [], []
+
+    def committer(tag: int) -> None:
+        try:
+            v = store.write(
+                spark.createDataFrame([(tag,)], "id int"), mode="append"
+            )
+            results.append((tag, v))
+        except SnapshotConflict:
+            errors.append(tag)
+
+    threads = [threading.Thread(target=committer, args=(t,)) for t in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # every claimed version is unique
+    assert len({v for _, v in results}) == len(results)
+    # whatever committed is fully readable; losers changed nothing
+    vs = store.versions()
+    assert vs[0] == 0 and len(vs) == 1 + len(results)
+    got = sorted(r["id"] for r in store.read().collect())
+    assert got == sorted([0] + [tag for tag, _ in results])
