@@ -415,3 +415,40 @@ class SnapshotTableManager:
         for col, value in partition_values.items():
             df = df.filter(df[col] == value)
         return df
+
+
+def snapshot_diff(
+    store: SnapshotStore,
+    v_old: int,
+    v_new: int,
+    keys: list[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots of one table: per key,
+    ``added`` / ``removed`` / ``changed`` / ``unchanged``.
+
+    The audit query a versioned table makes cheap (both sides are just
+    time-travel reads).  Content comparison is an md5 digest of the
+    non-key columns (JSON-serialized in sorted column order, so the
+    digest is schema-order independent); the full-outer join shuffles
+    (key, digest) pairs only, never whole rows.
+    """
+    from pyspark.sql import functions as F
+
+    def _digested(df: DataFrame) -> DataFrame:
+        value_cols = sorted(c for c in df.columns if c not in keys)
+        dg = F.md5(F.to_json(F.struct(*[F.col(c) for c in value_cols])))
+        return df.select(*keys, dg.alias("dg"))
+
+    old = _digested(store.read(as_of=v_old)).alias("o")
+    new = _digested(store.read(as_of=v_new)).alias("n")
+    cond = reduce(
+        lambda a, b: a & b, [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+    )
+    return new.join(old, cond, "full_outer").select(
+        *[F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys],
+        F.when(F.col("o.dg").isNull(), "added")
+        .when(F.col("n.dg").isNull(), "removed")
+        .when(F.col("n.dg") != F.col("o.dg"), "changed")
+        .otherwise("unchanged")
+        .alias("state"),
+    )

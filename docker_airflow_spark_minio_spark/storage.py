@@ -51,6 +51,8 @@ class TableManager:
         partition_by: list[str] | None = None,
         mode: str = "overwrite_partitions",
         sort_within_partitions: list[str] | None = None,
+        global_sort_by: list[str] | None = None,
+        global_sort_shards: int | None = None,
     ) -> str:
         """Write ``df`` as a partitioned table; returns the table path.
 
@@ -60,7 +62,28 @@ class TableManager:
         output files (no shuffle): parquet min/max row-group stats on
         those columns become tight, so later range predicates skip
         row groups instead of scanning them.
+
+        ``global_sort_by`` produces a TOTALLY ordered layout: range
+        repartition on the keys (sampled range boundaries -- the
+        distributed sort, no single reducer) + per-task sort, so file N
+        holds strictly smaller keys than file N+1 and every file is
+        internally sorted.  The export pattern for consumers that read
+        sequentially (tokenizer shards, merge-join inputs); costs one
+        range-exchange shuffle.  Mutually exclusive with
+        ``sort_within_partitions``.  ``global_sort_shards`` pins the
+        shard count (otherwise spark.sql.shuffle.partitions, which AQE
+        may coalesce for small outputs).
         """
+        if global_sort_by:
+            if sort_within_partitions:
+                raise ValueError(
+                    "global_sort_by already sorts within partitions"
+                )
+            if global_sort_shards:
+                df = df.repartitionByRange(global_sort_shards, *global_sort_by)
+            else:
+                df = df.repartitionByRange(*global_sort_by)
+            sort_within_partitions = global_sort_by
         path = self.path(table)
         self._write_path(df, path, partition_by, mode, sort_within_partitions)
         return path

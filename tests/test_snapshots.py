@@ -225,3 +225,51 @@ def test_concurrent_committers_one_winner_per_version(spark, root):
     assert vs[0] == 0 and len(vs) == 1 + len(results)
     got = sorted(r["id"] for r in store.read().collect())
     assert got == sorted([0] + [tag for tag, _ in results])
+
+
+def test_snapshot_diff_states(spark, root):
+    from docker_airflow_spark_minio_spark.snapshots import snapshot_diff
+
+    store = SnapshotStore(spark, root)
+    store.write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id int, v string"
+        )
+    )
+    store.write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "B"), (4, "d")], "id int, v string"
+        )
+    )
+    got = {
+        r["id"]: r["state"] for r in snapshot_diff(store, 0, 1, ["id"]).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_global_sort_by_layout(spark, tmp_path):
+    import glob
+
+    from docker_airflow_spark_minio_spark.storage import TableManager
+
+    tm = TableManager(spark, warehouse=str(tmp_path / "wh"))
+    df = spark.range(0, 10_000, 1, 16).selectExpr(
+        "cast(id * 2654435761 % 100000 as long) as k", "id as payload"
+    )
+    tm.write(
+        df,
+        "dw.sorted_export",
+        global_sort_by=["k"],
+        global_sort_shards=4,
+        mode="snapshot",
+    )
+    files = sorted(glob.glob(str(tmp_path / "wh/dw/sorted_export/part-*")))
+    assert len(files) > 1  # actually range-sharded
+    prev_max = None
+    for f in files:
+        ks = [r["k"] for r in spark.read.parquet(f).collect()]
+        assert ks == sorted(ks)  # internally sorted
+        if ks:
+            if prev_max is not None:
+                assert prev_max <= ks[0]  # file boundaries are ordered
+            prev_max = ks[-1]
