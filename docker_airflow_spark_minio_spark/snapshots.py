@@ -10,7 +10,9 @@ minimal manifest log over any Hadoop filesystem (file://, s3a://, hdfs://).
 
 Layout::
 
-    <root>/data/v{N}/...           immutable per-commit data directories
+    <root>/data/v{N}-<attempt>/... immutable per-commit data directories
+                                   (attempt-unique: racing committers
+                                   never share a path)
     <root>/_manifests/v{N}.json    snapshot manifest
 
 A manifest maps each live partition directory (Hive ``col=value`` form;
@@ -20,7 +22,8 @@ commits without rewriting old files.
 
 Commit protocol (optimistic, single-winner per version)::
 
-    1. write the new rows under data/v{N}/   (never touches live dirs)
+    1. write the new rows under data/v{N}-<attempt>/ (never touches a
+       live dir, and no other committer's dir either)
     2. write the manifest to _manifests/.v{N}.json.tmp
     3. rename -> _manifests/v{N}.json
 
@@ -59,6 +62,7 @@ from __future__ import annotations
 
 import json
 import time
+import uuid
 from dataclasses import dataclass
 from functools import reduce
 
@@ -195,7 +199,13 @@ class SnapshotStore:
                 f"partition_by {pby} != table's {parent['partition_by']}"
             )
         version = 0 if parent_v is None else parent_v + 1
-        vdir = f"v{version}"
+        # Attempt-UNIQUE data directory (the Iceberg convention): two
+        # committers racing for the same version must not write into one
+        # path -- the commit rename decides the winner only AFTER both
+        # have written, and the loser's cleanup would otherwise delete
+        # the winner's files (caught by the two-thread race test as a
+        # PATH_NOT_FOUND on a committed manifest).
+        vdir = f"v{version}-{uuid.uuid4().hex[:8]}"
         data_path = f"{self.root.rstrip('/')}/{DATA_DIR}/{vdir}"
         writer = df.write.format("parquet").mode("overwrite")
         if pby:

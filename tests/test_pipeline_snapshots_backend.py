@@ -28,8 +28,9 @@ def test_snapshots_backend_e2e_with_time_travel(spark, lake):  # noqa: F811
     assert run_silver(spark, bronze, DAY_A, warehouse, backend="snapshots") == 3
     assert silver.versions() == [0, 1, 2]
     m = silver._read_manifest(2)
-    assert m["partitions"][f"sys_file_date={DAY_A}"] == ["v2"]
-    assert m["partitions"][f"sys_file_date={DAY_B}"] == ["v1"]
+    (da,) = m["partitions"][f"sys_file_date={DAY_A}"]
+    (db,) = m["partitions"][f"sys_file_date={DAY_B}"]
+    assert da.startswith("v2-") and db.startswith("v1-")
 
     # The head equals the pre-rerun state (idempotence), and time travel
     # to v1 shows the same rows too.

@@ -58,8 +58,9 @@ def test_overwrite_partitions_repoints_only_touched(spark, root):
     assert got == [(1, "x", "d1"), (2, "y", "d1"), (9, "w", "d2")]
     # d1 still served from v0's files, d2 from v1's (no rewrite of d1).
     m = store._read_manifest(v1)
-    assert m["partitions"]["day=d1"] == ["v0"]
-    assert m["partitions"]["day=d2"] == ["v1"]
+    (d1,) = m["partitions"]["day=d1"]
+    (d2,) = m["partitions"]["day=d2"]
+    assert d1.startswith("v0-") and d2.startswith("v1-")
     # time travel sees the pre-overwrite d2
     assert _rows(store.read(as_of=0).select("id", "v", "day")) == [
         (1, "x", "d1"),
@@ -150,8 +151,9 @@ def test_compact_defragments_appended_partitions(spark, root):
 
     v = store.compact()
     m = store._read_manifest(v)
-    assert m["partitions"]["day=d1"] == [f"v{v}"]  # defragmented
-    assert m["partitions"]["day=d2"] == ["v0"]  # untouched (not fragmented)
+    (d1,) = m["partitions"]["day=d1"]  # defragmented
+    (d2,) = m["partitions"]["day=d2"]  # untouched (not fragmented)
+    assert d1.startswith(f"v{v}-") and d2.startswith("v0-")
     assert _rows(store.read().select("id", "day")) == before
     assert m["metadata"] == {"compaction": True, "compacted": ["day=d1"]}
     # nothing left fragmented -> no-op
@@ -166,7 +168,8 @@ def test_compact_unpartitioned(spark, root):
     store.write(spark.createDataFrame([(1,)], "id int"))
     store.write(spark.createDataFrame([(2,)], "id int"), mode="append")
     v = store.compact()
-    assert store._read_manifest(v)["partitions"][""] == [f"v{v}"]
+    (only,) = store._read_manifest(v)["partitions"][""]
+    assert only.startswith(f"v{v}-")
     assert _rows(store.read()) == [(1,), (2,)]
 
 
