@@ -54,3 +54,27 @@ def test_snapshots_backend_e2e_with_time_travel(spark, lake):  # noqa: F811
         for r in gold.read().where(f"sys_file_date = '{DAY_A}'").collect()
     }
     assert rows == {("micro", "US"): 2, ("nano", "PT"): 1}
+
+
+def test_maintenance_job_compacts_and_expires(spark, tmp_path):
+    from docker_airflow_spark_minio_spark.jobs.maintenance import run_maintenance
+    from docker_airflow_spark_minio_spark.snapshots import SnapshotTableManager
+
+    wh = str(tmp_path / "wh")
+    tm = SnapshotTableManager(spark, wh)
+    tm.write(
+        spark.createDataFrame([(1, "d1")], "id int, day string"),
+        "dw.t",
+        partition_by=["day"],
+    )
+    for i in (2, 3):
+        tm.write(
+            spark.createDataFrame([(i, "d1")], "id int, day string"),
+            "dw.t",
+            partition_by=["day"],
+            mode="append",
+        )
+    out = run_maintenance(spark, wh, "dw.t", keep_last=1, compact=True)
+    assert out["compacted_version"] == 3
+    assert out["kept_versions"] == [3]
+    assert sorted(r["id"] for r in tm.read("dw.t").collect()) == [1, 2, 3]
