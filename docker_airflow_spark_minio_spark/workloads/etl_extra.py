@@ -502,3 +502,61 @@ def streaming_cdc_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_agg(store.read(), 1))
         .orderBy("version", "source")
     )
+
+
+@register(
+    "incremental_view_maintenance",
+    oracle="""
+    WITH post AS (
+        SELECT lang,
+               CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END
+                   AS n_chars
+        FROM documents WHERE doc_id % 7 <> 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)     AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM post GROUP BY lang ORDER BY lang
+    """,
+    category="etl",
+    description="incremental materialized-view maintenance: the per-lang "
+    "aggregate is updated by APPLYING the CDC batch's delta (join batch "
+    "to base on the key, +/- per op) rather than recomputed -- the "
+    "oracle is the FULL recompute of the post state, so the delta math "
+    "itself is what the gate verifies; maintenance cost ~ batch size, "
+    "not table size",
+)
+def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    base_agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+    # The CDC batch (same ops as snapshot_cdc_merge_read): updates bump
+    # n_chars by 1 for doc_id%5, deletes remove doc_id%7; a key hit by
+    # both is a delete (delete wins).
+    old = docs.select("doc_id", "lang", F.col("n_chars").alias("old_chars"))
+    delta = old.withColumn(
+        "op",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("delete"))
+        .when(F.col("doc_id") % 5 == 0, F.lit("update"))
+        .otherwise(F.lit(None)),
+    ).where(F.col("op").isNotNull())
+    # per-lang delta rows: update contributes (0, +1); delete (-1, -old)
+    d = delta.groupBy("lang").agg(
+        F.sum(F.when(F.col("op") == "delete", -1).otherwise(0)).alias("d_docs"),
+        F.sum(
+            F.when(F.col("op") == "delete", -F.col("old_chars")).otherwise(F.lit(1))
+        ).alias("d_chars"),
+    )
+    maintained = (
+        base_agg.join(d, "lang", "left")
+        .select(
+            "lang",
+            (F.col("n_docs") + F.coalesce("d_docs", F.lit(0))).alias("n_docs"),
+            (F.col("sum_chars") + F.coalesce("d_chars", F.lit(0))).alias(
+                "sum_chars"
+            ),
+        )
+        .where(F.col("n_docs") > 0)
+    )
+    return maintained.orderBy("lang")
