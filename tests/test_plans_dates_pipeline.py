@@ -172,3 +172,22 @@ def test_q19_disjunction_prefilter_extracted(spark):
     df = REGISTRY["q19_disjunctive_revenue"].fn(spark, SF_DIR)
     pushed = " ".join(plans.pushed_filters(df))
     assert "l_quantity" in pushed, f"no quantity prefilter pushed: {pushed}"
+
+
+def test_new_entry_plan_posture(spark):
+    # BM25: the corpus-stats attach and the scoring joins must all be
+    # broadcast (no sort-merge path for model-metadata-sized sides), and
+    # the whole query needs no more than the stats-aggregate exchange.
+    bm25 = REGISTRY["text_bm25_topk"].fn(spark, SF_DIR)
+    p = plans.physical_plan(bm25)
+    assert "SortMergeJoin" not in p
+    # PQ: codebook update + model attach + LUT join -- every join
+    # broadcast, never a shuffle join against the corpus.
+    pq = REGISTRY["ann_pq_adc_topk"].fn(spark, SF_DIR)
+    p = plans.physical_plan(pq)
+    assert "SortMergeJoin" not in p
+    # Blocklist filter: map-only until the final tiny aggregate -- no
+    # join at all.
+    bl = REGISTRY["text_blocklist_filter_stats"].fn(spark, SF_DIR)
+    p = plans.physical_plan(bl)
+    assert "Join" not in p
