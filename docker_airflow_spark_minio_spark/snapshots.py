@@ -171,6 +171,7 @@ class SnapshotStore:
         partition_by: list[str] | None = None,
         metadata: dict | None = None,
         claimed_partitions: list[tuple] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Commit ``df`` as a new snapshot; returns the committed version.
 
@@ -188,6 +189,12 @@ class SnapshotStore:
         REMOVED from the table.  Without it, replacement is inferred
         from the partitions present in ``df``, which cannot express
         "this partition is now empty" (the CDC delete case).
+        ``stats_cols``: record per-directory min/max ZONE MAPS for these
+        columns in the manifest (one extra scan of the just-written
+        data, O(new data)); :meth:`read` with ``range_filter`` then
+        skips whole directories whose range is disjoint -- file skipping
+        beyond partition pruning, the Iceberg-manifest idea.  Stats are
+        carried forward for directories a commit does not rewrite.
         """
         if mode not in ("snapshot", "append", "overwrite_partitions"):
             raise ValueError(f"unknown snapshot write mode: {mode}")
@@ -226,12 +233,47 @@ class SnapshotStore:
                 partitions.pop(_hive_partition_dir(self.spark, pby, vals), None)
             for p in new_parts:
                 partitions[p] = [vdir]
+        dir_stats: dict[str, dict] = {}
+        if stats_cols:
+            from pyspark.sql import functions as F
+
+            scan = self.spark.read.option("basePath", data_path).parquet(data_path)
+            aggs = []
+            for c in stats_cols:
+                aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+            rows = (
+                scan.groupBy(*pby).agg(*aggs).collect()
+                if pby
+                else [scan.agg(*aggs).collect()[0]]
+            )
+            for r in rows:
+                part = (
+                    _hive_partition_dir(self.spark, pby, tuple(r[c] for c in pby))
+                    if pby
+                    else ""
+                )
+                key = f"{vdir}/{part}" if part else vdir
+                dir_stats[key] = {
+                    c: [_stat_json(r[f"mn_{c}"]), _stat_json(r[f"mx_{c}"])]
+                    for c in stats_cols
+                }
+        if parent is not None:
+            # Carry stats forward for directories this commit keeps.
+            live = {
+                f"{vd}/{p}" if p else vd
+                for p, vds in partitions.items()
+                for vd in vds
+            }
+            for k, v in parent.get("dir_stats", {}).items():
+                if k in live and k not in dir_stats:
+                    dir_stats[k] = v
         manifest = {
             "version": version,
             "parent": parent_v,
             "mode": mode,
             "partition_by": pby,
             "partitions": partitions,
+            "dir_stats": dir_stats,
             "committed_at_ms": int(time.time() * 1000),
             "metadata": dict(metadata or {}),
         }
@@ -265,27 +307,71 @@ class SnapshotStore:
     # -- reads ------------------------------------------------------------
 
     def read(
-        self, as_of: int | None = None, partitions: list[str] | None = None
+        self,
+        as_of: int | None = None,
+        partitions: list[str] | None = None,
+        range_filter: tuple | None = None,
     ) -> DataFrame:
         """Scan one snapshot (latest, or time-travel to ``as_of``);
         ``partitions`` restricts to the given relative partition dirs
-        (manifest-level pruning -- the scan never lists the others)."""
+        (manifest-level pruning -- the scan never lists the others).
+
+        ``range_filter=(col, lo, hi)`` additionally SKIPS every data
+        directory whose recorded zone map (``stats_cols`` at write time)
+        is disjoint from [lo, hi] -- directories without stats are read
+        (sound) -- and applies the exact filter on top."""
         version = self.latest_version() if as_of is None else as_of
         if version is None:
             raise ValueError(f"no snapshots committed under {self.root}")
         manifest = self._read_manifest(version)
+        stats = manifest.get("dir_stats", {})
+
+        def _skipped(vd: str, part: str) -> bool:
+            if range_filter is None:
+                return False
+            col, lo, hi = range_filter
+            s = stats.get(f"{vd}/{part}" if part else vd, {}).get(col)
+            if not s or s[0] is None or s[1] is None:
+                return False  # no/degenerate stats: must read
+            mn, mx = s
+            return mx < lo or mn > hi
+
         # Group live partitions by data dir: one basePath-anchored scan
         # per referenced version dir, unioned by name.
         by_vdir: dict[str, list[str]] = {}
+        n_total = n_skipped = 0
         for part, vdirs in manifest["partitions"].items():
             if partitions is not None and part not in partitions:
                 continue
             for vd in vdirs:
+                n_total += 1
+                if _skipped(vd, part):
+                    n_skipped += 1
+                    continue
                 by_vdir.setdefault(vd, []).append(part)
         if not by_vdir:
+            if range_filter is not None and n_total > 0:
+                # Everything zone-map-pruned: an empty frame with the
+                # table's schema (scan one live dir, keep no rows).
+                first_part, first_vdirs = next(iter(manifest["partitions"].items()))
+                by_vdir = {first_vdirs[0]: [first_part]}
+                col, lo, hi = range_filter
+                from pyspark.sql import functions as F
+
+                df = self._scan(by_vdir)
+                return df.where(F.lit(False))
             raise ValueError(
                 f"no matching partitions in snapshot v{version} under {self.root}"
             )
+        df = self._scan(by_vdir)
+        if range_filter is not None:
+            from pyspark.sql import functions as F
+
+            col, lo, hi = range_filter
+            df = df.where((F.col(col) >= lo) & (F.col(col) <= hi))
+        return df
+
+    def _scan(self, by_vdir: dict[str, list[str]]) -> DataFrame:
         scans = []
         base_root = f"{self.root.rstrip('/')}/{DATA_DIR}"
         for vd, parts in sorted(by_vdir.items()):
@@ -462,3 +548,12 @@ def snapshot_diff(
         .otherwise("unchanged")
         .alias("state"),
     )
+
+
+def _stat_json(v):
+    """JSON-safe zone-map bound: numbers/strings/bools/None pass, dates
+    and timestamps serialize to their ISO strings (which compare in the
+    same order, so pruning stays sound for equal-typed filters)."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)

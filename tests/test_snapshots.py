@@ -276,3 +276,40 @@ def test_global_sort_by_layout(spark, tmp_path):
             if prev_max is not None:
                 assert prev_max <= ks[0]  # file boundaries are ordered
             prev_max = ks[-1]
+
+
+def test_zone_map_directory_skipping(spark, root):
+    store = SnapshotStore(spark, root)
+    # three append commits with disjoint id ranges
+    for lo in (0, 100, 200):
+        store.write(
+            spark.createDataFrame([(lo + i, "d1") for i in range(10)], "id int, day string"),
+            mode="append",
+            partition_by=["day"],
+            stats_cols=["id"],
+        )
+    m = store._read_manifest(store.latest_version())
+    assert len(m["dir_stats"]) == 3
+    assert sorted(v["id"] for v in m["dir_stats"].values()) == [
+        [0, 9], [100, 109], [200, 209],
+    ]
+    # range over the middle commit only: exactly one dir survives pruning
+    df = store.read(range_filter=("id", 100, 109))
+    assert sorted(r["id"] for r in df.collect()) == list(range(100, 110))
+    assert len(df._jdf.queryExecution().executedPlan().toString().split("Scan parquet")) - 1 == 1
+    # disjoint range: everything pruned, empty frame with the schema
+    empty = store.read(range_filter=("id", 1000, 2000))
+    assert empty.count() == 0 and empty.columns == ["id", "day"]
+    # stats carry forward across an unrelated overwrite
+    store.write(
+        spark.createDataFrame([(5000, "d2")], "id int, day string"),
+        mode="overwrite_partitions",
+        partition_by=["day"],
+        stats_cols=["id"],
+    )
+    m2 = store._read_manifest(store.latest_version())
+    assert sorted(v["id"] for v in m2["dir_stats"].values()) == [
+        [0, 9], [100, 109], [200, 209], [5000, 5000],
+    ]
+    got = sorted(r["id"] for r in store.read(range_filter=("id", 0, 9)).collect())
+    assert got == list(range(10))
