@@ -527,6 +527,8 @@ PQ_TOPK = 10
 PQ_QUERY_ID = 0   # the query vector
 
 _PQ_SUB_CACHE = PersistCache("ann_pq_subvectors")
+_IVFPQ_RSUB_CACHE = PersistCache("ann_ivfpq_residual_subvectors")
+_IVFPQ_GC_CACHE = PersistCache("ann_ivfpq_coarse_centroids")
 
 
 def _pq_cent_arr_sql_spark() -> str:
@@ -693,6 +695,264 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc = (
         codes.join(F.broadcast(lut), ["s", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").cast("long").alias("adc_dist_q"))
+    )
+    return adc.orderBy("adc_dist_q", "vec_id").limit(PQ_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + residual product quantization + per-probe ADC
+# ---------------------------------------------------------------------------
+
+# The composition production ANN indexes actually ship (FAISS IVFPQ):
+# a coarse quantizer prunes the scan to nprobe/nlist of the corpus, and
+# the surviving vectors are scored from their RESIDUAL PQ codes with a
+# per-probed-list lookup table (the query's residual differs per list).
+# Both codebook levels come from one deterministic integer Lloyd
+# iteration (modulo init, micro-units), so codes, LUTs and distances
+# are bit-identical across engines.
+IVFPQ_NLIST = 8
+IVFPQ_NPROBE = 2
+
+
+def ivfpq_parts() -> tuple[str, str]:
+    """(coarse CTEs, residual-PQ CTEs) shared by the oracle string."""
+    dim, m, sub, k = 64, PQ_M, PQ_SUBDIM, PQ_K
+    coarse = f"""
+v AS (
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS q
+    FROM embeddings
+),
+g0 AS (SELECT vec_id, q, vec_id % {IVFPQ_NLIST} AS gid FROM v),
+gd AS (
+    SELECT gid, i,
+           CAST(FLOOR(CAST(SUM(q[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+    FROM g0 CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) idx
+    GROUP BY gid, i
+),
+gc AS (SELECT gid, list(m ORDER BY i) AS gv FROM gd GROUP BY gid),
+ga AS (
+    SELECT vec_id, q, gid, gv FROM (
+        SELECT v.vec_id, v.q, c.gid, c.gv,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_pq_dd_sql('v.q', 'c.gv')} ASC, c.gid) AS rn
+        FROM v CROSS JOIN gc c
+    ) WHERE rn = 1
+)"""
+    residual = f"""
+res AS (
+    SELECT vec_id, gid,
+           list_transform(range(1, {dim + 1}), i -> q[i] - gv[i]) AS r
+    FROM ga
+),
+rsub AS (
+    SELECT vec_id, gid, s,
+           r[{sub} * s + 1 : {sub} * s + {sub}] AS sv
+    FROM res CROSS JOIN (SELECT unnest(range(0, {m})) AS s) ss
+),
+p0 AS (SELECT vec_id, gid, s, sv, vec_id % {k} AS pcid FROM rsub),
+pd AS (
+    SELECT s, pcid, i,
+           CAST(FLOOR(CAST(SUM(sv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+    FROM p0 CROSS JOIN (SELECT unnest(range(1, {sub + 1})) AS i) idx
+    GROUP BY s, pcid, i
+),
+pc AS (SELECT s, pcid, list(m ORDER BY i) AS pv FROM pd GROUP BY s, pcid),
+codes AS (
+    SELECT vec_id, gid, s, pcid FROM (
+        SELECT r.vec_id, r.gid, r.s, c.pcid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY r.vec_id, r.s
+                   ORDER BY {_pq_dd_sql('r.sv', 'c.pv')} ASC, c.pcid) AS rn
+        FROM rsub r JOIN pc c ON r.s = c.s
+    ) WHERE rn = 1
+)"""
+    return coarse, residual
+
+
+_IVFPQ_COARSE, _IVFPQ_RESIDUAL = ivfpq_parts()
+
+_IVFPQ_ORACLE = f"""
+WITH {_IVFPQ_COARSE},
+{_IVFPQ_RESIDUAL},
+q0 AS (SELECT q FROM v WHERE vec_id = {PQ_QUERY_ID}),
+probes AS (
+    SELECT gid, gv FROM (
+        SELECT c.gid, c.gv,
+               ROW_NUMBER() OVER (
+                   ORDER BY {_pq_dd_sql('q0.q', 'c.gv')} ASC, c.gid) AS rn
+        FROM gc c CROSS JOIN q0
+    ) WHERE rn <= {IVFPQ_NPROBE}
+),
+qres AS (
+    SELECT p.gid,
+           list_transform(range(1, 65), i -> q0.q[i] - p.gv[i]) AS qr
+    FROM probes p CROSS JOIN q0
+),
+qrsub AS (
+    SELECT gid, s, qr[{PQ_SUBDIM} * s + 1 : {PQ_SUBDIM} * s + {PQ_SUBDIM}] AS qv
+    FROM qres CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS s) ss
+),
+lut AS (
+    SELECT q.gid, c.s, c.pcid, {_pq_dd_sql('q.qv', 'c.pv')} AS d
+    FROM pc c JOIN qrsub q ON c.s = q.s
+),
+adc AS (
+    SELECT codes.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist_q
+    FROM codes
+    JOIN lut l ON codes.gid = l.gid AND codes.s = l.s AND codes.pcid = l.pcid
+    GROUP BY codes.vec_id
+)
+SELECT vec_id, adc_dist_q FROM adc
+ORDER BY adc_dist_q, vec_id LIMIT {PQ_TOPK}
+"""
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=_IVFPQ_ORACLE,
+    category="similarity",
+    description=f"IVF-PQ ANN (the FAISS-style composite): {IVFPQ_NLIST}-"
+    f"list coarse quantizer prunes to {IVFPQ_NPROBE} probed lists, "
+    "vectors score from residual PQ codes via per-probed-list lookup "
+    "tables -- integer-exact codebooks at both levels; scan cost "
+    "nprobe/nlist of the corpus and 8 bytes/vector of code state",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse assign -> residual PQ encode -> probe + ADC top-k.
+
+    Scale notes: both codebooks are model metadata (NLIST*64 +
+    M*K*8 integers) folded into single-row broadcast values; the corpus
+    touches three map passes (coarse assign, residual subvectors, PQ
+    encode) and ONE partial-aggregated shuffle for each codebook update
+    + one row/vector for the ADC sum; the probe filter drops
+    (1 - nprobe/nlist) of the corpus before any scoring work.
+    """
+    from ..operators.clustering import quantize
+    from ..functions.vectors import dot_product
+
+    def _sqd(a, b):
+        return (
+            dot_product(a, a) - 2 * dot_product(a, b) + dot_product(b, b)
+        ).cast("long")
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = emb.select(
+        "vec_id", quantize(F.col("embedding").cast("array<double>")).alias("q")
+    )
+    g0 = v.withColumn("gid", F.pmod("vec_id", F.lit(IVFPQ_NLIST)))
+    comps = ", ".join(
+        f"cast(floor(cast(sum(q[{i}]) as double) / count(1)) as bigint)"
+        for i in range(64)
+    )
+    # the coarse-centroid aggregate feeds BOTH the model fold and the
+    # query-side probe ranking -- persist (8 rows) or the corpus
+    # aggregation runs twice.
+    gc = _IVFPQ_GC_CACHE.get_or_build(
+        spark,
+        sf_dir,
+        lambda: g0.groupBy("gid").agg(F.expr(f"array({comps})").alias("gv")),
+    )
+    gfold = gc.agg(
+        F.sort_array(F.collect_list(F.struct("gid", "gv"))).alias("gcents")
+    )
+    gbest = F.array_min(
+        F.transform(
+            "gcents",
+            lambda c: F.struct(
+                _sqd(F.col("q"), c["gv"]).alias("d"), c["gid"].alias("gid"),
+                c["gv"].alias("gv"),
+            ),
+        )
+    )
+    ga = v.crossJoin(F.broadcast(gfold)).select(
+        "vec_id", "q", gbest["gid"].alias("gid"), gbest["gv"].alias("gv")
+    )
+    res = ga.select(
+        "vec_id",
+        "gid",
+        F.zip_with("q", "gv", lambda a, b: a - b).alias("r"),
+    )
+    rsub = res.select(
+        "vec_id",
+        "gid",
+        F.posexplode(
+            F.array(
+                *[F.slice("r", PQ_SUBDIM * s + 1, PQ_SUBDIM) for s in range(PQ_M)]
+            )
+        ).alias("s", "sv"),
+    )
+    # shared by codebook update + encode (+ repeat invocations); bounded
+    # lifecycle via PersistCache like every other persisted frame.
+    rsub = _IVFPQ_RSUB_CACHE.get_or_build(spark, sf_dir, lambda: rsub)
+    p0 = rsub.withColumn("pcid", F.pmod("vec_id", F.lit(PQ_K)))
+    pcomps = ", ".join(
+        f"cast(floor(cast(sum(sv[{i}]) as double) / count(1)) as bigint)"
+        for i in range(PQ_SUBDIM)
+    )
+    pc = p0.groupBy("s", "pcid").agg(F.expr(f"array({pcomps})").alias("pv"))
+    per_s = (
+        pc.withColumn("cc", dot_product("pv", "pv").cast("long"))
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_list(F.struct("pcid", "pv", "cc"))).alias("cs"))
+    )
+    pfold = per_s.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("s", "cs"))), lambda x: x["cs"]
+        ).alias("pcents")
+    )
+    vv = dot_product("sv", "sv").cast("long")
+    pbest = F.array_min(
+        F.transform(
+            F.element_at("pcents", F.col("s") + 1),
+            lambda c: F.struct(
+                (
+                    F.col("vv") - 2 * dot_product(F.col("sv"), c["pv"]).cast("long")
+                    + c["cc"]
+                ).alias("d"),
+                c["pcid"].alias("pcid"),
+            ),
+        )
+    )
+    codes = (
+        rsub.withColumn("vv", vv)
+        .crossJoin(F.broadcast(pfold))
+        .select("vec_id", "gid", "s", pbest["pcid"].alias("pcid"))
+    )
+    # query-side: nprobe nearest coarse lists + per-list residual LUTs
+    q0 = v.where(F.col("vec_id") == PQ_QUERY_ID).select(F.col("q").alias("qq"))
+    probed = (
+        gc.crossJoin(F.broadcast(q0))
+        .select(
+            "gid", "gv", _sqd(F.col("qq"), F.col("gv")).alias("d"), "qq"
+        )
+        .orderBy("d", "gid")
+        .limit(IVFPQ_NPROBE)
+    )
+    qrsub = probed.select(
+        "gid",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(
+                        F.zip_with("qq", "gv", lambda a, b: a - b),
+                        PQ_SUBDIM * s + 1,
+                        PQ_SUBDIM,
+                    )
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("s", "qv"),
+    )
+    lut = pc.join(F.broadcast(qrsub), "s").select(
+        "gid", "s", "pcid", _sqd(F.col("qv"), F.col("pv")).alias("d")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["gid", "s", "pcid"])
         .groupBy("vec_id")
         .agg(F.sum("d").cast("long").alias("adc_dist_q"))
     )

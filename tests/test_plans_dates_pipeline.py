@@ -54,6 +54,7 @@ def test_no_cartesian_anywhere_in_the_registry(spark):
         "dedup_embedding_cosine_pairs",
         # single-row PQ codebook model attach (the kmeans/IVF pattern)
         "ann_pq_adc_topk",
+        "ann_ivfpq_topk",  # coarse + PQ codebook single-row attaches
         # single-row corpus-stats (N, avgdl, df) attach for BM25 scoring
         "text_bm25_topk",
     }
