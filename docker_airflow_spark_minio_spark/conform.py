@@ -54,11 +54,13 @@ def conform_with_rejects(
     production ETL routes them to a reject table for replay after a
     schema fix.  Returns ``(valid, rejects)`` where ``rejects`` carries
     the ORIGINAL (uncast) row plus a ``_reject_cols`` array naming every
-    column that failed its cast.  Both frames derive from one scan; the
-    reject predicate is the same single projection, so Catalyst plans a
-    scan + filter per side with no shuffle.  Note ``valid`` here means
-    "no value was lost": rows with declared-but-missing columns pass
-    (missing -> NULL is schema evolution, not corruption).
+    column that failed its cast.  Each frame is a scan + map-only
+    filter (no shuffle); materializing BOTH costs two passes over the
+    day's input -- bounded by one day's bronze, and the alternative
+    (persist or a two-sink foreachBatch) costs the same data movement.
+    Note ``valid`` here means "no value was lost": rows with
+    declared-but-missing columns pass (missing -> NULL is schema
+    evolution, not corruption).
     """
     incoming = {f.name.lower(): f for f in df.schema.fields}
     fail_flags: list[Column] = []
