@@ -334,7 +334,12 @@ class SnapshotStore:
             if not s or s[0] is None or s[1] is None:
                 return False  # no/degenerate stats: must read
             mn, mx = s
-            return mx < lo or mn > hi
+            try:
+                return mx < lo or mn > hi
+            except TypeError:
+                # stats serialized as strings (dates/timestamps) vs a
+                # non-string bound: cannot decide soundly -> read it
+                return False
 
         # Group live partitions by data dir: one basePath-anchored scan
         # per referenced version dir, unioned by name.
