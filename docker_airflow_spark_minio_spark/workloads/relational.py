@@ -38,9 +38,12 @@ from .base import load_tables, register
            ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
-           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+           CAST((SUM(CAST(l_quantity AS BIGINT)) * 1000000) // COUNT(*)
+               AS BIGINT)                                               AS avg_qty_x1e6,
+           CAST((SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+               * 10000) // COUNT(*) AS BIGINT)                          AS avg_price_x1e6,
+           CAST((SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+               * 10000) // COUNT(*) AS BIGINT)                          AS avg_disc_x1e6,
            COUNT(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -61,9 +64,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # Integer-exact averages: ROUND(AVG(2-dp money), 4) flakes on
+            # exact half-way boundaries (caught live on cube at sf0.1 --
+            # the mean of 2-dp values lands EXACTLY on .00005 and the two
+            # engines' accumulation orders resolve the tie differently).
+            F.expr(
+                "(SUM(CAST(l_quantity AS BIGINT)) * 1000000) DIV COUNT(1)"
+            ).alias("avg_qty_x1e6"),
+            F.expr(
+                "(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))"
+                " * 10000) DIV COUNT(1)"
+            ).alias("avg_price_x1e6"),
+            F.expr(
+                "(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))"
+                " * 10000) DIV COUNT(1)"
+            ).alias("avg_disc_x1e6"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -138,7 +153,9 @@ def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cube_part_brand_size",
     oracle="""
-    SELECT p_brand, p_size, COUNT(*) AS qtd, ROUND(AVG(p_retailprice), 4) AS avg_price
+    SELECT p_brand, p_size, COUNT(*) AS qtd,
+           CAST((SUM(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT))
+               * 10000) // COUNT(*) AS BIGINT) AS avg_price_x1e6
     FROM part
     GROUP BY CUBE (p_brand, p_size)
     """,
@@ -149,7 +166,13 @@ def cube_part_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_tables(spark, sf_dir)["part"]
     return part.cube("p_brand", "p_size").agg(
         F.count(F.lit(1)).alias("qtd"),
-        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        # integer-exact average: the ROUND(AVG(..), 4) form FAILED the
+        # sf0.1 oracle (941.73125 boundary resolved differently per
+        # engine accumulation order); cents are exact, DIV is exact
+        F.expr(
+            "(SUM(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT))"
+            " * 10000) DIV COUNT(1)"
+        ).alias("avg_price_x1e6"),
     )
 
 
