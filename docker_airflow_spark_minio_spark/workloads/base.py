@@ -5,7 +5,19 @@ hash-match the Spark result:
 
  * every computed column is explicitly aliased, identically in both
  * double aggregates are ROUND()ed identically in both (float summation
-   order differs between engines at the last ulp)
+   order differs between engines at the last ulp).  Boundary-flake
+   taxonomy (learned the hard way): aggregates of DISCRETE decimal
+   data (2-dp money) land EXACTLY on rounding boundaries structurally
+   -- means especially (sum/n) -- and the last-ulp disagreement then
+   flips the rounded digit; those are converted to integer arithmetic
+   (cents + DIV; see q1/cube).  Continuous-valued aggregates
+   (embeddings, event values) and integer-sum aggregates are safe:
+   a continuous value never sits on an exact boundary, and integer
+   partial sums below 2^53 are order-independent.  ROUND(SUM(money))
+   sites remain rounded: the current datasets hash-match at sf0.01 AND
+   sf0.1 (so no value sits near a boundary today), but a regenerated
+   dataset could move one onto a boundary -- if that ever fires, the
+   cents conversion is the fix, not a tolerance.
  * timestamps are TIMESTAMP_NTZ on the Spark side (DuckDB timestamps are
    naive); the loader pins the session timezone to UTC
  * rankings/top-k order by a rounded measure with a unique id tie-break,
