@@ -78,3 +78,23 @@ def test_maintenance_job_compacts_and_expires(spark, tmp_path):
     assert out["compacted_version"] == 3
     assert out["kept_versions"] == [3]
     assert sorted(r["id"] for r in tm.read("dw.t").collect()) == [1, 2, 3]
+
+
+def test_reference_retention_number_via_maintenance(spark, lake):  # noqa: F811
+    # The reference's Iceberg tables keep at most 10 previous versions
+    # (write.metadata.previous-versions-max: 10, job_silver.py:174-178).
+    # Re-run silver 12 times on the snapshots backend, then run the
+    # maintenance job with its default keep_last=10: exactly the 10
+    # newest snapshots survive and the table still reads completely.
+    from docker_airflow_spark_minio_spark.jobs.maintenance import run_maintenance
+    from docker_airflow_spark_minio_spark.snapshots import SnapshotStore
+
+    bronze, warehouse = lake
+    for _ in range(12):
+        assert run_silver(spark, bronze, DAY_A, warehouse, backend="snapshots") == 3
+    silver = SnapshotStore(spark, f"{warehouse}/dw/tab_brewery")
+    assert len(silver.versions()) == 12
+    out = run_maintenance(spark, warehouse, "dw.tab_brewery", compact=False)
+    assert len(out["kept_versions"]) == 10
+    assert silver.versions() == out["kept_versions"]
+    assert silver.read().count() == 3
