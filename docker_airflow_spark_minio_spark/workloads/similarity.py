@@ -541,9 +541,6 @@ def _pq_cent_arr_sql_spark() -> str:
     return f"array({comps})"
 
 
-_PQ_DIST_SQL = None  # DuckDB-side distance built inline in the oracle
-
-
 def _pq_dd_sql(a: str, b: str) -> str:
     d = "list_dot_product"
 
