@@ -560,3 +560,58 @@ def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") > 0)
     )
     return maintained.orderBy("lang")
+
+
+@register(
+    "snapshot_zone_map_read",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)     AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT)  AS sum_doc_id
+    FROM documents
+    WHERE doc_id >= 100 AND doc_id <= 299
+    GROUP BY lang ORDER BY lang
+    """,
+    category="etl",
+    description="manifest zone maps under the gate: documents land as "
+    "three append commits of disjoint doc_id ranges with per-directory "
+    "min/max stats; the range read skips the disjoint directories at "
+    "the manifest (no file listing) and must still return exactly the "
+    "rows a direct filtered scan of the source yields",
+)
+def snapshot_zone_map_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    n = docs.count()
+    root = (
+        f"{tempfile.gettempdir()}/snapshot_zm_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(spark, root)
+    # three commits covering disjoint doc_id thirds (plus remainder)
+    cut1, cut2 = n // 3, 2 * (n // 3)
+    for lo, hi in ((0, cut1), (cut1, cut2), (cut2, n)):
+        store.write(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .repartition("lang"),
+            mode="append",
+            partition_by=["lang"],
+            stats_cols=["doc_id"],
+        )
+    pruned = store.read(range_filter=("doc_id", 100, 299))
+    return (
+        pruned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )
