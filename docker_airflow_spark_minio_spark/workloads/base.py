@@ -22,6 +22,20 @@ hash-match the Spark result:
    naive); the loader pins the session timezone to UTC
  * rankings/top-k order by a rounded measure with a unique id tie-break,
    so boundary ties resolve identically in both engines
+
+New-aggregate checklist (write this BEFORE the oracle, not after a
+flake): when adding any aggregate over discrete decimal data (money,
+scores, balances -- anything with a fixed decimal step), do NOT write
+``ROUND(SUM(x), k)`` over doubles or decimals.  Use :func:`money_sum`
+(integer micro-units) in BOTH the Spark expression and the oracle SQL.
+Rationale: DECIMAL(18,6) sums are exact but 2-3x slower than BIGINT
+(measured live: q1 0.41s -> 1.12s when six revenue sums moved to
+decimal in round 4), and double sums flake at rounding boundaries.
+Integer micros are exact like decimal, fast like long, and have MORE
+headroom before overflow (9.2e12 dollars vs decimal(18,6)'s 1e12).
+Ratios and continuous-valued aggregates (embeddings, event values) may
+stay double + late coarse ROUND -- a continuous value never sits on an
+exact boundary.
 """
 
 from __future__ import annotations
@@ -34,6 +48,79 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+# ---------------------------------------------------------------------------
+# Integer-micros money arithmetic (engine-neutral SQL fragments)
+# ---------------------------------------------------------------------------
+#
+# The exact-AND-fast pattern for ROUND(SUM(<money term>), dp):
+#
+#  1. per-row half-up round to integer micro-units:
+#     CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT).  Bit-identical across engines:
+#     IEEE multiply/add/floor on identical parquet doubles is
+#     deterministic, and money terms (2..6 decimal places, |x| < 1e9)
+#     sit ~1e-7 absolute error away from the half boundary -- far below
+#     the 0.5 threshold.
+#  2. BIGINT sum: exact and order-independent (no partial-aggregation
+#     order flake, no decimal slow path).
+#  3. integer half-up (away from zero) round micros -> 10^-dp units.
+#     Integer division is spelled (t - t % b) / b, which truncates toward
+#     zero IDENTICALLY in Spark and DuckDB (both % operators take the
+#     dividend's sign, and an exact multiple of b below 2^53 divides
+#     exactly in double) -- so ONE text works in both dialects, unlike
+#     Spark's DIV / DuckDB's //.
+#  4. one deterministic double division for display.
+
+
+def micros(term: str) -> str:
+    """Per-row exact micro-units (BIGINT) of a money/score term."""
+    return f"CAST(FLOOR(({term}) * 1000000 + 0.5) AS BIGINT)"
+
+
+def micros_round(s: str, dp: int = 2) -> str:
+    """Half-up round an integer-micros expression to ``dp`` decimals,
+    returned as DOUBLE.  Engine-neutral (runs unchanged in Spark SQL and
+    DuckDB)."""
+    b = 10 ** (6 - dp)
+    half = b // 2
+    t = f"(({s}) + (CASE WHEN ({s}) < 0 THEN -{half} ELSE {half} END))"
+    ival = f"CAST(({t} - ({t} % {b})) / {b} AS BIGINT)"
+    return f"(CAST({ival} AS DOUBLE) / {10 ** dp}.0)"
+
+
+def money_sum(term: str, dp: int = 2) -> str:
+    """``ROUND(SUM(term), dp)`` over discrete-decimal data, exactly, via
+    integer micro-units.  Use this (in BOTH the Spark expression and the
+    oracle SQL) for every new money/score aggregate -- see the
+    new-aggregate checklist in the module docstring.
+
+    On the SPARK side prefer the two-phase :func:`money_sum_agg` +
+    :func:`money_finish` pair: this single-expression form textually
+    repeats the SUM four times (sign handling), and whole-stage codegen
+    COMPILES all four copies -- measured 2.7x slower on a one-shot run
+    (bench runs every query exactly once, so janino compile time is on
+    the clock).  DuckDB oracles don't codegen, so the inline form is
+    fine there."""
+    return micros_round(f"SUM({micros(term)})", dp)
+
+
+def money_sum_agg(term: str, alias: str):
+    """Phase 1 (Spark side): exact BIGINT micros-sum aggregate column,
+    named ``__<alias>_us``.  Finish with :func:`money_finish`."""
+    return F.expr(f"SUM({micros(term)})").alias(f"__{alias}_us")
+
+
+def money_finish(df: DataFrame, *aliases: str, dp: int = 2) -> DataFrame:
+    """Phase 2 (Spark side): round each ``__<alias>_us`` micros column to
+    ``<alias>`` (DOUBLE, dp decimals) in the tiny post-aggregate
+    projection, where codegen compiles the sign-handling formula once
+    over a handful of rows instead of inside the scan-wide aggregate."""
+    for alias in aliases:
+        df = df.withColumn(alias, F.expr(micros_round(f"__{alias}_us", dp))).drop(
+            f"__{alias}_us"
+        )
+    return df
 
 # One lock guards every workload-level cache: registry queries may be
 # driven concurrently (e.g. a threaded bench harness), and dict mutation

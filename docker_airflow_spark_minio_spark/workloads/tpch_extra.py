@@ -14,8 +14,9 @@ preserved.
 
 Cross-engine exactness rules (see workloads/base.py): every computed
 column aliased identically in both engines; double sums that feed a
-ROUND go through DECIMAL(18,6) so partial-aggregation order can never
-flip a cent; ratios round late and coarse (6 dp).
+ROUND go through integer micro-units (``base.money_sum`` -- exact like
+decimal, fast like BIGINT) so partial-aggregation order can never flip
+a cent; ratios round late and coarse (6 dp).
 
 Scale notes: filters sit on scans (parquet pushdown), only the fixed-size
 ``nation``/``region`` dims are broadcast by hint, every other join is left
@@ -27,21 +28,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .base import load_tables, register
+from .base import (
+    load_tables,
+    micros,
+    micros_round,
+    money_finish,
+    money_sum,
+    money_sum_agg,
+    register,
+)
 
-_DEC = "decimal(18,6)"
-
-
-def _dsum(col, scale=2):
-    """Order-independent money sum: per-term decimal cast, late round."""
-    return F.round(F.sum(col.cast(_DEC)), scale).cast("double")
+# Money terms, unqualified (Spark expr) and l-qualified (oracle SQL).
+_REV = "l_extendedprice * (1 - l_discount)"
+_REVQ = "l.l_extendedprice * (1 - l.l_discount)"
 
 
 @register(
     "q6_revenue_change",
-    oracle="""
-    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2)
-                AS DOUBLE) AS revenue,
+    oracle=f"""
+    SELECT {money_sum("l_extendedprice * l_discount")} AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -65,9 +70,9 @@ def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        money_sum_agg("l_extendedprice * l_discount", "revenue"),
         F.count(F.lit(1)).alias("n_items"),
-    )
+    ).transform(money_finish, "revenue")
 
 
 @register(
@@ -107,31 +112,36 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q8_market_share",
-    oracle="""
+    oracle=f"""
     SELECT o_year,
-           ROUND(CAST(ROUND(SUM(CASE WHEN nation = 'NATION_5'
-                                     THEN volume ELSE 0 END), 4) AS DOUBLE)
-                 / CAST(ROUND(SUM(volume), 4) AS DOUBLE), 6) AS mkt_share
+           ROUND({micros_round("num_s", 4)} / {micros_round("den_s", 4)}, 6)
+             AS mkt_share
     FROM (
-        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-               CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS volume,
-               n2.n_name AS nation
-        FROM part p
-        JOIN lineitem l ON p.p_partkey = l.l_partkey
-        JOIN orders o   ON o.o_orderkey = l.l_orderkey
-        JOIN customer c ON c.c_custkey = o.o_custkey
-        JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
-        JOIN region r   ON n1.n_regionkey = r.r_regionkey
-        JOIN supplier s ON s.s_suppkey = l.l_suppkey
-        JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
-        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        SELECT o_year,
+               SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END) AS num_s,
+               SUM(volume) AS den_s
+        FROM (
+            SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                   {micros(_REVQ)} AS volume,
+                   n2.n_name AS nation
+            FROM part p
+            JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+            JOIN region r   ON n1.n_regionkey = r.r_regionkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+            WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        )
+        GROUP BY o_year
     )
-    GROUP BY o_year ORDER BY o_year
+    ORDER BY o_year
     """,
     category="join",
     description="TPC-H Q8: national market share inside a region -- "
-    "conditional numerator over a decimal volume, both sides of the "
-    "ratio summed exactly then divided late; two nation broadcasts "
+    "conditional numerator over an integer-micros volume, both sides of "
+    "the ratio summed exactly then divided late; two nation broadcasts "
     "play different roles (customer region gate vs supplier identity)",
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,7 +154,6 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
     r = t["region"].filter(F.col("r_name") == "ASIA").select("r_regionkey")
-    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
     base = (
         t["lineitem"]
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
@@ -156,18 +165,25 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
-            vol.alias("volume"),
+            F.expr(micros(_REV)).alias("volume"),
             "nation",
         )
     )
-    num = F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(F.lit(0).cast(_DEC)))
-    den = F.sum("volume")
     return (
         base.groupBy("o_year")
         .agg(
+            F.sum(
+                F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("num_s"),
+            F.sum("volume").alias("den_s"),
+        )
+        .select(
+            "o_year",
             F.round(
-                F.round(num, 4).cast("double") / F.round(den, 4).cast("double"), 6
-            ).alias("mkt_share")
+                F.expr(micros_round("num_s", 4)) / F.expr(micros_round("den_s", 4)), 6
+            ).alias("mkt_share"),
         )
         .orderBy("o_year")
     )
@@ -175,13 +191,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q9_product_profit",
-    oracle="""
-    SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+    oracle=f"""
+    SELECT nation, o_year, {micros_round("SUM(amount)", 2)} AS sum_profit
     FROM (
         SELECT n.n_name AS nation,
                CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-               CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
-                 - CAST(p.p_retailprice * 0.1 * l.l_quantity AS DECIMAL(18,6)) AS amount
+               {micros(_REVQ)}
+                 - {micros("p.p_retailprice * 0.1 * l.l_quantity")} AS amount
         FROM part p
         JOIN lineitem l ON p.p_partkey = l.l_partkey
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -202,9 +218,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t["part"].filter(F.col("p_name").like("%widget%")).select(
         "p_partkey", "p_retailprice"
     )
-    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC) - (
-        F.col("p_retailprice") * 0.1 * F.col("l_quantity")
-    ).cast(_DEC)
+    amount = F.expr(
+        f"{micros(_REV)} - {micros('p_retailprice * 0.1 * l_quantity')}"
+    )
     return (
         t["lineitem"]
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
@@ -217,7 +233,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
+        .agg(F.sum("amount").alias("__sum_profit_us"))
+        .transform(money_finish, "sum_profit")
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -270,45 +287,48 @@ def q12_shipping_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q14_promo_revenue",
-    oracle="""
+    oracle=f"""
     SELECT ROUND(100.0
-             * CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
-                        THEN CAST(l.l_extendedprice * (1 - l.l_discount)
-                                  AS DECIMAL(18,6))
-                        ELSE CAST(0 AS DECIMAL(18,6)) END), 4) AS DOUBLE)
-             / CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                                   AS DECIMAL(18,6))), 4) AS DOUBLE), 6)
-           AS promo_revenue_pct
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
-      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+             * {micros_round("num_s", 4)}
+             / {micros_round("den_s", 4)}, 6) AS promo_revenue_pct
+    FROM (
+        SELECT SUM(CASE WHEN p.p_type = 'PROMO'
+                        THEN {micros(_REVQ)} ELSE 0 END) AS num_s,
+               SUM({micros(_REVQ)}) AS den_s
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    )
     """,
     category="join",
     description="TPC-H Q14: promo revenue share in one month -- "
     "conditional/total ratio, date filter pushed to the fact scan, "
-    "exact decimal sums divided late",
+    "exact integer-micros sums divided late",
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     lo = F.lit("1996-03-01 00:00:00").cast("timestamp_ntz")
     hi = F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")
     li = t["lineitem"].filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(_DEC))
-    return li.join(t["part"], F.col("l_partkey") == F.col("p_partkey")).agg(
-        F.round(
-            F.lit(100.0)
-            * F.round(F.sum(promo), 4).cast("double")
-            / F.round(F.sum(rev), 4).cast("double"),
-            6,
-        ).alias("promo_revenue_pct")
+    rev = F.expr(micros(_REV))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("long"))
+    return (
+        li.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.sum(promo).alias("num_s"), F.sum(rev).alias("den_s"))
+        .select(
+            F.round(
+                F.lit(100.0)
+                * F.expr(micros_round("num_s", 4))
+                / F.expr(micros_round("den_s", 4)),
+                6,
+            ).alias("promo_revenue_pct")
+        )
     )
 
 
-_Q15_REVENUE = """
+_Q15_REVENUE = f"""
         SELECT l_suppkey AS supplier_no,
-               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                    AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
+               {money_sum(_REV)} AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -328,8 +348,8 @@ _Q15_REVENUE = """
     category="join",
     description="TPC-H Q15: supplier(s) with the quarter's max revenue -- "
     "the derived revenue view feeds both the join and the scalar-max "
-    "subquery; exact decimal revenue so the equality against MAX cannot "
-    "wobble at the ulp",
+    "subquery; exact integer-micros revenue so the equality against MAX "
+    "cannot wobble at the ulp",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -339,7 +359,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+        .agg(money_sum_agg(_REV, "total_revenue"))
+        .transform(money_finish, "total_revenue")
     )
     best = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
@@ -385,11 +406,19 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _avg_yearly_7(s: str) -> str:
+    """``ROUND(SUM(price)/7.0, 2)`` on an integer-micros sum ``s``:
+    half-up cents of s/7, computed integer-side (engine-neutral trunc
+    division; the summed prices are positive).  1 cent = 70000 micros/7."""
+    t = f"(({s}) + 35000)"
+    ival = f"CAST(({t} - ({t} % 70000)) / 70000 AS BIGINT)"
+    return f"(CAST({ival} AS DOUBLE) / 100.0)"
+
+
 @register(
     "q17_small_quantity_revenue",
-    oracle="""
-    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) / 7.0, 2)
-                AS DOUBLE) AS avg_yearly,
+    oracle=f"""
+    SELECT {_avg_yearly_7("SUM(" + micros("l.l_extendedprice") + ")")} AS avg_yearly,
            COUNT(*) AS n_items
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -417,10 +446,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_part, F.col("l_partkey") == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice").cast(_DEC)) / 7.0, 2)
-            .cast("double")
-            .alias("avg_yearly"),
+            F.expr("SUM(" + micros("l_extendedprice") + ")").alias("price_us"),
             F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.expr(_avg_yearly_7("price_us")).alias("avg_yearly"), "n_items"
         )
     )
 
@@ -472,9 +502,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q19_disjunctive_revenue",
-    oracle="""
-    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+    oracle=f"""
+    SELECT {money_sum(_REVQ)} AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -503,9 +532,10 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
-            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            money_sum_agg(_REV, "revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
+        .transform(money_finish, "revenue")
     )
 
 
@@ -546,20 +576,23 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q21_SQL)
 
 
-_Q22_SQL = """
-    SELECT segment_code, COUNT(*) AS numcust,
-           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
-             AS totacctbal
+_Q22_SQL = f"""
+    SELECT segment_code, numcust, {micros_round("tot_us")} AS totacctbal
     FROM (
-        SELECT c_custkey % 7 AS segment_code, c_acctbal
-        FROM customer c
-        WHERE c_acctbal > (
-            SELECT AVG(c_acctbal) FROM customer
-            WHERE c_acctbal > 0.0 AND c_custkey % 7 IN (0, 1, 2, 3))
-          AND c_custkey % 7 IN (0, 1, 2, 3)
-          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        SELECT segment_code, COUNT(*) AS numcust,
+               SUM({micros("c_acctbal")}) AS tot_us
+        FROM (
+            SELECT c_custkey % 7 AS segment_code, c_acctbal
+            FROM customer c
+            WHERE c_acctbal > (
+                SELECT AVG(c_acctbal) FROM customer
+                WHERE c_acctbal > 0.0 AND c_custkey % 7 IN (0, 1, 2, 3))
+              AND c_custkey % 7 IN (0, 1, 2, 3)
+              AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        )
+        GROUP BY segment_code
     )
-    GROUP BY segment_code ORDER BY segment_code
+    ORDER BY segment_code
 """
 
 
@@ -662,10 +695,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q11_important_parts",
-    oracle="""
+    oracle=f"""
     WITH v AS (
         SELECT l_partkey,
-               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS v
+               SUM({micros(_REV)}) AS v
         FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN nation n   ON n.n_nationkey = s.s_nationkey
@@ -675,7 +708,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(SUM(v) AS DOUBLE) AS total, COUNT(*) AS n FROM v
     )
     SELECT v.l_partkey,
-           CAST(ROUND(v.v, 2) AS DOUBLE) AS part_value
+           {micros_round("v.v", 2)} AS part_value
     FROM v, g
     WHERE CAST(v.v AS DOUBLE) * g.n * 100 > 130 * g.total
     ORDER BY part_value DESC, l_partkey
@@ -684,7 +717,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q11 shape: per-part value filtered against a "
     "fraction of the GLOBAL total (1.3x the mean) -- the "
     "aggregate-vs-scalar-subquery HAVING pattern; the global total is a "
-    "1-row broadcast combine, exact decimal sums on both engines",
+    "1-row broadcast combine, exact integer-micros sums on both engines",
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -694,11 +727,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .where(F.col("n_name") == "NATION_7")
         .groupBy("l_partkey")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
-            ).alias("v")
-        )
+        .agg(F.sum(F.expr(micros(_REV))).alias("v"))
     )
     g = v.agg(
         F.sum("v").cast("double").alias("total"), F.count(F.lit(1)).alias("n")
@@ -707,7 +736,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.crossJoin(g)
         .where(F.col("v").cast("double") * F.col("n") * 100 > 130 * F.col("total"))
         .select(
-            "l_partkey", F.round("v", 2).cast("double").alias("part_value")
+            "l_partkey", F.expr(micros_round("v", 2)).alias("part_value")
         )
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )
