@@ -13,9 +13,12 @@ express).  Run it on a schedule next to the pipeline::
 
 Scale notes: compaction rewrites only fragmented partitions (cost ~
 fragmentation); retention is metadata-plane plus deletes of
-unreferenced directories.  Both are normal snapshot commits /
-manifest operations -- safe to run concurrently with writers (a racing
-commit simply wins or loses the optimistic protocol).
+unreferenced directories.  Compaction commits through the optimistic
+protocol (a racing commit simply wins or loses); retention is safe to
+run concurrently with writers PROVIDED ``--orphan-grace-hours`` (the
+age below which an unreferenced data dir might still be an in-flight
+commit) exceeds the longest possible write -- see
+``SnapshotStore.expire_snapshots``.
 """
 
 from __future__ import annotations
@@ -34,6 +37,7 @@ def run_maintenance(
     table: str,
     keep_last: int = 10,
     compact: bool = True,
+    orphan_grace_ms: int = 24 * 3600 * 1000,
 ) -> dict:
     """Compact fragmented partitions (optional), then expire old
     snapshots; returns a summary dict.  A compaction losing an
@@ -46,7 +50,9 @@ def run_maintenance(
             out["compacted_version"] = store.compact()
         except SnapshotConflict as exc:
             out["compaction_conflict"] = str(exc)
-    out.update(store.expire_snapshots(keep_last=keep_last))
+    out.update(
+        store.expire_snapshots(keep_last=keep_last, orphan_grace_ms=orphan_grace_ms)
+    )
     return out
 
 
@@ -58,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--keep-last", type=int, default=10)
     p.add_argument("--compact", action="store_true")
+    p.add_argument("--orphan-grace-hours", type=float, default=24.0)
     args = p.parse_args(argv)
     spark = get_spark_session("snapshot-maintenance")
     try:
@@ -69,6 +76,7 @@ def main(argv: list[str] | None = None) -> int:
                     args.table,
                     keep_last=args.keep_last,
                     compact=args.compact,
+                    orphan_grace_ms=int(args.orphan_grace_hours * 3600 * 1000),
                 )
             )
         )

@@ -122,6 +122,20 @@ class SnapshotStore:
         return json.loads(raw.decode("utf-8"))
 
     def _commit_manifest(self, version: int, manifest: dict) -> None:
+        """Single-winner commit point.
+
+        * ``file://`` -- claim via ``java.nio.Files.createLink(final,
+          tmp)``: hard-link creation fails atomically when the
+          destination exists (POSIX ``link(2)``), closing the
+          exists()-then-rename TOCTOU where a POSIX rename silently
+          REPLACES a racing committer's manifest (lost update).
+        * other schemes -- exists() check + rename.  Correct on
+          HDFS-semantics stores (rename fails on an existing
+          destination); on S3 without a committer, rename is
+          copy+delete and the check is advisory -- same caveat as the
+          module docstring, use a CAS endpoint or a rename-atomic
+          store for the manifest dir in a real deployment.
+        """
         final = self._manifest_path(version)
         tmp = f"{self.root.rstrip('/')}/{MANIFEST_DIR}/.v{version}.json.tmp"
         fs, tmp_p = _fs_and_path(self.spark, tmp)
@@ -132,6 +146,21 @@ class SnapshotStore:
         finally:
             out.close()
         _, final_p = _fs_and_path(self.spark, final)
+        if fs.getUri().getScheme() == "file":
+            jvm = self.spark._jvm
+            src = jvm.java.io.File(tmp_p.toUri().getPath()).toPath()
+            dst = jvm.java.io.File(final_p.toUri().getPath()).toPath()
+            try:
+                jvm.java.nio.file.Files.createLink(dst, src)
+            except Exception as exc:  # noqa: BLE001 -- py4j-wrapped java exc
+                fs.delete(tmp_p, False)
+                if "FileAlreadyExistsException" in str(exc):
+                    raise SnapshotConflict(
+                        f"version {version} already committed at {final}"
+                    ) from None
+                raise
+            fs.delete(tmp_p, False)
+            return
         if fs.exists(final_p) or not fs.rename(tmp_p, final_p):
             fs.delete(tmp_p, False)
             raise SnapshotConflict(
@@ -162,6 +191,14 @@ class SnapshotStore:
                 out.add(val)
         return out
 
+    def watermark(self, key: str, default=None):
+        """The carried-forward ``watermarks[key]`` at the table head (see
+        :meth:`write`).  One manifest read -- O(1), retention-proof."""
+        v = self.latest_version()
+        if v is None:
+            return default
+        return (self._read_manifest(v).get("watermarks") or {}).get(key, default)
+
     # -- writes -----------------------------------------------------------
 
     def write(
@@ -172,6 +209,7 @@ class SnapshotStore:
         metadata: dict | None = None,
         claimed_partitions: list[tuple] | None = None,
         stats_cols: list[str] | None = None,
+        watermarks: dict | None = None,
     ) -> int:
         """Commit ``df`` as a new snapshot; returns the committed version.
 
@@ -195,6 +233,11 @@ class SnapshotStore:
         skips whole directories whose range is disjoint -- file skipping
         beyond partition pruning, the Iceberg-manifest idea.  Stats are
         carried forward for directories a commit does not rewrite.
+        ``watermarks``: key->value pairs carried forward into EVERY
+        descendant manifest (child values override parent's), unlike
+        per-commit ``metadata`` which retention can expire.  The CDC
+        sink records its high-water batch id here so replay detection
+        survives ``expire_snapshots`` and compaction commits.
         """
         if mode not in ("snapshot", "append", "overwrite_partitions"):
             raise ValueError(f"unknown snapshot write mode: {mode}")
@@ -276,6 +319,18 @@ class SnapshotStore:
             "dir_stats": dir_stats,
             "committed_at_ms": int(time.time() * 1000),
             "metadata": dict(metadata or {}),
+            # Written-frame schema: lets read() serve a committed-but-
+            # EMPTY snapshot (e.g. a CDC batch whose deletes emptied
+            # every partition) as an empty typed frame instead of
+            # crashing the consumer.
+            "schema": df.schema.json(),
+            # Carried forward parent -> child on every commit (see
+            # docstring) -- survives retention as long as ANY snapshot
+            # survives, which keep_last >= 1 guarantees.
+            "watermarks": {
+                **((parent or {}).get("watermarks") or {}),
+                **(watermarks or {}),
+            },
         }
         try:
             self._commit_manifest(version, manifest)
@@ -324,6 +379,16 @@ class SnapshotStore:
         if version is None:
             raise ValueError(f"no snapshots committed under {self.root}")
         manifest = self._read_manifest(version)
+        if not manifest["partitions"] and manifest.get("schema"):
+            # Committed-but-empty snapshot (reachable: a CDC batch whose
+            # deletes empty every partition commits a zero-partition
+            # manifest via claimed_partitions).  Serve the persisted
+            # schema as an empty frame -- raising here would wedge the
+            # CDC stream's next merge permanently.
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+            return self.spark.createDataFrame([], schema)
         stats = manifest.get("dir_stats", {})
 
         def _skipped(vd: str, part: str) -> bool:
@@ -436,20 +501,41 @@ class SnapshotStore:
 
     # -- retention --------------------------------------------------------
 
-    def expire_snapshots(self, keep_last: int = 10) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 10, orphan_grace_ms: int = 24 * 3600 * 1000
+    ) -> dict:
         """Drop all but the newest ``keep_last`` snapshots and every data
         directory no kept snapshot references -- the executed equivalent
         of the reference's ``write.metadata.previous-versions-max``
         retention (catalog.ICEBERG_WRITE_OPTIONS).  Also sweeps crashed
-        commits (dangling manifest tmps, orphan data dirs)."""
+        commits (dangling manifest tmps, orphan data dirs).
+
+        Concurrency: directories referenced by an EXPIRED manifest were
+        committed history, so they are reclaimed immediately.  A data
+        directory referenced by NO manifest is ambiguous -- it is either
+        a crashed commit's orphan or an IN-FLIGHT commit that has
+        written data but not yet renamed its manifest; sweeping the
+        latter would let the writer still win the manifest race and
+        commit a snapshot pointing at deleted files (silent data loss).
+        Unreferenced dirs and dangling tmps are therefore only reclaimed
+        when older than ``orphan_grace_ms`` (Iceberg's orphan-file age
+        pattern; default 24 h).  The grace must exceed the longest
+        possible write duration -- with that invariant this method is
+        safe to run concurrently with writers.  ``orphan_grace_ms=0``
+        reclaims everything immediately and is only safe with no
+        in-flight writers."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        now_ms = int(time.time() * 1000)
         vs = self.versions()
         keep = set(vs[-keep_last:])
         live_vdirs: set[str] = set()
-        for v in keep:
+        expired_vdirs: set[str] = set()
+        for v in vs:
+            target = live_vdirs if v in keep else expired_vdirs
             for vdirs in self._read_manifest(v)["partitions"].values():
-                live_vdirs.update(vdirs)
+                target.update(vdirs)
+        expired_vdirs -= live_vdirs
         dropped_manifests = 0
         for v in vs:
             if v not in keep:
@@ -458,7 +544,8 @@ class SnapshotStore:
         fs, mdir = _fs_and_path(self.spark, f"{self.root.rstrip('/')}/{MANIFEST_DIR}")
         if fs.exists(mdir):
             for st in fs.listStatus(mdir):
-                if st.getPath().getName().endswith(".tmp"):
+                aged = now_ms - st.getModificationTime() > orphan_grace_ms
+                if st.getPath().getName().endswith(".tmp") and aged:
                     fs.delete(st.getPath(), False)
         dropped_data = 0
         droot = f"{self.root.rstrip('/')}/{DATA_DIR}"
@@ -466,7 +553,12 @@ class SnapshotStore:
         if fs.exists(dp):
             for st in fs.listStatus(dp):
                 name = st.getPath().getName()
-                if st.isDirectory() and name not in live_vdirs:
+                if not st.isDirectory() or name in live_vdirs:
+                    continue
+                # Expired-manifest dirs: committed, reclaim now.  True
+                # orphans (referenced nowhere): age-gated, see above.
+                aged = now_ms - st.getModificationTime() > orphan_grace_ms
+                if name in expired_vdirs or aged:
                     delete_prefix(self.spark, f"{droot}/{name}")
                     dropped_data += 1
         return {

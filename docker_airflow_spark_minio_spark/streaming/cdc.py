@@ -11,12 +11,16 @@ get from snapshot commits (reference job_silver.py:174-178):
    mid-write leaves an orphan data directory invisible to readers, never
    a half-swapped table.
  * **exactly-once under replay** -- the micro-batch id is recorded IN
-   the committed manifest (same atomic unit), so a batch replayed after
-   a crash between sink commit and checkpoint advance is detected via
-   :meth:`SnapshotStore.committed_metadata` and skipped.  This closes
-   the window the dynamic-overwrite silver sink handles with
-   batch-keyed partition overwrite -- here no bookkeeping column is
-   needed in the data at all.
+   the committed manifest (same atomic unit), both as per-commit
+   metadata and as a carried-forward high-water WATERMARK
+   (:meth:`SnapshotStore.watermark`): batch ids are monotonic, so a
+   replayed batch is detected as ``batch_id <= watermark`` even after
+   ``expire_snapshots`` dropped the manifest that recorded it or a
+   compaction commit moved the head -- replay detection does not
+   depend on retention exceeding the replay horizon.  This closes the
+   window the dynamic-overwrite silver sink handles with batch-keyed
+   partition overwrite -- here no bookkeeping column is needed in the
+   data at all.
  * **deletes** -- a partition rewrite can DROP rows, so CDC delete
    records (``soft_delete_col``) work; dynamic partition overwrite
    alone cannot express a delete without rewriting unrelated rows.
@@ -40,6 +44,7 @@ from pyspark.sql import functions as F
 from ..snapshots import SnapshotStore
 
 BATCH_KEY = "batch_id"
+WATERMARK_KEY = "cdc_batch_id"
 
 
 def upsert_snapshot_batch(
@@ -50,6 +55,7 @@ def upsert_snapshot_batch(
     order_by: str,
     batch_id: int | None = None,
     soft_delete_col: str | None = None,
+    detect_moved_keys: bool = False,
 ) -> int | None:
     """One transactional latest-wins merge; returns the committed
     version, or None when ``batch_id`` was already committed (replay).
@@ -58,10 +64,27 @@ def upsert_snapshot_batch(
     beats the stored row (re-applying a batch is a no-op).  When
     ``soft_delete_col`` is set, a surviving update with that column true
     removes the key from the table.
+
+    Partition-stable keys: by default the merge reads back ONLY the
+    partitions present in the batch (cost ~ changed partitions), which
+    assumes a key's partition values never change -- an update that
+    moves a key to a new partition value would otherwise leave the old
+    row live in its old partition (duplicate key).  If keys can move,
+    set ``detect_moved_keys=True``: the merge then semi-joins the batch
+    keys against the REST of the table to find and also rewrite the
+    partitions holding moved keys' old rows.  That adds one scan of the
+    non-claimed partitions per batch (shuffling key columns only), which
+    is the unavoidable price of a partition-moving MERGE -- the same
+    full-table join Iceberg's MERGE INTO performs.
     """
-    if batch_id is not None and batch_id in store.committed_metadata(BATCH_KEY):
+    already = store.committed_metadata(BATCH_KEY)
+    if batch_id is not None and (
+        batch_id in already
+        or batch_id <= store.watermark(WATERMARK_KEY, -1)
+    ):
         return None
     meta = {BATCH_KEY: batch_id} if batch_id is not None else None
+    marks = {WATERMARK_KEY: batch_id} if batch_id is not None else None
 
     if soft_delete_col is None:
         updates = updates.withColumn("__del", F.lit(False))
@@ -76,7 +99,11 @@ def upsert_snapshot_batch(
             .drop("__rn", "__del")
         )
         return store.write(
-            first, mode="snapshot", partition_by=partition_by, metadata=meta
+            first,
+            mode="snapshot",
+            partition_by=partition_by,
+            metadata=meta,
+            watermarks=marks,
         )
 
     affected = [
@@ -84,19 +111,38 @@ def upsert_snapshot_batch(
     ]
     if not affected:
         return None
-    match = functools.reduce(
-        operator.or_,
-        (
-            functools.reduce(
-                operator.and_,
-                (
-                    F.col(c).isNull() if v is None else F.col(c) == F.lit(v)
-                    for c, v in zip(partition_by, vals)
-                ),
-            )
-            for vals in affected
-        ),
-    )
+
+    def _match(parts: list[tuple]):
+        return functools.reduce(
+            operator.or_,
+            (
+                functools.reduce(
+                    operator.and_,
+                    (
+                        F.col(c).isNull() if v is None else F.col(c) == F.lit(v)
+                        for c, v in zip(partition_by, vals)
+                    ),
+                )
+                for vals in parts
+            ),
+        )
+
+    if detect_moved_keys:
+        # Partitions (outside the batch's own) still holding a row for a
+        # batch key: their old rows must join the merge so latest-wins
+        # can retire them, and the partitions must be claimed so the
+        # rewrite actually drops the rows.
+        moved = [
+            tuple(r)
+            for r in store.read()
+            .where(~_match(affected))
+            .join(updates.select(*keys).distinct(), on=keys, how="left_semi")
+            .select(*partition_by)
+            .distinct()
+            .collect()
+        ]
+        affected += [p for p in moved if p not in affected]
+    match = _match(affected)
     base = (
         store.read()
         .where(match)
@@ -117,6 +163,7 @@ def upsert_snapshot_batch(
         mode="overwrite_partitions",
         partition_by=partition_by,
         metadata=meta,
+        watermarks=marks,
         # Claim every batch-touched partition: one whose rows ALL lose
         # the merge (e.g. the last key deleted) must be dropped from the
         # manifest, not left serving its stale files.
@@ -136,6 +183,7 @@ def run_cdc_stream(
     soft_delete_col: str | None = None,
     available_now: bool = True,
     on_batch_commit=None,
+    detect_moved_keys: bool = False,
 ):
     """Stream NDJSON update files into a snapshot-log table as
     exactly-once MERGE commits; returns the StreamingQuery.
@@ -156,6 +204,7 @@ def run_cdc_stream(
             order_by=order_by,
             batch_id=batch_id,
             soft_delete_col=soft_delete_col,
+            detect_moved_keys=detect_moved_keys,
         )
         if on_batch_commit is not None:
             on_batch_commit(batch_id)

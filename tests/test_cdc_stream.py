@@ -160,3 +160,93 @@ def test_cdc_replay_after_kill_between_commit_and_checkpoint(spark, tmp_path):
     )
     _run(spark, tmp_path)
     assert _table(spark, tmp_path) == [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d1")]
+
+
+def test_cdc_delete_empties_whole_table_then_recovers(spark, tmp_path):
+    # ADVICE r4: a batch whose deletes empty EVERY partition commits a
+    # zero-partition manifest; read() must serve an empty typed frame
+    # (not raise), or the next micro-batch wedges the stream forever.
+    upd = str(tmp_path / "upd")
+    _write_updates(
+        upd, "b0.json", [{"id": 1, "v": "a", "day": "d1", "ts": 1, "deleted": False}]
+    )
+    _run(spark, tmp_path)
+    _write_updates(
+        upd, "b1.json", [{"id": 1, "v": "a", "day": "d1", "ts": 2, "deleted": True}]
+    )
+    _run(spark, tmp_path)
+    store = SnapshotStore(spark, str(tmp_path / "tab"))
+    empty = store.read()
+    assert empty.count() == 0
+    assert {"id", "v", "day"} <= set(empty.columns)
+    # the stream keeps flowing after the empty state
+    _write_updates(
+        upd, "b2.json", [{"id": 2, "v": "b", "day": "d2", "ts": 3, "deleted": False}]
+    )
+    _run(spark, tmp_path)
+    assert _table(spark, tmp_path) == [(2, "b", "d2")]
+
+
+def test_cdc_moved_key_detection(spark, tmp_path):
+    # ADVICE r4: an update that MOVES a key to a different partition value
+    # leaves the old row live under the default partition-stable contract;
+    # detect_moved_keys=True finds and rewrites the old partition too.
+    upd = str(tmp_path / "upd")
+    _write_updates(
+        upd,
+        "b0.json",
+        [
+            {"id": 1, "v": "a", "day": "d1", "ts": 1, "deleted": False},
+            {"id": 2, "v": "b", "day": "d1", "ts": 1, "deleted": False},
+        ],
+    )
+    _run(spark, tmp_path, detect_moved_keys=True)
+    # id=1 moves d1 -> d2
+    _write_updates(
+        upd, "b1.json", [{"id": 1, "v": "a2", "day": "d2", "ts": 2, "deleted": False}]
+    )
+    _run(spark, tmp_path, detect_moved_keys=True)
+    # exactly one row for id=1, in its NEW partition; id=2 untouched
+    assert _table(spark, tmp_path) == [(1, "a2", "d2"), (2, "b", "d1")]
+
+
+def test_cdc_replay_detection_survives_retention(spark, tmp_path):
+    # ADVICE r4: replay detection must not depend on the manifest that
+    # recorded the batch id surviving retention -- the high-water batch id
+    # is carried forward into every descendant manifest.
+    upd = str(tmp_path / "upd")
+    _write_updates(
+        upd, "b0.json", [{"id": 1, "v": "a", "day": "d1", "ts": 1, "deleted": False}]
+    )
+    _run(spark, tmp_path)
+    _write_updates(
+        upd, "b1.json", [{"id": 2, "v": "b", "day": "d1", "ts": 2, "deleted": False}]
+    )
+    _run(spark, tmp_path)
+    store = SnapshotStore(spark, str(tmp_path / "tab"))
+    # retention drops the manifests that recorded batches 0 and 1 ...
+    store.write(
+        store.read(), mode="snapshot", partition_by=["day"]
+    )  # compaction-like commit carries the watermark forward
+    store.expire_snapshots(keep_last=1, orphan_grace_ms=0)
+    assert store.committed_metadata("batch_id") == set()  # metadata gone
+    assert store.watermark("cdc_batch_id") == 1  # watermark survived
+    # ... yet a replay of batch id 1 is still skipped
+    from docker_airflow_spark_minio_spark.streaming.cdc import upsert_snapshot_batch
+
+    replay = spark.createDataFrame(
+        [(2, "b-DUP", "d1", 2, False)], SCHEMA
+    )
+    assert (
+        upsert_snapshot_batch(
+            store,
+            replay,
+            keys=["id"],
+            partition_by=["day"],
+            order_by="ts",
+            batch_id=1,
+            soft_delete_col="deleted",
+        )
+        is None
+    )
+    assert _table(spark, tmp_path) == [(1, "a", "d1"), (2, "b", "d1")]

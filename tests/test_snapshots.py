@@ -113,15 +113,42 @@ def test_conflict_and_crash_recovery(spark, root):
     assert store.write(spark.createDataFrame([(2,)], "id int")) == 2
     assert store.versions() == [0, 1, 2]
     assert _rows(store.read()) == [(2,)]
-    # dangling tmp (crash before rename) is invisible and swept
+    # dangling tmp (crash before rename) is invisible; the sweep is
+    # AGE-GATED -- a fresh tmp could be a racing committer mid-commit,
+    # so the default grace leaves it alone and only grace=0 (explicit
+    # "no in-flight writers" assertion) reclaims it.
     tmp = f"{root}/_manifests/.v9.json.tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         f.write("{}")
     assert store.versions() == [0, 1, 2]
-    store.expire_snapshots(keep_last=10)
     import os
 
+    store.expire_snapshots(keep_last=10)  # default 24h grace: kept
+    assert os.path.exists(tmp)
+    store.expire_snapshots(keep_last=10, orphan_grace_ms=0)
     assert not os.path.exists(tmp)
+
+
+def test_expire_grace_protects_inflight_data_dirs(spark, root):
+    """An unreferenced data dir younger than the grace is indistinguishable
+    from an in-flight commit's dir and must survive the sweep; dirs
+    referenced by EXPIRED manifests are committed history and go at once."""
+    import os
+
+    store = SnapshotStore(spark, root)
+    for i in range(3):
+        store.write(spark.createDataFrame([(i,)], "id int"), mode="snapshot")
+    # simulate a commit that has written data but not yet renamed its
+    # manifest: an unreferenced attempt-unique dir
+    inflight = f"{root}/data/v3-deadbeef"
+    os.makedirs(inflight)
+    out = store.expire_snapshots(keep_last=1)
+    # v0/v1 dirs: expired-manifest-referenced -> reclaimed immediately
+    assert out["dropped_data_dirs"] == 2
+    assert os.path.isdir(inflight)  # in-flight candidate survives
+    out = store.expire_snapshots(keep_last=1, orphan_grace_ms=0)
+    assert out["dropped_data_dirs"] == 1
+    assert not os.path.isdir(inflight)
 
 
 def test_partition_by_must_be_stable(spark, root):
