@@ -361,50 +361,51 @@ class SnapshotStore:
 
     # -- reads ------------------------------------------------------------
 
-    def read(
+    @staticmethod
+    def _normalize_ranges(range_filter) -> list[tuple]:
+        """One ``(col, lo, hi)`` tuple or a list of them -> list."""
+        if range_filter is None:
+            return []
+        if isinstance(range_filter, tuple):
+            return [range_filter]
+        return list(range_filter)
+
+    def plan_dirs(
         self,
         as_of: int | None = None,
         partitions: list[str] | None = None,
-        range_filter: tuple | None = None,
-    ) -> DataFrame:
-        """Scan one snapshot (latest, or time-travel to ``as_of``);
-        ``partitions`` restricts to the given relative partition dirs
-        (manifest-level pruning -- the scan never lists the others).
-
-        ``range_filter=(col, lo, hi)`` additionally SKIPS every data
-        directory whose recorded zone map (``stats_cols`` at write time)
-        is disjoint from [lo, hi] -- directories without stats are read
-        (sound) -- and applies the exact filter on top."""
+        range_filter: tuple | list[tuple] | None = None,
+    ) -> tuple[dict, dict[str, list[str]], int, int]:
+        """Manifest-level scan planning: returns ``(manifest, by_vdir,
+        n_skipped, n_total)`` where ``by_vdir`` maps each data directory
+        to the live partitions to scan from it.  A directory is SKIPPED
+        when ANY range filter is provably disjoint from its recorded
+        zone map (conjunctive semantics, like a WHERE of ANDed ranges);
+        directories without stats for a filtered column are kept
+        (sound).  Exposed separately from :meth:`read` so tests and
+        observability can assert pruning decisions without scanning."""
         version = self.latest_version() if as_of is None else as_of
         if version is None:
             raise ValueError(f"no snapshots committed under {self.root}")
         manifest = self._read_manifest(version)
-        if not manifest["partitions"] and manifest.get("schema"):
-            # Committed-but-empty snapshot (reachable: a CDC batch whose
-            # deletes empty every partition commits a zero-partition
-            # manifest via claimed_partitions).  Serve the persisted
-            # schema as an empty frame -- raising here would wedge the
-            # CDC stream's next merge permanently.
-            from pyspark.sql import types as T
-
-            schema = T.StructType.fromJson(json.loads(manifest["schema"]))
-            return self.spark.createDataFrame([], schema)
         stats = manifest.get("dir_stats", {})
+        ranges = self._normalize_ranges(range_filter)
 
         def _skipped(vd: str, part: str) -> bool:
-            if range_filter is None:
-                return False
-            col, lo, hi = range_filter
-            s = stats.get(f"{vd}/{part}" if part else vd, {}).get(col)
-            if not s or s[0] is None or s[1] is None:
-                return False  # no/degenerate stats: must read
-            mn, mx = s
-            try:
-                return mx < lo or mn > hi
-            except TypeError:
-                # stats serialized as strings (dates/timestamps) vs a
-                # non-string bound: cannot decide soundly -> read it
-                return False
+            dstats = stats.get(f"{vd}/{part}" if part else vd, {})
+            for col, lo, hi in ranges:
+                s = dstats.get(col)
+                if not s or s[0] is None or s[1] is None:
+                    continue  # no/degenerate stats for col: inconclusive
+                mn, mx = s
+                try:
+                    if mx < lo or mn > hi:
+                        return True
+                except TypeError:
+                    # stats serialized as strings (dates/timestamps) vs a
+                    # non-string bound: cannot decide soundly -> keep
+                    continue
+            return False
 
         # Group live partitions by data dir: one basePath-anchored scan
         # per referenced version dir, unioned by name.
@@ -419,13 +420,47 @@ class SnapshotStore:
                     n_skipped += 1
                     continue
                 by_vdir.setdefault(vd, []).append(part)
+        return manifest, by_vdir, n_skipped, n_total
+
+    def read(
+        self,
+        as_of: int | None = None,
+        partitions: list[str] | None = None,
+        range_filter: tuple | list[tuple] | None = None,
+    ) -> DataFrame:
+        """Scan one snapshot (latest, or time-travel to ``as_of``);
+        ``partitions`` restricts to the given relative partition dirs
+        (manifest-level pruning -- the scan never lists the others).
+
+        ``range_filter`` -- one ``(col, lo, hi)`` tuple or a LIST of
+        them (conjunctive) -- additionally SKIPS every data directory
+        whose recorded zone map (``stats_cols`` at write time) is
+        provably disjoint from any of the ranges -- directories without
+        stats are read (sound) -- and applies the exact ANDed filter on
+        top."""
+        version = self.latest_version() if as_of is None else as_of
+        if version is None:
+            raise ValueError(f"no snapshots committed under {self.root}")
+        manifest, by_vdir, n_skipped, n_total = self.plan_dirs(
+            as_of=version, partitions=partitions, range_filter=range_filter
+        )
+        if not manifest["partitions"] and manifest.get("schema"):
+            # Committed-but-empty snapshot (reachable: a CDC batch whose
+            # deletes empty every partition commits a zero-partition
+            # manifest via claimed_partitions).  Serve the persisted
+            # schema as an empty frame -- raising here would wedge the
+            # CDC stream's next merge permanently.
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+            return self.spark.createDataFrame([], schema)
+        ranges = self._normalize_ranges(range_filter)
         if not by_vdir:
-            if range_filter is not None and n_total > 0:
+            if ranges and n_total > 0:
                 # Everything zone-map-pruned: an empty frame with the
                 # table's schema (scan one live dir, keep no rows).
                 first_part, first_vdirs = next(iter(manifest["partitions"].items()))
                 by_vdir = {first_vdirs[0]: [first_part]}
-                col, lo, hi = range_filter
                 from pyspark.sql import functions as F
 
                 df = self._scan(by_vdir)
@@ -434,11 +469,11 @@ class SnapshotStore:
                 f"no matching partitions in snapshot v{version} under {self.root}"
             )
         df = self._scan(by_vdir)
-        if range_filter is not None:
+        if ranges:
             from pyspark.sql import functions as F
 
-            col, lo, hi = range_filter
-            df = df.where((F.col(col) >= lo) & (F.col(col) <= hi))
+            for col, lo, hi in ranges:
+                df = df.where((F.col(col) >= lo) & (F.col(col) <= hi))
         return df
 
     def _scan(self, by_vdir: dict[str, list[str]]) -> DataFrame:

@@ -615,3 +615,62 @@ def snapshot_zone_map_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "snapshot_zone_map_multi_read",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)     AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT)  AS sum_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE doc_id >= 100 AND doc_id <= 299
+      AND n_chars >= 50 AND n_chars <= 2000
+    GROUP BY lang ORDER BY lang
+    """,
+    category="etl",
+    description="MULTI-column manifest zone maps under the gate (round-5 "
+    "API: range_filter takes a list of conjunctive (col, lo, hi) "
+    "ranges): per-directory min/max stats on doc_id AND n_chars; a "
+    "directory is skipped when ANY range is provably disjoint, and the "
+    "read must equal a direct scan with the ANDed WHERE",
+)
+def snapshot_zone_map_multi_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    n = docs.count()
+    root = (
+        f"{tempfile.gettempdir()}/snapshot_zmm_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(spark, root)
+    cut1, cut2 = n // 3, 2 * (n // 3)
+    for lo, hi in ((0, cut1), (cut1, cut2), (cut2, n)):
+        store.write(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .repartition("lang"),
+            mode="append",
+            partition_by=["lang"],
+            stats_cols=["doc_id", "n_chars"],
+        )
+    pruned = store.read(
+        range_filter=[("doc_id", 100, 299), ("n_chars", 50, 2000)]
+    )
+    return (
+        pruned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

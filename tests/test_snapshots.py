@@ -340,3 +340,38 @@ def test_zone_map_directory_skipping(spark, root):
     ]
     got = sorted(r["id"] for r in store.read(range_filter=("id", 0, 9)).collect())
     assert got == list(range(10))
+
+
+def test_multi_column_zone_map_pruning(spark, root):
+    """Round-5 API: range_filter takes a LIST of conjunctive ranges and
+    a directory is skipped when ANY of them is provably disjoint from
+    its zone map; plan_dirs exposes the pruning decision counts."""
+    store = SnapshotStore(spark, root)
+    # three commits with distinct (id, score) envelopes
+    rows = [
+        [(i, i * 10, "d1") for i in range(10)],          # id 0-9,   score 0-90
+        [(100 + i, 5 + i, "d1") for i in range(10)],     # id 100-109, score 5-14
+        [(200 + i, 5 + i, "d1") for i in range(10)],     # id 200-209, score 5-14
+    ]
+    for batch in rows:
+        store.write(
+            spark.createDataFrame(batch, "id int, score int, day string"),
+            mode="append",
+            partition_by=["day"],
+            stats_cols=["id", "score"],
+        )
+    # id range admits commits 2+3; score range admits commits 1-3;
+    # conjunction -> only commits 2 and 3 survive
+    flt = [("id", 100, 300), ("score", 0, 50)]
+    _, by_vdir, n_skipped, n_total = store.plan_dirs(range_filter=flt)
+    assert (n_total, n_skipped, len(by_vdir)) == (3, 1, 2)
+    got = sorted(r["id"] for r in store.read(range_filter=flt).collect())
+    assert got == list(range(100, 110)) + list(range(200, 210))
+    # a second filter can prune what the first admits: score kills #1,
+    # id kills #2 and #3 -> everything pruned, typed empty frame
+    _, by_vdir, n_skipped, n_total = store.plan_dirs(
+        range_filter=[("id", 0, 9), ("score", 200, 900)]
+    )
+    assert (n_skipped, by_vdir) == (3, {})
+    empty = store.read(range_filter=[("id", 0, 9), ("score", 200, 900)])
+    assert empty.count() == 0 and empty.columns == ["id", "score", "day"]
