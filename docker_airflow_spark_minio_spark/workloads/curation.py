@@ -379,3 +379,290 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + vector cosine fused by reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+# The modern RAG retrieval primitive: a lexical ranking and a dense
+# ranking are computed INDEPENDENTLY, truncated to a candidate pool,
+# and fused by RRF (Cormack et al. 2009): score(d) = sum over rankings
+# of 1/(k + rank_d), k=60.  Kept integer-exact: floor(1e6/(60+rank))
+# per list, so the fused score and its ordering are bit-identical
+# across engines.  The query is document/vector id 0 (the PQ/ADC
+# convention); both pools exclude it.
+RRF_K = 60
+RRF_POOL = 20
+RRF_TOPK = 10
+
+_RRF_COS = (
+    "ROUND(list_dot_product(a.v, q.qv) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)"
+)
+
+
+@register(
+    "retrieval_rrf_hybrid_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {tokens_sql('text')} AS t FROM documents WHERE doc_id <> 0
+    ),
+    d AS (
+        SELECT doc_id, len(t) AS dl,
+               {", ".join(
+                   f"len(list_filter(t, x -> x = '{w}')) AS tf{i}"
+                   for i, w in enumerate(BM25_QUERY)
+               )}
+        FROM tok
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n, (1000 * SUM(dl)) // COUNT(*) AS avg_x1000,
+               {", ".join(
+                   f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+                   for i in range(len(BM25_QUERY))
+               )}
+        FROM d
+    ),
+    scored AS (
+        SELECT doc_id,
+               {" + ".join(
+                   f"(((2 * n - 2 * df{i} + 1) * 1000000) // (2 * df{i} + 1))"
+                   f" * ((22000 * tf{i} * 1000000) // "
+                   f"(10000 * tf{i} + 3000 + 9 * ((1000000 * dl) // avg_x1000)))"
+                   f" // 1000000"
+                   for i in range(len(BM25_QUERY))
+               )} AS s
+        FROM d CROSS JOIN stats
+    ),
+    lex AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS r
+        FROM (SELECT doc_id, s FROM scored ORDER BY s DESC, doc_id LIMIT {RRF_POOL})
+    ),
+    q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    dv AS (
+        SELECT a.vec_id AS doc_id, {_RRF_COS} AS cos
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id <> 0) a CROSS JOIN q
+    ),
+    den AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS r
+        FROM (SELECT doc_id, cos FROM dv ORDER BY cos DESC, doc_id LIMIT {RRF_POOL})
+    ),
+    fused AS (
+        SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+               lex.r AS lex_rank, den.r AS den_rank,
+               COALESCE(1000000 // ({RRF_K} + lex.r), 0)
+                 + COALESCE(1000000 // ({RRF_K} + den.r), 0) AS rrf_x1e6
+        FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+    )
+    SELECT doc_id, CAST(rrf_x1e6 AS BIGINT) AS rrf_x1e6,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(den_rank AS BIGINT) AS den_rank
+    FROM fused ORDER BY rrf_x1e6 DESC, doc_id LIMIT {RRF_TOPK}
+    """,
+    category="text",
+    description=f"hybrid retrieval: integer-exact BM25 ranking and dense "
+    f"cosine ranking (query = id 0), each truncated to a {RRF_POOL}-"
+    f"candidate pool via TakeOrderedAndProject, FULL OUTER joined and "
+    f"fused by reciprocal-rank fusion (floor(1e6/({RRF_K}+rank)) per "
+    "list) -- the RAG lexical+dense pattern with no float in the fused "
+    "ordering",
+)
+def retrieval_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: both rankings are map-only scoring passes into
+    TakeOrderedAndProject pools (per-partition heaps, no global sort of
+    the corpus); ranks come from a window over the POOL (RRF_POOL rows,
+    single tiny partition -- never the corpus); the fusion join is
+    pool-sized.  At 10^9 docs the dense side would swap brute-force
+    scoring for the IVF/PQ entries' probe plan; the fusion stays
+    identical."""
+    from ..functions.vectors import cosine_similarity
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].where(F.col("doc_id") != 0)
+    tok = docs.select("doc_id", tokens_expr("text").alias("t"))
+    d = tok.select(
+        "doc_id",
+        F.size("t").cast("long").alias("dl"),
+        *[_tf_expr(w).alias(f"tf{i}") for i, w in enumerate(BM25_QUERY)],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("(1000 * SUM(dl)) DIV COUNT(*)").alias("avg_x1000"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        sum(
+            F.expr(
+                f"(((2 * n - 2 * df{i} + 1) * 1000000) DIV (2 * df{i} + 1))"
+                f" * ((22000 * tf{i} * 1000000) DIV "
+                f"(10000 * tf{i} + 3000 + 9 * ((1000000 * dl) DIV avg_x1000)))"
+                f" DIV 1000000"
+            )
+            for i in range(len(BM25_QUERY))
+        ).alias("s"),
+    )
+    pool_w = Window.orderBy(F.col("s").desc(), "doc_id")
+    lex = (
+        scored.orderBy(F.col("s").desc(), "doc_id")
+        .limit(RRF_POOL)
+        .select("doc_id", F.row_number().over(pool_w).cast("long").alias("lex_rank"))
+    )
+    emb = t["embeddings"]
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    dv = (
+        emb.where(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id", F.round(cosine_similarity(F.col("v"), F.col("qv")), 6).alias("cos")
+        )
+    )
+    den_w = Window.orderBy(F.col("cos").desc(), "doc_id")
+    den = (
+        dv.orderBy(F.col("cos").desc(), "doc_id")
+        .limit(RRF_POOL)
+        .select("doc_id", F.row_number().over(den_w).cast("long").alias("den_rank"))
+    )
+    fused = (
+        lex.withColumnRenamed("doc_id", "lex_id")
+        .join(
+            den.withColumnRenamed("doc_id", "den_id"),
+            F.col("lex_id") == F.col("den_id"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("lex_id", "den_id").alias("doc_id"),
+            (
+                F.coalesce(
+                    F.expr(f"1000000 DIV ({RRF_K} + lex_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 DIV ({RRF_K} + den_rank)"), F.lit(0)
+                )
+            ).cast("long").alias("rrf_x1e6"),
+            F.col("lex_rank"),
+            F.col("den_rank"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_x1e6").desc(), "doc_id").limit(RRF_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust statistics (rank-based, integer-exact)
+# ---------------------------------------------------------------------------
+
+# Outlier-robust per-group stats for data cleaning: clamp each value to
+# the group's [p5, p95] taken as RANK-based (type-1) quantiles --
+# value at 1-indexed rank ceil(q*n) under a total (value, id) order --
+# so the bounds are actual data values and everything stays integer.
+WINSOR_LO_PCT = 5
+WINSOR_HI_PCT = 95
+
+
+@register(
+    "text_winsorized_length_stats",
+    oracle=f"""
+    WITH r AS (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    ),
+    b AS (
+        SELECT lang,
+               MAX(CASE WHEN rn = (n * {WINSOR_LO_PCT} + 99) // 100
+                        THEN n_chars END) AS lo_v,
+               MAX(CASE WHEN rn = (n * {WINSOR_HI_PCT} + 99) // 100
+                        THEN n_chars END) AS hi_v
+        FROM r GROUP BY lang
+    )
+    SELECT r.lang,
+           CAST(COUNT(*) AS BIGINT)                                AS n_docs,
+           CAST(ANY_VALUE(lo_v) AS BIGINT)                         AS lo_v,
+           CAST(ANY_VALUE(hi_v) AS BIGINT)                         AS hi_v,
+           CAST(SUM(LEAST(GREATEST(n_chars, lo_v), hi_v)) AS BIGINT)
+                                                                   AS wsum_chars,
+           CAST(SUM(CASE WHEN n_chars < lo_v OR n_chars > hi_v
+                         THEN 1 ELSE 0 END) AS BIGINT)             AS n_clamped,
+           CAST((SUM(LEAST(GREATEST(n_chars, lo_v), hi_v)) * 1000)
+                // COUNT(*) AS BIGINT)                             AS wmean_x1000
+    FROM r JOIN b ON r.lang = b.lang
+    GROUP BY r.lang ORDER BY r.lang
+    """,
+    category="text",
+    description=f"winsorized per-lang length stats: rank-based "
+    f"[p{WINSOR_LO_PCT}, p{WINSOR_HI_PCT}] bounds (value at rank "
+    "ceil(q*n), unique (value, id) order), clamp, integer sum/mean -- "
+    "the outlier-robust cleaning profile, zero floats end to end",
+)
+def text_winsorized_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the exact-rank pass sorts within each lang partition
+    (one shuffle on lang; per-group sort).  Fine while groups fit a
+    sort spill budget; at 100 TB with mega-groups the bounds would come
+    from the GK sketch entry (`sketch_quantile_bound`) instead and the
+    clamp stays this same map+broadcast-join shape.  Bounds per group
+    are metadata-sized (one row per lang), broadcast back to the scan."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "lang", "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    r = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    b = r.groupBy(F.col("lang").alias("b_lang")).agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n * {WINSOR_LO_PCT} + 99) DIV 100"),
+                F.col("n_chars"),
+            )
+        ).alias("lo_v"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n * {WINSOR_HI_PCT} + 99) DIV 100"),
+                F.col("n_chars"),
+            )
+        ).alias("hi_v"),
+    )
+    clamped = F.least(F.greatest(F.col("n_chars"), F.col("lo_v")), F.col("hi_v"))
+    joined = r.join(F.broadcast(b), F.col("lang") == F.col("b_lang"))
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.any_value("lo_v").cast("long").alias("lo_v"),
+            F.any_value("hi_v").cast("long").alias("hi_v"),
+            F.sum(clamped).alias("wsum_chars"),
+            F.sum(
+                (
+                    (F.col("n_chars") < F.col("lo_v"))
+                    | (F.col("n_chars") > F.col("hi_v"))
+                ).cast("long")
+            ).alias("n_clamped"),
+            F.expr(
+                "(SUM(LEAST(GREATEST(n_chars, lo_v), hi_v)) * 1000) DIV COUNT(1)"
+            ).alias("wmean_x1000"),
+        )
+        .orderBy("lang")
+    )

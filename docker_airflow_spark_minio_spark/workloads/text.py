@@ -388,3 +388,79 @@ def pandas_udf_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map applyInPandas template (per-group model/normalization)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pandas_grouped_minmax_norm",
+    oracle="""
+    WITH b AS (
+        SELECT lang, doc_id, n_chars,
+               MIN(n_chars) OVER (PARTITION BY lang) AS mn,
+               MAX(n_chars) OVER (PARTITION BY lang) AS mx
+        FROM documents
+    ),
+    p AS (
+        SELECT lang,
+               CASE WHEN mx = mn THEN 0
+                    ELSE CAST(FLOOR((n_chars - mn) * 1000.0 / (mx - mn)) AS BIGINT)
+               END AS permille
+        FROM b
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)      AS n_docs,
+           CAST(SUM(permille) AS BIGINT) AS sum_permille,
+           CAST(MIN(permille) AS BIGINT) AS min_permille,
+           CAST(MAX(permille) AS BIGINT) AS max_permille
+    FROM p GROUP BY lang ORDER BY lang
+    """,
+    category="text",
+    description="grouped-map applyInPandas template: per-lang min-max "
+    "normalization of document length to integer permille, computed "
+    "whole-group-in-pandas (the per-group fitted-model shape: scaler / "
+    "per-group regression / groupwise imputation) -- completes the "
+    "Python taxonomy next to mapInPandas / cogrouped / scalar / UDTF; "
+    "the JVM twin is a window min-max, used by the oracle",
+)
+def pandas_grouped_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: applyInPandas shuffles each group to ONE executor and
+    materializes it in pandas -- correct here because groups are
+    language-sized shards of metadata columns (doc_id, n_chars), not
+    payloads; a skewed mega-group would need salting or the window-twin
+    plan.  Arithmetic is float64 ops identical in numpy and the
+    engines' doubles ((x-mn)*1000.0/(mx-mn), floor), so the integer
+    permille is bit-identical -- the template rule for any grouped-map:
+    emit integers derived from IEEE-deterministic expressions, never raw
+    floats."""
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "lang", "doc_id", "n_chars"
+    )
+
+    def norm(pdf):
+        import numpy as np
+
+        x = pdf["n_chars"].to_numpy(dtype="float64")
+        mn, mx = x.min(), x.max()
+        if mx == mn:
+            permille = np.zeros(len(x), dtype="int64")
+        else:
+            permille = np.floor((x - mn) * 1000.0 / (mx - mn)).astype("int64")
+        out = pdf[["lang"]].copy()
+        out["permille"] = permille
+        return out
+
+    p = docs.groupBy("lang").applyInPandas(norm, schema="lang string, permille long")
+    return (
+        p.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("permille").alias("sum_permille"),
+            F.min("permille").alias("min_permille"),
+            F.max("permille").alias("max_permille"),
+        )
+        .orderBy("lang")
+    )
