@@ -1059,3 +1059,95 @@ def window_rank_family_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations, bag (ALL) semantics
+# ---------------------------------------------------------------------------
+
+# `setop_nation_coverage` pins the DISTINCT set semantics; this pins the
+# MULTISET semantics (INTERSECT ALL keeps min(count_a, count_b) copies,
+# EXCEPT ALL subtracts counts) -- a corner engines get wrong more often
+# than the distinct forms.  The bags are per-returnflag supplier keys
+# from lineitem, so both sides have heavy duplication.
+_BAG_A = "SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'"
+_BAG_R = "SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'"
+
+
+@register(
+    "setop_bag_semantics",
+    oracle=f"""
+    SELECT 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_keys
+    FROM ({_BAG_A} INTERSECT ALL {_BAG_R})
+    UNION ALL
+    SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_keys
+    FROM ({_BAG_A} EXCEPT ALL {_BAG_R})
+    ORDER BY op
+    """,
+    category="setop",
+    description="multiset (ALL) set-operation semantics: INTERSECT ALL "
+    "keeps min(count_a, count_b) copies per key, EXCEPT ALL subtracts "
+    "counts -- verified via row/key counts over heavily-duplicated "
+    "per-returnflag supplier-key bags; compiles to count-compare "
+    "aggregates, one shuffle on the key",
+)
+def setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: Spark compiles intersectAll/exceptAll to a groupBy
+    count per side + generate (replicate min/diff counts) -- one shuffle
+    keyed on the value, never a row-by-row comparison; the final
+    roll-up is two scalar aggregates unioned."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    a = li.where(F.col("l_returnflag") == "A").select("l_suppkey")
+    r = li.where(F.col("l_returnflag") == "R").select("l_suppkey")
+
+    def stats(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_suppkey").alias("n_keys"),
+        ).select(F.lit(op).alias("op"), "n_rows", "n_keys")
+
+    return (
+        stats("intersect_all", a.intersectAll(r))
+        .unionAll(stats("except_all", a.exceptAll(r)))
+        .orderBy("op")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery (top-n per group without a window)
+# ---------------------------------------------------------------------------
+
+# The SQL-surface twin of `window_top_orders_per_customer`: top-3
+# customers per nation via a correlated LATERAL subquery with ORDER BY +
+# LIMIT.  Identical ANSI text runs on both engines; Catalyst
+# decorrelates the lateral limit into a per-group rank under the hood.
+_LATERAL_SQL = """
+    SELECT n.n_name AS nation, t.c_custkey,
+           ROUND(t.c_acctbal, 2) AS acctbal_r
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 3
+    ) t
+    ORDER BY nation, acctbal_r DESC, c_custkey
+"""
+
+
+@register(
+    "sql_lateral_topn_per_nation",
+    oracle=_LATERAL_SQL,
+    category="sql",
+    description="correlated LATERAL subquery with ORDER BY + LIMIT "
+    "(top-3 customers per nation): the per-group-top-n SQL idiom "
+    "Catalyst decorrelates into a ranked join -- identical ANSI text on "
+    "both engines",
+)
+def sql_lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    for name in ("nation", "customer"):
+        t[name].createOrReplaceTempView(name)
+    return spark.sql(_LATERAL_SQL)

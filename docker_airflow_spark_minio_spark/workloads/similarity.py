@@ -1032,3 +1032,48 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("d").cast("long").alias("adc_dist_q"))
     )
     return adc.orderBy("adc_dist_q", "vec_id").limit(PQ_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# ANN quality monitor #2: recall@k of the IVF index vs the exact baseline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_ivf_recall_at_k",
+    oracle=f"""
+    WITH bf AS ({_BF_ORACLE}),
+    ivf AS ({_IVF_ORACLE})
+    SELECT bf.query_id,
+           CAST(COUNT(ivf.vec_id) AS BIGINT) AS n_hits,
+           CAST(FLOOR(10000.0 * COUNT(ivf.vec_id) / {TOP_K}) AS BIGINT)
+               AS recall_bp
+    FROM bf LEFT JOIN ivf
+      ON ivf.query_id = bf.query_id AND ivf.vec_id = bf.vec_id
+    GROUP BY bf.query_id ORDER BY bf.query_id
+    """,
+    category="similarity",
+    description=f"ANN quality monitor: recall@{TOP_K} of the "
+    f"{IVF_NPROBE}-probe IVF index against the exact brute-force top-k, "
+    "per query -- quantifies what the nprobe/nlist pruning trade costs "
+    "in recall, the dial an IVF deployment tunes; both sides are the "
+    "k*Q-row OUTPUTS of their pipelines, so the check is metadata-sized",
+)
+def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = ann_cosine_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    iv = (
+        ann_ivf_topk(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    j = bf.join(iv, ["query_id", "vec_id"], "left")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+            F.floor(10000.0 * F.sum(F.coalesce("hit", F.lit(0))) / TOP_K)
+            .cast("long")
+            .alias("recall_bp"),
+        )
+        .orderBy("query_id")
+    )

@@ -205,3 +205,46 @@ def test_snapshot_log_matches_dict_model(spark, tmp_path_factory, ops):
     for v, expect in versions.items():
         got = sorted((r["id"], r["day"]) for r in store.read(as_of=v).collect())
         assert got == sorted(expect), f"version {v}"
+
+
+@given(
+    st.lists(
+        st.decimals(
+            min_value="-99999999.999999",
+            max_value="99999999.999999",
+            places=6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_money_sum_matches_decimal_half_up(values):
+    """The integer-micros money_sum SQL (run through DuckDB) must equal
+    the exact-decimal model: per-value HALF_UP round to 6dp (a no-op for
+    6dp inputs), exact sum, HALF_UP round to cents -- for any mix of
+    signs and magnitudes.  DuckDB executes the identical text Spark
+    does (trunc division via (t - t%b)/b), so this property pins the
+    shared formula against an independent exact model."""
+    import decimal
+
+    from docker_airflow_spark_minio_spark.workloads.base import money_sum
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(float(v),) for v in values])
+    got = con.execute(f"SELECT {money_sum('x')} AS s FROM t").fetchone()[0]
+
+    # exact model: round each double to integer micros half-up (away
+    # from zero), integer-sum, round micros to cents half-up
+    def micros(f: float) -> int:
+        d = decimal.Decimal(f) * 1_000_000
+        return int(d.to_integral_value(rounding=decimal.ROUND_FLOOR) + (
+            1 if (d - d.to_integral_value(rounding=decimal.ROUND_FLOOR)) >= decimal.Decimal("0.5") else 0
+        ))
+
+    s = sum(micros(float(v)) for v in values)
+    cents = (abs(s) + 5000) // 10000 * (1 if s >= 0 else -1)
+    assert got == pytest.approx(cents / 100.0, abs=0)
