@@ -123,26 +123,36 @@ _PROFILE_COLS = (
     + " ORDER BY col_name",
     category="etl",
     description="data-quality profile: per-column null + exact distinct "
-    "counts for all 11 lineitem columns in ONE scan (single aggregate, "
-    "unpivoted via stack) -- at 100 TB swap the exact distinct for "
-    "approx_count_distinct, same plan shape",
+    "counts for all 11 lineitem columns as a UNION of single-column "
+    "aggregates -- each branch scans ONLY its column (columnar pruning: "
+    "total bytes ~ one full-row scan) and single-distinct aggregates "
+    "skip the 12x Expand a combined multi-distinct pays (measured 3x); "
+    "at 100 TB swap the exact distinct for approx_count_distinct, one "
+    "branch per column unchanged",
 )
 def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One 11-way multi-distinct aggregate compiles to an Expand that
+    # replicates every (wide) row 12x before the partial aggregate --
+    # measured 6.7s vs 2.1s at sf0.1 against this per-column form,
+    # whose branches each prune to a single column and use the
+    # two-level distinct plan with no row multiplication.
     li = load_tables(spark, sf_dir)["lineitem"]
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    parts = []
     for c in _PROFILE_COLS:
-        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"))
-        aggs.append(F.countDistinct(c).cast("long").alias(f"nd_{c}"))
-    one = li.agg(*aggs)
-    stack = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS)
-    return (
-        one.selectExpr(
-            "n_rows",
-            f"stack({len(_PROFILE_COLS)}, {stack}) AS (col_name, n_nulls, n_distinct)",
+        parts.append(
+            li.select(F.col(c))
+            .agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+                F.countDistinct(c).cast("long").alias("n_distinct"),
+            )
+            .select("col_name", "n_rows", "n_nulls", "n_distinct")
         )
-        .select("col_name", "n_rows", "n_nulls", "n_distinct")
-        .orderBy("col_name")
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("col_name")
 
 
 # ---------------------------------------------------------------------------
