@@ -71,3 +71,79 @@ def zorder_locality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed join (write-time shuffle, zero-exchange reads)
+# ---------------------------------------------------------------------------
+
+BUCKETS = 8
+
+
+@register(
+    "bucketed_join_orders_per_segment",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+    category="layout",
+    description=f"bucketed join under the gate: orders and customer are "
+    f"written bucketBy({BUCKETS}, custkey) + sortBy, then sort-merge "
+    "joined with ZERO exchanges AND zero sorts (runtime-asserted in the "
+    "entry) -- the pay-the-shuffle-once-at-ingest layout that makes "
+    "repeated fact-dim joins exchange-free at 100 TB",
+)
+def bucketed_join_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: bucketing pre-shuffles ONCE at write; every later
+    join on the bucket key reads co-located buckets (no exchange) and,
+    with sortBy, skips the sort-merge sort too.  The merge hint pins the
+    SMJ so the plan exercises the layout even where a broadcast would
+    win at test scale; the aggregate after the join is the only
+    exchange in the query."""
+    import hashlib
+
+    from .. import plans
+    from ..catalog import SqlCatalog
+
+    t = load_tables(spark, sf_dir)
+    db = f"bkt_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    cat = SqlCatalog(spark, database=db)
+    import tempfile
+
+    cat.ensure_database(location=f"{tempfile.gettempdir()}/{db}")
+    cat.save_bucketed(
+        t["orders"].select("o_custkey", "o_totalprice"),
+        "orders_b",
+        ["o_custkey"],
+        n_buckets=BUCKETS,
+        sort_cols=["o_custkey"],
+    )
+    cat.save_bucketed(
+        t["customer"].select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        ),
+        "customer_b",
+        ["o_custkey"],
+        n_buckets=BUCKETS,
+        sort_cols=["o_custkey"],
+    )
+    o = spark.table(f"{db}.orders_b")
+    c = spark.table(f"{db}.customer_b")
+    j = o.hint("merge").join(c, "o_custkey")
+    n_shuffles = plans.shuffle_count(j)
+    if n_shuffles != 0:  # the layout claim IS the entry -- fail loudly
+        raise AssertionError(
+            f"bucketed join planned {n_shuffles} exchanges:\n"
+            + plans.physical_plan(j)
+        )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -429,3 +429,132 @@ def pipeline_rest_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Padding-waste profile (length-bucketed batching)
+# ---------------------------------------------------------------------------
+
+# The packing-strategy comparison point for `seqpack_token_bins`: if
+# instead of concat-packing you pad each document to its power-of-two
+# length bucket (the dynamic-batching shape most serving/training
+# dataloaders use), how many pad tokens do you pay per bucket?  Bucket
+# = 2^ceil(log2(max(n_tok, MIN_BUCKET))) -- log2 is exact at powers of
+# two in IEEE double, so both engines bucket identically.
+PAD_MIN_BUCKET = 16
+
+
+@register(
+    "corpus_padding_waste",
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    b AS (
+        SELECT n_tok,
+               CAST(POW(2, CEIL(LOG2(GREATEST(n_tok, {PAD_MIN_BUCKET}))))
+                    AS BIGINT) AS bucket
+        FROM t
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT)              AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT)            AS sum_tokens,
+           CAST(SUM(bucket - n_tok) AS BIGINT)   AS sum_pad,
+           CAST((SUM(bucket - n_tok) * 1000) // SUM(bucket) AS BIGINT)
+                                                 AS waste_permille
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    category="pipeline",
+    description="padding-waste profile for power-of-two length-bucketed "
+    "batching: per bucket, documents, real tokens, pad tokens and "
+    "integer waste-permille -- the measurement that decides between "
+    "pad-batching and the seqpack concat packer; pure map + one "
+    "small-key aggregate",
+)
+def corpus_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = docs.select(F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    b = t.select(
+        "n_tok",
+        F.pow(
+            F.lit(2.0), F.ceil(F.log2(F.greatest("n_tok", F.lit(PAD_MIN_BUCKET))))
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.sum(F.col("bucket") - F.col("n_tok")).alias("sum_pad"),
+            F.expr(
+                "(SUM(bucket - n_tok) * 1000) DIV SUM(bucket)"
+            ).alias("waste_permille"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group quota sampling (hash-ordered)
+# ---------------------------------------------------------------------------
+
+# The complement of the rate-based hash-gated samplers: take EXACTLY
+# min(Q, n) documents per source, chosen by deterministic hash order
+# (h32 of the doc id -- uniform, reproducible, engine-identical), the
+# way a balanced training mix pins per-domain document counts.
+QUOTA_PER_SOURCE = 40
+
+
+@register(
+    "corpus_quota_sample",
+    oracle=f"""
+    WITH r AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {h32_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)     AS n_taken,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT)  AS min_doc_id
+    FROM r WHERE rn <= {QUOTA_PER_SOURCE}
+    GROUP BY source ORDER BY source
+    """,
+    category="pipeline",
+    description=f"exact per-source quota sample: first {QUOTA_PER_SOURCE} "
+    "documents per source in deterministic h32 order -- fixed per-domain "
+    "document COUNTS (vs the rate-based hash-gated samplers' "
+    "proportions), the balanced-mix primitive; per-group rank over "
+    "(hash, id)",
+)
+def corpus_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: ranking partitions by source and sorts by hash --
+    with mega-sources, swap the full sort for the two-phase salted
+    top-k (similarity.py::_two_phase_topk shape: per-salt partial
+    quota, then final) since only Q winners per group survive; the
+    roll-up is one small-key aggregate either way."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy("source").orderBy(
+        h32(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = docs.select(
+        "source", "doc_id", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    return (
+        r.where(F.col("rn") <= QUOTA_PER_SOURCE)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_taken"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("source")
+    )
