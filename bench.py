@@ -168,7 +168,16 @@ def main() -> int:
         return marginal, round(wall_total, 3), builds_map
 
     m1, t1, b1 = sweep(1)
-    m2, t2, b2 = sweep(2)
+    # Second sweep (noise figure + min-of-2): skippable via env, and
+    # auto-skipped when run 1 ran pathologically long -- the artifact
+    # must exist even on a machine 4x slower than expected (the r3
+    # missing-artifact lesson).
+    repeat = os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2") != "1"
+    if repeat and t1 <= 600:
+        m2, t2, b2 = sweep(2)
+    else:
+        print(f"RUN 2 skipped (repeat={repeat}, run1={t1}s)", file=sys.stderr)
+        m2, t2, b2 = {}, None, {}
 
     times: dict[str, float | None] = {}
     deltas: list[float] = []
