@@ -684,3 +684,70 @@ def snapshot_zone_map_multi_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations (one-pass constraint suite)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_expectations_orders",
+    oracle="""
+    WITH row_level AS (
+        SELECT
+            SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS v_not_null,
+            SUM(CASE WHEN o_totalprice IS NOT NULL
+                      AND NOT (o_totalprice BETWEEN 0 AND 1000000)
+                     THEN 1 ELSE 0 END) AS v_range,
+            SUM(CASE WHEN o_orderstatus IS NOT NULL
+                      AND o_orderstatus NOT IN ('F', 'O', 'P')
+                     THEN 1 ELSE 0 END) AS v_accepted,
+            COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v_unique
+        FROM orders
+    ),
+    ri AS (
+        SELECT COUNT(*) AS v_ref
+        FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT constraint_name, CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM (
+        SELECT 'not_null(o_custkey)' AS constraint_name, v_not_null AS n_violations
+        FROM row_level
+        UNION ALL
+        SELECT 'in_range(o_totalprice,0,1000000)', v_range FROM row_level
+        UNION ALL
+        SELECT 'accepted_values(o_orderstatus)', v_accepted FROM row_level
+        UNION ALL
+        SELECT 'unique(o_orderkey)', v_unique FROM row_level
+        UNION ALL
+        SELECT 'references(o_custkey->c_custkey)', v_ref FROM ri
+    )
+    ORDER BY constraint_name
+    """,
+    category="etl",
+    description="declarative data-quality suite (operators/expectations): "
+    "not_null + range + accepted-values + uniqueness in ONE scan/"
+    "aggregate (adding a constraint adds a column, not a pass), plus "
+    "referential integrity as a distinct-keys anti join -- the deequ-"
+    "shaped publish gate in front of a table write",
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import expectations as X
+
+    t = load_tables(spark, sf_dir)
+    return X.check(
+        t["orders"],
+        [
+            X.not_null("o_custkey"),
+            X.in_range("o_totalprice", 0, 1000000),
+            X.accepted_values("o_orderstatus", "F", "O", "P"),
+            X.unique("o_orderkey"),
+            X.references("o_custkey", t["customer"], "c_custkey"),
+        ],
+    )

@@ -1151,3 +1151,73 @@ def sql_lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("nation", "customer"):
         t[name].createOrReplaceTempView(name)
     return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# NULL-safe join semantics (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+# The semantic corner plain equi-joins silently drop: NULL keys never
+# match under `=`, but DO match each other under the null-safe operator
+# (Spark `<=>`, ANSI IS NOT DISTINCT FROM).  The synthetic tables have
+# no NULL keys, so both sides derive one deterministically
+# (NULLIF(key % 11 = 0)) -- identically in both engines -- and the
+# entry pins the row-count difference between the two operators.
+
+
+@register(
+    "join_null_safe_semantics",
+    oracle="""
+    WITH c AS (
+        SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL
+                    ELSE c_nationkey END AS k
+        FROM customer
+    ),
+    s AS (
+        SELECT CASE WHEN s_suppkey % 11 = 0 THEN NULL
+                    ELSE s_nationkey END AS k
+        FROM supplier
+    ),
+    eq AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM c JOIN s ON c.k = s.k
+    ),
+    nsafe AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    )
+    SELECT 'equi' AS op, n FROM eq
+    UNION ALL
+    SELECT 'null_safe' AS op, n FROM nsafe
+    ORDER BY op
+    """,
+    category="join",
+    description="NULL-safe join semantics: the same derived nullable key "
+    "joined with = (NULLs never match) vs <=> / IS NOT DISTINCT FROM "
+    "(NULL matches NULL) -- the match-count difference is exactly the "
+    "NULL-pair cross product; null-safe equality still hash-partitions "
+    "on the key (NULLs co-locate), no fallback to a theta join",
+)
+def join_null_safe_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("ck")
+    )
+    s = t["supplier"].select(
+        F.when(F.col("s_suppkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("s_nationkey"))
+        .alias("sk")
+    )
+    eq = (
+        c.join(s, F.col("ck") == F.col("sk"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("equi").alias("op"), "n")
+    )
+    nsafe = (
+        c.join(s, F.col("ck").eqNullSafe(F.col("sk")))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("null_safe").alias("op"), "n")
+    )
+    return eq.unionAll(nsafe).orderBy("op")

@@ -1,0 +1,51 @@
+"""Data-quality expectations operator: each constraint kind counts the
+violations it should -- on a frame with KNOWN defects (the registry
+entry only sees the clean synthetic tables, where every suite passes).
+"""
+
+from __future__ import annotations
+
+from docker_airflow_spark_minio_spark.operators import expectations as X
+
+
+def _result(df):
+    return {r["constraint_name"]: (r["n_violations"], r["passed"]) for r in df.collect()}
+
+
+def test_each_constraint_counts_its_violations(spark):
+    rows = [
+        (1, 10.0, "F", "a@x.io"),
+        (2, -5.0, "F", "bad"),        # range violation + pattern violation
+        (None, 20.0, "Z", "c@x.io"),  # null key + bad status
+        (4, None, "O", None),         # NULLs are NOT value violations
+        (4, 30.0, "O", "d@x.io"),     # duplicate id
+    ]
+    df = spark.createDataFrame(rows, "id int, amount double, status string, email string")
+    ref = spark.createDataFrame([(1,), (2,), (4,)], "k int")
+    out = _result(
+        X.check(
+            df,
+            [
+                X.not_null("id"),
+                X.in_range("amount", 0, 100),
+                X.accepted_values("status", "F", "O"),
+                X.matches("email", "^[^@]+@[^@]+$"),
+                X.unique("id"),
+                X.references("id", ref, "k"),
+            ],
+        )
+    )
+    assert out["not_null(id)"] == (1, False)
+    assert out["in_range(amount,0,100)"] == (1, False)
+    assert out["accepted_values(status)"] == (1, False)
+    assert out["matches(email)"] == (1, False)
+    assert out["unique(id)"] == (1, False)
+    assert out["references(id->k)"] == (0, True)
+
+
+def test_referential_violation_and_all_green(spark):
+    df = spark.createDataFrame([(1,), (2,), (9,)], "id int")
+    ref = spark.createDataFrame([(1,), (2,)], "k int")
+    out = _result(X.check(df, [X.references("id", ref, "k"), X.not_null("id")]))
+    assert out["references(id->k)"] == (1, False)
+    assert out["not_null(id)"] == (0, True)
