@@ -133,8 +133,13 @@ def bucketed_join_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFr
     o = spark.table(f"{db}.orders_b")
     c = spark.table(f"{db}.customer_b")
     j = o.hint("merge").join(c, "o_custkey")
+    bucketing_on = (
+        spark.conf.get("spark.sql.sources.bucketing.enabled", "true") == "true"
+    )
     n_shuffles = plans.shuffle_count(j)
-    if n_shuffles != 0:  # the layout claim IS the entry -- fail loudly
+    if bucketing_on and n_shuffles != 0:
+        # the layout claim IS the entry -- fail loudly (but only where
+        # the session actually has bucketed scans enabled)
         raise AssertionError(
             f"bucketed join planned {n_shuffles} exchanges:\n"
             + plans.physical_plan(j)
