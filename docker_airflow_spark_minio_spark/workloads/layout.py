@@ -108,12 +108,22 @@ def bucketed_join_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFr
     from .. import plans
     from ..catalog import SqlCatalog
 
+    import shutil
+    import tempfile
+
     t = load_tables(spark, sf_dir)
     db = f"bkt_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
     cat = SqlCatalog(spark, database=db)
-    import tempfile
-
-    cat.ensure_database(location=f"{tempfile.gettempdir()}/{db}")
+    location = f"{tempfile.gettempdir()}/{db}"
+    # Idempotent across sessions: drop catalog entries this session may
+    # hold, then clear any on-disk leftover from an EARLIER process --
+    # saveAsTable refuses a managed-table location that exists without
+    # a catalog entry (LOCATION_ALREADY_EXISTS).
+    if spark.catalog.databaseExists(db):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.orders_b")
+        spark.sql(f"DROP TABLE IF EXISTS {db}.customer_b")
+    shutil.rmtree(location, ignore_errors=True)
+    cat.ensure_database(location=location)
     cat.save_bucketed(
         t["orders"].select("o_custkey", "o_totalprice"),
         "orders_b",

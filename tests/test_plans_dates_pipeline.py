@@ -57,6 +57,10 @@ def test_no_cartesian_anywhere_in_the_registry(spark):
         "ann_ivfpq_topk",  # coarse + PQ codebook single-row attaches
         # single-row corpus-stats (N, avgdl, df) attach for BM25 scoring
         "text_bm25_topk",
+        # BM25 stats attach + single query-vector attach (round 5)
+        "retrieval_rrf_hybrid_topk",
+        # composes the brute-force baseline + IVF (both allowed above)
+        "ann_ivf_recall_at_k",
     }
     for name, wl in REGISTRY.items():
         if name in allowed:
@@ -90,11 +94,19 @@ def test_uniform_sample_plans_as_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_profile_reads_the_table_once(spark):
-    # 11 columns x (nulls + distinct) in ONE scan -- the whole point vs
-    # the oracle's 11 UNION ALL scans.
+def test_profile_scans_prune_to_single_columns(spark):
+    # Round 5: one branch per column, each scan PRUNED to exactly its
+    # column (total bytes ~ one full-row scan in columnar storage) and
+    # no Expand -- the combined 11-way multi-distinct form replicated
+    # every wide row 12x through an Expand and measured 3x slower.
     df = REGISTRY["profile_lineitem_columns"].fn(spark, SF_DIR)
-    assert plans.physical_plan(df).count("FileScan parquet") == 1
+    plan = plans.physical_plan(df)
+    assert plan.count("FileScan parquet") == 11
+    assert "Expand" not in plan
+    import re
+
+    for schema in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        assert schema.count(":") == 1, f"unpruned scan: {schema}"
 
 
 def test_star_join_broadcasts_fixed_dims(spark):
