@@ -697,3 +697,80 @@ def streaming_static_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     q.stop()
     return spark.table(name).orderBy("tier", "event_type")
+
+
+@register(
+    "streaming_interval_join_live",
+    oracle="""
+    SELECT CAST(p.ts AS DATE) AS purchase_date,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    GROUP BY 1 ORDER BY 1
+    """,
+    category="streaming",
+    description="stream-STREAM interval join executed LIVE: purchases "
+    "and clicks read as two file streams, watermarked on both sides and "
+    "inner-joined on user within a 1-hour lookback "
+    "(streaming/joins.interval_join -- the range bound is what makes "
+    "the join state finite), append-sunk to memory, then rolled up per "
+    "purchase day against the batch self-join oracle",
+)
+def streaming_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the join shuffles both streams on user_id once per
+    micro-batch; state per key is bounded by (lookback + watermark) x
+    rate -- independent of stream length -- and evicted as the
+    watermark advances.  The roll-up here runs in batch over the sunk
+    pairs; in production it would ride the same streaming query (Spark
+    supports an aggregate after a stream-stream join in append mode)."""
+    from ..streaming.joins import interval_join
+
+    load_tables(spark, sf_dir)  # pins session tz + nanosAsLong conf
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    schema = spark.read.parquet(path).schema
+
+    def src():
+        s = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir.rstrip("/"))
+        )
+        # plain TIMESTAMP (not NTZ): withWatermark requires it, and the
+        # session timezone is pinned UTC so wall-clock values match the
+        # oracle's naive timestamps exactly
+        if dict(s.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) generation
+            return s.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    purchases = src().where(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = src().where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = interval_join(purchases, clicks, lookback="1 hour")
+    name = "streaming_interval_join_live_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    pairs = spark.table(name)
+    return (
+        pairs.groupBy(F.to_date("ts").alias("purchase_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("purchase_date")
+    )
