@@ -1283,3 +1283,96 @@ def graph_triangles_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) / 3).cast("long").alias("n_triangles"),
         F.countDistinct("n").cast("long").alias("n_tri_nodes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration (estimated vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+# The acceptance check behind every MinHash deployment: on the LSH
+# candidate pairs, how far is the K-permutation estimate
+# (matching-component fraction) from the exact shingle Jaccard?  The
+# error roll-up is what calibrates K (stderr ~ 1/sqrt(K)) before
+# trusting the sketch at corpus scale -- the same monitor shape as the
+# ANN recall entries, for the dedup family.
+
+
+@register(
+    "dedup_minhash_estimate_calibration",
+    oracle=f"""
+WITH {_minhash_cte()},
+bands AS ({_band_sql()}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+p AS (
+    SELECT
+        CAST(FLOOR(10000.0 * len(list_intersect(sa.sh, sb.sh)) /
+             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+             AS BIGINT) AS jaccard_bp,
+        CAST(FLOOR(10000.0 * ({" + ".join(
+            f"(CASE WHEN ma.mh{j} = mb.mh{j} THEN 1 ELSE 0 END)"
+            for j in range(MINHASH_K)
+        )}) / {MINHASH_K}) AS BIGINT) AS est_bp
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    JOIN mh ma ON ma.doc_id = c.doc_a
+    JOIN mh mb ON mb.doc_id = c.doc_b
+)
+SELECT CAST(COUNT(*) AS BIGINT)                          AS n_pairs,
+       CAST(SUM(ABS(est_bp - jaccard_bp)) AS BIGINT)     AS sum_abs_err_bp,
+       CAST(MAX(ABS(est_bp - jaccard_bp)) AS BIGINT)     AS max_abs_err_bp,
+       CAST(SUM(ABS(est_bp - jaccard_bp)) // COUNT(*) AS BIGINT)
+                                                         AS mean_abs_err_bp
+FROM p
+""",
+    category="dedup",
+    description=f"MinHash estimator calibration: on the LSH candidate "
+    f"pairs, |{MINHASH_K}-perm matching-fraction estimate - exact "
+    "shingle Jaccard| in basis points (count / sum / max / integer "
+    "mean) -- the K-calibration monitor run before trusting the sketch; "
+    "signatures are per-row folds, the pair join reuses the shared "
+    "persisted candidate frame",
+)
+def dedup_minhash_estimate_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = _verified_pairs(spark, sf_dir)  # (doc_a, doc_b, jaccard_bp)
+    sh = _shingles(spark, sf_dir).where(F.size("sh") > 0)
+
+    def _perm(j: int):
+        return lambda h: minhash_expr(h, j)
+
+    hs = sh.select("doc_id", F.transform("sh", lambda s: h32(s)).alias("hs"))
+    mh = hs.select(
+        "doc_id",
+        F.array(
+            *[F.array_min(F.transform("hs", _perm(j))) for j in range(MINHASH_K)]
+        ).alias("sig"),
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("ma.sig"), F.col("mb.sig"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    p = (
+        pairs.join(mh.alias("ma"), F.col("doc_a") == F.col("ma.doc_id"))
+        .join(mh.alias("mb"), F.col("doc_b") == F.col("mb.doc_id"))
+        .select(
+            "jaccard_bp",
+            F.floor(10000.0 * matches / MINHASH_K).cast("long").alias("est_bp"),
+        )
+    )
+    err = F.abs(F.col("est_bp") - F.col("jaccard_bp"))
+    return p.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(err).alias("sum_abs_err_bp"),
+        F.max(err).alias("max_abs_err_bp"),
+        F.expr(
+            "SUM(ABS(est_bp - jaccard_bp)) DIV COUNT(1)"
+        ).alias("mean_abs_err_bp"),
+    )

@@ -751,3 +751,53 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             X.references("o_custkey", t["customer"], "c_custkey"),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram profile
+# ---------------------------------------------------------------------------
+
+# The distribution profile a quality dashboard renders: integer bin ids
+# from FLOOR((value - lo) / width) -- a single IEEE subtract/divide/
+# floor per row, bit-identical across engines -- clamped to [0, NBINS-1]
+# edge bins so out-of-range values are visible rather than dropped.
+HIST_LO = 0.0
+HIST_WIDTH = 50.0
+HIST_NBINS = 12
+
+
+@register(
+    "events_value_histogram",
+    oracle=f"""
+    WITH b AS (
+        SELECT LEAST({HIST_NBINS - 1}, GREATEST(0,
+                 CAST(FLOOR((value - {HIST_LO}) / {HIST_WIDTH}) AS BIGINT)))
+               AS bin
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+    category="etl",
+    description=f"fixed-width histogram of events.value ({HIST_NBINS} "
+    f"bins of {HIST_WIDTH}, clamped edge bins keep out-of-range values "
+    "visible): one map expression + a small-key aggregate -- the "
+    "distribution profile behind every data-quality dashboard",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    bin_col = F.least(
+        F.lit(HIST_NBINS - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("value") - HIST_LO) / HIST_WIDTH).cast("long"),
+        ),
+    ).cast("long")
+    return (
+        ev.where(F.col("value").isNotNull())
+        .select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("bin")
+    )
