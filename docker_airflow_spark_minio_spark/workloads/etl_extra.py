@@ -801,3 +801,148 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot schema evolution under the gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_schema_evolution_read",
+    oracle="""
+    WITH v0 AS (
+        SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    v1 AS (
+        SELECT doc_id, lang, n_chars
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    t AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)            AS n_docs,
+           CAST(COUNT(n_chars) AS BIGINT)      AS n_with_chars,
+           CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS sum_chars
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+    category="etl",
+    description="ADDITIVE schema evolution on the snapshot log, under "
+    "the gate: an append commit carries a column the first commit "
+    "lacked; the read unions both generations by name with old rows "
+    "null-filling the new column (the mergeSchema-style widening "
+    "snapshots._scan performs) -- per-lang counts prove presence/"
+    "null-fill exactly",
+)
+def snapshot_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    root = (
+        f"{tempfile.gettempdir()}/snapshot_evo_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(spark, root)
+    # generation 0: no n_chars column yet
+    store.write(
+        docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang"),
+        mode="snapshot",
+        partition_by=["lang"],
+    )
+    # generation 1 (append): the schema GREW a column
+    store.write(
+        docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars"),
+        mode="append",
+        partition_by=["lang"],
+    )
+    t = store.read()
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("n_chars").alias("n_with_chars"),
+            F.sum(F.coalesce("n_chars", F.lit(0))).alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delete-propagation plan (right-to-erasure sweep)
+# ---------------------------------------------------------------------------
+
+# The GDPR/right-to-erasure primitive: given a (small) delete list of
+# user ids, compute the purge footprint across every table that carries
+# the key -- the audit report generated BEFORE the CDC delete batches
+# are issued.  The delete list broadcasts; each table contributes one
+# semi-join count, so cost ~ one filtered scan per table.
+DELETE_MOD = 37
+
+
+@register(
+    "etl_delete_propagation",
+    oracle=f"""
+    WITH dl AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % {DELETE_MOD} = 0
+    ),
+    ev AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_keys
+        FROM events e JOIN dl ON e.user_id = dl.user_id
+    ),
+    cu AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_keys
+        FROM customer c JOIN dl ON c.c_custkey = dl.user_id
+    ),
+    od AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_keys
+        FROM orders o JOIN dl ON o.o_custkey = dl.user_id
+    )
+    SELECT 'customer' AS table_name, n_rows, n_keys FROM cu
+    UNION ALL
+    SELECT 'events', n_rows, n_keys FROM ev
+    UNION ALL
+    SELECT 'orders', n_rows, n_keys FROM od
+    ORDER BY table_name
+    """,
+    category="etl",
+    description=f"right-to-erasure sweep plan: a deterministic delete "
+    f"list (user_id % {DELETE_MOD} = 0) broadcast-semi-joined against "
+    "every table carrying the key; per-table purge row/key counts -- "
+    "the audit report issued before the CDC delete batches, cost ~ one "
+    "scan per table",
+)
+def etl_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    dl = (
+        t["events"]
+        .where(F.col("user_id") % DELETE_MOD == 0)
+        .select(F.col("user_id").alias("dl_user_id"))
+        .distinct()
+    )
+
+    def footprint(df: DataFrame, key: str, name: str) -> DataFrame:
+        return (
+            df.join(
+                F.broadcast(dl), F.col(key) == F.col("dl_user_id"), "inner"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(key).alias("n_keys"),
+            )
+            .select(F.lit(name).alias("table_name"), "n_rows", "n_keys")
+        )
+
+    return (
+        footprint(t["customer"], "c_custkey", "customer")
+        .unionAll(footprint(t["events"], "user_id", "events"))
+        .unionAll(footprint(t["orders"], "o_custkey", "orders"))
+        .orderBy("table_name")
+    )
