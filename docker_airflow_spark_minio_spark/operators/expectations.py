@@ -75,6 +75,9 @@ def unique(col: str) -> Expectation:
 
 
 def references(col: str, ref: DataFrame, ref_col: str) -> Expectation:
+    """Referential integrity: every non-NULL ``col`` value exists in
+    ``ref[ref_col]``.  NULL foreign keys are NOT violations here --
+    compose with :func:`not_null` to also require presence."""
     return Expectation(
         f"references({col}->{ref_col})", "references", col, ref=ref, ref_col=ref_col
     )
