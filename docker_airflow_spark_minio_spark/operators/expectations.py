@@ -14,10 +14,14 @@ Compilation strategy (100 TB posture):
    ``accepted_values``, ``matches``) becomes one conditional-count
    aggregate; ALL of them run in a single scan + single partial+final
    aggregate -- adding a constraint adds a column, not a pass.
- * ``unique`` needs a distinct count: compiled into the same aggregate
-   as ``COUNT(*) - COUNT(DISTINCT col)`` (Spark plans the distinct via
-   expand; with MANY unique constraints prefer one per pass -- see
-   ``profile_lineitem_columns``'s measured note).
+ * ``unique`` needs a distinct count, compiled as ``COUNT(col) -
+   COUNT(DISTINCT col)``.  ONE unique constraint rides the shared
+   row-level aggregate (a single distinct group plans without a wide
+   Expand); with TWO OR MORE, each compiles into its OWN
+   single-distinct pass instead -- N distinct groups in one aggregate
+   make Spark Expand every input row N+1 ways (the measured 12x row
+   blow-up ``profile_lineitem_columns`` documents), while per-column
+   passes each scan once with no Expand (measured 3x faster there).
  * ``references`` (referential integrity) cannot ride a single-table
    aggregate: each one compiles to a LEFT ANTI join against the
    (deduplicated) target keys and counts survivors.  The target side is
@@ -104,14 +108,22 @@ def check(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     """Evaluate every expectation; returns ``(constraint_name,
     n_violations, passed)`` ordered by constraint name.
 
-    Row-level + unique constraints share ONE aggregate over one scan;
-    each referential constraint adds one anti-join count.  The result is
+    Row-level constraints (plus a single ``unique``) share ONE
+    aggregate over one scan; with 2+ uniques each gets its own
+    single-distinct pass (no wide Expand -- see module docstring); each
+    referential constraint adds one anti-join count.  The result is
     constraint-count rows -- metadata-sized regardless of input size.
     """
+    if not expectations:
+        raise ValueError("no expectations given")
+    uniques = [e for e in expectations if e.kind == "unique"]
+    split_uniques = len(uniques) > 1
     aggs: list[Column] = []
     names: list[str] = []
     for e in expectations:
         if e.kind == "unique":
+            if split_uniques:
+                continue
             aggs.append(
                 (F.count(e.col) - F.countDistinct(e.col)).alias(f"v{len(names)}")
             )
@@ -124,6 +136,15 @@ def check(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
             )
             names.append(e.name)
     parts: list[DataFrame] = []
+    if split_uniques:
+        for e in uniques:
+            parts.append(
+                df.agg(
+                    (F.count(e.col) - F.countDistinct(e.col))
+                    .cast("long")
+                    .alias("n_violations")
+                ).select(F.lit(e.name).alias("constraint_name"), "n_violations")
+            )
     if aggs:
         one = df.agg(*aggs)
         stack = ", ".join(f"'{n}', v{i}" for i, n in enumerate(names))

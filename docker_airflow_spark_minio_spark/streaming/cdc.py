@@ -131,11 +131,17 @@ def upsert_snapshot_batch(
         # Partitions (outside the batch's own) still holding a row for a
         # batch key: their old rows must join the merge so latest-wins
         # can retire them, and the partitions must be claimed so the
-        # rewrite actually drops the rows.
+        # rewrite actually drops the rows.  The negation must be
+        # NULL-safe: for a stored row whose partition column is NULL
+        # while the batch's values are non-NULL, `_match` evaluates to
+        # NULL and a bare `~NULL` (also NULL) would DROP the row from
+        # the moved-key scan -- leaving the stale row live in its NULL
+        # partition, the exact duplicate-key bug this flag prevents
+        # (ADVICE r5, medium).
         moved = [
             tuple(r)
             for r in store.read()
-            .where(~_match(affected))
+            .where(~F.coalesce(_match(affected), F.lit(False)))
             .join(updates.select(*keys).distinct(), on=keys, how="left_semi")
             .select(*partition_by)
             .distinct()

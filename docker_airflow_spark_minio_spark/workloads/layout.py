@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.zorder import zorder_sql, zorder_value
-from .base import load_tables, register
+from .base import load_tables, money_finish, money_sum, money_sum_agg, register
 
 Z_BITS = 8          # 8 bits per dimension -> 16-bit Morton code
 Z_BUCKET_SHIFT = 4  # bucket = z >> shift: 4096 buckets
@@ -86,10 +86,10 @@ _BUCKETED_READY: set[tuple[str, str]] = set()
 
 @register(
     "bucketed_join_orders_per_segment",
-    oracle="""
+    oracle=f"""
     SELECT c.c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 2) AS total_price
+           {money_sum("o.o_totalprice")} AS total_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
     """,
@@ -173,11 +173,8 @@ def bucketed_join_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFr
             f"bucketed join planned {n_shuffles} exchanges:\n"
             + plans.physical_plan(j)
         )
-    return (
-        j.groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-        )
-        .orderBy("c_mktsegment")
+    agg = j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum_agg("o_totalprice", "total_price"),
     )
+    return money_finish(agg, "total_price").orderBy("c_mktsegment")

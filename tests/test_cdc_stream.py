@@ -210,6 +210,52 @@ def test_cdc_moved_key_detection(spark, tmp_path):
     assert _table(spark, tmp_path) == [(1, "a2", "d2"), (2, "b", "d1")]
 
 
+def test_cdc_moved_key_out_of_null_partition(spark, tmp_path):
+    # ADVICE r5 (medium): a stored row whose partition column is NULL must
+    # still be found by the moved-key scan when its key moves to a
+    # non-NULL partition -- `~_match(affected)` evaluates to NULL (not
+    # true) for such rows unless negated NULL-safely, silently leaving
+    # the stale NULL-partition row live (duplicate key).
+    upd = str(tmp_path / "upd")
+    _write_updates(
+        upd,
+        "b0.json",
+        [
+            {"id": 1, "v": "a", "day": None, "ts": 1, "deleted": False},
+            {"id": 2, "v": "b", "day": "d1", "ts": 1, "deleted": False},
+        ],
+    )
+    _run(spark, tmp_path, detect_moved_keys=True)
+    assert _table(spark, tmp_path) == [(1, "a", None), (2, "b", "d1")]
+    # id=1 moves NULL -> d2: the old NULL-partition row must be retired
+    _write_updates(
+        upd, "b1.json", [{"id": 1, "v": "a2", "day": "d2", "ts": 2, "deleted": False}]
+    )
+    _run(spark, tmp_path, detect_moved_keys=True)
+    assert _table(spark, tmp_path) == [(1, "a2", "d2"), (2, "b", "d1")]
+
+
+def test_cdc_moved_key_into_null_partition(spark, tmp_path):
+    # Mirror case: a key moving INTO the NULL partition must retire its
+    # old non-NULL-partition row (exercises _match's isNull branch for
+    # affected values together with the NULL-safe negation).
+    upd = str(tmp_path / "upd")
+    _write_updates(
+        upd,
+        "b0.json",
+        [
+            {"id": 1, "v": "a", "day": "d1", "ts": 1, "deleted": False},
+            {"id": 2, "v": "b", "day": "d1", "ts": 1, "deleted": False},
+        ],
+    )
+    _run(spark, tmp_path, detect_moved_keys=True)
+    _write_updates(
+        upd, "b1.json", [{"id": 1, "v": "a2", "day": None, "ts": 2, "deleted": False}]
+    )
+    _run(spark, tmp_path, detect_moved_keys=True)
+    assert _table(spark, tmp_path) == [(1, "a2", None), (2, "b", "d1")]
+
+
 def test_cdc_replay_detection_survives_retention(spark, tmp_path):
     # ADVICE r4: replay detection must not depend on the manifest that
     # recorded the batch id surviving retention -- the high-water batch id

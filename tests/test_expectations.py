@@ -49,3 +49,37 @@ def test_referential_violation_and_all_green(spark):
     out = _result(X.check(df, [X.references("id", ref, "k"), X.not_null("id")]))
     assert out["references(id->k)"] == (1, False)
     assert out["not_null(id)"] == (0, True)
+
+
+def test_empty_expectations_raise(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError, match="no expectations"):
+        X.check(df, [])
+
+
+def test_many_unique_constraints_split_no_expand(spark):
+    """A suite with 6 unique constraints must NOT compile into one
+    multi-distinct aggregate (which Expands every input row 7 ways);
+    each unique gets its own single-distinct pass, and the results are
+    unchanged (VERDICT r5 next-round #5)."""
+    rows = [
+        (1, "a", 1.0, "x", 10, "p"),
+        (2, "b", 2.0, "y", 20, "q"),
+        (2, "b", 3.0, "z", 30, "p"),  # dup c1, dup c2, dup c6
+        (4, "d", 3.0, "x", 40, "r"),  # dup c3, dup c4
+    ]
+    df = spark.createDataFrame(rows, "c1 int, c2 string, c3 double, c4 string, c5 int, c6 string")
+    suite = [X.unique(f"c{i}") for i in range(1, 7)] + [X.not_null("c1")]
+    out = X.check(df, suite)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+    got = _result(out)
+    assert got["unique(c1)"] == (1, False)
+    assert got["unique(c2)"] == (1, False)
+    assert got["unique(c3)"] == (1, False)
+    assert got["unique(c4)"] == (1, False)
+    assert got["unique(c5)"] == (0, True)
+    assert got["unique(c6)"] == (1, False)
+    assert got["not_null(c1)"] == (0, True)

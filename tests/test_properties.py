@@ -248,3 +248,54 @@ def test_money_sum_matches_decimal_half_up(values):
     s = sum(micros(float(v)) for v in values)
     cents = (abs(s) + 5000) // 10000 * (1 if s >= 0 else -1)
     assert got == pytest.approx(cents / 100.0, abs=0)
+
+
+@given(
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.sampled_from([2, 4]),
+)
+@settings(max_examples=300, deadline=None)
+def test_micros_round_exact_past_2_53(micros_total, dp):
+    """micros_round must be TRUE half-up (away from zero) for the full
+    BIGINT micros range, not just below 2^53 -- the rounding division
+    runs in DECIMAL(38,0), never through a double (ADVICE r5: the old
+    double intermediate could land one cent off past ~$9e9 per group,
+    which TPC-H q1 reaches at sf>=1).  Model: exact integer half-up of
+    micros -> 10^-dp units.  The final value is compared as the exact
+    integer (re-multiplied), since the display double itself is allowed
+    to be the nearest-double of a >2^53 integer."""
+    from docker_airflow_spark_minio_spark.workloads.base import micros_round
+
+    import decimal
+
+    con = duckdb.connect()
+    got = con.execute(f"SELECT {micros_round(str(micros_total), dp)}").fetchone()[0]
+    b = 10 ** (6 - dp)
+    want = (abs(micros_total) + b // 2) // b * (1 if micros_total >= 0 else -1)
+    # `want` is the exact integer quotient the DECIMAL division must
+    # produce; the SQL then displays CAST(want AS DOUBLE) / 10^dp.
+    # While |want| < 2^53 the CAST is exact and the single division is
+    # correctly rounded, so the display double must EQUAL the
+    # correctly-rounded double of the exact ratio.  Past 2^53 the CAST
+    # itself rounds, so allow the one extra rounding step (<= 1 ulp).
+    true_double = float(decimal.Decimal(want) / (10**dp))
+    if abs(want) < 2**53:
+        assert got == true_double
+    else:
+        assert got == pytest.approx(true_double, rel=2**-51)
+
+
+@pytest.mark.parametrize("micros_total", [5676543219876540000, -5676543219876540000, 2**53 + 2, 9007199254740992 * 10000 + 4999])
+def test_micros_round_spark_duckdb_agree_huge(spark, micros_total):
+    """Spark and DuckDB must produce IDENTICAL micros_round output for
+    micros sums past 2^53 (the regime the old double-intermediate
+    division made engine-divergence possible)."""
+    from docker_airflow_spark_minio_spark.workloads.base import micros_round
+
+    expr = micros_round(str(micros_total), 2)
+    s = spark.sql(f"SELECT {expr} AS x").collect()[0][0]
+    d = duckdb.connect().execute(f"SELECT {expr} AS x").fetchone()[0]
+    assert s == d
+    b, half = 10**4, 5000
+    want = (abs(micros_total) + half) // b * (1 if micros_total >= 0 else -1)
+    assert s == pytest.approx(want / 100.0, rel=2**-50)
