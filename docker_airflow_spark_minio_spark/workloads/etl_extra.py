@@ -427,6 +427,7 @@ def streaming_cdc_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..snapshots import SnapshotStore
     from ..streaming.cdc import run_cdc_stream
+    from .timeseries import stream_partitions
 
     # The es slice: the batch twin covers the full table; the live
     # entry exercises the identical streaming machinery at a cost that
@@ -462,37 +463,42 @@ def streaming_cdc_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             soft_delete_col="del",
         )
 
-    base = docs.repartition("source").select(
-        "doc_id",
-        "text",
-        "lang",
-        "source",
-        "n_chars",
-        F.lit(0).alias("op_seq"),
-        F.lit(False).alias("del"),
-    )
-    base.write.mode("overwrite").json(f"{upd_dir}/b0")
-    _run()
-    upd = docs.where(F.col("doc_id") % 5 == 0).select(
-        "doc_id",
-        "text",
-        "lang",
-        "source",
-        (F.col("n_chars") + 1).alias("n_chars"),
-        F.lit(1).alias("op_seq"),
-        F.lit(False).alias("del"),
-    )
-    dele = docs.where(F.col("doc_id") % 7 == 0).select(
-        "doc_id",
-        "text",
-        "lang",
-        "source",
-        "n_chars",
-        F.lit(2).alias("op_seq"),
-        F.lit(True).alias("del"),
-    )
-    upd.unionByName(dele).write.mode("overwrite").json(f"{upd_dir}/b1")
-    _run()
+    # Streaming-sized shuffle partitions for the WHOLE drive: the
+    # foreachBatch merge's row_number window and the update-file writes
+    # all move kilobytes per batch -- 32-wide shuffles are pure
+    # per-partition fixed cost here (see timeseries.stream_partitions).
+    with stream_partitions(spark):
+        base = docs.repartition("source").select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+            F.lit(0).alias("op_seq"),
+            F.lit(False).alias("del"),
+        )
+        base.write.mode("overwrite").json(f"{upd_dir}/b0")
+        _run()
+        upd = docs.where(F.col("doc_id") % 5 == 0).select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            (F.col("n_chars") + 1).alias("n_chars"),
+            F.lit(1).alias("op_seq"),
+            F.lit(False).alias("del"),
+        )
+        dele = docs.where(F.col("doc_id") % 7 == 0).select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+            F.lit(2).alias("op_seq"),
+            F.lit(True).alias("del"),
+        )
+        upd.unionByName(dele).write.mode("overwrite").json(f"{upd_dir}/b1")
+        _run()
 
     store = SnapshotStore(spark, tab)
 
