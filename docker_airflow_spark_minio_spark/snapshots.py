@@ -32,9 +32,14 @@ two racing committers cannot both claim version N -- the loser gets
 :class:`SnapshotConflict` and may retry against the new head.  A crash
 before (3) leaves a dangling tmp + an orphan data dir: invisible to
 every reader, reclaimed by :meth:`SnapshotStore.expire_snapshots`.
-(On S3 without a committer, rename is copy+delete, not atomic -- the
-same caveat :mod:`.storage` documents for its swap; a real deployment
-puts the manifest dir on a store with atomic rename or a CAS endpoint.)
+On S3-semantics stores (rename = copy+delete, overwrites, not atomic)
+steps 2-3 are replaced by a CONDITIONAL PUT of the final manifest
+(``create`` with overwrite=False -- S3's If-None-Match, which s3a maps
+it onto): the claim resolves atomically at request completion, so a
+racing second committer fails loudly, never a lost update
+(race-tested against the mocks3:// fixture).  On ``file://`` the claim
+is a hard-link creation (POSIX ``link(2)``) for the same reason: a
+POSIX rename silently replaces its destination.
 
 Write modes mirror :class:`..storage.TableManager`:
 
@@ -73,6 +78,12 @@ from .fsmeta import hive_partition_dir as _hive_partition_dir
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
+
+# Stores whose rename is copy+delete (overwrites, non-atomic): the
+# commit claim must be a conditional PUT, not a rename -- see
+# _commit_manifest.  "mocks3" is the test fixture emulating exactly
+# these semantics (tests/fixtures/mockfs/MockS3FileSystem.java).
+NO_ATOMIC_RENAME_SCHEMES = frozenset({"s3", "s3a", "s3n", "mocks3"})
 
 
 class SnapshotConflict(RuntimeError):
@@ -122,31 +133,55 @@ class SnapshotStore:
         return json.loads(raw.decode("utf-8"))
 
     def _commit_manifest(self, version: int, manifest: dict) -> None:
-        """Single-winner commit point.
+        """Single-winner commit point, per store semantics.
 
         * ``file://`` -- claim via ``java.nio.Files.createLink(final,
           tmp)``: hard-link creation fails atomically when the
           destination exists (POSIX ``link(2)``), closing the
           exists()-then-rename TOCTOU where a POSIX rename silently
           REPLACES a racing committer's manifest (lost update).
+        * S3-semantics schemes (NO_ATOMIC_RENAME_SCHEMES) -- rename is
+          copy+delete and OVERWRITES, so no rename-based claim is
+          sound; instead the final manifest is written ONCE with
+          ``create(path, overwrite=False)``, the Hadoop spelling of
+          S3's conditional PUT (If-None-Match): the object appears and
+          the existence check resolves atomically at request
+          completion, so a racing second committer fails with
+          FileAlreadyExists -- loudly, never a lost update.  (s3a maps
+          create-no-overwrite onto exactly this conditional PUT when
+          ``fs.s3a.create.conditional.enabled`` is on, its default.)
         * other schemes -- exists() check + rename.  Correct on
           HDFS-semantics stores (rename fails on an existing
-          destination); on S3 without a committer, rename is
-          copy+delete and the check is advisory -- same caveat as the
-          module docstring, use a CAS endpoint or a rename-atomic
-          store for the manifest dir in a real deployment.
+          destination).
         """
         final = self._manifest_path(version)
+        payload = bytearray(json.dumps(manifest).encode("utf-8"))
+        fs, final_p = _fs_and_path(self.spark, final)
+        scheme = fs.getUri().getScheme()
+        if scheme in NO_ATOMIC_RENAME_SCHEMES:
+            fs.mkdirs(final_p.getParent())
+            try:
+                out = fs.create(final_p, False)
+                try:
+                    out.write(payload)
+                finally:
+                    out.close()  # conditional-PUT completion = the claim
+            except Exception as exc:  # noqa: BLE001 -- py4j-wrapped java exc
+                if "AlreadyExists" in str(exc):
+                    raise SnapshotConflict(
+                        f"version {version} already committed at {final}"
+                    ) from None
+                raise
+            return
         tmp = f"{self.root.rstrip('/')}/{MANIFEST_DIR}/.v{version}.json.tmp"
         fs, tmp_p = _fs_and_path(self.spark, tmp)
         fs.mkdirs(tmp_p.getParent())
         out = fs.create(tmp_p, True)
         try:
-            out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+            out.write(payload)
         finally:
             out.close()
-        _, final_p = _fs_and_path(self.spark, final)
-        if fs.getUri().getScheme() == "file":
+        if scheme == "file":
             jvm = self.spark._jvm
             src = jvm.java.io.File(tmp_p.toUri().getPath()).toPath()
             dst = jvm.java.io.File(final_p.toUri().getPath()).toPath()
@@ -227,12 +262,16 @@ class SnapshotStore:
         REMOVED from the table.  Without it, replacement is inferred
         from the partitions present in ``df``, which cannot express
         "this partition is now empty" (the CDC delete case).
-        ``stats_cols``: record per-directory min/max ZONE MAPS for these
-        columns in the manifest (one extra scan of the just-written
-        data, O(new data)); :meth:`read` with ``range_filter`` then
-        skips whole directories whose range is disjoint -- file skipping
-        beyond partition pruning, the Iceberg-manifest idea.  Stats are
-        carried forward for directories a commit does not rewrite.
+        ``stats_cols``: record min/max ZONE MAPS for these columns in
+        the manifest at BOTH granularities -- per data directory and
+        per FILE (one extra scan of the just-written data, O(new
+        data); the dir rollup is derived from the same per-file rows
+        driver-side).  :meth:`read` with ``range_filter`` then skips
+        whole directories whose range is disjoint and, inside surviving
+        directories, opens only the files whose range intersects --
+        the Iceberg-manifest idea, where most of the skipping power
+        lives at 100 TB.  Stats are carried forward for directories a
+        commit does not rewrite.
         ``watermarks``: key->value pairs carried forward into EVERY
         descendant manifest (child values override parent's), unlike
         per-commit ``metadata`` which retention can expire.  The CDC
@@ -277,28 +316,53 @@ class SnapshotStore:
             for p in new_parts:
                 partitions[p] = [vdir]
         dir_stats: dict[str, dict] = {}
+        file_stats: dict[str, dict] = {}
         if stats_cols:
             from pyspark.sql import functions as F
 
+            # ONE scan of the just-written data, grouped by FILE: the
+            # manifest records min/max per file (Iceberg-manifest
+            # granularity -- at 100 TB most of the skipping power is
+            # per-file, a partition dir holds many files), and the
+            # per-directory rollup is derived driver-side from the same
+            # rows (metadata-sized), not a second scan.
             scan = self.spark.read.option("basePath", data_path).parquet(data_path)
             aggs = []
             for c in stats_cols:
                 aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
             rows = (
-                scan.groupBy(*pby).agg(*aggs).collect()
-                if pby
-                else [scan.agg(*aggs).collect()[0]]
+                scan.groupBy(F.input_file_name().alias("__file"), *pby)
+                .agg(*aggs)
+                .collect()
             )
+            raw_dir: dict[str, dict[str, list]] = {}
             for r in rows:
                 part = (
                     _hive_partition_dir(self.spark, pby, tuple(r[c] for c in pby))
                     if pby
                     else ""
                 )
-                key = f"{vdir}/{part}" if part else vdir
-                dir_stats[key] = {
+                dkey = f"{vdir}/{part}" if part else vdir
+                # basename only: partition dir names come from
+                # _hive_partition_dir (on-disk escaping), never parsed
+                # back out of the URI input_file_name returns
+                fname = r["__file"].rstrip("/").rsplit("/", 1)[-1]
+                file_stats[f"{dkey}/{fname}"] = {
                     c: [_stat_json(r[f"mn_{c}"]), _stat_json(r[f"mx_{c}"])]
                     for c in stats_cols
+                }
+                agg = raw_dir.setdefault(dkey, {})
+                for c in stats_cols:
+                    mn, mx = r[f"mn_{c}"], r[f"mx_{c}"]
+                    cur = agg.setdefault(c, [None, None])
+                    if mn is not None and (cur[0] is None or mn < cur[0]):
+                        cur[0] = mn
+                    if mx is not None and (cur[1] is None or mx > cur[1]):
+                        cur[1] = mx
+            for dkey, cols in raw_dir.items():
+                dir_stats[dkey] = {
+                    c: [_stat_json(v[0]), _stat_json(v[1])]
+                    for c, v in cols.items()
                 }
         if parent is not None:
             # Carry stats forward for directories this commit keeps.
@@ -310,6 +374,9 @@ class SnapshotStore:
             for k, v in parent.get("dir_stats", {}).items():
                 if k in live and k not in dir_stats:
                     dir_stats[k] = v
+            for k, v in parent.get("file_stats", {}).items():
+                if k.rsplit("/", 1)[0] in live and k not in file_stats:
+                    file_stats[k] = v
         manifest = {
             "version": version,
             "parent": parent_v,
@@ -317,6 +384,7 @@ class SnapshotStore:
             "partition_by": pby,
             "partitions": partitions,
             "dir_stats": dir_stats,
+            "file_stats": file_stats,
             "committed_at_ms": int(time.time() * 1000),
             "metadata": dict(metadata or {}),
             # Written-frame schema: lets read() serve a committed-but-
@@ -370,6 +438,24 @@ class SnapshotStore:
             return [range_filter]
         return list(range_filter)
 
+    @staticmethod
+    def _provably_disjoint(col_stats: dict, ranges: list[tuple]) -> bool:
+        """True when ANY of the conjunctive ranges is provably disjoint
+        from the recorded [min, max] -- missing/degenerate stats for a
+        column are inconclusive (kept: sound), as are type mismatches
+        from string-serialized date/timestamp bounds."""
+        for col, lo, hi in ranges:
+            s = col_stats.get(col)
+            if not s or s[0] is None or s[1] is None:
+                continue
+            mn, mx = s
+            try:
+                if mx < lo or mn > hi:
+                    return True
+            except TypeError:
+                continue
+        return False
+
     def plan_dirs(
         self,
         as_of: int | None = None,
@@ -393,19 +479,7 @@ class SnapshotStore:
 
         def _skipped(vd: str, part: str) -> bool:
             dstats = stats.get(f"{vd}/{part}" if part else vd, {})
-            for col, lo, hi in ranges:
-                s = dstats.get(col)
-                if not s or s[0] is None or s[1] is None:
-                    continue  # no/degenerate stats for col: inconclusive
-                mn, mx = s
-                try:
-                    if mx < lo or mn > hi:
-                        return True
-                except TypeError:
-                    # stats serialized as strings (dates/timestamps) vs a
-                    # non-string bound: cannot decide soundly -> keep
-                    continue
-            return False
+            return self._provably_disjoint(dstats, ranges)
 
         # Group live partitions by data dir: one basePath-anchored scan
         # per referenced version dir, unioned by name.
@@ -422,6 +496,54 @@ class SnapshotStore:
                 by_vdir.setdefault(vd, []).append(part)
         return manifest, by_vdir, n_skipped, n_total
 
+    def plan_files(
+        self,
+        as_of: int | None = None,
+        partitions: list[str] | None = None,
+        range_filter: tuple | list[tuple] | None = None,
+    ) -> tuple[dict, dict[str, dict[str, list[str] | None]], int, int]:
+        """FILE-level scan planning on top of :meth:`plan_dirs`: returns
+        ``(manifest, units, n_files_skipped, n_files_total)`` where
+        ``units`` maps each surviving data dir to ``{partition: files}``
+        -- ``files`` is an explicit file-name list when the manifest
+        carries per-file stats for that directory (pruned against the
+        ranges), or ``None`` meaning "scan the whole directory" (no
+        file stats recorded there: sound).
+
+        This is where most of the skipping power lives at 100 TB: a
+        partition directory holds many files, and the per-file min/max
+        recorded at write time (Iceberg-manifest granularity) lets the
+        read open only the files whose range intersects the filter --
+        without listing or footer-probing the rest.  The counts cover
+        only stats-bearing directories, so a pruned-file assertion is
+        meaningful."""
+        manifest, by_vdir, _, _ = self.plan_dirs(
+            as_of=as_of, partitions=partitions, range_filter=range_filter
+        )
+        ranges = self._normalize_ranges(range_filter)
+        fstats = manifest.get("file_stats", {})
+        files_by_dir: dict[str, list[str]] = {}
+        for k in fstats:
+            files_by_dir.setdefault(k.rsplit("/", 1)[0], []).append(k)
+        units: dict[str, dict[str, list[str] | None]] = {}
+        n_skipped = n_total = 0
+        for vd, parts in by_vdir.items():
+            for part in parts:
+                dkey = f"{vd}/{part}" if part else vd
+                known = files_by_dir.get(dkey)
+                if not ranges or not known:
+                    units.setdefault(vd, {})[part] = None
+                    continue
+                keep: list[str] = []
+                for k in known:
+                    n_total += 1
+                    if self._provably_disjoint(fstats[k], ranges):
+                        n_skipped += 1
+                    else:
+                        keep.append(k.rsplit("/", 1)[1])
+                units.setdefault(vd, {})[part] = keep
+        return manifest, units, n_skipped, n_total
+
     def read(
         self,
         as_of: int | None = None,
@@ -434,16 +556,23 @@ class SnapshotStore:
 
         ``range_filter`` -- one ``(col, lo, hi)`` tuple or a LIST of
         them (conjunctive) -- additionally SKIPS every data directory
-        whose recorded zone map (``stats_cols`` at write time) is
-        provably disjoint from any of the ranges -- directories without
-        stats are read (sound) -- and applies the exact ANDed filter on
-        top."""
+        AND every individual file whose recorded zone map
+        (``stats_cols`` at write time) is provably disjoint from any of
+        the ranges -- directories/files without stats are read (sound)
+        -- and applies the exact ANDed filter on top."""
         version = self.latest_version() if as_of is None else as_of
         if version is None:
             raise ValueError(f"no snapshots committed under {self.root}")
-        manifest, by_vdir, n_skipped, n_total = self.plan_dirs(
+        manifest, units, _, _ = self.plan_files(
             as_of=version, partitions=partitions, range_filter=range_filter
         )
+        # Drop partitions whose every stats-bearing file was pruned, and
+        # dirs left empty by that.
+        units = {
+            vd: {p: fs for p, fs in parts.items() if fs is None or fs}
+            for vd, parts in units.items()
+        }
+        by_vdir = {vd: parts for vd, parts in units.items() if parts}
         if not manifest["partitions"] and manifest.get("schema"):
             # Committed-but-empty snapshot (reachable: a CDC batch whose
             # deletes empty every partition commits a zero-partition
@@ -456,11 +585,12 @@ class SnapshotStore:
             return self.spark.createDataFrame([], schema)
         ranges = self._normalize_ranges(range_filter)
         if not by_vdir:
-            if ranges and n_total > 0:
-                # Everything zone-map-pruned: an empty frame with the
-                # table's schema (scan one live dir, keep no rows).
+            if ranges and manifest["partitions"]:
+                # Everything zone-map-pruned (whole dirs or every
+                # stats-bearing file): an empty frame with the table's
+                # schema (scan one live dir, keep no rows).
                 first_part, first_vdirs = next(iter(manifest["partitions"].items()))
-                by_vdir = {first_vdirs[0]: [first_part]}
+                by_vdir = {first_vdirs[0]: {first_part: None}}
                 from pyspark.sql import functions as F
 
                 df = self._scan(by_vdir)
@@ -476,12 +606,23 @@ class SnapshotStore:
                 df = df.where((F.col(col) >= lo) & (F.col(col) <= hi))
         return df
 
-    def _scan(self, by_vdir: dict[str, list[str]]) -> DataFrame:
+    def _scan(self, by_vdir: dict[str, dict[str, list[str] | None]]) -> DataFrame:
+        """``by_vdir`` maps data dir -> {partition: files}; ``files``
+        None scans the whole partition dir, an explicit list scans only
+        those files (per-file zone-map pruning).  basePath anchoring
+        keeps partition-column derivation identical either way."""
         scans = []
         base_root = f"{self.root.rstrip('/')}/{DATA_DIR}"
         for vd, parts in sorted(by_vdir.items()):
             base = f"{base_root}/{vd}"
-            paths = [base] if parts == [""] else [f"{base}/{p}" for p in sorted(parts)]
+            paths: list[str] = []
+            for part in sorted(parts):
+                files = parts[part]
+                dirp = base if part == "" else f"{base}/{part}"
+                if files is None:
+                    paths.append(dirp)
+                else:
+                    paths.extend(f"{dirp}/{f}" for f in sorted(files))
             scans.append(
                 self.spark.read.option("basePath", base).parquet(*paths)
             )

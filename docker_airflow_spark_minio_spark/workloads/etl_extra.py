@@ -634,6 +634,73 @@ def snapshot_zone_map_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_zone_map_file_read",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)     AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT)  AS sum_doc_id
+    FROM documents
+    WHERE doc_id >= 100 AND doc_id <= 299
+    GROUP BY lang ORDER BY lang
+    """,
+    category="etl",
+    description="PER-FILE manifest zone maps under the gate (round-6: "
+    "Iceberg-manifest granularity): one commit lands documents as "
+    "several range-clustered files per lang partition with per-file "
+    "min/max; the range read opens ONLY the intersecting files "
+    "(runtime-asserted: plan_files must skip >0 files) and must still "
+    "equal the direct filtered scan",
+)
+def snapshot_zone_map_file_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: at 100 TB a partition dir holds many files, so
+    file-granular skipping -- not just dir-granular -- is where the
+    manifest's pruning power lives (reference's storage layer is
+    Iceberg, whose manifests carry per-file column stats; VERDICT r5
+    next-round #2).  The stats scan at write time is O(new data) and
+    the plan decision is O(files) driver-side metadata."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = (
+        f"{tempfile.gettempdir()}/snapshot_zmf_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(spark, root)
+    # range-cluster on doc_id: each of the 6 output slices holds a
+    # tight disjoint doc_id envelope, so every lang dir gets several
+    # files the narrow filter can prune
+    store.write(
+        docs.repartitionByRange(6, "doc_id"),
+        mode="snapshot",
+        partition_by=["lang"],
+        stats_cols=["doc_id"],
+    )
+    flt = ("doc_id", 100, 299)
+    _, _, n_skipped, n_total = store.plan_files(range_filter=flt)
+    if not (n_total > 0 and n_skipped > 0):
+        # the file-skipping claim IS the entry -- fail loudly
+        raise AssertionError(
+            f"expected per-file pruning, got {n_skipped}/{n_total} skipped"
+        )
+    pruned = store.read(range_filter=flt)
+    return (
+        pruned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "snapshot_zone_map_multi_read",
     oracle="""
     SELECT lang,

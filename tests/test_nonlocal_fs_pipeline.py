@@ -28,27 +28,34 @@ JAR = os.path.join(FIXTURE_DIR, "mockfs.jar")
 
 
 def _ensure_jar() -> bool:
-    if os.path.exists(JAR):
+    sources = [
+        f for f in os.listdir(FIXTURE_DIR) if f.endswith(".java")
+    ]
+    if os.path.exists(JAR) and all(
+        os.path.getmtime(JAR) >= os.path.getmtime(os.path.join(FIXTURE_DIR, s))
+        for s in sources
+    ):
         return True
     javac = shutil.which("javac")
     jartool = shutil.which("jar")
     if not javac or not jartool:
-        return False
+        return os.path.exists(JAR)  # stale-but-present beats nothing
     import pyspark
 
     jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
     hadoop = [f for f in os.listdir(jars) if f.startswith("hadoop-client-api")]
     if not hadoop:
-        return False
+        return os.path.exists(JAR)
     try:
         subprocess.run(
-            [javac, "-cp", os.path.join(jars, hadoop[0]), "MockFileSystem.java"],
+            [javac, "-cp", os.path.join(jars, hadoop[0]), *sorted(sources)],
             cwd=FIXTURE_DIR,
             check=True,
             capture_output=True,
         )
+        classes = [f for f in os.listdir(FIXTURE_DIR) if f.endswith(".class")]
         subprocess.run(
-            [jartool, "cf", "mockfs.jar", "MockFileSystem.class"],
+            [jartool, "cf", "mockfs.jar", *sorted(classes)],
             cwd=FIXTURE_DIR,
             check=True,
             capture_output=True,
