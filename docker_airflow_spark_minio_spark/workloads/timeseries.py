@@ -742,8 +742,13 @@ def streaming_session_windows_live(spark: SparkSession, sf_dir: str) -> DataFram
     description="stream-static enrichment executed live: the event "
     "stream inner-joins a batch-built user dimension (membership drops "
     "~20% of events, so the join does real filtering) before a "
-    "complete-mode aggregate -- the static side is re-planned per "
-    "micro-batch and broadcast; hash-matches the batch oracle",
+    "complete-mode aggregate -- the static plan re-EXECUTES per "
+    "micro-batch over a file listing FROZEN at query start, so the "
+    "dimension is a consistent snapshot for the query's lifetime "
+    "(mid-stream dim updates are invisible; per-batch freshness needs "
+    "foreachBatch re-resolution -- semantics test-pinned in "
+    "test_streaming.py::test_stream_static_join_dimension_frozen_at_start); "
+    "hash-matches the batch oracle",
 )
 def streaming_static_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = load_tables(spark, sf_dir)

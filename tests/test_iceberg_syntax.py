@@ -1,10 +1,11 @@
 """Pin the Iceberg form of the catalog DDL/DML to valid syntax.
 
 No iceberg-spark-runtime jar ships in this container, so the Iceberg
-path cannot run end-to-end here.  Re-checked round 5 (2026-08-14): no
-jar on disk, no PyPI/Maven network access, so vendoring remains
-impossible; the executed snapshot semantics live in snapshots.py and
-these parse-pins stay the gate.  If a jar ever lands, point
+path cannot run end-to-end here.  Re-checked round 6 (2026-08-14): no
+jar on disk; `pip install/download` of apache-airflow and pyiceberg
+both fail with "versions: none" and repo1.maven.org does not resolve
+(no DNS), so vendoring remains impossible; the executed snapshot
+semantics live in snapshots.py and these parse-pins stay the gate.  If a jar ever lands, point
 ``spark.jars`` at it and the `test_iceberg_ddl_fails_only_on_missing_jar`
 branch flips to a live execution check automatically.  These tests keep
 the catalog-agnostic claim honest anyway:

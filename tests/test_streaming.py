@@ -395,3 +395,67 @@ def test_gold_replay_after_kill_between_commit_and_checkpoint(spark, tmp_path):
     got = {(str(r["sys_file_date"]), r["brewery_type"], r["country"]): r["qtd"]
            for r in spark.read.parquet(gold_path).collect()}
     assert got == expected
+
+
+def test_stream_static_join_dimension_frozen_at_start(spark, tmp_path):
+    """Pin the stream-static dimension REFRESH semantics (VERDICT r5
+    item 8): with a path-based parquet static side, the file listing is
+    resolved ONCE when the static DataFrame is created -- the static
+    plan re-EXECUTES each micro-batch, but a dimension file appended
+    mid-stream is NOT visible to later batches.  Production pipelines
+    needing per-batch dimension freshness must re-resolve the dimension
+    inside foreachBatch (positive control below) or restart the query;
+    `streaming_static_enrich_live` exercises the frozen semantics.
+    """
+    dim_dir = str(tmp_path / "dim")
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    spark.createDataFrame(
+        [(1, "gold")], "user_id long, tier string"
+    ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+    for i, name in enumerate(["f1.json", "f2.json"]):
+        with open(os.path.join(src_dir, name), "w", encoding="utf-8") as f:
+            f.write(json.dumps({"user_id": 1, "src": name}) + "\n")
+            f.write(json.dumps({"user_id": 2, "src": name}) + "\n")
+
+    static = spark.read.parquet(dim_dir)
+    stream = (
+        spark.readStream.schema("user_id long, src string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+        .join(static, "user_id")
+    )
+    captured: dict[int, list] = {}
+
+    def cap(df, bid: int) -> None:
+        captured[bid] = sorted(
+            (r["user_id"], r["tier"], r["src"]) for r in df.collect()
+        )
+        if bid == 0:
+            # user 2 joins the dimension mid-stream (new parquet file)
+            spark.createDataFrame(
+                [(2, "silver")], "user_id long, tier string"
+            ).coalesce(1).write.mode("append").parquet(dim_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(cap)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(captured) == [0, 1]
+    # the frozen listing: user 2 never enriches, in EITHER batch --
+    # the mid-stream dimension append is invisible to the running query
+    for bid, rows in captured.items():
+        assert all(uid == 1 for uid, _, _ in rows), (bid, rows)
+    assert len(captured[1]) == 1  # user 1 only, from the second file
+
+    # positive control -- per-batch re-resolution inside foreachBatch
+    # IS the pattern that sees dimension updates
+    fresh = spark.read.parquet(dim_dir)
+    batch2 = spark.createDataFrame([(2, "f3.json")], "user_id long, src string")
+    seen = sorted(
+        (r["user_id"], r["tier"]) for r in batch2.join(fresh, "user_id").collect()
+    )
+    assert seen == [(2, "silver")]
