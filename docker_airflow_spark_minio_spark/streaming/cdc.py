@@ -190,6 +190,7 @@ def run_cdc_stream(
     available_now: bool = True,
     on_batch_commit=None,
     detect_moved_keys: bool = False,
+    max_files_per_trigger: int | None = None,
 ):
     """Stream NDJSON update files into a snapshot-log table as
     exactly-once MERGE commits; returns the StreamingQuery.
@@ -197,9 +198,18 @@ def run_cdc_stream(
     ``on_batch_commit(batch_id)`` fires after the snapshot commit and
     before the checkpoint advances -- the fault-injection point the
     replay test uses to kill inside the worst window.
+
+    ``max_files_per_trigger`` caps files per micro-batch, so one
+    availableNow run can deliver SEVERAL merge commits (one per
+    micro-batch) from pre-staged update files -- one StreamingQuery
+    cold start instead of one per feed batch.  Files are ordered by
+    modification time; stage feed batches with distinct mtimes.
     """
     store = SnapshotStore(spark, store_root)
-    updates = spark.readStream.schema(schema).json(updates_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    updates = reader.json(updates_dir)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         upsert_snapshot_batch(

@@ -449,20 +449,6 @@ def streaming_cdc_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars LONG, op_seq INT, del BOOLEAN"
     )
 
-    def _run() -> None:
-        # glob: each micro-batch's files land in their own subdirectory
-        run_cdc_stream(
-            spark,
-            f"{upd_dir}/*",
-            schema,
-            tab,
-            keys=["doc_id"],
-            partition_by=["source"],
-            order_by="op_seq",
-            checkpoint=ckpt,
-            soft_delete_col="del",
-        )
-
     # Streaming-sized shuffle partitions for the WHOLE drive: the
     # foreachBatch merge's row_number window and the update-file writes
     # all move kilobytes per batch -- 32-wide shuffles are pure
@@ -477,8 +463,11 @@ def streaming_cdc_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).alias("op_seq"),
             F.lit(False).alias("del"),
         )
-        base.write.mode("overwrite").json(f"{upd_dir}/b0")
-        _run()
+        # One NDJSON file per feed batch (a CDC feed delivers per-batch
+        # files; coalesce sizes the FIXTURE, not the engine), staged
+        # up front with strictly increasing mtimes so the file source's
+        # mtime ordering replays them in feed order.
+        base.coalesce(1).write.mode("overwrite").json(f"{upd_dir}/b0")
         upd = docs.where(F.col("doc_id") % 5 == 0).select(
             "doc_id",
             "text",
@@ -497,8 +486,32 @@ def streaming_cdc_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2).alias("op_seq"),
             F.lit(True).alias("del"),
         )
-        upd.unionByName(dele).write.mode("overwrite").json(f"{upd_dir}/b1")
-        _run()
+        upd.unionByName(dele).coalesce(1).write.mode("overwrite").json(
+            f"{upd_dir}/b1"
+        )
+        import os
+        import time as _time
+
+        now = _time.time()
+        for i, sub in enumerate(("b0", "b1")):
+            for f in os.listdir(f"{upd_dir}/{sub}"):
+                if f.endswith(".json"):
+                    os.utime(f"{upd_dir}/{sub}/{f}", (now + 2 * i, now + 2 * i))
+        # ONE StreamingQuery cold start delivering TWO merge commits
+        # (maxFilesPerTrigger=1 -> one micro-batch per staged file):
+        # halves the fixed live-streaming cost vs a run per feed batch.
+        run_cdc_stream(
+            spark,
+            f"{upd_dir}/*",
+            schema,
+            tab,
+            keys=["doc_id"],
+            partition_by=["source"],
+            order_by="op_seq",
+            checkpoint=ckpt,
+            soft_delete_col="del",
+            max_files_per_trigger=1,
+        )
 
     store = SnapshotStore(spark, tab)
 

@@ -581,6 +581,32 @@ def _events_dir_with_flush(spark: SparkSession, sf_dir: str, suffix: str) -> str
     return tmp
 
 
+def _events_split_dir(spark: SparkSession, sf_dir: str, n: int) -> str:
+    """The events table staged as ``n`` range-clustered parquet files in
+    a streamable directory, so a file-source query with
+    ``maxFilesPerTrigger=1`` replays it as ``n`` micro-batches -- the
+    multi-trigger feed a custom stateful operator needs to actually
+    accumulate state across batches.  Cached per (app, sf_dir)."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir, f"split{n}")
+    with _CACHE_LOCK:
+        cached = _FLUSH_DIRS.get(key)
+        if cached is not None:
+            return cached
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    tmp = tempfile.mkdtemp(prefix=f"events_split{n}_")
+    (
+        spark.read.parquet(path)
+        .repartitionByRange(n, "event_id")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    with _CACHE_LOCK:
+        _FLUSH_DIRS[key] = tmp
+    return tmp
+
+
 @register(
     "streaming_tumbling_hourly_live",
     oracle="""
@@ -857,3 +883,49 @@ def streaming_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_date")
     )
+
+
+@register(
+    "streaming_stateful_totals_live",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    category="streaming",
+    description="CUSTOM stateful operator executed LIVE: per-type "
+    "running (count, sum) via applyInPandasWithState "
+    "(streaming/stateful.running_totals), fed 3 micro-batches "
+    "(maxFilesPerTrigger=1 over a range-split staging of events) so "
+    "state genuinely accumulates across triggers; the last emission "
+    "per key must hash-match the batch COUNT/SUM oracle",
+)
+def streaming_stateful_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: state is O(live keys) -- one (count, sum) tuple per
+    key -- shuffled once per micro-batch on the key; the update-mode
+    sink receives one row per key per trigger (metadata-sized), and the
+    batch finish just picks each key's last emission (monotonic
+    n_events).  The sum stays double: event values are continuous, so
+    the coarse final ROUND never sits on a boundary (base.py taxonomy)."""
+    from ..streaming.stateful import running_totals
+
+    load_tables(spark, sf_dir)  # pins session tz + conf
+    stage = _events_split_dir(spark, sf_dir, 3)
+    schema = spark.read.parquet(stage).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .select(F.col("event_type").alias("key"), F.col("value").cast("double"))
+    )
+    out = running_totals(src.groupBy("key"))
+    sink = _run_stream_to_memory(
+        spark, out, "streaming_stateful_totals_live_sink", "update"
+    )
+    last = sink.groupBy("key").agg(F.max(F.struct("n_events", "total")).alias("s"))
+    return last.select(
+        F.col("key").alias("event_type"),
+        F.col("s.n_events").alias("n_events"),
+        F.round("s.total", 2).alias("total"),
+    ).orderBy("event_type")
