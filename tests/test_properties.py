@@ -299,3 +299,45 @@ def test_micros_round_spark_duckdb_agree_huge(spark, micros_total):
     b, half = 10**4, 5000
     want = (abs(micros_total) + half) // b * (1 if micros_total >= 0 else -1)
     assert s == pytest.approx(want / 100.0, rel=2**-50)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-100, 100)),
+            st.one_of(st.none(), st.integers(-100, 100)),
+        ),
+        min_size=0,
+        max_size=4,
+    ),
+    st.lists(st.tuples(st.integers(-100, 100), st.integers(-100, 100)), min_size=1, max_size=4),
+)
+@settings(max_examples=300, deadline=None)
+def test_zone_map_disjointness_is_sound(bounds, ranges):
+    """The manifest pruning predicate must NEVER skip a file/dir that
+    could hold a matching row: for every recorded [mn, mx] and filter
+    [lo, hi], skipping requires provable disjointness, and missing or
+    degenerate (None) stats must be inconclusive (kept).  Model: a unit
+    is skippable only if NO value in [mn, mx] satisfies ALL ranges."""
+    from docker_airflow_spark_minio_spark.snapshots import SnapshotStore
+
+    cols = [f"c{i}" for i in range(len(bounds))]
+    col_stats = {
+        c: [mn, mx] for c, (mn, mx) in zip(cols, bounds)
+    }
+    flt = [
+        (cols[i % max(len(cols), 1)] if cols else "c0", min(lo, hi), max(lo, hi))
+        for i, (lo, hi) in enumerate(ranges)
+    ]
+    skipped = SnapshotStore._provably_disjoint(col_stats, flt)
+    if skipped:
+        # soundness: there must exist NO candidate value satisfying all
+        # ranges for at least one constrained column with full stats
+        def could_match(col, lo, hi):
+            s = col_stats.get(col)
+            if not s or s[0] is None or s[1] is None:
+                return True  # unknown stats: could match
+            mn, mx = s
+            return not (mx < lo or mn > hi)
+
+        assert not all(could_match(c, lo, hi) for c, lo, hi in flt)
