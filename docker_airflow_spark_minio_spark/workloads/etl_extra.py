@@ -839,6 +839,63 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_expectations_documents_multiunique",
+    oracle="""
+    WITH u AS (
+        SELECT COUNT(doc_id) - COUNT(DISTINCT doc_id)   AS v_uid,
+               COUNT(text)   - COUNT(DISTINCT text)     AS v_utext,
+               COUNT(n_chars) - COUNT(DISTINCT n_chars) AS v_uchars,
+               SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v_nn,
+               SUM(CASE WHEN lang IS NOT NULL
+                         AND NOT regexp_matches(lang, '^[a-z]{2}$')
+                        THEN 1 ELSE 0 END) AS v_lang
+        FROM documents
+    )
+    SELECT constraint_name, CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM (
+        SELECT 'matches(lang)' AS constraint_name, v_lang AS n_violations FROM u
+        UNION ALL SELECT 'not_null(doc_id)', v_nn FROM u
+        UNION ALL SELECT 'unique(doc_id)', v_uid FROM u
+        UNION ALL SELECT 'unique(n_chars)', v_uchars FROM u
+        UNION ALL SELECT 'unique(text)', v_utext FROM u
+    )
+    ORDER BY constraint_name
+    """,
+    category="etl",
+    description="MANY-unique expectation suite under the gate (round-6 "
+    "compilation path): 3 unique constraints auto-split into per-column "
+    "single-distinct passes -- runtime-asserted NO wide Expand in the "
+    "plan (the 12x row blow-up a 4-distinct-group aggregate would "
+    "Expand into) -- alongside the shared row-level pass; exact "
+    "violation counts vs the SQL oracle (duplicate texts are the "
+    "dedup corpus's planted near-dups, so unique(text) genuinely fails)",
+)
+def dq_expectations_documents_multiunique(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .. import plans
+    from ..operators import expectations as X
+
+    t = load_tables(spark, sf_dir)
+    out = X.check(
+        t["documents"],
+        [
+            X.unique("doc_id"),
+            X.unique("text"),
+            X.unique("n_chars"),
+            X.not_null("doc_id"),
+            X.matches("lang", "^[a-z]{2}$"),
+        ],
+    )
+    plan = plans.physical_plan(out)
+    if "Expand" in plan:
+        # the no-Expand compilation claim IS the entry -- fail loudly
+        raise AssertionError(f"multi-unique suite planned an Expand:\n{plan}")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Fixed-width histogram profile
 # ---------------------------------------------------------------------------
