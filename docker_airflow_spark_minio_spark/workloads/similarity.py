@@ -1077,3 +1077,107 @@ def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_IVF_INCR_ORACLE = f"""
+WITH ex AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id >= {N_QUERIES} AND vec_id % 10 <> 0
+), nw AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings WHERE vec_id >= {N_QUERIES} AND vec_id % 10 = 0
+), dims AS ({_avg_dims_sql('ex')}),
+cent AS (
+    SELECT label, list(m ORDER BY i) AS cv FROM dims GROUP BY label
+), best AS (
+    SELECT vec_id, label, cell, cos FROM (
+        SELECT nw.vec_id, nw.label, cent.label AS cell,
+               {_cos_sql('nw.v', 'cent.cv')} AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY nw.vec_id
+                   ORDER BY {_cos_sql('nw.v', 'cent.cv')} DESC, cent.label) AS rn
+        FROM nw CROSS JOIN cent
+    ) WHERE rn = 1
+)
+SELECT cell,
+       CAST(COUNT(*) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN label <> cell THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved,
+       CAST(SUM(CAST(FLOOR(cos * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cos_x1e6
+FROM best GROUP BY cell ORDER BY cell
+"""
+
+
+@register(
+    "ann_ivf_incremental_assign",
+    oracle=_IVF_INCR_ORACLE,
+    category="similarity",
+    description="INCREMENTAL IVF index maintenance: a new-arrivals batch "
+    "(every 10th corpus vector) is routed into the EXISTING index's "
+    "cells -- centroids fitted on the existing vectors only, new batch "
+    "assigned nearest-centroid -- reporting per-cell intake counts, "
+    "how many landed outside their source label (drift monitor), and "
+    "an exact integer-micros cosine mass; ingest cost is O(new x "
+    "nlist) map-only, the index itself is never re-read",
+)
+def ann_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the maintenance op a streaming embedding pipeline
+    runs per batch at 100 TB -- the fitted quantizer is nlist rows
+    folded into ONE broadcast array<struct> value (same model-as-value
+    pattern as ann_ivf_topk, no driver collect), the new batch is
+    scored map-only against it, and the existing inverted lists are
+    untouched: cost is O(|new batch| * nlist), independent of index
+    size.  n_moved is the drift signal a real pipeline alerts on
+    (rising n_moved means the fitted centroids no longer describe the
+    arriving data -- time to re-train, exactly Milvus/FAISS segment
+    compaction policy).  The cosine mass is summed in integer micros
+    (exact, order-independent) per the base.py money/score checklist."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    vd = F.col("embedding").cast("array<double>")
+    ex = emb.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % 10 != 0)
+    ).select("label", vd.alias("v"))
+    new = emb.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") % 10 == 0)
+    ).select("vec_id", "label", vd.alias("v"))
+    cent = ex.groupBy("label").agg(
+        F.expr(
+            "array("
+            + ", ".join(f"round(avg(v[{i}]), 6)" for i in range(EMB_DIM))
+            + ")"
+        ).alias("cv")
+    )
+    cents = cent.agg(
+        F.sort_array(F.collect_list(F.struct("label", "cv"))).alias("cents")
+    )
+    scored = new.join(F.broadcast(cents))
+    best = scored.select(
+        "vec_id",
+        "label",
+        F.array_max(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    F.round(cosine_similarity(F.col("v"), c["cv"]), 6).alias("cos"),
+                    (-c["label"]).alias("neg_label"),
+                ),
+            )
+        ).alias("b"),
+    )
+    assigned = best.select(
+        "label",
+        (-F.col("b.neg_label")).alias("cell"),
+        F.expr("CAST(FLOOR(b.cos * 1000000 + 0.5) AS BIGINT)").alias("cos_us"),
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.when(F.col("label") != F.col("cell"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_moved"),
+            F.sum("cos_us").alias("sum_cos_x1e6"),
+        )
+        .orderBy("cell")
+    )
