@@ -296,3 +296,46 @@ def test_cdc_replay_detection_survives_retention(spark, tmp_path):
         is None
     )
     assert _table(spark, tmp_path) == [(1, "a", "d1"), (2, "b", "d1")]
+
+
+def test_cdc_single_run_multibatch_kill_replay(spark, tmp_path):
+    """Round-6 mode: one availableNow run delivering SEVERAL merge
+    commits via max_files_per_trigger=1 must keep exactly-once when
+    killed mid-run -- the committed batch is detected on restart via
+    its manifest batch id and skipped, the staged remainder applies."""
+    import os
+    import time as _time
+
+    upd = str(tmp_path / "upd")
+    _write_updates(
+        upd, "a.json",
+        [{"id": 1, "v": "a", "day": "d1", "ts": 1, "deleted": False}],
+    )
+    _write_updates(
+        upd, "b.json",
+        [{"id": 2, "v": "b", "day": "d1", "ts": 2, "deleted": False},
+         {"id": 1, "v": None, "day": "d1", "ts": 3, "deleted": True}],
+    )
+    now = _time.time()
+    os.utime(os.path.join(upd, "a.json"), (now, now))
+    os.utime(os.path.join(upd, "b.json"), (now + 2, now + 2))
+
+    def die_after_first(batch_id: int) -> None:
+        if batch_id == 0:
+            raise RuntimeError("killed after commit of batch 0")
+
+    with pytest.raises(Exception):  # StreamingQueryException wrapping the kill
+        _run(
+            spark, tmp_path,
+            on_batch_commit=die_after_first, max_files_per_trigger=1,
+        )
+    store = SnapshotStore(spark, str(tmp_path / "tab"))
+    assert store.versions() == [0]
+    assert _table(spark, tmp_path) == [(1, "a", "d1")]
+
+    # restart: batch 0 replays as already-committed (no duplicate
+    # version), batch 1 applies its upsert + delete exactly once
+    _run(spark, tmp_path, max_files_per_trigger=1)
+    store = SnapshotStore(spark, str(tmp_path / "tab"))
+    assert store.versions() == [0, 1]
+    assert _table(spark, tmp_path) == [(2, "b", "d1")]
