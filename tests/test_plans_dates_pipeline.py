@@ -204,3 +204,63 @@ def test_new_entry_plan_posture(spark):
     bl = REGISTRY["text_blocklist_filter_stats"].fn(spark, SF_DIR)
     p = plans.physical_plan(bl)
     assert "Join" not in p
+
+
+def test_cbo_column_stats_enable_filtered_dim_broadcast(spark, tmp_path):
+    """Statistics-driven planning, pinned: with CBO on and ANALYZE'd
+    column stats, a SELECTIVE filter on a dimension shrinks its size
+    estimate below the broadcast threshold and the join plans as
+    BroadcastHashJoin; without stats the estimate stays at file size
+    and the same query sort-merge joins.  At 100 TB this is the
+    difference between shipping a few post-filter dim rows to every
+    executor and shuffling the fact table -- ANALYZE TABLE is the
+    cheap metadata pass that buys it."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    db = f"cbo_{uuid.uuid4().hex[:8]}"
+    olds = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+    try:
+        spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path}/cbo'")
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        cust.write.saveAsTable(f"{db}.customer_t")
+        orders.write.saveAsTable(f"{db}.orders_t")
+        # threshold below the dim's file-size estimate (measured 2.8 KiB
+        # at sf0.001 -- without CBO a Filter passes its child's size
+        # through), above the stats-based post-filter estimate (484 B,
+        # rowCount=11); AQE off so the check reads the STATIC planner's
+        # decision, not a runtime re-plan
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+
+        def _join():
+            c = spark.table(f"{db}.customer_t").where(F.col("c_custkey") <= 10)
+            o = spark.table(f"{db}.orders_t")
+            return o.join(c, o.o_custkey == c.c_custkey)
+
+        before = plans.physical_plan(_join())
+        assert "BroadcastHashJoin" not in before, before
+
+        spark.sql(
+            f"ANALYZE TABLE {db}.customer_t COMPUTE STATISTICS FOR COLUMNS c_custkey"
+        )
+        after = plans.physical_plan(_join())
+        assert "BroadcastHashJoin" in after, after
+    finally:
+        for k, v in olds.items():
+            spark.conf.set(k, v)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
