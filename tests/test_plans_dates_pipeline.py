@@ -61,6 +61,9 @@ def test_no_cartesian_anywhere_in_the_registry(spark):
         "retrieval_rrf_hybrid_topk",
         # composes the brute-force baseline + IVF (both allowed above)
         "ann_ivf_recall_at_k",
+        # single-row fitted-quantizer model attach (round 6): the new
+        # batch maps against ONE broadcast array<struct> centroid value
+        "ann_ivf_incremental_assign",
     }
     for name, wl in REGISTRY.items():
         if name in allowed:
