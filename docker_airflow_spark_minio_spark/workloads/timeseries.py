@@ -929,3 +929,55 @@ def streaming_stateful_totals_live(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("s.n_events").alias("n_events"),
         F.round("s.total", 2).alias("total"),
     ).orderBy("event_type")
+
+
+@register(
+    "streaming_dedup_within_watermark_live",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    category="streaming",
+    description="watermark-BOUNDED streaming dedup executed live: "
+    "dropDuplicatesWithinWatermark on (user_id, event_type) over 3 real "
+    "micro-batches -- unlike plain dropDuplicates (state grows forever), "
+    "state here is evicted once a key is older than the watermark "
+    "delay, the production form of dedup-on-ingest; the delay is set "
+    "past the replay's span so the result equals the global-distinct "
+    "oracle (in production it is the duplicate-arrival horizon)",
+)
+def streaming_dedup_within_watermark_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale notes: state is O(keys inside the watermark horizon), not
+    O(stream) -- the bounded twin of streaming_dedup_distinct_users_live.
+    First occurrences are emitted immediately (append mode), so the sink
+    holds one row per distinct (user, type) pair and the exact
+    COUNT(DISTINCT) finish is a batch aggregate over that
+    metadata-sized sink."""
+    load_tables(spark, sf_dir)  # pins session tz + conf
+    stage = _events_split_dir(spark, sf_dir, 3)
+    schema = spark.read.parquet(stage).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    if dict(src.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) generation
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = (
+        src.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    pairs = _run_stream_to_memory(
+        spark, deduped, "streaming_dedup_within_watermark_live_sink", "append"
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
