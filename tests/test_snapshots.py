@@ -487,3 +487,44 @@ def test_s3_semantics_commit_race_one_winner():
     assert "S3WRITE-OK" in out
     assert "S3RENAME-OVERWRITES-OK" in out
     assert "S3RACE-OK" in out
+
+
+def test_per_file_pruning_composes_with_partitions_and_time_travel(spark, root):
+    """plan_files must compose with the other two pruning axes: an
+    explicit partition restriction and an as_of version -- file stats
+    recorded at v0 keep pruning when read back through time travel,
+    and partition selection limits which dirs' files are considered."""
+    store = SnapshotStore(spark, root)
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(400)], "id int, day string"
+    )
+    store.write(
+        df.repartitionByRange(4, "id"),
+        mode="snapshot", partition_by=["day"], stats_cols=["id"],
+    )
+    # v1 rewrites ONLY d0 (no stats): d0 loses file pruning, d1 keeps it
+    store.write(
+        df.where("day = 'd0'"),
+        mode="overwrite_partitions", partition_by=["day"],
+    )
+    flt = ("id", 10, 20)
+    # time travel to v0: both dirs still prune per-file
+    _, units0, skip0, total0 = store.plan_files(as_of=0, range_filter=flt)
+    assert total0 == 8 and skip0 == 6
+    got0 = sorted(r["id"] for r in store.read(as_of=0, range_filter=flt).collect())
+    assert got0 == list(range(10, 21))
+    # head version: d1's carried stats prune, d0's rewrite scans whole
+    _, units1, skip1, total1 = store.plan_files(range_filter=flt)
+    assert total1 == 4 and skip1 == 3  # only d1's v0 files have stats
+    got1 = sorted(r["id"] for r in store.read(range_filter=flt).collect())
+    assert got1 == list(range(10, 21))
+    # partition restriction: only d1 considered, its files still pruned
+    _, units2, skip2, total2 = store.plan_files(
+        partitions=["day=d1"], range_filter=flt
+    )
+    assert total2 == 4 and skip2 == 3
+    got2 = sorted(
+        r["id"]
+        for r in store.read(partitions=["day=d1"], range_filter=flt).collect()
+    )
+    assert got2 == [r for r in range(10, 21) if r % 2 == 1]
