@@ -85,6 +85,16 @@ DATA_DIR = "data"
 # these semantics (tests/fixtures/mockfs/MockS3FileSystem.java).
 NO_ATOMIC_RENAME_SCHEMES = frozenset({"s3", "s3a", "s3n", "mocks3"})
 
+# Every Nth version is committed as a FULL manifest (a checkpoint);
+# versions in between commit DELTAS -- only the partitions this commit
+# touched plus its fresh stats.  Commit METADATA cost is thereby
+# O(delta), not O(table partitions): at 10^5 partitions an append that
+# touches one day writes a few hundred bytes, not a multi-MB partition
+# map (the Delta-log checkpoint pattern; Iceberg's manifest-list serves
+# the same purpose).  Resolution walks at most CHECKPOINT_EVERY-1
+# deltas back to a checkpoint -- bounded driver-side JSON reads.
+CHECKPOINT_EVERY = 8
+
 
 class SnapshotConflict(RuntimeError):
     """Another committer claimed this version first (optimistic-commit
@@ -119,7 +129,8 @@ class SnapshotStore:
         vs = self.versions()
         return vs[-1] if vs else None
 
-    def _read_manifest(self, version: int) -> dict:
+    def _read_manifest_raw(self, version: int) -> dict:
+        """One manifest FILE, as committed (full checkpoint or delta)."""
         fs, p = _fs_and_path(self.spark, self._manifest_path(version))
         stream = fs.open(p)
         try:
@@ -131,6 +142,58 @@ class SnapshotStore:
         finally:
             stream.close()
         return json.loads(raw.decode("utf-8"))
+
+    def _read_manifest(self, version: int) -> dict:
+        """The RESOLVED manifest for ``version``: a delta chain is
+        folded onto its nearest full checkpoint (<= CHECKPOINT_EVERY-1
+        recursive steps), reproducing exactly the dict a full commit
+        would have written -- callers never see the delta encoding.
+
+        Stats carry-forward happens here: a parent's dir/file stats
+        survive into the child iff their directory is still live in the
+        child's partition map and the child did not re-stat it (same
+        rule the eager full-manifest writer applies)."""
+        raw = self._read_manifest_raw(version)
+        if raw.get("manifest_kind") != "delta":
+            return raw
+        parent = self._read_manifest(raw["parent"])
+        partitions = {k: list(v) for k, v in parent["partitions"].items()}
+        for p in raw["partitions_removed"]:
+            partitions.pop(p, None)
+        for k, v in raw["partitions_set"].items():
+            partitions[k] = list(v)
+        live = {
+            f"{vd}/{p}" if p else vd
+            for p, vds in partitions.items()
+            for vd in vds
+        }
+        dir_stats = {
+            k: v for k, v in parent.get("dir_stats", {}).items() if k in live
+        }
+        dir_stats.update(raw["dir_stats_added"])
+        file_stats = {
+            k: v
+            for k, v in parent.get("file_stats", {}).items()
+            if k.rsplit("/", 1)[0] in live
+        }
+        file_stats.update(raw["file_stats_added"])
+        return {
+            "version": raw["version"],
+            "parent": raw["parent"],
+            "mode": raw["mode"],
+            "partition_by": raw["partition_by"],
+            "partitions": partitions,
+            "dir_stats": dir_stats,
+            "file_stats": file_stats,
+            "committed_at_ms": raw["committed_at_ms"],
+            "metadata": raw["metadata"],
+            "schema": raw["schema"],
+            "watermarks": {
+                **(parent.get("watermarks") or {}),
+                **(raw.get("watermarks") or {}),
+            },
+            "manifest_kind": "delta",
+        }
 
     def _commit_manifest(self, version: int, manifest: dict) -> None:
         """Single-winner commit point, per store semantics.
@@ -201,6 +264,42 @@ class SnapshotStore:
             raise SnapshotConflict(
                 f"version {version} already committed at {final}"
             )
+
+    def _replace_manifest(self, version: int, manifest: dict) -> None:
+        """Maintenance-only overwrite of an EXISTING manifest with a
+        semantically identical materialization (expire's delta-chain
+        checkpointing).  Not a commit claim -- the version is already
+        committed and the content equivalent, so overwrite semantics
+        are safe; on ``file://`` the swap is an atomic REPLACE_EXISTING
+        move, elsewhere a create-overwrite (readers racing the
+        maintenance window may retry, the same contract expire already
+        carries for data-dir reclamation)."""
+        final = self._manifest_path(version)
+        payload = bytearray(json.dumps(manifest).encode("utf-8"))
+        fs, final_p = _fs_and_path(self.spark, final)
+        if fs.getUri().getScheme() == "file":
+            tmp = f"{self.root.rstrip('/')}/{MANIFEST_DIR}/.v{version}.json.mat.tmp"
+            _, tmp_p = _fs_and_path(self.spark, tmp)
+            out = fs.create(tmp_p, True)
+            try:
+                out.write(payload)
+            finally:
+                out.close()
+            jvm = self.spark._jvm
+            src = jvm.java.io.File(tmp_p.toUri().getPath()).toPath()
+            dst = jvm.java.io.File(final_p.toUri().getPath()).toPath()
+            # CopyOption is a varargs parameter: build the Java array
+            # explicitly (py4j does not auto-wrap varargs).
+            gateway = self.spark.sparkContext._gateway
+            opts = gateway.new_array(jvm.java.nio.file.CopyOption, 1)
+            opts[0] = jvm.java.nio.file.StandardCopyOption.REPLACE_EXISTING
+            jvm.java.nio.file.Files.move(src, dst, opts)
+            return
+        out = fs.create(final_p, True)
+        try:
+            out.write(payload)
+        finally:
+            out.close()
 
     def history(self) -> list[dict]:
         """Commit metadata per version, ascending (the ``.history``
@@ -301,6 +400,7 @@ class SnapshotStore:
             writer = writer.partitionBy(*pby)
         writer.save(data_path)
         new_parts = self._list_partition_dirs(data_path, len(pby))
+        removed_parts: list[str] = []
         if mode == "snapshot" or parent is None:
             partitions = {p: [vdir] for p in new_parts}
         elif mode == "append":
@@ -312,9 +412,15 @@ class SnapshotStore:
             for vals in claimed_partitions or []:
                 # Claimed-but-absent-from-output partitions are dropped;
                 # claimed-and-present ones are re-pointed just below.
-                partitions.pop(_hive_partition_dir(self.spark, pby, vals), None)
+                claimed = _hive_partition_dir(self.spark, pby, vals)
+                partitions.pop(claimed, None)
+                if claimed not in new_parts:
+                    removed_parts.append(claimed)
             for p in new_parts:
                 partitions[p] = [vdir]
+        # The delta a non-checkpoint commit records: the full NEW value
+        # of every partition this commit touched, plus explicit removals.
+        changed_parts = {p: list(partitions[p]) for p in new_parts}
         dir_stats: dict[str, dict] = {}
         file_stats: dict[str, dict] = {}
         if stats_cols:
@@ -364,6 +470,8 @@ class SnapshotStore:
                     c: [_stat_json(v[0]), _stat_json(v[1])]
                     for c, v in cols.items()
                 }
+        fresh_dir_stats = dict(dir_stats)
+        fresh_file_stats = dict(file_stats)
         if parent is not None:
             # Carry stats forward for directories this commit keeps.
             live = {
@@ -377,14 +485,20 @@ class SnapshotStore:
             for k, v in parent.get("file_stats", {}).items():
                 if k.rsplit("/", 1)[0] in live and k not in file_stats:
                     file_stats[k] = v
-        manifest = {
+        # Full checkpoint or delta?  A table-replacing snapshot, the
+        # first commit, and every CHECKPOINT_EVERY-th version write the
+        # full map; everything else writes O(touched partitions) -- see
+        # CHECKPOINT_EVERY.
+        is_full = (
+            parent is None
+            or mode == "snapshot"
+            or version % CHECKPOINT_EVERY == 0
+        )
+        common = {
             "version": version,
             "parent": parent_v,
             "mode": mode,
             "partition_by": pby,
-            "partitions": partitions,
-            "dir_stats": dir_stats,
-            "file_stats": file_stats,
             "committed_at_ms": int(time.time() * 1000),
             "metadata": dict(metadata or {}),
             # Written-frame schema: lets read() serve a committed-but-
@@ -392,14 +506,34 @@ class SnapshotStore:
             # every partition) as an empty typed frame instead of
             # crashing the consumer.
             "schema": df.schema.json(),
-            # Carried forward parent -> child on every commit (see
-            # docstring) -- survives retention as long as ANY snapshot
-            # survives, which keep_last >= 1 guarantees.
-            "watermarks": {
-                **((parent or {}).get("watermarks") or {}),
-                **(watermarks or {}),
-            },
         }
+        if is_full:
+            manifest = {
+                **common,
+                "manifest_kind": "full",
+                "partitions": partitions,
+                "dir_stats": dir_stats,
+                "file_stats": file_stats,
+                # Carried forward parent -> child on every commit (see
+                # docstring) -- survives retention as long as ANY
+                # snapshot survives, which keep_last >= 1 guarantees.
+                "watermarks": {
+                    **((parent or {}).get("watermarks") or {}),
+                    **(watermarks or {}),
+                },
+            }
+        else:
+            manifest = {
+                **common,
+                "manifest_kind": "delta",
+                "partitions_set": changed_parts,
+                "partitions_removed": removed_parts,
+                "dir_stats_added": fresh_dir_stats,
+                "file_stats_added": fresh_file_stats,
+                # THIS commit's marks only; resolution merges the chain
+                # (same carried-forward semantics as the eager merge).
+                "watermarks": dict(watermarks or {}),
+            }
         try:
             self._commit_manifest(version, manifest)
         except SnapshotConflict:
@@ -712,6 +846,20 @@ class SnapshotStore:
             for vdirs in self._read_manifest(v)["partitions"].values():
                 target.update(vdirs)
         expired_vdirs -= live_vdirs
+        # Versions are dense (parent = version - 1), so only the OLDEST
+        # kept version can have its delta chain truncated by this sweep;
+        # materialize it as a full checkpoint BEFORE deleting ancestors
+        # so every kept version keeps resolving.
+        if keep:
+            oldest = min(keep)
+            if (
+                any(v not in keep for v in vs)
+                and self._read_manifest_raw(oldest).get("manifest_kind")
+                == "delta"
+            ):
+                resolved = dict(self._read_manifest(oldest))
+                resolved["manifest_kind"] = "full"
+                self._replace_manifest(oldest, resolved)
         dropped_manifests = 0
         for v in vs:
             if v not in keep:

@@ -64,19 +64,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #     the 0.5 threshold.
 #  2. BIGINT sum: exact and order-independent (no partial-aggregation
 #     order flake, no decimal slow path).
-#  3. integer half-up (away from zero) round micros -> 10^-dp units.
-#     The remainder is subtracted first (t - t % b, exact BIGINT ops;
-#     both % operators take the dividend's sign), then the now-exact
-#     multiple of b is divided via DECIMAL(38,0) -- decimal division is
-#     pure integer arithmetic in BOTH engines (Spark: DECIMAL(38,6)
-#     result, DuckDB: HUGEINT-backed), so the quotient is exact at ANY
-#     BIGINT magnitude, including past 2^53 micros (~$9e9 per group,
-#     reached by TPC-H q1 group sums at sf>=1) where the old
-#     double-intermediate (t-t%b)/b could land one cent off true
-#     half-up.  The dividend is always an exact multiple of b, so the
-#     engines' differing double->int CAST styles never see a fraction,
-#     and ONE text still works in both dialects (unlike Spark's DIV /
-#     DuckDB's //).  Verified exact at 5.7e18 in both engines.
+#  3. integer half-up (away from zero) round micros -> 10^-dp units,
+#     EXACT for the full BIGINT range with one text in both dialects.
+#     Neither engine offers a shared integer division (Spark: DIV,
+#     DuckDB: //; DuckDB's / -- even on DECIMAL/HUGEINT -- converts to
+#     DOUBLE, which a hypothesis counterexample proved lands one unit
+#     off past 2^53), so the division is decomposed into two PROVABLY
+#     EXACT double divisions recombined in BIGINT:
+#       thi = t - t % (b*2^30)   -- a multiple of 2^30 below 2^63 needs
+#                                   <= 33 significand bits: EXACT double
+#       qhi = thi / (b*2^30)     -- exact dividend, exact divisor,
+#                                   integer quotient < 2^33: EXACT
+#       tlo = t % (b*2^30)       -- < b*2^30 <= ~1.1e13 < 2^53: EXACT,
+#                                   still divisible by b
+#       qlo = tlo / b            -- exact integer quotient < 2^30
+#       q   = CAST(qhi)*2^30 + CAST(qlo)   -- BIGINT arithmetic, exact
+#     Every double holds an exact integer, so the engines' differing
+#     double->int CAST styles never see a fraction.  Both % operators
+#     take the dividend's sign, making the split sign-correct.
+#     Property-tested to 2^62 micros against an exact decimal model.
 #  4. one deterministic double division for display.
 
 
@@ -88,13 +94,21 @@ def micros(term: str) -> str:
 def micros_round(s: str, dp: int = 2) -> str:
     """Half-up round an integer-micros expression to ``dp`` decimals,
     returned as DOUBLE.  Engine-neutral (runs unchanged in Spark SQL and
-    DuckDB), and exact for the FULL BIGINT range: the division runs in
-    DECIMAL(38,0), never through a double intermediate (see step 3 of
-    the module pattern note)."""
+    DuckDB), and exact for the FULL BIGINT range: the division is
+    decomposed into two provably exact double divisions recombined in
+    BIGINT (see step 3 of the module pattern note)."""
     b = 10 ** (6 - dp)
     half = b // 2
+    b2 = b << 30
     t = f"(({s}) + (CASE WHEN ({s}) < 0 THEN -{half} ELSE {half} END))"
-    ival = f"CAST(CAST(({t} - ({t} % {b})) AS DECIMAL(38,0)) / {b} AS BIGINT)"
+    # strip to an exact multiple of b FIRST, then split at the b*2^30
+    # boundary -- both pieces stay divisible by their divisor, so every
+    # double below holds an exact integer
+    tsub = f"({t} - ({t} % {b}))"
+    ival = (
+        f"(CAST(({tsub} - ({tsub} % {b2})) / {b2} AS BIGINT) * {1 << 30}"
+        f" + CAST(({tsub} % {b2}) / {b} AS BIGINT))"
+    )
     return f"(CAST({ival} AS DOUBLE) / {10 ** dp}.0)"
 
 

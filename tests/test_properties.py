@@ -258,9 +258,12 @@ def test_money_sum_matches_decimal_half_up(values):
 def test_micros_round_exact_past_2_53(micros_total, dp):
     """micros_round must be TRUE half-up (away from zero) for the full
     BIGINT micros range, not just below 2^53 -- the rounding division
-    runs in DECIMAL(38,0), never through a double (ADVICE r5: the old
-    double intermediate could land one cent off past ~$9e9 per group,
-    which TPC-H q1 reaches at sf>=1).  Model: exact integer half-up of
+    is decomposed into two provably exact double divisions recombined
+    in BIGINT (ADVICE r5: the old single double-intermediate division
+    could land one cent off past ~$9e9 per group, which TPC-H q1
+    reaches at sf>=1; the DECIMAL(38,0) attempt was killed by a
+    hypothesis counterexample -- DuckDB lowers decimal division to
+    DOUBLE).  Model: exact integer half-up of
     micros -> 10^-dp units.  The final value is compared as the exact
     integer (re-multiplied), since the display double itself is allowed
     to be the nearest-double of a >2^53 integer."""

@@ -528,3 +528,101 @@ def test_per_file_pruning_composes_with_partitions_and_time_travel(spark, root):
         for r in store.read(partitions=["day=d1"], range_filter=flt).collect()
     )
     assert got2 == [r for r in range(10, 21) if r % 2 == 1]
+
+
+def test_delta_manifests_encode_only_touched_partitions(spark, root):
+    """Round-6 manifest scaling: non-checkpoint commits write DELTAS --
+    O(touched partitions) metadata -- while resolution reproduces the
+    full map exactly.  A 40-partition table's single-partition append
+    must commit a manifest much smaller than the full checkpoint."""
+    import os
+
+    from docker_airflow_spark_minio_spark.snapshots import CHECKPOINT_EVERY
+
+    store = SnapshotStore(spark, root)
+    wide = spark.createDataFrame(
+        [(i, f"d{i % 40}") for i in range(400)], "id int, day string"
+    )
+    store.write(wide, mode="snapshot", partition_by=["day"])  # v0: full
+    store.write(
+        spark.createDataFrame([(1000, "d7")], "id int, day string"),
+        mode="append",
+        partition_by=["day"],
+    )
+    raw0 = store._read_manifest_raw(0)
+    raw1 = store._read_manifest_raw(1)
+    assert raw0["manifest_kind"] == "full"
+    assert raw1["manifest_kind"] == "delta"
+    assert list(raw1["partitions_set"]) == ["day=d7"]
+    assert raw1["partitions_removed"] == []
+    sz0 = os.path.getsize(store._manifest_path(0))
+    sz1 = os.path.getsize(store._manifest_path(1))
+    assert sz1 < sz0 / 3, (sz0, sz1)
+    # resolution: full 40-partition map, d7 fragmented to 2 dirs
+    man = store._read_manifest(1)
+    assert len(man["partitions"]) == 40
+    assert len(man["partitions"]["day=d7"]) == 2
+    assert store.read().count() == 401
+    # overwrite_partitions delta: claimed-but-absent partition removed
+    store.write(
+        spark.createDataFrame([(2000, "d3")], "id int, day string"),
+        mode="overwrite_partitions",
+        partition_by=["day"],
+        claimed_partitions=[("d3",), ("d7",)],
+    )
+    raw2 = store._read_manifest_raw(2)
+    assert raw2["manifest_kind"] == "delta"
+    assert raw2["partitions_removed"] == ["day=d7"]
+    man2 = store._read_manifest(2)
+    assert "day=d7" not in man2["partitions"]
+    assert man2["partitions"]["day=d3"][0].startswith("v2-")
+    assert store.read().count() == 400 - 10 - 10 + 1  # d3+d7 replaced
+
+
+def test_delta_chain_checkpoints_and_survives_expire(spark, root):
+    """A long append chain crosses a CHECKPOINT_EVERY boundary (full
+    manifest re-written there), stats survive delta resolution, and
+    expire MATERIALIZES the oldest kept delta before dropping its
+    ancestors so every kept version keeps resolving."""
+    from docker_airflow_spark_minio_spark.snapshots import CHECKPOINT_EVERY
+
+    store = SnapshotStore(spark, root)
+    n = CHECKPOINT_EVERY + 4
+    for i in range(n):
+        store.write(
+            spark.createDataFrame([(i, "d1")], "id int, day string"),
+            mode="append",
+            partition_by=["day"],
+            stats_cols=["id"],
+            watermarks={f"w{i}": i},
+        )
+    raw_ck = store._read_manifest_raw(CHECKPOINT_EVERY)
+    assert raw_ck["manifest_kind"] == "full"
+    assert store._read_manifest_raw(n - 1)["manifest_kind"] == "delta"
+    head = store._read_manifest(n - 1)
+    # carried stats: one file-stat entry per surviving append dir
+    assert len(head["file_stats"]) == n
+    # carried watermarks across full+delta chain
+    assert head["watermarks"][f"w0"] == 0 and head["watermarks"][f"w{n-1}"] == n - 1
+    before = sorted(r["id"] for r in store.read().collect())
+    assert before == list(range(n))
+
+    # keep two deltas whose checkpoint ancestor gets dropped
+    out = store.expire_snapshots(keep_last=2, orphan_grace_ms=0)
+    assert out["kept_versions"] == [n - 2, n - 1]
+    assert store._read_manifest_raw(n - 2)["manifest_kind"] == "full"  # materialized
+    assert store._read_manifest_raw(n - 1)["manifest_kind"] == "delta"
+    after = sorted(r["id"] for r in store.read().collect())
+    assert after == before
+    # time travel to the materialized version still exact
+    assert sorted(r["id"] for r in store.read(as_of=n - 2).collect()) == list(
+        range(n - 1)
+    )
+    # watermarks survived materialization (replay detection depends on it)
+    assert store.watermark("w0", None) == 0
+    # a new commit on top still works and chains onto the materialized full
+    store.write(
+        spark.createDataFrame([(99, "d1")], "id int, day string"),
+        mode="append", partition_by=["day"],
+    )
+    assert store.read().count() == n + 1
