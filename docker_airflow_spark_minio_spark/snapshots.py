@@ -85,6 +85,63 @@ DATA_DIR = "data"
 # these semantics (tests/fixtures/mockfs/MockS3FileSystem.java).
 NO_ATOMIC_RENAME_SCHEMES = frozenset({"s3", "s3a", "s3n", "mocks3"})
 
+# Per-file BLOOM FILTERS (``bloom_cols`` at write time): zone maps
+# prune range predicates, but a POINT lookup on a high-cardinality key
+# whose values are hash-scattered across files (the common layout for
+# ids) intersects every file's [min, max] -- zone maps prune nothing.
+# Iceberg/Delta/Parquet all answer this with per-file bloom filters;
+# the manifest records one bitmap per (file, column) built from the
+# same write-time scan as the stats.  k hash probes via Kirsch-
+# Mitzenmacher double hashing g_i = (h1 + i*h2) mod bits over the two
+# independent 32-bit streams one md5 already yields (functions.hashing
+# h32 / h32_hi), so the executor-side build and the driver-side probe
+# agree bit-for-bit.  No false negatives => skipping is sound; false
+# positives only cost an extra file open.  Default 16384 bits = 2 KiB
+# of manifest per file-column -- ~4e-4 false-positive rate at ~600
+# values/file, and ``bloom_bits`` is per-write tunable (recorded in
+# each entry, so mixed sizes coexist in one table).
+BLOOM_BITS = 16384
+BLOOM_K = 4
+
+
+def _bloom_hash_pair(value) -> tuple[int, int]:
+    """Driver-side twin of the executor build's hash pair: md5 of the
+    value's STRING form (Spark ``CAST(col AS STRING)`` and Python
+    ``str()`` agree for the supported int/string key types), low
+    quadword split into the same two little-endian 32-bit halves
+    functions.hashing.h32 / h32_hi extract."""
+    import hashlib
+
+    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    return (
+        int.from_bytes(d[8:12], "little"),
+        int.from_bytes(d[12:16], "little"),
+    )
+
+
+def _bloom_probe_positions(value, bits: int) -> list[int]:
+    h1, h2 = _bloom_hash_pair(value)
+    return [(h1 + i * h2) % bits for i in range(BLOOM_K)]
+
+
+def _bloom_excludes(file_blooms: dict, points: dict) -> bool:
+    """True when ANY point predicate's key is PROVABLY absent from the
+    file (some probe bit unset).  Columns without a bloom are
+    inconclusive (kept: sound -- blooms have no false negatives)."""
+    for col, value in points.items():
+        entry = file_blooms.get(col)
+        if not entry:
+            continue
+        bits, hexmap = entry
+        bm = int(hexmap, 16)
+        if any(
+            not (bm >> pos) & 1
+            for pos in _bloom_probe_positions(value, bits)
+        ):
+            return True
+    return False
+
+
 # Every Nth version is committed as a FULL manifest (a checkpoint);
 # versions in between commit DELTAS -- only the partitions this commit
 # touched plus its fresh stats.  Commit METADATA cost is thereby
@@ -177,6 +234,12 @@ class SnapshotStore:
             if k.rsplit("/", 1)[0] in live
         }
         file_stats.update(raw["file_stats_added"])
+        file_blooms = {
+            k: v
+            for k, v in parent.get("file_blooms", {}).items()
+            if k.rsplit("/", 1)[0] in live
+        }
+        file_blooms.update(raw.get("file_blooms_added", {}))
         return {
             "version": raw["version"],
             "parent": raw["parent"],
@@ -185,6 +248,7 @@ class SnapshotStore:
             "partitions": partitions,
             "dir_stats": dir_stats,
             "file_stats": file_stats,
+            "file_blooms": file_blooms,
             "committed_at_ms": raw["committed_at_ms"],
             "metadata": raw["metadata"],
             "schema": raw["schema"],
@@ -343,6 +407,8 @@ class SnapshotStore:
         metadata: dict | None = None,
         claimed_partitions: list[tuple] | None = None,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = BLOOM_BITS,
         watermarks: dict | None = None,
     ) -> int:
         """Commit ``df`` as a new snapshot; returns the committed version.
@@ -371,6 +437,14 @@ class SnapshotStore:
         the Iceberg-manifest idea, where most of the skipping power
         lives at 100 TB.  Stats are carried forward for directories a
         commit does not rewrite.
+        ``bloom_cols``: additionally record a per-FILE BLOOM FILTER for
+        these columns (int/string keys; same single scan as the stats).
+        :meth:`read`/:meth:`plan_files` with ``point_filter`` then skip
+        every file whose bloom proves the key absent -- the pruning
+        zone maps cannot do for hash-scattered high-cardinality ids
+        (see the BLOOM_BITS note).  ``bloom_bits`` sizes the bitmap
+        (recorded per entry; pick ~25x the expected distinct values
+        per file for a sub-1e-3 false-positive rate at k=4).
         ``watermarks``: key->value pairs carried forward into EVERY
         descendant manifest (child values override parent's), unlike
         per-commit ``metadata`` which retention can expire.  The CDC
@@ -423,19 +497,37 @@ class SnapshotStore:
         changed_parts = {p: list(partitions[p]) for p in new_parts}
         dir_stats: dict[str, dict] = {}
         file_stats: dict[str, dict] = {}
-        if stats_cols:
+        file_blooms: dict[str, dict] = {}
+        if stats_cols or bloom_cols:
             from pyspark.sql import functions as F
 
+            from .functions.hashing import h32, h32_hi
+
+            stats_cols = list(stats_cols or [])
+            bloom_cols = list(bloom_cols or [])
             # ONE scan of the just-written data, grouped by FILE: the
             # manifest records min/max per file (Iceberg-manifest
             # granularity -- at 100 TB most of the skipping power is
             # per-file, a partition dir holds many files), and the
             # per-directory rollup is derived driver-side from the same
-            # rows (metadata-sized), not a second scan.
+            # rows (metadata-sized), not a second scan.  Bloom bit
+            # positions ride the same scan: per bloom column, BLOOM_K
+            # collect_set aggregates of (h1 + i*h2) mod bits -- each
+            # bounded by bits distinct values, combined into one bitmap
+            # driver-side.
             scan = self.spark.read.option("basePath", data_path).parquet(data_path)
             aggs = []
             for c in stats_cols:
                 aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+            for c in bloom_cols:
+                s = F.col(c).cast("string")
+                h1, h2 = h32(s), h32_hi(s)
+                aggs += [
+                    F.collect_set((h1 + F.lit(i) * h2) % bloom_bits).alias(
+                        f"bl_{c}_{i}"
+                    )
+                    for i in range(BLOOM_K)
+                ]
             rows = (
                 scan.groupBy(F.input_file_name().alias("__file"), *pby)
                 .agg(*aggs)
@@ -453,10 +545,20 @@ class SnapshotStore:
                 # _hive_partition_dir (on-disk escaping), never parsed
                 # back out of the URI input_file_name returns
                 fname = r["__file"].rstrip("/").rsplit("/", 1)[-1]
-                file_stats[f"{dkey}/{fname}"] = {
-                    c: [_stat_json(r[f"mn_{c}"]), _stat_json(r[f"mx_{c}"])]
-                    for c in stats_cols
-                }
+                if stats_cols:
+                    file_stats[f"{dkey}/{fname}"] = {
+                        c: [_stat_json(r[f"mn_{c}"]), _stat_json(r[f"mx_{c}"])]
+                        for c in stats_cols
+                    }
+                if bloom_cols:
+                    blooms = {}
+                    for c in bloom_cols:
+                        bm = 0
+                        for i in range(BLOOM_K):
+                            for pos in r[f"bl_{c}_{i}"]:
+                                bm |= 1 << pos
+                        blooms[c] = [bloom_bits, f"{bm:0{bloom_bits // 4}x}"]
+                    file_blooms[f"{dkey}/{fname}"] = blooms
                 agg = raw_dir.setdefault(dkey, {})
                 for c in stats_cols:
                     mn, mx = r[f"mn_{c}"], r[f"mx_{c}"]
@@ -472,6 +574,7 @@ class SnapshotStore:
                 }
         fresh_dir_stats = dict(dir_stats)
         fresh_file_stats = dict(file_stats)
+        fresh_file_blooms = dict(file_blooms)
         if parent is not None:
             # Carry stats forward for directories this commit keeps.
             live = {
@@ -485,6 +588,9 @@ class SnapshotStore:
             for k, v in parent.get("file_stats", {}).items():
                 if k.rsplit("/", 1)[0] in live and k not in file_stats:
                     file_stats[k] = v
+            for k, v in parent.get("file_blooms", {}).items():
+                if k.rsplit("/", 1)[0] in live and k not in file_blooms:
+                    file_blooms[k] = v
         # Full checkpoint or delta?  A table-replacing snapshot, the
         # first commit, and every CHECKPOINT_EVERY-th version write the
         # full map; everything else writes O(touched partitions) -- see
@@ -514,6 +620,7 @@ class SnapshotStore:
                 "partitions": partitions,
                 "dir_stats": dir_stats,
                 "file_stats": file_stats,
+                "file_blooms": file_blooms,
                 # Carried forward parent -> child on every commit (see
                 # docstring) -- survives retention as long as ANY
                 # snapshot survives, which keep_last >= 1 guarantees.
@@ -530,6 +637,7 @@ class SnapshotStore:
                 "partitions_removed": removed_parts,
                 "dir_stats_added": fresh_dir_stats,
                 "file_stats_added": fresh_file_stats,
+                "file_blooms_added": fresh_file_blooms,
                 # THIS commit's marks only; resolution merges the chain
                 # (same carried-forward semantics as the eager merge).
                 "watermarks": dict(watermarks or {}),
@@ -635,6 +743,7 @@ class SnapshotStore:
         as_of: int | None = None,
         partitions: list[str] | None = None,
         range_filter: tuple | list[tuple] | None = None,
+        point_filter: dict | None = None,
     ) -> tuple[dict, dict[str, dict[str, list[str] | None]], int, int]:
         """FILE-level scan planning on top of :meth:`plan_dirs`: returns
         ``(manifest, units, n_files_skipped, n_files_total)`` where
@@ -650,14 +759,29 @@ class SnapshotStore:
         read open only the files whose range intersects the filter --
         without listing or footer-probing the rest.  The counts cover
         only stats-bearing directories, so a pruned-file assertion is
-        meaningful."""
+        meaningful.
+
+        ``point_filter`` -- ``{col: value}`` equality predicates
+        (conjunctive with each other and with the ranges) -- prunes via
+        the per-file BLOOM FILTERS (``bloom_cols`` at write time): a
+        file is skipped when any queried key is provably absent (probe
+        bit unset; blooms have no false negatives).  This is the
+        point-lookup pruning zone maps cannot provide when key values
+        are hash-scattered across files."""
         manifest, by_vdir, _, _ = self.plan_dirs(
             as_of=as_of, partitions=partitions, range_filter=range_filter
         )
         ranges = self._normalize_ranges(range_filter)
+        points = dict(point_filter or {})
+        # A point predicate is also the degenerate range [v, v]: let it
+        # prune through per-file zone maps too when the column carries
+        # stats but no bloom (sound either way; read() re-applies the
+        # exact equality on top).
+        file_ranges = ranges + [(c, v, v) for c, v in points.items()]
         fstats = manifest.get("file_stats", {})
+        fblooms = manifest.get("file_blooms", {})
         files_by_dir: dict[str, list[str]] = {}
-        for k in fstats:
+        for k in sorted(set(fstats) | set(fblooms)):
             files_by_dir.setdefault(k.rsplit("/", 1)[0], []).append(k)
         units: dict[str, dict[str, list[str] | None]] = {}
         n_skipped = n_total = 0
@@ -665,13 +789,15 @@ class SnapshotStore:
             for part in parts:
                 dkey = f"{vd}/{part}" if part else vd
                 known = files_by_dir.get(dkey)
-                if not ranges or not known:
+                if (not ranges and not points) or not known:
                     units.setdefault(vd, {})[part] = None
                     continue
                 keep: list[str] = []
                 for k in known:
                     n_total += 1
-                    if self._provably_disjoint(fstats[k], ranges):
+                    if self._provably_disjoint(
+                        fstats.get(k, {}), file_ranges
+                    ) or _bloom_excludes(fblooms.get(k, {}), points):
                         n_skipped += 1
                     else:
                         keep.append(k.rsplit("/", 1)[1])
@@ -683,6 +809,7 @@ class SnapshotStore:
         as_of: int | None = None,
         partitions: list[str] | None = None,
         range_filter: tuple | list[tuple] | None = None,
+        point_filter: dict | None = None,
     ) -> DataFrame:
         """Scan one snapshot (latest, or time-travel to ``as_of``);
         ``partitions`` restricts to the given relative partition dirs
@@ -693,12 +820,22 @@ class SnapshotStore:
         AND every individual file whose recorded zone map
         (``stats_cols`` at write time) is provably disjoint from any of
         the ranges -- directories/files without stats are read (sound)
-        -- and applies the exact ANDed filter on top."""
+        -- and applies the exact ANDed filter on top.
+
+        ``point_filter`` -- ``{col: value}`` equality predicates --
+        skips files via the per-file bloom filters (``bloom_cols`` at
+        write time; see :meth:`plan_files`) and applies the exact
+        equality on top, so bloom false positives never reach the
+        result."""
         version = self.latest_version() if as_of is None else as_of
         if version is None:
             raise ValueError(f"no snapshots committed under {self.root}")
+        points = dict(point_filter or {})
         manifest, units, _, _ = self.plan_files(
-            as_of=version, partitions=partitions, range_filter=range_filter
+            as_of=version,
+            partitions=partitions,
+            range_filter=range_filter,
+            point_filter=points,
         )
         # Drop partitions whose every stats-bearing file was pruned, and
         # dirs left empty by that.
@@ -719,7 +856,7 @@ class SnapshotStore:
             return self.spark.createDataFrame([], schema)
         ranges = self._normalize_ranges(range_filter)
         if not by_vdir:
-            if ranges and manifest["partitions"]:
+            if (ranges or points) and manifest["partitions"]:
                 # Everything zone-map-pruned (whole dirs or every
                 # stats-bearing file): an empty frame with the table's
                 # schema (scan one live dir, keep no rows).
@@ -733,11 +870,13 @@ class SnapshotStore:
                 f"no matching partitions in snapshot v{version} under {self.root}"
             )
         df = self._scan(by_vdir)
-        if ranges:
+        if ranges or points:
             from pyspark.sql import functions as F
 
             for col, lo, hi in ranges:
                 df = df.where((F.col(col) >= lo) & (F.col(col) <= hi))
+            for col, value in points.items():
+                df = df.where(F.col(col) == value)
         return df
 
     def _scan(self, by_vdir: dict[str, dict[str, list[str] | None]]) -> DataFrame:

@@ -1089,3 +1089,80 @@ def etl_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(footprint(t["orders"], "o_custkey", "orders"))
         .orderBy("table_name")
     )
+
+
+BLOOM_PROBE_IDS = (7, 123, 250, 401, 499)
+
+
+@register(
+    "snapshot_bloom_point_read",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    WHERE doc_id IN {BLOOM_PROBE_IDS}
+    ORDER BY doc_id
+    """,
+    category="etl",
+    description="PER-FILE manifest BLOOM FILTERS under the gate "
+    "(round-6): documents land hash-scattered across several files per "
+    "lang partition -- every file's doc_id [min,max] intersects any "
+    "point, so zone maps prune NOTHING -- and five point lookups must "
+    "each open only the files whose bloom admits the key "
+    "(runtime-asserted: blooms must skip >0 files where the zone maps "
+    "skipped 0) while returning exactly the direct-scan rows",
+)
+def snapshot_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: zone maps answer RANGE predicates; the equally
+    common 100 TB access pattern is a POINT lookup on a high-cardinality
+    id whose values are hash-scattered across files (every file
+    intersects every point).  Iceberg/Delta/Parquet answer it with
+    per-file bloom filters; ``snapshots.write(bloom_cols=...)`` records
+    them in the manifest from the same O(new data) stats scan, and the
+    probe is O(files) driver-side bit tests -- no file listing, no
+    footer reads.  False positives only cost an extra file open; the
+    exact equality filter on top keeps results precise."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    root = (
+        f"{tempfile.gettempdir()}/snapshot_bloom_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(spark, root)
+    # plain hash repartition = the zone-map worst case: every one of
+    # the ~8 files per lang dir spans nearly the full doc_id range
+    store.write(
+        docs.repartition(8),
+        mode="snapshot",
+        partition_by=["lang"],
+        stats_cols=["doc_id"],
+        bloom_cols=["doc_id"],
+    )
+    zm_skipped = total_skipped = total_files = 0
+    for pid in BLOOM_PROBE_IDS:
+        # zone maps alone (degenerate range): the hash-scattered layout
+        # leaves most files' [min,max] intersecting every point
+        _, _, zm_sk, _ = store.plan_files(range_filter=("doc_id", pid, pid))
+        zm_skipped += zm_sk
+        _, _, n_sk, n_tot = store.plan_files(point_filter={"doc_id": pid})
+        total_skipped += n_sk
+        total_files += n_tot
+    if not (total_files > 0 and total_skipped > zm_skipped):
+        # the bloom-beats-zone-maps claim IS the entry -- fail loudly
+        raise AssertionError(
+            f"expected bloom pruning beyond zone maps, got "
+            f"{total_skipped}/{total_files} vs zone-map {zm_skipped}"
+        )
+    from functools import reduce
+
+    reads = [
+        store.read(point_filter={"doc_id": pid}) for pid in BLOOM_PROBE_IDS
+    ]
+    return reduce(lambda a, b: a.unionByName(b), reads).orderBy("doc_id")

