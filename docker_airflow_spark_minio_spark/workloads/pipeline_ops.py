@@ -558,3 +558,99 @@ def corpus_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted (importance) sampling with a calibration monitor
+# ---------------------------------------------------------------------------
+
+# Per-document inclusion probability proportional to a weight, capped at
+# 1 -- the Poisson/Bernoulli importance sampler large corpus-curation
+# runs use when per-document quality or length should bias retention
+# (heavier docs likelier kept), as opposed to the uniform and per-group
+# rate gates above.  Weight here: n_chars capped at WEIGHTED_CAP_CHARS
+# (docs at/above the cap are always kept), so p_bp = min(10000,
+# n_chars * 10000 / cap) stays integer basis points.  The gate is a
+# SALTED h32 stream ("ws:" prefix), independent of every other
+# sampler's gate in the registry.
+WEIGHTED_CAP_CHARS = 400  # 10000 bp / 400 chars = 25 bp per char
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle=f"""
+    WITH p AS (
+        SELECT source, n_chars,
+               LEAST(10000, n_chars * {10000 // WEIGHTED_CAP_CHARS}) AS p_bp,
+               CASE WHEN {h32_sql("'ws:' || CAST(doc_id AS VARCHAR)")} % 10000
+                         < LEAST(10000, n_chars * {10000 // WEIGHTED_CAP_CHARS})
+                    THEN 1 ELSE 0 END AS keep
+        FROM documents
+    ),
+    g AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT)          AS n_docs,
+               CAST(SUM(keep) AS BIGINT)         AS n_sampled,
+               CAST(SUM(p_bp) AS BIGINT)         AS expected_bp,
+               CAST(SUM(keep * n_chars) AS BIGINT) AS chars_sampled
+        FROM p GROUP BY source
+    )
+    SELECT source, n_docs, n_sampled, expected_bp, chars_sampled,
+           (n_sampled * 10000 - expected_bp) AS dev_bp,
+           CASE WHEN ABS(n_sampled * 10000 - expected_bp)
+                     <= 50000 + 5 * CAST(FLOOR(SQRT(expected_bp * 10000.0))
+                                         AS BIGINT)
+                THEN 1 ELSE 0 END AS within_5_sigma
+    FROM g ORDER BY source
+    """,
+    category="pipeline",
+    description="weighted (importance) sampling: per-document inclusion "
+    "probability proportional to doc length capped at "
+    f"{WEIGHTED_CAP_CHARS} chars, gated by a salted deterministic h32 "
+    "stream -- reproducible across runs/engines, map-only; per-source "
+    "realized-vs-expected deviation with a 5-sigma calibration flag "
+    "(the estimator-monitor pattern of dedup_minhash_estimate_"
+    "calibration)",
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the gate is a per-row hash compare (map-only, no
+    shuffle, no RNG state to coordinate across executors -- re-running
+    the job reproduces the identical sample, which downstream training
+    reproducibility requires); the roll-up is one small-key aggregate.
+    Var(n_sampled) = sum p(1-p) <= sum p, so dev_bp's 5-sigma envelope
+    is 5*sqrt(expected_bp*1e4) (+a 5-doc floor for tiny groups); IEEE
+    sqrt is correctly rounded in both engines, keeping the flag
+    hash-identical."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    bp_per_char = 10000 // WEIGHTED_CAP_CHARS
+    p_bp = F.least(F.lit(10000), F.col("n_chars") * bp_per_char)
+    p = docs.select(
+        "source",
+        "n_chars",
+        p_bp.alias("p_bp"),
+        (
+            h32(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))) % 10000
+            < p_bp
+        )
+        .cast("long")
+        .alias("keep"),
+    )
+    g = p.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").alias("n_sampled"),
+        F.sum("p_bp").alias("expected_bp"),
+        F.sum(F.col("keep") * F.col("n_chars")).alias("chars_sampled"),
+    )
+    dev = F.col("n_sampled") * 10000 - F.col("expected_bp")
+    bound = F.lit(50000) + 5 * F.floor(
+        F.sqrt(F.col("expected_bp") * 10000.0)
+    ).cast("long")
+    return g.select(
+        "source",
+        "n_docs",
+        "n_sampled",
+        "expected_bp",
+        "chars_sampled",
+        dev.alias("dev_bp"),
+        F.when(F.abs(dev) <= bound, 1).otherwise(0).alias("within_5_sigma"),
+    ).orderBy("source")

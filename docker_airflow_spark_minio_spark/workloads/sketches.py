@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import h32_sql
 from .base import load_tables, register
 
 HLL_RSD = 0.05          # approx_count_distinct relative standard deviation
@@ -217,6 +218,150 @@ def sketch_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     <= F.col("n") / MG_COUNTERS
                 )
             ).alias("mg_within_bound"),
+        )
+        .orderBy("token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch point-frequency estimates
+# ---------------------------------------------------------------------------
+
+# Unlike the HLL/GK entries above (engine-native sketches, gated on
+# error bounds only), this CMS is built FROM the shared h32 hash
+# streams, so Spark and DuckDB construct bit-identical sketches and the
+# ESTIMATES themselves hash-match -- the stronger correctness contract.
+# Structure: CMS_D rows x CMS_W counters; token t adds its count to
+# bucket h_r(t) = h32('cms<r>:' || t) % CMS_W in every row; the point
+# estimate is the min across rows.  One-sided by construction
+# (est >= exact always); the flag asserts the standard width bound
+# overcount <= ~e*N/W, integerized as overcount*W <= 3*N.
+CMS_W = 1024
+CMS_D = 4
+CMS_TOP = 8
+
+
+@register(
+    "sketch_cms_point_queries",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), cnt AS (
+        SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ), n AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cnt
+    ), rows_r AS (
+        SELECT unnest(generate_series(0, {CMS_D - 1})) AS r
+    ), rb AS (
+        SELECT r,
+               {h32_sql("'cms' || CAST(r AS VARCHAR) || ':' || token")}
+                   % {CMS_W} AS b,
+               cnt
+        FROM cnt, rows_r
+    ), sk AS (
+        SELECT r, b, SUM(cnt) AS bsum FROM rb GROUP BY r, b
+    ), top AS (
+        SELECT token, cnt AS exact_cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rn
+        FROM cnt
+    ), q AS (
+        SELECT t.token, t.exact_cnt, r.r,
+               {h32_sql("'cms' || CAST(r.r AS VARCHAR) || ':' || t.token")}
+                   % {CMS_W} AS b
+        FROM top t, rows_r r WHERE t.rn <= {CMS_TOP}
+    ), est AS (
+        SELECT token, exact_cnt, MIN(sk.bsum) AS cms_est
+        FROM q JOIN sk USING (r, b) GROUP BY token, exact_cnt
+    )
+    SELECT token,
+           CAST(exact_cnt AS BIGINT)           AS exact_cnt,
+           CAST(cms_est AS BIGINT)             AS cms_est,
+           CAST(cms_est - exact_cnt AS BIGINT) AS overcount,
+           CASE WHEN (cms_est - exact_cnt) * {CMS_W} <= 3 * n_total
+                THEN 1 ELSE 0 END              AS within_bound
+    FROM est, n ORDER BY token
+    """,
+    category="sketch",
+    description=f"count-min sketch ({CMS_D}x{CMS_W}, shared-h32 double "
+    "hashing) over document tokens: both engines build the IDENTICAL "
+    "sketch, so the point estimates hash-match exactly (stronger than "
+    "the HLL/GK bound-flag contract); estimates for the top "
+    f"{CMS_TOP} tokens with the one-sided overcount and its e*N/W "
+    "width bound",
+)
+def sketch_cms_point_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the sketch is D*W counters regardless of N -- the
+    build aggregates (row, bucket) keys (<= D*W groups, map-side
+    combined), inserting from the token-count table so each distinct
+    token hashes once per row, not once per occurrence.  Point queries
+    broadcast-join the D probe buckets per query against the tiny
+    sketch table.  At 100 TB the sketch stays 4 KiB of longs per
+    partition summary and merges associatively -- the same mergeability
+    argument as the HLL/MG entries (module docstring)."""
+    from ..functions.hashing import h32
+    from ..functions.text import tokens_expr
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.select(F.explode(tokens_expr("text")).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    n_total = cnt.agg(F.sum("cnt").alias("n_total"))
+
+    def bucket(r: int, col):
+        return h32(F.concat(F.lit(f"cms{r}:"), col)) % CMS_W
+
+    pairs = cnt.select(
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), bucket(r, F.col("token")).alias("b")
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    )
+    sketch = pairs.groupBy("rb.r", "rb.b").agg(F.sum("cnt").alias("bsum"))
+    top = (
+        cnt.orderBy(F.col("cnt").desc(), "token")
+        .limit(CMS_TOP)
+        .withColumnRenamed("cnt", "exact_cnt")
+    )
+    probes = top.select(
+        "token",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), bucket(r, F.col("token")).alias("b")
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", "exact_cnt", "rb.r", "rb.b")
+    est = (
+        F.broadcast(probes)
+        .join(sketch, ["r", "b"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("bsum").alias("cms_est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(n_total))
+        .select(
+            "token",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+            F.when(
+                (F.col("cms_est") - F.col("exact_cnt")) * CMS_W
+                <= 3 * F.col("n_total"),
+                1,
+            )
+            .otherwise(0)
+            .alias("within_bound"),
         )
         .orderBy("token")
     )
