@@ -78,6 +78,7 @@ from .fsmeta import hive_partition_dir as _hive_partition_dir
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
+REFS_DIR = "_refs"
 
 # Stores whose rename is copy+delete (overwrites, non-atomic): the
 # commit claim must be a conditional PUT, not a rename -- see
@@ -397,7 +398,131 @@ class SnapshotStore:
             return default
         return (self._read_manifest(v).get("watermarks") or {}).get(key, default)
 
+    # -- named refs (tags) --------------------------------------------------
+
+    def _ref_path(self, name: str) -> str:
+        return f"{self.root.rstrip('/')}/{REFS_DIR}/{name}.json"
+
+    @staticmethod
+    def _check_ref_name(name: str) -> None:
+        if not name or not all(c.isalnum() or c in "._-" for c in name):
+            raise ValueError(f"invalid ref name: {name!r}")
+
+    def tag(self, name: str, version: int | None = None, replace: bool = False) -> int:
+        """Pin a NAMED, RETENTION-PROOF reference to a snapshot (the
+        Iceberg tag): :meth:`expire_snapshots` keeps tagged versions
+        (and their data) alive regardless of ``keep_last``, and
+        :meth:`read` accepts ``ref=name``.  Defaults to the current
+        head; ``replace=True`` re-points an existing tag."""
+        self._check_ref_name(name)
+        v = self.latest_version() if version is None else version
+        if v is None or v not in self.versions():
+            raise ValueError(f"cannot tag missing version {v}")
+        payload = json.dumps(
+            {"name": name, "version": v, "created_at_ms": int(time.time() * 1000)}
+        ).encode("utf-8")
+        fs, p = _fs_and_path(self.spark, self._ref_path(name))
+        fs.mkdirs(p.getParent())
+        if not replace and fs.exists(p):
+            raise ValueError(f"tag {name!r} already exists")
+        out = fs.create(p, replace)
+        try:
+            out.write(bytearray(payload))
+        finally:
+            out.close()
+        return v
+
+    def tags(self) -> dict[str, int]:
+        """All named refs, name -> version."""
+        fs, d = _fs_and_path(self.spark, f"{self.root.rstrip('/')}/{REFS_DIR}")
+        if not fs.exists(d):
+            return {}
+        out: dict[str, int] = {}
+        for st in fs.listStatus(d):
+            n = st.getPath().getName()
+            if not n.endswith(".json"):
+                continue
+            stream = fs.open(st.getPath())
+            try:
+                raw = bytes(
+                    self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                )
+            finally:
+                stream.close()
+            ref = json.loads(raw.decode("utf-8"))
+            out[ref["name"]] = int(ref["version"])
+        return out
+
+    def resolve_ref(self, name: str) -> int:
+        refs = self.tags()
+        if name not in refs:
+            raise ValueError(f"unknown ref {name!r}")
+        return refs[name]
+
+    def delete_tag(self, name: str) -> None:
+        self._check_ref_name(name)
+        fs, p = _fs_and_path(self.spark, self._ref_path(name))
+        if not fs.exists(p):
+            raise ValueError(f"unknown ref {name!r}")
+        fs.delete(p, False)
+
     # -- writes -----------------------------------------------------------
+
+    def rollback(self, version: int, watermarks: dict | None = None) -> int:
+        """Restore the table to ``version``'s state as a NEW commit --
+        metadata-only, like Iceberg's rollback_to_snapshot: the commit
+        re-points the partition map (and stats/blooms) at the old
+        version's still-immutable data directories; no data is
+        rewritten, history is preserved (time travel to the rolled-back
+        versions keeps working until retention drops them).
+
+        Watermarks are carried from the HEAD, not the target: replay
+        guards (CDC batch ids) must never rewind with the data, or an
+        already-committed batch would apply twice after the rollback.
+        Pass ``watermarks`` to override explicitly."""
+        head = self.latest_version()
+        if head is None:
+            raise ValueError(f"no snapshots committed under {self.root}")
+        if version not in self.versions():
+            raise ValueError(f"cannot roll back to missing version {version}")
+        target = self._read_manifest(version)
+        head_man = self._read_manifest(head)
+        # Guard: every data dir the target references must still exist
+        # (retention may have reclaimed them).
+        droot = f"{self.root.rstrip('/')}/{DATA_DIR}"
+        fs, _ = _fs_and_path(self.spark, droot)
+        missing = []
+        for vdirs in target["partitions"].values():
+            for vd in vdirs:
+                _, p = _fs_and_path(self.spark, f"{droot}/{vd}")
+                if not fs.exists(p):
+                    missing.append(vd)
+        if missing:
+            raise ValueError(
+                f"cannot roll back to v{version}: data dirs expired: "
+                f"{sorted(set(missing))}"
+            )
+        new_v = head + 1
+        manifest = {
+            "version": new_v,
+            "parent": head,
+            "mode": "rollback",
+            "partition_by": target["partition_by"],
+            "manifest_kind": "full",
+            "partitions": target["partitions"],
+            "dir_stats": target.get("dir_stats", {}),
+            "file_stats": target.get("file_stats", {}),
+            "file_blooms": target.get("file_blooms", {}),
+            "committed_at_ms": int(time.time() * 1000),
+            "metadata": {"rollback_to": version},
+            "schema": target["schema"],
+            "watermarks": {
+                **(head_man.get("watermarks") or {}),
+                **(watermarks or {}),
+            },
+        }
+        self._commit_manifest(new_v, manifest)
+        return new_v
 
     def write(
         self,
@@ -810,8 +935,10 @@ class SnapshotStore:
         partitions: list[str] | None = None,
         range_filter: tuple | list[tuple] | None = None,
         point_filter: dict | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
-        """Scan one snapshot (latest, or time-travel to ``as_of``);
+        """Scan one snapshot (latest, time-travel to ``as_of``, or a
+        named tag via ``ref`` -- mutually exclusive with ``as_of``);
         ``partitions`` restricts to the given relative partition dirs
         (manifest-level pruning -- the scan never lists the others).
 
@@ -827,6 +954,10 @@ class SnapshotStore:
         write time; see :meth:`plan_files`) and applies the exact
         equality on top, so bloom false positives never reach the
         result."""
+        if ref is not None:
+            if as_of is not None:
+                raise ValueError("pass as_of or ref, not both")
+            as_of = self.resolve_ref(ref)
         version = self.latest_version() if as_of is None else as_of
         if version is None:
             raise ValueError(f"no snapshots committed under {self.root}")
@@ -977,7 +1108,12 @@ class SnapshotStore:
             raise ValueError("keep_last must be >= 1")
         now_ms = int(time.time() * 1000)
         vs = self.versions()
-        keep = set(vs[-keep_last:])
+        # Tagged versions are retention-proof (the Iceberg tag
+        # contract): a tag pins its snapshot AND its data dirs past
+        # keep_last, until the tag is deleted.
+        keep = set(vs[-keep_last:]) | {
+            v for v in self.tags().values() if v in vs
+        }
         live_vdirs: set[str] = set()
         expired_vdirs: set[str] = set()
         for v in vs:
@@ -985,20 +1121,19 @@ class SnapshotStore:
             for vdirs in self._read_manifest(v)["partitions"].values():
                 target.update(vdirs)
         expired_vdirs -= live_vdirs
-        # Versions are dense (parent = version - 1), so only the OLDEST
-        # kept version can have its delta chain truncated by this sweep;
-        # materialize it as a full checkpoint BEFORE deleting ancestors
-        # so every kept version keeps resolving.
-        if keep:
-            oldest = min(keep)
-            if (
-                any(v not in keep for v in vs)
-                and self._read_manifest_raw(oldest).get("manifest_kind")
-                == "delta"
-            ):
-                resolved = dict(self._read_manifest(oldest))
-                resolved["manifest_kind"] = "full"
-                self._replace_manifest(oldest, resolved)
+        # Versions are dense (parent = version - 1).  Any kept delta
+        # whose PARENT is being dropped loses its resolution chain --
+        # with tags the kept set can have holes, not just a truncated
+        # prefix -- so materialize every such delta as a full
+        # checkpoint BEFORE deleting ancestors.
+        if keep and any(v not in keep for v in vs):
+            for v in sorted(keep):
+                if (v - 1) in keep:
+                    continue
+                if self._read_manifest_raw(v).get("manifest_kind") == "delta":
+                    resolved = dict(self._read_manifest(v))
+                    resolved["manifest_kind"] = "full"
+                    self._replace_manifest(v, resolved)
         dropped_manifests = 0
         for v in vs:
             if v not in keep:

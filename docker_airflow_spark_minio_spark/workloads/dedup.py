@@ -585,7 +585,16 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
-def _build_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ngram_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared candidate machinery for the n-gram pair family (Jaccard
+    and containment): returns ``(sh, cand, stats)`` -- the per-doc
+    shingle arrays, the rare-hash candidate pairs with their shared
+    rare-shingle count ``c_rare``, and the per-doc prune stats
+    ``(n, d, f)``.  Each consumer applies its own sound prune bound and
+    exact verification on top; the posting lists are built once and
+    shared through _POSTING_CACHE."""
     sh = _shingles(spark, sf_dir)
     ex = sh.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id", h32(F.col("s")).alias("h")
@@ -649,33 +658,42 @@ def _build_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.when(F.col("df") > JACCARD_DF_CAP, F.col("h"))).alias("f"),
         )
     )
+    return sh, cand, stats
+
+
+def _attach_pair_stats(cand: DataFrame, stats: DataFrame) -> DataFrame:
+    """Candidate pairs with both sides' prune stats attached (sa_*/sb_*)."""
+    return cand.join(
+        stats.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("n").alias("sa_n"),
+            F.col("d").alias("sa_d"),
+            F.col("f").alias("sa_f"),
+        ),
+        "doc_a",
+    ).join(
+        stats.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("n").alias("sb_n"),
+            F.col("d").alias("sb_d"),
+            F.col("f").alias("sb_f"),
+        ),
+        "doc_b",
+    )
+
+
+def _build_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh, cand, stats = _ngram_candidates(spark, sf_dir)
     ub = (
         F.col("c_rare")
         + F.least(F.col("sa_f"), F.col("sb_f"))
         + (F.col("sa_n") - F.col("sa_d"))
         + (F.col("sb_n") - F.col("sb_d"))
     )
+    # stats grows with the corpus -- no forced broadcast; AQE picks
+    # broadcast at test scale and a shuffle join beyond its threshold.
     pruned = (
-        # stats grows with the corpus -- no forced broadcast; AQE picks
-        # broadcast at test scale and a shuffle join beyond its threshold.
-        cand.join(
-            stats.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("n").alias("sa_n"),
-                F.col("d").alias("sa_d"),
-                F.col("f").alias("sa_f"),
-            ),
-            "doc_a",
-        )
-        .join(
-            stats.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("n").alias("sb_n"),
-                F.col("d").alias("sb_d"),
-                F.col("f").alias("sb_f"),
-            ),
-            "doc_b",
-        )
+        _attach_pair_stats(cand, stats)
         .where(
             ub * (10000 + JACCARD_MIN_BP)
             >= JACCARD_MIN_BP * (F.col("sa_n") + F.col("sb_n"))
@@ -695,6 +713,108 @@ def _build_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard_bp") >= JACCARD_MIN_BP)
     )
     return verified
+
+
+# ---------------------------------------------------------------------------
+# Containment (asymmetric near-dup: excerpt / quote detection)
+# ---------------------------------------------------------------------------
+
+# Jaccard misses the asymmetric case: a short document wholly contained
+# in a long one (an excerpt, a quoted page, boilerplate wrapping) can
+# have Jaccard << tau while containment |A n B| / |A| ~ 1.  The
+# curation action differs too -- drop the excerpt, keep the container.
+# Same inverted-index candidates and sound prune as the Jaccard entry
+# (shared via _ngram_candidates; the posting lists are built once),
+# but the bound divides by the SMALLER side: containment_max =
+# inter / min(n_a, n_b) <= ub / min(n_a, n_b).
+CONTAIN_MIN_BP = 8000
+
+_CONTAIN_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, {shingles_sql('t', SHINGLE_N)} AS sh FROM tok),
+ex AS (SELECT doc_id, {h32_sql('unnest(sh)')} AS h FROM sh),
+rare AS (
+    SELECT h FROM ex GROUP BY h HAVING COUNT(DISTINCT doc_id) <= {JACCARD_DF_CAP}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM ex a JOIN rare r ON a.h = r.h
+              JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+j AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(FLOOR(10000.0 * len(list_intersect(sa.sh, sb.sh)) /
+                LEAST(len(sa.sh), len(sb.sh))) AS BIGINT) AS contain_bp,
+           CAST(FLOOR(10000.0 * len(list_intersect(sa.sh, sb.sh)) /
+                (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+                AS BIGINT) AS jaccard_bp,
+           CASE WHEN len(sa.sh) <= len(sb.sh) THEN c.doc_a ELSE c.doc_b END
+               AS contained_doc
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, contained_doc, contain_bp, jaccard_bp,
+       CASE WHEN jaccard_bp < {JACCARD_MIN_BP} THEN 1 ELSE 0 END AS asymmetric
+FROM j WHERE contain_bp >= {CONTAIN_MIN_BP}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=_CONTAIN_ORACLE,
+    category="dedup",
+    description=f"asymmetric near-dup (excerpt/quote detection): "
+    f"containment |A n B| / |smaller side| >= {CONTAIN_MIN_BP / 10000} "
+    "over the same inverted-index candidates as the Jaccard entry "
+    "(shared posting lists), flagging pairs Jaccard would miss "
+    f"(jaccard < {JACCARD_MIN_BP / 10000}); names the contained doc -- "
+    "the one curation drops",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: identical bucketed-not-all-pairs shape as
+    dedup_ngram_jaccard_pairs -- the candidate generation, posting-list
+    cache, and per-doc stats are literally shared (_ngram_candidates),
+    so adding this operator to a sweep costs one extra prune+verify
+    over the kilobyte candidate set, not a second index build."""
+    sh, cand, stats = _ngram_candidates(spark, sf_dir)
+    ub = (
+        F.col("c_rare")
+        + F.least(F.col("sa_f"), F.col("sb_f"))
+        + (F.col("sa_n") - F.col("sa_d"))
+        + (F.col("sb_n") - F.col("sb_d"))
+    )
+    # containment_max <= ub / min(n_a, n_b): pairs failing the bound
+    # cannot reach CONTAIN_MIN_BP (exact-safe, same argument as the
+    # Jaccard prune with the smaller-side denominator)
+    pruned = (
+        _attach_pair_stats(cand, stats)
+        .where(ub * 10000 >= CONTAIN_MIN_BP * F.least("sa_n", "sb_n"))
+        .select("doc_a", "doc_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    smaller = F.least(F.size("sa.sh"), F.size("sb.sh"))
+    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    return (
+        pruned.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.size("sa.sh") <= F.size("sb.sh"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+            F.floor(10000.0 * inter / smaller).cast("long").alias("contain_bp"),
+            F.floor(10000.0 * inter / union).cast("long").alias("jaccard_bp"),
+        )
+        .where(F.col("contain_bp") >= CONTAIN_MIN_BP)
+        .withColumn(
+            "asymmetric",
+            F.when(F.col("jaccard_bp") < JACCARD_MIN_BP, 1).otherwise(0),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 # ---------------------------------------------------------------------------

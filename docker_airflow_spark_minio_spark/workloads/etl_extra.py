@@ -1166,3 +1166,65 @@ def snapshot_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.read(point_filter={"doc_id": pid}) for pid in BLOOM_PROBE_IDS
     ]
     return reduce(lambda a, b: a.unionByName(b), reads).orderBy("doc_id")
+
+
+@register(
+    "snapshot_rollback_read",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)    AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+    category="etl",
+    description="metadata-only rollback under the gate (round-6, the "
+    "Iceberg rollback_to_snapshot behavior): a good snapshot, a bad "
+    "append, then rollback(0) -- a NEW commit re-pointing at the good "
+    "version's immutable data dirs (runtime-asserted: no data rewrite, "
+    "bad version still time-travelable) -- and the head read must equal "
+    "a direct scan of the source",
+)
+def snapshot_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: rollback cost is one manifest write -- O(touched
+    metadata), zero data movement -- regardless of table size; the bad
+    commit's dirs stay for time travel until retention.  This is the
+    incident-response primitive a 100 TB table needs: un-publishing a
+    bad load in seconds instead of rewriting partitions."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = (
+        f"{tempfile.gettempdir()}/snapshot_rb_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(spark, root)
+    store.write(docs, mode="snapshot", partition_by=["lang"])
+    bad = docs.limit(7).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang", "n_chars"
+    )
+    store.write(bad, mode="append", partition_by=["lang"])
+    v = store.rollback(0)
+    man = store._read_manifest(v)
+    if not all(
+        vd.startswith("v0-") for vds in man["partitions"].values() for vd in vds
+    ):
+        raise AssertionError("rollback rewrote data dirs; must be metadata-only")
+    if store.read(as_of=1).count() <= store.read(as_of=0).count():
+        raise AssertionError("bad version lost; rollback must preserve history")
+    return (
+        store.read()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )

@@ -464,3 +464,99 @@ def pandas_grouped_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary construction + out-of-vocabulary coverage
+# ---------------------------------------------------------------------------
+
+# The tokenizer-prep primitive: fix a vocabulary of the top-V tokens by
+# global frequency, then measure per-language coverage -- what fraction
+# of token OCCURRENCES the vocab captures and how many distinct TYPES
+# fall outside it.  The OOV rate is the number a vocab/tokenizer budget
+# decision is made on; per-language breakdown catches a vocab that
+# serves the head language and starves the tail.
+VOCAB_SIZE = 256
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest({tokens_sql('text')}) AS token FROM documents
+    ), cnt AS (
+        SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ), vocab AS (
+        SELECT token FROM (
+            SELECT token, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rn
+            FROM cnt
+        ) WHERE rn <= {VOCAB_SIZE}
+    ), marked AS (
+        SELECT t.lang, t.token,
+               CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END AS in_vocab
+        FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)                 AS n_occurrences,
+           CAST(SUM(in_vocab) AS BIGINT)            AS covered_occurrences,
+           CAST(COUNT(DISTINCT token) AS BIGINT)    AS n_types,
+           CAST(COUNT(DISTINCT CASE WHEN in_vocab = 0 THEN token END)
+                AS BIGINT)                          AS oov_types,
+           CAST(FLOOR(10000.0 * (COUNT(*) - SUM(in_vocab)) / COUNT(*))
+                AS BIGINT)                          AS oov_bp
+    FROM marked GROUP BY lang ORDER BY lang
+    """,
+    category="text",
+    description=f"vocabulary coverage: top-{VOCAB_SIZE} global-frequency "
+    "vocab (deterministic count-then-token tie-break), per-language "
+    "occurrence coverage, OOV type counts, and OOV basis points -- the "
+    "tokenizer-budget decision numbers",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the vocab is a TakeOrdered partial top-k over the
+    token-count aggregate (never a global sort of the vocabulary), and
+    membership is a broadcast left join of the V-row vocab against the
+    token stream -- map-side, no shuffle of occurrences; the roll-up
+    aggregates (lang) keys only.  At 100 TB the only wide exchange is
+    the token-count groupBy, which map-side combines."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.select("lang", F.explode(tokens_expr("text")).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        cnt.orderBy(F.col("cnt").desc(), "token")
+        .limit(VOCAB_SIZE)
+        .select("token", F.lit(1).alias("in_vocab_flag"))
+    )
+    marked = tok.join(F.broadcast(vocab), "token", "left").select(
+        "lang",
+        "token",
+        F.coalesce("in_vocab_flag", F.lit(0)).alias("in_vocab"),
+    )
+    return (
+        marked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.sum("in_vocab").alias("covered_occurrences"),
+            F.countDistinct("token").alias("n_types"),
+            F.countDistinct(
+                F.when(F.col("in_vocab") == 0, F.col("token"))
+            ).alias("oov_types"),
+        )
+        .withColumn(
+            "oov_bp",
+            F.floor(
+                10000.0
+                * (F.col("n_occurrences") - F.col("covered_occurrences"))
+                / F.col("n_occurrences")
+            ).cast("long"),
+        )
+        .select(
+            "lang",
+            "n_occurrences",
+            "covered_occurrences",
+            "n_types",
+            "oov_types",
+            "oov_bp",
+        )
+        .orderBy("lang")
+    )
