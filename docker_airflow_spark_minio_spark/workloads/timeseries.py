@@ -1002,3 +1002,96 @@ def streaming_dedup_within_watermark_live(
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-baseline anomaly detection (3-sigma over a trailing frame)
+# ---------------------------------------------------------------------------
+
+# The monitoring primitive: score each event against the mean/variance
+# of its OWN trailing window (per entity+type series), flag 3-sigma
+# breakouts.  Kept integer-EXACT cross-engine: values quantize to
+# milli-units, the trailing frame keeps exact BIGINT (count, sum,
+# sum-of-squares), and the 3-sigma test multiplies through --
+#   (x - s/n)^2 > 9 * (q*n - s^2)/n^2   <=>   (x*n - s)^2 > 9*(q*n - s^2)
+# -- so no float ever enters the flag (value <= ~561 => every term
+# stays far below 2^63 at ANOM_FRAME rows).
+ANOM_FRAME = 8  # trailing rows in the baseline
+
+
+@register(
+    "timeseries_anomaly_zscore",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS x
+        FROM events
+    ),
+    scored AS (
+        SELECT event_type, x,
+               COUNT(x) OVER w AS n,
+               COALESCE(SUM(x) OVER w, 0) AS s,
+               COALESCE(SUM(x * x) OVER w, 0) AS q
+        FROM e
+        WINDOW w AS (
+            PARTITION BY event_type, user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN {ANOM_FRAME} PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN n >= {ANOM_FRAME} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_scored,
+           CAST(SUM(CASE WHEN n >= {ANOM_FRAME}
+                          AND (x * n - s) * (x * n - s) > 9 * (q * n - s * s)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           CAST(SUM(CASE WHEN n >= {ANOM_FRAME}
+                          AND (x * n - s) * (x * n - s) > 9 * (q * n - s * s)
+                         THEN x ELSE 0 END) AS BIGINT) AS anom_value_mu
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """,
+    category="timeseries",
+    description=f"rolling-baseline anomaly detection: each event scored "
+    f"against the mean/variance of its trailing {ANOM_FRAME} events in "
+    "the same (event_type, user) series, 3-sigma flag computed in EXACT "
+    "integer milli-units (the multiplied-through variance test -- no "
+    "float, no sqrt); per-type anomaly counts",
+)
+def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the window partitions by (event_type, user_id) --
+    series-per-entity, so partitions stay small and numerous at 100 TB
+    (never one partition per type); one shuffle + sort, the frame is
+    ROWS-bounded so state is O(ANOM_FRAME) per series.  The final
+    roll-up aggregates 5 type keys."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    x = F.expr("CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)")
+    w = (
+        Window.partitionBy("event_type", "user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-ANOM_FRAME, -1)
+    )
+    scored = ev.select("event_type", "user_id", "event_id", "ts_us", x.alias("x")).select(
+        "event_type",
+        "x",
+        F.count("x").over(w).alias("n"),
+        F.coalesce(F.sum("x").over(w), F.lit(0)).alias("s"),
+        F.coalesce(F.sum(F.col("x") * F.col("x")).over(w), F.lit(0)).alias("q"),
+    )
+    dev2 = (F.col("x") * F.col("n") - F.col("s")) * (
+        F.col("x") * F.col("n") - F.col("s")
+    )
+    var_n2 = 9 * (F.col("q") * F.col("n") - F.col("s") * F.col("s"))
+    is_scored = F.col("n") >= ANOM_FRAME
+    is_anom = is_scored & (dev2 > var_n2)
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(is_scored.cast("long")).alias("n_scored"),
+            F.sum(is_anom.cast("long")).alias("n_anomalies"),
+            F.sum(F.when(is_anom, F.col("x")).otherwise(0)).alias("anom_value_mu"),
+        )
+        .orderBy("event_type")
+    )
