@@ -64,6 +64,9 @@ def test_no_cartesian_anywhere_in_the_registry(spark):
         # single-row fitted-quantizer model attach (round 6): the new
         # batch maps against ONE broadcast array<struct> centroid value
         "ann_ivf_incremental_assign",
+        # single-row total-token-count attach for the e*N/W width bound
+        # (the Q11 global-total pattern; the sketch side is <= D*W rows)
+        "sketch_cms_point_queries",
     }
     for name, wl in REGISTRY.items():
         if name in allowed:
