@@ -143,6 +143,34 @@ def _bloom_excludes(file_blooms: dict, points: dict) -> bool:
     return False
 
 
+def _vdir_version(vdir: str) -> int:
+    """The commit version that wrote a data directory, parsed from its
+    attempt-unique name (``v<version>-<uuid>[-del]``).  This is the
+    table's SEQUENCE NUMBER: equality deletes apply only to data
+    written BEFORE them (dir version < delete version), so a key
+    re-inserted after a delete is visible again -- the Iceberg v2
+    merge-on-read rule."""
+    return int(vdir[1:].split("-", 1)[0])
+
+
+def _prune_delete_sets(delete_sets: list, partitions: dict) -> list:
+    """Drop delete sets that can no longer affect any live data dir
+    (no live dir older than the delete): after compaction rewrites
+    every partition, old equality deletes become dead weight and fall
+    out of the manifest automatically."""
+    if not delete_sets:
+        return []
+    vers = {
+        _vdir_version(vd) for vds in partitions.values() for vd in vds
+    }
+    min_w = min(vers) if vers else None
+    return [
+        d
+        for d in delete_sets
+        if min_w is not None and min_w < int(d["version"])
+    ]
+
+
 # Every Nth version is committed as a FULL manifest (a checkpoint);
 # versions in between commit DELTAS -- only the partitions this commit
 # touched plus its fresh stats.  Commit METADATA cost is thereby
@@ -241,6 +269,11 @@ class SnapshotStore:
             if k.rsplit("/", 1)[0] in live
         }
         file_blooms.update(raw.get("file_blooms_added", {}))
+        delete_sets = _prune_delete_sets(
+            list(parent.get("delete_sets", []))
+            + list(raw.get("delete_sets_added", [])),
+            partitions,
+        )
         return {
             "version": raw["version"],
             "parent": raw["parent"],
@@ -250,6 +283,7 @@ class SnapshotStore:
             "dir_stats": dir_stats,
             "file_stats": file_stats,
             "file_blooms": file_blooms,
+            "delete_sets": delete_sets,
             "committed_at_ms": raw["committed_at_ms"],
             "metadata": raw["metadata"],
             "schema": raw["schema"],
@@ -492,11 +526,12 @@ class SnapshotStore:
         droot = f"{self.root.rstrip('/')}/{DATA_DIR}"
         fs, _ = _fs_and_path(self.spark, droot)
         missing = []
-        for vdirs in target["partitions"].values():
-            for vd in vdirs:
-                _, p = _fs_and_path(self.spark, f"{droot}/{vd}")
-                if not fs.exists(p):
-                    missing.append(vd)
+        target_dirs = [vd for vds in target["partitions"].values() for vd in vds]
+        target_dirs += [d["dir"] for d in target.get("delete_sets", [])]
+        for vd in target_dirs:
+            _, p = _fs_and_path(self.spark, f"{droot}/{vd}")
+            if not fs.exists(p):
+                missing.append(vd)
         if missing:
             raise ValueError(
                 f"cannot roll back to v{version}: data dirs expired: "
@@ -513,6 +548,8 @@ class SnapshotStore:
             "dir_stats": target.get("dir_stats", {}),
             "file_stats": target.get("file_stats", {}),
             "file_blooms": target.get("file_blooms", {}),
+            # the target's visible state includes its delete sets
+            "delete_sets": target.get("delete_sets", []),
             "committed_at_ms": int(time.time() * 1000),
             "metadata": {"rollback_to": version},
             "schema": target["schema"],
@@ -523,6 +560,92 @@ class SnapshotStore:
         }
         self._commit_manifest(new_v, manifest)
         return new_v
+
+    def delete_keys(
+        self,
+        keys_df: DataFrame,
+        key_cols: list[str],
+        metadata: dict | None = None,
+    ) -> int:
+        """MERGE-ON-READ equality delete (Iceberg v2 delete files): commit
+        the keys to delete as a small parquet set; NO data is rewritten.
+        :meth:`read` anti-joins the keys against every data directory
+        OLDER than this commit (sequence-number semantics via the dir
+        version in the attempt-unique name), so:
+
+         * a key appended AFTER the delete is visible again (the delete
+           never hides newer data);
+         * time travel BEFORE the delete commit is unaffected;
+         * :meth:`compact` rewrites land as NEWER dirs, after which the
+           delete set stops matching anything and is auto-pruned from
+           descendant manifests (_prune_delete_sets).
+
+        Write cost is O(keys); the read-side cost is one broadcast-sized
+        anti join until compaction folds the deletes in -- the
+        Iceberg/Delta deletion-vector trade: cheap deletes now, cost
+        amortized into the next rewrite.  NULL key values never match an
+        equality join and therefore cannot be deleted this way.
+        ``key_cols`` must be consistent across a table's live delete
+        sets (checked)."""
+        if not key_cols:
+            raise ValueError("key_cols must be non-empty")
+        parent_v = self.latest_version()
+        if parent_v is None:
+            raise ValueError(f"no snapshots committed under {self.root}")
+        parent = self._read_manifest(parent_v)
+        for d in parent.get("delete_sets", []):
+            if list(d["key_cols"]) != list(key_cols):
+                raise ValueError(
+                    f"delete key_cols {key_cols} != existing {d['key_cols']}"
+                )
+        version = parent_v + 1
+        vdir = f"v{version}-{uuid.uuid4().hex[:8]}-del"
+        del_path = f"{self.root.rstrip('/')}/{DATA_DIR}/{vdir}"
+        keys_df.select(*key_cols).dropDuplicates(key_cols).write.format(
+            "parquet"
+        ).mode("overwrite").save(del_path)
+        entry = {"dir": vdir, "key_cols": list(key_cols), "version": version}
+        common = {
+            "version": version,
+            "parent": parent_v,
+            "mode": "delete_keys",
+            "partition_by": parent["partition_by"],
+            "committed_at_ms": int(time.time() * 1000),
+            "metadata": dict(metadata or {}),
+            "schema": parent["schema"],
+        }
+        if version % CHECKPOINT_EVERY == 0:
+            manifest = {
+                **common,
+                "manifest_kind": "full",
+                "partitions": parent["partitions"],
+                "dir_stats": parent.get("dir_stats", {}),
+                "file_stats": parent.get("file_stats", {}),
+                "file_blooms": parent.get("file_blooms", {}),
+                "delete_sets": _prune_delete_sets(
+                    list(parent.get("delete_sets", [])) + [entry],
+                    parent["partitions"],
+                ),
+                "watermarks": dict(parent.get("watermarks") or {}),
+            }
+        else:
+            manifest = {
+                **common,
+                "manifest_kind": "delta",
+                "partitions_set": {},
+                "partitions_removed": [],
+                "dir_stats_added": {},
+                "file_stats_added": {},
+                "file_blooms_added": {},
+                "delete_sets_added": [entry],
+                "watermarks": {},
+            }
+        try:
+            self._commit_manifest(version, manifest)
+        except SnapshotConflict:
+            delete_prefix(self.spark, del_path)
+            raise
+        return version
 
     def write(
         self,
@@ -746,6 +869,16 @@ class SnapshotStore:
                 "dir_stats": dir_stats,
                 "file_stats": file_stats,
                 "file_blooms": file_blooms,
+                # Equality deletes carry forward (pruned against the new
+                # partition map); a table-replacing snapshot clears them
+                # -- the replaced data is gone, nothing left to mask.
+                "delete_sets": (
+                    []
+                    if mode == "snapshot" or parent is None
+                    else _prune_delete_sets(
+                        list(parent.get("delete_sets", [])), partitions
+                    )
+                ),
                 # Carried forward parent -> child on every commit (see
                 # docstring) -- survives retention as long as ANY
                 # snapshot survives, which keep_last >= 1 guarantees.
@@ -1000,7 +1133,7 @@ class SnapshotStore:
             raise ValueError(
                 f"no matching partitions in snapshot v{version} under {self.root}"
             )
-        df = self._scan(by_vdir)
+        df = self._scan(by_vdir, delete_sets=manifest.get("delete_sets"))
         if ranges or points:
             from pyspark.sql import functions as F
 
@@ -1010,13 +1143,45 @@ class SnapshotStore:
                 df = df.where(F.col(col) == value)
         return df
 
-    def _scan(self, by_vdir: dict[str, dict[str, list[str] | None]]) -> DataFrame:
+    def _scan(
+        self,
+        by_vdir: dict[str, dict[str, list[str] | None]],
+        delete_sets: list | None = None,
+    ) -> DataFrame:
         """``by_vdir`` maps data dir -> {partition: files}; ``files``
         None scans the whole partition dir, an explicit list scans only
         those files (per-file zone-map pruning).  basePath anchoring
-        keeps partition-column derivation identical either way."""
-        scans = []
+        keeps partition-column derivation identical either way.
+
+        ``delete_sets`` (merge-on-read equality deletes): each data
+        dir is anti-joined against the union of the delete sets NEWER
+        than it (sequence-number rule, see :meth:`delete_keys`) --
+        applied per dir, so data appended after a delete is never
+        masked by it."""
         base_root = f"{self.root.rstrip('/')}/{DATA_DIR}"
+        dsets = sorted(delete_sets or [], key=lambda d: int(d["version"]))
+        # One frame per applicability CLASS (dirs older than delete i
+        # share the suffix dsets[i:]), built lazily and reused.
+        del_union_cache: dict[int, DataFrame] = {}
+
+        def _deletes_for(vd: str) -> DataFrame | None:
+            w = _vdir_version(vd)
+            first = next(
+                (i for i, d in enumerate(dsets) if int(d["version"]) > w), None
+            )
+            if first is None:
+                return None
+            if first not in del_union_cache:
+                frames = [
+                    self.spark.read.parquet(f"{base_root}/{d['dir']}")
+                    for d in dsets[first:]
+                ]
+                del_union_cache[first] = reduce(
+                    lambda a, b: a.unionByName(b), frames
+                ).dropDuplicates()
+            return del_union_cache[first]
+
+        scans = []
         for vd, parts in sorted(by_vdir.items()):
             base = f"{base_root}/{vd}"
             paths: list[str] = []
@@ -1027,9 +1192,15 @@ class SnapshotStore:
                     paths.append(dirp)
                 else:
                     paths.extend(f"{dirp}/{f}" for f in sorted(files))
-            scans.append(
-                self.spark.read.option("basePath", base).parquet(*paths)
-            )
+            scan = self.spark.read.option("basePath", base).parquet(*paths)
+            dels = _deletes_for(vd) if dsets else None
+            if dels is not None:
+                from pyspark.sql import functions as F
+
+                scan = scan.join(
+                    F.broadcast(dels), on=list(dels.columns), how="left_anti"
+                )
+            scans.append(scan)
         # allowMissingColumns = additive schema evolution: a snapshot
         # that added a column still reads together with directories
         # written before it (old rows null-fill the new column) -- the
@@ -1118,8 +1289,11 @@ class SnapshotStore:
         expired_vdirs: set[str] = set()
         for v in vs:
             target = live_vdirs if v in keep else expired_vdirs
-            for vdirs in self._read_manifest(v)["partitions"].values():
+            m = self._read_manifest(v)
+            for vdirs in m["partitions"].values():
                 target.update(vdirs)
+            # merge-on-read delete dirs are as live as the data they mask
+            target.update(d["dir"] for d in m.get("delete_sets", []))
         expired_vdirs -= live_vdirs
         # Versions are dense (parent = version - 1).  Any kept delta
         # whose PARENT is being dropped loses its resolution chain --

@@ -1228,3 +1228,73 @@ def snapshot_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "snapshot_mor_delete_read",
+    oracle="""
+    WITH live AS (
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id, lang, n_chars + 1000000 FROM documents
+        WHERE doc_id % 14 = 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)     AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT)  AS sum_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM live GROUP BY lang ORDER BY lang
+    """,
+    category="etl",
+    description="merge-on-read equality deletes under the gate (round-6, "
+    "Iceberg v2 delete files): delete_keys commits the key set with NO "
+    "data rewrite (runtime-asserted); a later append RE-INSERTS half "
+    "the deleted keys with changed payloads and must be fully visible "
+    "(sequence-number rule: deletes never mask newer data); the head "
+    "read must equal the survivors plus the re-inserted rows",
+)
+def snapshot_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the delete commit is O(keys) -- the GDPR/right-to-
+    erasure and CDC-delete primitive for a 100 TB table where
+    copy-on-write would rewrite whole partitions.  Read-side cost is a
+    broadcast anti join per affected data dir until compaction folds
+    the deletes in and the set auto-prunes from the manifest
+    (_prune_delete_sets); time travel before the delete is untouched."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    root = (
+        f"{tempfile.gettempdir()}/snapshot_mor_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(spark, root)
+    store.write(docs, mode="snapshot", partition_by=["lang"])
+    store.delete_keys(
+        docs.where(F.col("doc_id") % 7 == 0).select("doc_id"), ["doc_id"]
+    )
+    man = store._read_manifest(1)
+    if not all(
+        vd.startswith("v0-") for vds in man["partitions"].values() for vd in vds
+    ) or len(man.get("delete_sets", [])) != 1:
+        raise AssertionError("delete_keys must be merge-on-read: no rewrite")
+    reinsert = docs.where(F.col("doc_id") % 14 == 0).select(
+        "doc_id", "lang", (F.col("n_chars") + 1_000_000).alias("n_chars")
+    )
+    store.write(reinsert, mode="append", partition_by=["lang"])
+    return (
+        store.read()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

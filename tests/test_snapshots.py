@@ -807,3 +807,79 @@ def test_expire_keeps_tagged_versions_and_their_data(spark, root):
     store.delete_tag("audit")
     out2 = store.expire_snapshots(keep_last=2, orphan_grace_ms=0)
     assert out2["kept_versions"] == [4, 5]
+
+
+def test_mor_delete_sequence_semantics(spark, root):
+    """Merge-on-read equality deletes (Iceberg v2): no data rewrite,
+    deletes apply only to OLDER data dirs (sequence rule), re-inserted
+    keys reappear, time travel before the delete is unaffected."""
+    store = SnapshotStore(spark, root)
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}", i * 2) for i in range(60)], "k int, day string, v int"
+    )
+    store.write(df, mode="snapshot", partition_by=["day"])
+    v_del = store.delete_keys(
+        spark.createDataFrame([(k,) for k in range(0, 60, 5)], "k int"), ["k"]
+    )
+    assert v_del == 1
+    # no data rewrite: partitions still point only at v0 dirs
+    man = store._read_manifest(1)
+    assert all(
+        vd.startswith("v0-") for vds in man["partitions"].values() for vd in vds
+    )
+    assert len(man["delete_sets"]) == 1
+    got = sorted(r["k"] for r in store.read().collect())
+    assert got == [k for k in range(60) if k % 5 != 0]
+    assert store.read(as_of=0).count() == 60
+    # re-insert two deleted keys AFTER the delete: visible, with NEW values
+    store.write(
+        spark.createDataFrame([(0, "d0", -1), (10, "d0", -1)], "k int, day string, v int"),
+        mode="append", partition_by=["day"],
+    )
+    vals = {r["k"]: r["v"] for r in store.read().collect()}
+    assert vals[0] == -1 and vals[10] == -1 and 5 not in vals
+    # key_cols consistency is enforced
+    with pytest.raises(ValueError, match="key_cols"):
+        store.delete_keys(spark.createDataFrame([(1,)], "x int"), ["x"])
+
+
+def test_mor_delete_survives_retention_and_compaction_prunes(spark, root):
+    """The delete set (and its dir) stays live while any kept manifest
+    carries it -- even after the delete COMMIT itself expires; a
+    full-table compaction folds the deletes into data and auto-prunes
+    the dead set from descendant manifests."""
+    store = SnapshotStore(spark, root)
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(40)], "k int, day string"
+    )
+    store.write(df, mode="snapshot", partition_by=["day"])
+    store.delete_keys(
+        spark.createDataFrame([(k,) for k in range(0, 40, 4)], "k int"), ["k"]
+    )
+    for i in range(4):  # push the delete commit out of keep_last=3
+        store.write(
+            spark.createDataFrame([(1000 + i, "d0")], "k int, day string"),
+            mode="append", partition_by=["day"],
+        )
+    store.expire_snapshots(keep_last=3, orphan_grace_ms=0)
+    got = sorted(r["k"] for r in store.read().collect())
+    assert got == [k for k in range(40) if k % 4 != 0] + [1000, 1001, 1002, 1003]
+    # full compaction -> deletes applied in data, set auto-pruned
+    store.compact(all_partitions=True)
+    man = store._read_manifest(store.latest_version())
+    assert man.get("delete_sets") == []
+    assert sorted(r["k"] for r in store.read().collect()) == got
+
+
+def test_mor_delete_with_rollback(spark, root):
+    """Rollback restores the TARGET's delete visibility: rolling back
+    to before a delete un-applies it; to after, keeps it."""
+    store = SnapshotStore(spark, root)
+    df = spark.createDataFrame([(i, "d0") for i in range(10)], "k int, day string")
+    store.write(df, mode="snapshot", partition_by=["day"])     # v0
+    store.delete_keys(spark.createDataFrame([(3,)], "k int"), ["k"])  # v1
+    assert store.read().count() == 9
+    store.rollback(0)                                          # v2: pre-delete
+    assert store.read().count() == 10
+    store.rollback(1)                                          # v3: post-delete
+    assert store.read().count() == 9
