@@ -171,6 +171,19 @@ def _prune_delete_sets(delete_sets: list, partitions: dict) -> list:
     ]
 
 
+def _filled_dir_specs(manifest: dict) -> dict[str, list[str]]:
+    """A COMPLETE vdir -> partition-spec map for a resolved manifest:
+    directories recorded before spec evolution existed (or before the
+    table ever evolved) default to the manifest's own table-level
+    ``partition_by`` -- correct because a manifest written before any
+    evolution has exactly one spec."""
+    specs = {k: list(v) for k, v in manifest.get("dir_specs", {}).items()}
+    for vds in manifest["partitions"].values():
+        for vd in vds:
+            specs.setdefault(vd, list(manifest["partition_by"]))
+    return specs
+
+
 # Every Nth version is committed as a FULL manifest (a checkpoint);
 # versions in between commit DELTAS -- only the partitions this commit
 # touched plus its fresh stats.  Commit METADATA cost is thereby
@@ -274,6 +287,12 @@ class SnapshotStore:
             + list(raw.get("delete_sets_added", [])),
             partitions,
         )
+        vdir_live = {vd for vds in partitions.values() for vd in vds}
+        parent_specs = _filled_dir_specs(parent)
+        dir_specs = {
+            vd: spec for vd, spec in parent_specs.items() if vd in vdir_live
+        }
+        dir_specs.update(raw.get("dir_specs_added", {}))
         return {
             "version": raw["version"],
             "parent": raw["parent"],
@@ -284,6 +303,7 @@ class SnapshotStore:
             "file_stats": file_stats,
             "file_blooms": file_blooms,
             "delete_sets": delete_sets,
+            "dir_specs": dir_specs,
             "committed_at_ms": raw["committed_at_ms"],
             "metadata": raw["metadata"],
             "schema": raw["schema"],
@@ -550,6 +570,7 @@ class SnapshotStore:
             "file_blooms": target.get("file_blooms", {}),
             # the target's visible state includes its delete sets
             "delete_sets": target.get("delete_sets", []),
+            "dir_specs": _filled_dir_specs(target),
             "committed_at_ms": int(time.time() * 1000),
             "metadata": {"rollback_to": version},
             "schema": target["schema"],
@@ -626,6 +647,7 @@ class SnapshotStore:
                     list(parent.get("delete_sets", [])) + [entry],
                     parent["partitions"],
                 ),
+                "dir_specs": _filled_dir_specs(parent),
                 "watermarks": dict(parent.get("watermarks") or {}),
             }
         else:
@@ -658,12 +680,25 @@ class SnapshotStore:
         bloom_cols: list[str] | None = None,
         bloom_bits: int = BLOOM_BITS,
         watermarks: dict | None = None,
+        evolve_partitioning: bool = False,
+        _mixed_spec_overwrite_ok: bool = False,
     ) -> int:
         """Commit ``df`` as a new snapshot; returns the committed version.
 
         mode: 'snapshot' | 'append' | 'overwrite_partitions'
         ``partition_by`` must be stable across the table's lifetime
-        (checked against the parent manifest).
+        (checked against the parent manifest) UNLESS
+        ``evolve_partitioning=True`` (Iceberg partition-spec evolution):
+        an ``append`` under a new spec lays its directories out by the
+        new columns while every existing directory keeps its old layout
+        -- no data rewrite; the manifest records the spec PER DIRECTORY
+        (``dir_specs``) and reads union the layouts (partition columns
+        derive from the path in old dirs and from data columns in new
+        ones).  ``partitions=`` selection stays physical-by-name, so it
+        only addresses directories laid out under the spec that
+        produced those names; a ``snapshot`` write under the new spec
+        rewrites and normalizes the whole table.  The partition
+        columns' TYPES must stay consistent across specs.
         ``metadata`` is recorded verbatim in the manifest -- e.g. a
         streaming sink's batch id, which makes commit idempotence
         checkable via :meth:`committed_metadata` (the atomic manifest
@@ -705,9 +740,34 @@ class SnapshotStore:
         parent = self._read_manifest(parent_v) if parent_v is not None else None
         pby = list(partition_by or [])
         if parent is not None and parent["partition_by"] != pby:
-            raise ValueError(
-                f"partition_by {pby} != table's {parent['partition_by']}"
-            )
+            if not evolve_partitioning:
+                raise ValueError(
+                    f"partition_by {pby} != table's {parent['partition_by']}"
+                    " (pass evolve_partitioning=True to change the spec)"
+                )
+            if mode == "overwrite_partitions":
+                # overwrite claims partitions BY the new spec's keys --
+                # it cannot express "replace that old-spec partition",
+                # so evolution is append/snapshot only.
+                raise ValueError(
+                    "partition-spec evolution is not supported with "
+                    "overwrite_partitions; use append (old dirs keep "
+                    "their spec) or snapshot (full rewrite normalizes)"
+                )
+        if (
+            parent is not None
+            and mode == "overwrite_partitions"
+            and not _mixed_spec_overwrite_ok
+        ):
+            pspecs = _filled_dir_specs(parent)
+            if any(spec != pby for spec in pspecs.values()):
+                # replacing "the partition" under the current spec would
+                # leave the same logical rows live in old-spec dirs
+                raise ValueError(
+                    "table has mixed partition specs; overwrite_partitions "
+                    "is unsafe until a snapshot-mode rewrite normalizes "
+                    "the layout"
+                )
         version = 0 if parent_v is None else parent_v + 1
         # Attempt-UNIQUE data directory (the Iceberg convention): two
         # committers racing for the same version must not write into one
@@ -743,6 +803,20 @@ class SnapshotStore:
         # The delta a non-checkpoint commit records: the full NEW value
         # of every partition this commit touched, plus explicit removals.
         changed_parts = {p: list(partitions[p]) for p in new_parts}
+        # Per-directory partition spec (spec evolution): surviving dirs
+        # keep their recorded spec (pre-evolution dirs default to the
+        # parent's table-level spec), this commit's dir is recorded
+        # under the current spec.
+        dir_specs: dict[str, list[str]] = {}
+        if parent is not None:
+            prev_specs = _filled_dir_specs(parent)
+            for vds in partitions.values():
+                for vd in vds:
+                    if vd != vdir and vd in prev_specs:
+                        dir_specs[vd] = prev_specs[vd]
+        vdir_referenced = any(vdir in vds for vds in partitions.values())
+        if vdir_referenced:
+            dir_specs[vdir] = list(pby)
         dir_stats: dict[str, dict] = {}
         file_stats: dict[str, dict] = {}
         file_blooms: dict[str, dict] = {}
@@ -879,6 +953,7 @@ class SnapshotStore:
                         list(parent.get("delete_sets", [])), partitions
                     )
                 ),
+                "dir_specs": dir_specs,
                 # Carried forward parent -> child on every commit (see
                 # docstring) -- survives retention as long as ANY
                 # snapshot survives, which keep_last >= 1 guarantees.
@@ -896,6 +971,9 @@ class SnapshotStore:
                 "dir_stats_added": fresh_dir_stats,
                 "file_stats_added": fresh_file_stats,
                 "file_blooms_added": fresh_file_blooms,
+                "dir_specs_added": (
+                    {vdir: list(pby)} if vdir_referenced else {}
+                ),
                 # THIS commit's marks only; resolution merges the chain
                 # (same carried-forward semantics as the eager merge).
                 "watermarks": dict(watermarks or {}),
@@ -1232,10 +1310,17 @@ class SnapshotStore:
         if head is None:
             return None
         manifest = self._read_manifest(head)
+        specs = _filled_dir_specs(manifest)
+        cur = manifest["partition_by"]
+        # After partition-spec evolution, old-spec partitions cannot be
+        # safely re-pointed by an overwrite under the current spec
+        # (their keys are not expressible) -- skip them here; a
+        # ``snapshot``-mode rewrite normalizes the whole table.
         targets = [
             p
             for p, vdirs in manifest["partitions"].items()
-            if all_partitions or len(vdirs) > 1
+            if (all_partitions or len(vdirs) > 1)
+            and all(specs.get(vd, cur) == cur for vd in vdirs)
         ]
         if not targets:
             return None
@@ -1248,6 +1333,10 @@ class SnapshotStore:
             mode="overwrite_partitions",
             partition_by=pby,
             metadata={"compaction": True, "compacted": sorted(targets)},
+            # compaction's input rows come only from the current-spec
+            # partitions it re-points, so the mixed-spec shadowing
+            # hazard the public guard blocks cannot arise here
+            _mixed_spec_overwrite_ok=True,
         )
 
     # -- retention --------------------------------------------------------

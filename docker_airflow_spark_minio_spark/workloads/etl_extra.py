@@ -1298,3 +1298,78 @@ def snapshot_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "snapshot_partition_evolution_read",
+    oracle="""
+    WITH live AS (
+        SELECT doc_id, lang, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, lang, source FROM documents
+        WHERE doc_id % 10 = 0
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT)    AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM live GROUP BY lang, source ORDER BY lang, source
+    """,
+    category="etl",
+    description="partition-spec evolution under the gate (round-6, the "
+    "Iceberg hidden-partitioning behavior): a table laid out by lang "
+    "EVOLVES to a by-source spec with a later append -- no rewrite of "
+    "the old dirs (runtime-asserted: both specs live in one manifest, "
+    "old dirs untouched) -- and the head read must serve both layouts "
+    "with every column populated, equal to the union of a direct scan",
+)
+def snapshot_partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: re-partitioning a 100 TB table because access
+    patterns changed is a full rewrite under naive layouts; spec
+    evolution lands NEW data under the new layout at zero migration
+    cost while old directories stay readable under theirs (the
+    manifest records the spec per directory).  Reads union per-dir
+    basePath scans, so partition columns come from the path in old
+    dirs and from data columns in new ones."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", "source"
+    )
+    root = (
+        f"{tempfile.gettempdir()}/snapshot_evo_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(spark, root)
+    store.write(docs, mode="snapshot", partition_by=["lang"])
+    evolved = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", "source"
+    )
+    v1 = store.write(
+        evolved, mode="append", partition_by=["source"], evolve_partitioning=True
+    )
+    man = store._read_manifest(v1)
+    specs = {tuple(s) for s in man["dir_specs"].values()}
+    old_untouched = all(
+        vd.startswith("v0-")
+        for p, vds in man["partitions"].items()
+        if p.startswith("lang=")
+        for vd in vds
+    )
+    if specs != {("lang",), ("source",)} or not old_untouched:
+        raise AssertionError(
+            f"expected two live specs over unrewritten dirs, got {specs}"
+        )
+    return (
+        store.read()
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -883,3 +883,93 @@ def test_mor_delete_with_rollback(spark, root):
     assert store.read().count() == 10
     store.rollback(1)                                          # v3: post-delete
     assert store.read().count() == 9
+
+
+def test_partition_spec_evolution(spark, root):
+    """Iceberg partition-spec evolution: an append under a NEW spec
+    lays out only its own dirs by the new columns (no rewrite of old
+    data); reads union the layouts; partitions= stays physical-by-name
+    per spec; overwrite is guarded on mixed-spec tables; a snapshot
+    rewrite normalizes."""
+    store = SnapshotStore(spark, root)
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}", f"s{i % 3}") for i in range(20)],
+        "k int, day string, src string",
+    )
+    store.write(df, mode="snapshot", partition_by=["day"])
+    # unflagged spec change still rejected
+    with pytest.raises(ValueError, match="evolve_partitioning"):
+        store.write(df.limit(1), mode="append", partition_by=["src"])
+    extra = spark.createDataFrame(
+        [(100, "d0", "s1"), (101, "d1", "s2")], "k int, day string, src string"
+    )
+    v1 = store.write(
+        extra, mode="append", partition_by=["src"], evolve_partitioning=True
+    )
+    man = store._read_manifest(v1)
+    assert {tuple(s) for s in man["dir_specs"].values()} == {("day",), ("src",)}
+    # old dirs untouched (no rewrite)
+    assert all(
+        vd.startswith("v0-")
+        for p, vds in man["partitions"].items()
+        if p.startswith("day=")
+        for vd in vds
+    )
+    # union read serves both layouts with all columns populated
+    rows = {r["k"]: (r["day"], r["src"]) for r in store.read().collect()}
+    assert len(rows) == 22 and rows[100] == ("d0", "s1") and rows[1] == ("d1", "s1")
+    # physical partition addressing is per-spec
+    assert sorted(r["k"] for r in store.read(partitions=["src=s2"]).collect()) == [101]
+    got_d0 = sorted(r["k"] for r in store.read(partitions=["day=d0"]).collect())
+    assert got_d0 == [i for i in range(20) if i % 2 == 0]
+    # overwrite_partitions is unsafe on mixed specs (old-spec copies
+    # would shadow) -- guarded; compact still runs (current-spec only)
+    with pytest.raises(ValueError, match="mixed partition specs"):
+        store.write(extra, mode="overwrite_partitions", partition_by=["src"])
+    # snapshot rewrite under the new spec normalizes the table
+    v_norm = store.write(
+        store.read(), mode="snapshot", partition_by=["src"],
+        evolve_partitioning=True,
+    )
+    man2 = store._read_manifest(v_norm)
+    assert {tuple(s) for s in man2["dir_specs"].values()} == {("src",)}
+    assert store.read().count() == 22
+    # overwrite works again after normalization
+    store.write(
+        spark.createDataFrame([(500, "dX", "s1")], "k int, day string, src string"),
+        mode="overwrite_partitions", partition_by=["src"],
+    )
+    assert sorted(r["k"] for r in store.read(partitions=["src=s1"]).collect()) == [500]
+
+
+def test_spec_evolution_survives_delta_chain_and_retention(spark, root):
+    """dir_specs ride delta manifests, default correctly for
+    pre-evolution dirs across fold levels, and survive expire's
+    checkpoint materialization."""
+    store = SnapshotStore(spark, root)
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}", f"s{i % 2}") for i in range(10)],
+        "k int, day string, src string",
+    )
+    store.write(df, mode="snapshot", partition_by=["day"])          # v0
+    store.write(                                                    # v1 evolves
+        spark.createDataFrame([(100, "d0", "s0")], "k int, day string, src string"),
+        mode="append", partition_by=["src"], evolve_partitioning=True,
+    )
+    for i in range(3):                                              # v2..v4 deltas
+        store.write(
+            spark.createDataFrame(
+                [(200 + i, "d0", "s0")], "k int, day string, src string"
+            ),
+            mode="append", partition_by=["src"],
+        )
+    man = store._read_manifest(store.latest_version())
+    by_spec = {}
+    for vd, s in man["dir_specs"].items():
+        by_spec.setdefault(tuple(s), []).append(vd)
+    assert all(vd.startswith("v0-") for vd in by_spec[("day",)])
+    assert len(by_spec[("src",)]) == 4
+    store.expire_snapshots(keep_last=2, orphan_grace_ms=0)
+    man2 = store._read_manifest(store.latest_version())
+    assert {tuple(s) for s in man2["dir_specs"].values()} == {("day",), ("src",)}
+    assert store.read().count() == 14
