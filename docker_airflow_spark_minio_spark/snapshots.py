@@ -293,6 +293,10 @@ class SnapshotStore:
             vd: spec for vd, spec in parent_specs.items() if vd in vdir_live
         }
         dir_specs.update(raw.get("dir_specs_added", {}))
+        dir_rows = {
+            k: v for k, v in parent.get("dir_rows", {}).items() if k in live
+        }
+        dir_rows.update(raw.get("dir_rows_added", {}))
         return {
             "version": raw["version"],
             "parent": raw["parent"],
@@ -304,6 +308,7 @@ class SnapshotStore:
             "file_blooms": file_blooms,
             "delete_sets": delete_sets,
             "dir_specs": dir_specs,
+            "dir_rows": dir_rows,
             "committed_at_ms": raw["committed_at_ms"],
             "metadata": raw["metadata"],
             "schema": raw["schema"],
@@ -571,6 +576,7 @@ class SnapshotStore:
             # the target's visible state includes its delete sets
             "delete_sets": target.get("delete_sets", []),
             "dir_specs": _filled_dir_specs(target),
+            "dir_rows": target.get("dir_rows", {}),
             "committed_at_ms": int(time.time() * 1000),
             "metadata": {"rollback_to": version},
             "schema": target["schema"],
@@ -648,6 +654,7 @@ class SnapshotStore:
                     parent["partitions"],
                 ),
                 "dir_specs": _filled_dir_specs(parent),
+                "dir_rows": parent.get("dir_rows", {}),
                 "watermarks": dict(parent.get("watermarks") or {}),
             }
         else:
@@ -820,6 +827,7 @@ class SnapshotStore:
         dir_stats: dict[str, dict] = {}
         file_stats: dict[str, dict] = {}
         file_blooms: dict[str, dict] = {}
+        dir_rows: dict[str, int] = {}
         if stats_cols or bloom_cols:
             from pyspark.sql import functions as F
 
@@ -838,7 +846,7 @@ class SnapshotStore:
             # bounded by bits distinct values, combined into one bitmap
             # driver-side.
             scan = self.spark.read.option("basePath", data_path).parquet(data_path)
-            aggs = []
+            aggs = [F.count(F.lit(1)).alias("__rows")]
             for c in stats_cols:
                 aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
             for c in bloom_cols:
@@ -881,6 +889,7 @@ class SnapshotStore:
                                 bm |= 1 << pos
                         blooms[c] = [bloom_bits, f"{bm:0{bloom_bits // 4}x}"]
                     file_blooms[f"{dkey}/{fname}"] = blooms
+                dir_rows[dkey] = dir_rows.get(dkey, 0) + int(r["__rows"])
                 agg = raw_dir.setdefault(dkey, {})
                 for c in stats_cols:
                     mn, mx = r[f"mn_{c}"], r[f"mx_{c}"]
@@ -897,6 +906,7 @@ class SnapshotStore:
         fresh_dir_stats = dict(dir_stats)
         fresh_file_stats = dict(file_stats)
         fresh_file_blooms = dict(file_blooms)
+        fresh_dir_rows = dict(dir_rows)
         if parent is not None:
             # Carry stats forward for directories this commit keeps.
             live = {
@@ -913,6 +923,9 @@ class SnapshotStore:
             for k, v in parent.get("file_blooms", {}).items():
                 if k.rsplit("/", 1)[0] in live and k not in file_blooms:
                     file_blooms[k] = v
+            for k, v in parent.get("dir_rows", {}).items():
+                if k in live and k not in dir_rows:
+                    dir_rows[k] = v
         # Full checkpoint or delta?  A table-replacing snapshot, the
         # first commit, and every CHECKPOINT_EVERY-th version write the
         # full map; everything else writes O(touched partitions) -- see
@@ -954,6 +967,7 @@ class SnapshotStore:
                     )
                 ),
                 "dir_specs": dir_specs,
+                "dir_rows": dir_rows,
                 # Carried forward parent -> child on every commit (see
                 # docstring) -- survives retention as long as ANY
                 # snapshot survives, which keep_last >= 1 guarantees.
@@ -974,6 +988,7 @@ class SnapshotStore:
                 "dir_specs_added": (
                     {vdir: list(pby)} if vdir_referenced else {}
                 ),
+                "dir_rows_added": fresh_dir_rows,
                 # THIS commit's marks only; resolution merges the chain
                 # (same carried-forward semantics as the eager merge).
                 "watermarks": dict(watermarks or {}),
@@ -1220,6 +1235,77 @@ class SnapshotStore:
             for col, value in points.items():
                 df = df.where(F.col(col) == value)
         return df
+
+    def count_rows(
+        self, as_of: int | None = None, partitions: list[str] | None = None
+    ) -> int | None:
+        """COUNT(*) answered from MANIFEST METADATA -- zero data scan
+        (Iceberg answers SELECT COUNT(*) from its manifests the same
+        way).  Row counts are recorded per directory by the write-time
+        stats scan (any ``stats_cols``/``bloom_cols`` write).  Returns
+        None -- "fall back to a real scan" -- when the answer cannot be
+        proven exact from metadata alone: a live directory without a
+        recorded count, or live merge-on-read delete sets (the masked
+        rows are not knowable without reading)."""
+        version = self.latest_version() if as_of is None else as_of
+        if version is None:
+            raise ValueError(f"no snapshots committed under {self.root}")
+        manifest = self._read_manifest(version)
+        if manifest.get("delete_sets"):
+            return None
+        rows = manifest.get("dir_rows", {})
+        total = 0
+        for part, vdirs in manifest["partitions"].items():
+            if partitions is not None and part not in partitions:
+                continue
+            for vd in vdirs:
+                n = rows.get(f"{vd}/{part}" if part else vd)
+                if n is None:
+                    return None
+                total += int(n)
+        return total
+
+    def read_appends(
+        self, since_version: int, as_of: int | None = None
+    ) -> DataFrame:
+        """INCREMENTAL consumption: the rows appended strictly AFTER
+        ``since_version`` up to ``as_of`` (default head) -- the Iceberg
+        incremental-append scan.  Scans only the data directories those
+        commits wrote (cost ~ new data, not table size), with
+        merge-on-read deletes newer than each directory applied as in
+        :meth:`read`.
+
+        Exactness contract: every commit in the window must be
+        ``append`` or ``delete_keys`` -- a replace (snapshot /
+        overwrite_partitions / compaction / rollback) rewrites rows
+        that would then be re-emitted as if new, so the method refuses
+        loudly instead of double-delivering (the same refusal Iceberg's
+        incremental scan gives across replace snapshots)."""
+        head = self.latest_version() if as_of is None else as_of
+        if head is None:
+            raise ValueError(f"no snapshots committed under {self.root}")
+        if since_version > head:
+            raise ValueError(f"since_version {since_version} > head {head}")
+        for v in range(since_version + 1, head + 1):
+            mode = self._read_manifest_raw(v)["mode"]
+            if mode not in ("append", "delete_keys"):
+                raise ValueError(
+                    f"incremental read window crosses a '{mode}' commit "
+                    f"(v{v}); consume via snapshot_diff or restart from "
+                    "a full read"
+                )
+        manifest = self._read_manifest(head)
+        by_vdir: dict[str, dict[str, list | None]] = {}
+        for part, vdirs in manifest["partitions"].items():
+            for vd in vdirs:
+                if since_version < _vdir_version(vd) <= head:
+                    by_vdir.setdefault(vd, {})[part] = None
+        if not by_vdir:
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+            return self.spark.createDataFrame([], schema)
+        return self._scan(by_vdir, delete_sets=manifest.get("delete_sets"))
 
     def _scan(
         self,

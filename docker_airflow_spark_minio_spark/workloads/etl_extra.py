@@ -1373,3 +1373,126 @@ def snapshot_partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "snapshot_incremental_read",
+    oracle="""
+    WITH appended AS (
+        SELECT doc_id + 1000000 AS doc_id, lang FROM documents
+        WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, lang FROM documents
+        WHERE doc_id % 5 = 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)    AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM appended GROUP BY lang ORDER BY lang
+    """,
+    category="etl",
+    description="incremental append consumption under the gate (round-6, "
+    "the Iceberg incremental-append scan): after a base snapshot and "
+    "two appends, read_appends(since=base) must deliver EXACTLY the two "
+    "appended batches -- never the base -- scanning only the appended "
+    "dirs (cost ~ new data); replace commits in the window refuse "
+    "loudly instead of double-delivering",
+)
+def snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the downstream-ETL consumption primitive -- a
+    consumer that processed through version N reads only what later
+    appends wrote, O(delta) not O(table), with merge-on-read deletes
+    newer than each appended dir applied.  The mode check walks
+    manifests driver-side (metadata), and the refusal across replace
+    commits is what makes at-most-once delivery provable."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang")
+    root = (
+        f"{tempfile.gettempdir()}/snapshot_inc_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(spark, root)
+    base_v = store.write(docs, mode="snapshot", partition_by=["lang"])
+    store.write(
+        docs.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang"
+        ),
+        mode="append",
+        partition_by=["lang"],
+    )
+    store.write(
+        docs.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "lang"
+        ),
+        mode="append",
+        partition_by=["lang"],
+    )
+    return (
+        store.read_appends(base_v)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "snapshot_metadata_count",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    category="etl",
+    description="metadata-only COUNT(*) under the gate (round-6, the "
+    "Iceberg manifests-answer-counts behavior): per-partition row "
+    "counts recorded by the write-time stats scan answer the count "
+    "with ZERO data scan (runtime-asserted: every partition resolves "
+    "from the manifest) and must equal a real COUNT over the source",
+)
+def snapshot_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: COUNT(*) over a 100 TB table is a full scan unless
+    the table format carries row counts in its metadata -- Iceberg,
+    Delta, and parquet footers all do, and so does the snapshot
+    manifest (piggybacked on the same one-pass stats scan).  The
+    answer here is O(partitions) driver-side arithmetic; count_rows
+    returns None (falling back to a scan) whenever metadata cannot be
+    PROVEN exact -- uncounted dirs or live merge-on-read deletes --
+    so it is never silently wrong."""
+    import hashlib
+    import shutil
+    import tempfile
+    from urllib.parse import unquote
+
+    from ..snapshots import SnapshotStore
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang")
+    root = (
+        f"{tempfile.gettempdir()}/snapshot_cnt_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(spark, root)
+    store.write(
+        docs, mode="snapshot", partition_by=["lang"], stats_cols=["doc_id"]
+    )
+    man = store._read_manifest(store.latest_version())
+    rows = []
+    for part in man["partitions"]:
+        n = store.count_rows(partitions=[part])
+        if n is None:
+            raise AssertionError(f"metadata count unavailable for {part}")
+        rows.append((unquote(part.split("=", 1)[1]), n))
+    total = store.count_rows()
+    if total != sum(n for _, n in rows):
+        raise AssertionError("whole-table metadata count != partition sum")
+    return spark.createDataFrame(
+        sorted(rows), "lang string, n_rows long"
+    ).orderBy("lang")

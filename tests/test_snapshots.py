@@ -973,3 +973,35 @@ def test_spec_evolution_survives_delta_chain_and_retention(spark, root):
     man2 = store._read_manifest(store.latest_version())
     assert {tuple(s) for s in man2["dir_specs"].values()} == {("day",), ("src",)}
     assert store.read().count() == 14
+
+
+def test_metadata_count_and_incremental_read(spark, root):
+    """count_rows answers COUNT(*) from the manifest (exact or None --
+    never wrong); read_appends consumes only the appended dirs, applies
+    newer MoR deletes, and refuses across replace commits."""
+    store = SnapshotStore(spark, root)
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i, f"d{i % 2}") for i in range(lo, hi)], "k int, day string"
+    )
+    store.write(mk(0, 40), mode="snapshot", partition_by=["day"], stats_cols=["k"])
+    store.write(mk(40, 50), mode="append", partition_by=["day"], stats_cols=["k"])
+    assert store.count_rows() == 50
+    assert store.count_rows(as_of=0) == 40
+    assert store.count_rows(partitions=["day=d1"]) == 25
+    got = sorted(r["k"] for r in store.read_appends(0).collect())
+    assert got == list(range(40, 50))
+    assert store.read_appends(1).count() == 0
+    # MoR delete: newer-than-dir deletes apply; metadata count bails
+    store.delete_keys(spark.createDataFrame([(45,)], "k int"), ["k"])
+    assert store.count_rows() is None
+    assert sorted(r["k"] for r in store.read_appends(0).collect()) == [
+        k for k in range(40, 50) if k != 45
+    ]
+    # a replace commit inside the window -> loud refusal
+    store.write(mk(0, 3), mode="overwrite_partitions", partition_by=["day"])
+    with pytest.raises(ValueError, match="incremental read window"):
+        store.read_appends(0)
+    # a write without the stats scan leaves its dir uncounted -> None
+    store2 = SnapshotStore(spark, root + "_2")
+    store2.write(mk(0, 10), mode="snapshot", partition_by=["day"])
+    assert store2.count_rows() is None
