@@ -56,9 +56,33 @@ def upsert_snapshot_batch(
     batch_id: int | None = None,
     soft_delete_col: str | None = None,
     detect_moved_keys: bool = False,
+    strategy: str = "copy_on_write",
 ) -> int | None:
     """One transactional latest-wins merge; returns the committed
     version, or None when ``batch_id`` was already committed (replay).
+
+    ``strategy='copy_on_write'`` (default): read back the affected
+    partitions, merge, rewrite them -- reads stay cheap forever, the
+    merge pays the rewrite.  ``strategy='merge_on_read'`` (Iceberg v2
+    MERGE): equality-DELETE the batch's keys, then APPEND the
+    surviving rows -- the commit never reads the table at all (cost =
+    O(batch), not O(affected partitions)), old rows are masked by the
+    sequence-numbered delete set until :meth:`SnapshotStore.compact`
+    folds them in, and a key that MOVES partitions is handled free
+    (the equality delete masks its old row wherever it lives --
+    ``detect_moved_keys`` is unnecessary and ignored).  Semantic
+    difference, stated plainly: merge-on-read is BATCH-WINS -- the
+    batch's latest row per key replaces whatever is stored, without
+    comparing ``order_by`` against the stored row the way copy-on-
+    write's read-back merge does; use copy-on-write when out-of-order
+    batches must lose to already-stored newer rows.
+
+    Exactly-once for merge-on-read spans two commits (delete, then
+    append): only the APPEND carries the batch id + watermark, so a
+    crash between them replays BOTH -- the duplicate delete set is
+    harmless (same keys, masks the same or nothing) and is pruned
+    after the next compaction, while the append still lands exactly
+    once.
 
     Within a key the greatest ``order_by`` wins; on a tie the update
     beats the stored row (re-applying a batch is a no-op).  When
@@ -91,6 +115,9 @@ def upsert_snapshot_batch(
     else:
         updates = updates.withColumnRenamed(soft_delete_col, "__del")
 
+    if strategy not in ("copy_on_write", "merge_on_read"):
+        raise ValueError(f"unknown CDC merge strategy: {strategy}")
+
     if store.latest_version() is None:
         w0 = Window.partitionBy(*keys).orderBy(F.col(order_by).desc())
         first = (
@@ -101,6 +128,34 @@ def upsert_snapshot_batch(
         return store.write(
             first,
             mode="snapshot",
+            partition_by=partition_by,
+            metadata=meta,
+            watermarks=marks,
+        )
+
+    if strategy == "merge_on_read":
+        w0 = Window.partitionBy(*keys).orderBy(F.col(order_by).desc())
+        latest = updates.withColumn("__rn", F.row_number().over(w0)).where(
+            F.col("__rn") == 1
+        )
+        # 1) mask every stored row for a batch key (wherever it lives);
+        #    carries a distinct metadata key so replay detection reads
+        #    only the append's batch id
+        store.delete_keys(
+            latest.select(*keys),
+            list(keys),
+            metadata=(
+                {f"{BATCH_KEY}_mor_delete": batch_id}
+                if batch_id is not None
+                else None
+            ),
+        )
+        # 2) append the batch's surviving rows -- the only commit that
+        #    advances the batch id/watermark (see docstring)
+        survivors = latest.where(~F.col("__del")).drop("__rn", "__del")
+        return store.write(
+            survivors,
+            mode="append",
             partition_by=partition_by,
             metadata=meta,
             watermarks=marks,
@@ -191,6 +246,7 @@ def run_cdc_stream(
     on_batch_commit=None,
     detect_moved_keys: bool = False,
     max_files_per_trigger: int | None = None,
+    strategy: str = "copy_on_write",
 ):
     """Stream NDJSON update files into a snapshot-log table as
     exactly-once MERGE commits; returns the StreamingQuery.
@@ -221,6 +277,7 @@ def run_cdc_stream(
             batch_id=batch_id,
             soft_delete_col=soft_delete_col,
             detect_moved_keys=detect_moved_keys,
+            strategy=strategy,
         )
         if on_batch_commit is not None:
             on_batch_commit(batch_id)

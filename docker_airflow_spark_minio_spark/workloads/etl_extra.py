@@ -1496,3 +1496,129 @@ def snapshot_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows), "lang string, n_rows long"
     ).orderBy("lang")
+
+
+@register(
+    "streaming_cdc_mor_live",
+    oracle="""
+    WITH de AS (SELECT * FROM documents WHERE lang = 'de'),
+    v1src AS (
+        SELECT source,
+               CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END
+                   AS n_chars
+        FROM de WHERE doc_id % 7 <> 0
+    )
+    SELECT CAST(0 AS INT) AS version, source,
+           CAST(COUNT(*) AS BIGINT)     AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM de GROUP BY source
+    UNION ALL
+    SELECT CAST(1 AS INT), source,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT)
+    FROM v1src GROUP BY source
+    ORDER BY version, source
+    """,
+    category="streaming",
+    description="LIVE streaming CDC with the MERGE-ON-READ strategy "
+    "(Iceberg v2 MERGE): the foreachBatch sink lands each batch as an "
+    "equality-delete + append -- never reading the table at commit "
+    "time, never rewriting a partition (runtime-asserted: the base "
+    "snapshot's dirs stay live under the post-merge manifest) -- and "
+    "both snapshots must equal the same oracle as the copy-on-write "
+    "twin streaming_cdc_upsert_live",
+)
+def streaming_cdc_mor_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: copy-on-write merges cost O(affected partitions)
+    per batch; merge-on-read costs O(batch) -- the high-frequency-
+    commit trade (cheap commits, read-side anti join until compaction
+    folds the deletes).  Partition-moving keys are handled with no
+    moved-key scan: the equality delete masks the old row wherever it
+    lives."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..snapshots import SnapshotStore
+    from ..streaming.cdc import run_cdc_stream
+    from .timeseries import stream_partitions
+
+    docs = load_tables(spark, sf_dir)["documents"].where(F.col("lang") == "de")
+    base_dir = (
+        f"{tempfile.gettempdir()}/stream_cdcmor_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(base_dir, ignore_errors=True)
+    upd_dir, tab, ckpt = (
+        f"{base_dir}/upd",
+        f"{base_dir}/tab",
+        f"{base_dir}/ckpt",
+    )
+    schema = (
+        "doc_id LONG, text STRING, lang STRING, source STRING, "
+        "n_chars LONG, op_seq INT, del BOOLEAN"
+    )
+    with stream_partitions(spark):
+        base = docs.repartition("source").select(
+            "doc_id", "text", "lang", "source", "n_chars",
+            F.lit(0).alias("op_seq"), F.lit(False).alias("del"),
+        )
+        base.coalesce(1).write.mode("overwrite").json(f"{upd_dir}/b0")
+        upd = docs.where(F.col("doc_id") % 5 == 0).select(
+            "doc_id", "text", "lang", "source",
+            (F.col("n_chars") + 1).alias("n_chars"),
+            F.lit(1).alias("op_seq"), F.lit(False).alias("del"),
+        )
+        dele = docs.where(F.col("doc_id") % 7 == 0).select(
+            "doc_id", "text", "lang", "source", "n_chars",
+            F.lit(2).alias("op_seq"), F.lit(True).alias("del"),
+        )
+        upd.unionByName(dele).coalesce(1).write.mode("overwrite").json(
+            f"{upd_dir}/b1"
+        )
+        now = _time.time()
+        for i, sub in enumerate(("b0", "b1")):
+            for f in os.listdir(f"{upd_dir}/{sub}"):
+                if f.endswith(".json"):
+                    os.utime(f"{upd_dir}/{sub}/{f}", (now + 2 * i, now + 2 * i))
+        run_cdc_stream(
+            spark,
+            f"{upd_dir}/*",
+            schema,
+            tab,
+            keys=["doc_id"],
+            partition_by=["source"],
+            order_by="op_seq",
+            checkpoint=ckpt,
+            soft_delete_col="del",
+            max_files_per_trigger=1,
+            strategy="merge_on_read",
+        )
+
+    store = SnapshotStore(spark, tab)
+    man = store._read_manifest(store.latest_version())
+    if not any(
+        vd.startswith("v0-") for vds in man["partitions"].values() for vd in vds
+    ) or not man.get("delete_sets"):
+        raise AssertionError(
+            "merge-on-read must leave base dirs live behind a delete set"
+        )
+
+    def _agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        ).select(
+            F.lit(version).cast("int").alias("version"),
+            "source",
+            "n_docs",
+            "sum_chars",
+        )
+
+    return (
+        _agg(store.read(as_of=0), 0)
+        .unionByName(_agg(store.read(), 1))
+        .orderBy("version", "source")
+    )

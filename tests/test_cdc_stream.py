@@ -339,3 +339,91 @@ def test_cdc_single_run_multibatch_kill_replay(spark, tmp_path):
     store = SnapshotStore(spark, str(tmp_path / "tab"))
     assert store.versions() == [0, 1]
     assert _table(spark, tmp_path) == [(2, "b", "d1")]
+
+
+def test_cdc_merge_on_read_strategy_live(spark, tmp_path):
+    """merge_on_read CDC: updates/deletes/partition-moves land as
+    equality-delete + append commits -- no table read, no partition
+    rewrite -- and the table state matches the merge semantics;
+    compaction folds the deletes and prunes the sets."""
+    upd = str(tmp_path / "upd")
+    _write_updates(
+        upd,
+        "b0.json",
+        [
+            {"id": 1, "v": "a", "day": "d1", "ts": 1, "deleted": False},
+            {"id": 2, "v": "b", "day": "d1", "ts": 1, "deleted": False},
+            {"id": 3, "v": "c", "day": "d2", "ts": 1, "deleted": False},
+        ],
+    )
+    _run(spark, tmp_path, strategy="merge_on_read")
+    _write_updates(
+        upd,
+        "b1.json",
+        [
+            {"id": 1, "v": "a2", "day": "d1", "ts": 2, "deleted": False},  # update
+            {"id": 2, "v": "x", "day": "d1", "ts": 2, "deleted": True},    # delete
+            {"id": 3, "v": "c2", "day": "d1", "ts": 2, "deleted": False},  # MOVES d2->d1
+            {"id": 4, "v": "d", "day": "d2", "ts": 2, "deleted": False},   # insert
+        ],
+    )
+    _run(spark, tmp_path, strategy="merge_on_read")
+    assert _table(spark, tmp_path) == [
+        (1, "a2", "d1"),
+        (3, "c2", "d1"),
+        (4, "d", "d2"),
+    ]
+    store = SnapshotStore(spark, str(tmp_path / "tab"))
+    man = store._read_manifest(store.latest_version())
+    # the merge commits never rewrote v0's dirs: base snapshot dirs live
+    assert any(
+        vd.startswith("v0-") for vds in man["partitions"].values() for vd in vds
+    )
+    assert len(man["delete_sets"]) == 1
+    # exactly-once: a second identical run replays nothing
+    head = store.latest_version()
+    _run(spark, tmp_path, strategy="merge_on_read")
+    assert store.latest_version() == head
+    # compaction folds + prunes; state unchanged
+    store.compact(all_partitions=True)
+    assert store._read_manifest(store.latest_version())["delete_sets"] == []
+    assert _table(spark, tmp_path) == [
+        (1, "a2", "d1"),
+        (3, "c2", "d1"),
+        (4, "d", "d2"),
+    ]
+
+
+def test_cdc_merge_on_read_kill_between_delete_and_checkpoint(spark, tmp_path):
+    """Crash after the merge commits but before the checkpoint
+    advances: the replayed batch re-runs delete+append; data lands
+    exactly once (the duplicate delete set is harmless and pruned)."""
+    upd = str(tmp_path / "upd")
+    _write_updates(
+        upd,
+        "b0.json",
+        [{"id": 1, "v": "a", "day": "d1", "ts": 1, "deleted": False}],
+    )
+    _run(spark, tmp_path, strategy="merge_on_read")
+    _write_updates(
+        upd,
+        "b1.json",
+        [{"id": 1, "v": "a2", "day": "d1", "ts": 2, "deleted": False}],
+    )
+
+    class Kill(Exception):
+        pass
+
+    def die_after_commit(batch_id: int) -> None:
+        if batch_id >= 1:
+            raise Kill(f"killed after commit of batch {batch_id}")
+
+    with pytest.raises(Exception):
+        _run(spark, tmp_path, strategy="merge_on_read",
+             on_batch_commit=die_after_commit)
+    store = SnapshotStore(spark, str(tmp_path / "tab"))
+    head_after_kill = store.latest_version()
+    _run(spark, tmp_path, strategy="merge_on_read")
+    # replay detected via the append's batch id: no new commits
+    assert store.latest_version() == head_after_kill
+    assert _table(spark, tmp_path) == [(1, "a2", "d1")]
