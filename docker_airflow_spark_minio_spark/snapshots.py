@@ -1377,7 +1377,11 @@ class SnapshotStore:
 
     # -- maintenance ------------------------------------------------------
 
-    def compact(self, all_partitions: bool = False) -> int | None:
+    def compact(
+        self,
+        all_partitions: bool = False,
+        target_rows_per_file: int | None = None,
+    ) -> int | None:
         """Rewrite fragmented partitions into single data directories --
         the OPTIMIZE/rewrite-data-files maintenance a table accumulating
         append / CDC commits needs (each append leaves every touched
@@ -1391,6 +1395,16 @@ class SnapshotStore:
         unchanged; the rewrite clusters by the partition columns so each
         lands as one directory of full files.  Old directories stay
         readable (time travel) until :meth:`expire_snapshots`.
+
+        ``target_rows_per_file`` (the Iceberg rewrite target-file-size
+        knob, in rows): size each rewritten partition's output to
+        ``ceil(rows / target)`` files instead of one file per input
+        task -- the small-file fix AND the giant-file fix in one.
+        Costs one counting aggregate over the partitions being
+        rewritten (negligible next to the rewrite itself); files split
+        by a hash salt, so the rewrite stays one shuffle.  Hash
+        collisions can merge a pair of sub-target files, so the target
+        bounds expected -- not worst-case -- rows per file.
         """
         head = self.latest_version()
         if head is None:
@@ -1412,7 +1426,40 @@ class SnapshotStore:
             return None
         pby = manifest["partition_by"]
         df = self.read(partitions=targets)
-        if pby:
+        if target_rows_per_file is not None and target_rows_per_file > 0:
+            from pyspark.sql import functions as F
+
+            cols = [F.col(c) for c in df.columns]
+            if pby:
+                nf = df.groupBy(*pby).agg(
+                    F.ceil(
+                        F.count(F.lit(1)) / float(target_rows_per_file)
+                    )
+                    .cast("int")
+                    .alias("__nf")
+                )
+                total = nf.agg(F.sum("__nf").alias("t")).collect()[0]["t"]
+                df = (
+                    df.join(F.broadcast(nf), pby)
+                    .withColumn(
+                        "__salt", F.pmod(F.xxhash64(*cols), F.col("__nf"))
+                    )
+                    .repartition(int(total), *pby, F.col("__salt"))
+                    .drop("__nf", "__salt")
+                )
+            else:
+                import math
+
+                total_rows = df.count()
+                nfl = max(1, math.ceil(total_rows / target_rows_per_file))
+                df = (
+                    df.withColumn(
+                        "__salt", F.pmod(F.xxhash64(*cols), F.lit(nfl))
+                    )
+                    .repartition(nfl, F.col("__salt"))
+                    .drop("__salt")
+                )
+        elif pby:
             df = df.repartition(*pby)
         return self.write(
             df,
@@ -1555,6 +1602,30 @@ class SnapshotTableManager:
         for col, value in partition_values.items():
             df = df.filter(df[col] == value)
         return df
+
+    # Maintenance / governance pass-throughs: jobs address tables by
+    # name, the store methods do the work (see each for semantics).
+
+    def tag(self, table: str, name: str, **kw) -> int:
+        return self.store(table).tag(name, **kw)
+
+    def rollback(self, table: str, version: int, **kw) -> int:
+        return self.store(table).rollback(version, **kw)
+
+    def delete_keys(self, table: str, keys_df: DataFrame, key_cols: list[str]) -> int:
+        return self.store(table).delete_keys(keys_df, key_cols)
+
+    def read_appends(self, table: str, since_version: int) -> DataFrame:
+        return self.store(table).read_appends(since_version)
+
+    def count_rows(self, table: str, **kw) -> int | None:
+        return self.store(table).count_rows(**kw)
+
+    def compact(self, table: str, **kw) -> int | None:
+        return self.store(table).compact(**kw)
+
+    def expire_snapshots(self, table: str, **kw) -> dict:
+        return self.store(table).expire_snapshots(**kw)
 
 
 def snapshot_diff(

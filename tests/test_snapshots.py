@@ -11,7 +11,11 @@ import shutil
 
 import pytest
 
-from docker_airflow_spark_minio_spark.snapshots import SnapshotConflict, SnapshotStore
+from docker_airflow_spark_minio_spark.snapshots import (
+    SnapshotConflict,
+    SnapshotStore,
+    SnapshotTableManager,
+)
 
 
 @pytest.fixture()
@@ -1005,3 +1009,81 @@ def test_metadata_count_and_incremental_read(spark, root):
     store2 = SnapshotStore(spark, root + "_2")
     store2.write(mk(0, 10), mode="snapshot", partition_by=["day"])
     assert store2.count_rows() is None
+
+
+def test_compact_target_rows_per_file(spark, root):
+    """target_rows_per_file sizes rewritten partitions to
+    ~ceil(rows/target) files -- the small-file AND giant-file fix; a
+    target above the partition size collapses to one file."""
+    import glob
+    import os
+
+    store = SnapshotStore(spark, root)
+    # fragment: 4 appends of 250 rows across 2 partitions
+    for j in range(4):
+        store.write(
+            spark.createDataFrame(
+                [(j * 250 + i, f"d{i % 2}") for i in range(250)],
+                "k int, day string",
+            ),
+            mode="append", partition_by=["day"],
+        )
+    before = sorted(r["k"] for r in store.read().collect())
+
+    def files_per_dir(version):
+        man = store._read_manifest(version)
+        out = {}
+        for part, vdirs in man["partitions"].items():
+            n = 0
+            for vd in vdirs:
+                n += len(
+                    glob.glob(os.path.join(root, "data", vd, part, "*.parquet"))
+                )
+            out[part] = n
+        return out
+
+    # ~500 rows per partition, target 100 -> expect ~5 files each
+    # (hash-salt collisions may merge a couple; never more than ceil)
+    v = store.compact(target_rows_per_file=100)
+    fpd = files_per_dir(v)
+    assert set(fpd) == {"day=d0", "day=d1"}
+    assert all(3 <= n <= 5 for n in fpd.values()), fpd
+    assert sorted(r["k"] for r in store.read().collect()) == before
+    # giant-file direction: target above partition size -> 1 file each
+    store.write(
+        spark.createDataFrame([(9999, "d0")], "k int, day string"),
+        mode="append", partition_by=["day"],
+    )
+    # all_partitions: d1 is unfragmented (one dir of ~5 small files)
+    # and only a full rewrite re-sizes it
+    v2 = store.compact(all_partitions=True, target_rows_per_file=10_000)
+    fpd2 = files_per_dir(v2)
+    assert fpd2 == {"day=d0": 1, "day=d1": 1}, fpd2
+    assert store.read().count() == 1001
+
+
+def test_manager_maintenance_passthroughs(spark, tmp_path):
+    """SnapshotTableManager exposes the governance surface by table
+    name: tag/rollback/delete_keys/read_appends/count_rows/compact/
+    expire_snapshots."""
+    mgr = SnapshotTableManager(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(10)], "k int, day string"
+    )
+    mgr.store("t").write(df, mode="snapshot", partition_by=["day"],
+                         stats_cols=["k"])
+    assert mgr.count_rows("t") == 10
+    assert mgr.tag("t", "good") == 0
+    mgr.store("t").write(
+        spark.createDataFrame([(99, "d0")], "k int, day string"),
+        mode="append", partition_by=["day"], stats_cols=["k"],
+    )
+    assert mgr.read_appends("t", 0).count() == 1
+    assert mgr.count_rows("t") == 11
+    mgr.delete_keys("t", spark.createDataFrame([(3,)], "k int"), ["k"])
+    assert mgr.read("t").count() == 10
+    v = mgr.rollback("t", 0)
+    assert mgr.read("t").count() == 10 and v == 3
+    assert mgr.compact("t", all_partitions=True) is not None
+    out = mgr.expire_snapshots("t", keep_last=2, orphan_grace_ms=0)
+    assert out["kept_versions"][-1] == mgr.store("t").latest_version()
