@@ -1622,3 +1622,70 @@ def streaming_cdc_mor_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_agg(store.read(), 1))
         .orderBy("version", "source")
     )
+
+
+@register(
+    "snapshot_compaction_sizing_read",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)    AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    category="etl",
+    description="target-file-size compaction under the gate (round-6, "
+    "the Iceberg rewrite-data-files sizing knob): a table fragmented by "
+    "three appends is compacted to ~ceil(rows/target) files per "
+    "partition (runtime-asserted: every partition lands in ONE dir "
+    "with more than one sized file, and fewer files than rows) and the "
+    "post-compaction read must equal the direct scan",
+)
+def snapshot_compaction_sizing_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: a streaming sink leaves many small files per
+    partition (the #1 operational lakehouse problem at 100 TB); the
+    sized rewrite fixes small AND oversized files in one shuffle, with
+    per-partition output counts derived from one counting aggregate
+    over just the partitions being rewritten."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang")
+    n = docs.count()
+    root = (
+        f"{tempfile.gettempdir()}/snapshot_cmp_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(spark, root)
+    cut1, cut2 = n // 3, 2 * (n // 3)
+    for lo, hi in ((0, cut1), (cut1, cut2), (cut2, n)):
+        store.write(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            mode="append",
+            partition_by=["lang"],
+        )
+    # target ~ an eighth of the largest partition: expect several sized
+    # files per lang, always fewer than one per row
+    target = max(10, n // 40)
+    v = store.compact(all_partitions=True, target_rows_per_file=target)
+    man = store._read_manifest(v)
+    for part, vdirs in man["partitions"].items():
+        if len(vdirs) != 1:
+            raise AssertionError(f"{part} not defragmented: {vdirs}")
+        files = glob.glob(os.path.join(root, "data", vdirs[0], part, "*.parquet"))
+        if not (1 < len(files) < n):
+            raise AssertionError(f"{part}: {len(files)} files for target {target}")
+    return (
+        store.read()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )
