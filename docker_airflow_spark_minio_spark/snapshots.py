@@ -309,6 +309,11 @@ class SnapshotStore:
             "delete_sets": delete_sets,
             "dir_specs": dir_specs,
             "dir_rows": dir_rows,
+            "table_stats": (
+                raw.get("table_stats")
+                if raw.get("table_stats") is not None
+                else parent.get("table_stats")
+            ),
             "committed_at_ms": raw["committed_at_ms"],
             "metadata": raw["metadata"],
             "schema": raw["schema"],
@@ -577,6 +582,7 @@ class SnapshotStore:
             "delete_sets": target.get("delete_sets", []),
             "dir_specs": _filled_dir_specs(target),
             "dir_rows": target.get("dir_rows", {}),
+            "table_stats": target.get("table_stats"),
             "committed_at_ms": int(time.time() * 1000),
             "metadata": {"rollback_to": version},
             "schema": target["schema"],
@@ -639,6 +645,7 @@ class SnapshotStore:
             "partition_by": parent["partition_by"],
             "committed_at_ms": int(time.time() * 1000),
             "metadata": dict(metadata or {}),
+            "table_stats": parent.get("table_stats"),
             "schema": parent["schema"],
         }
         if version % CHECKPOINT_EVERY == 0:
@@ -935,6 +942,19 @@ class SnapshotStore:
             or mode == "snapshot"
             or version % CHECKPOINT_EVERY == 0
         )
+        # The table's stats CONFIGURATION persists in the manifest so
+        # maintenance rewrites (compact) can re-record the same zone
+        # maps / blooms / row counts instead of silently degrading the
+        # table's pruning metadata: a commit that passes stats/bloom
+        # cols updates it, any other commit carries it forward.
+        if stats_cols or bloom_cols:
+            table_stats = {
+                "stats_cols": list(stats_cols or []),
+                "bloom_cols": list(bloom_cols or []),
+                "bloom_bits": bloom_bits,
+            }
+        else:
+            table_stats = (parent or {}).get("table_stats")
         common = {
             "version": version,
             "parent": parent_v,
@@ -942,6 +962,7 @@ class SnapshotStore:
             "partition_by": pby,
             "committed_at_ms": int(time.time() * 1000),
             "metadata": dict(metadata or {}),
+            "table_stats": table_stats,
             # Written-frame schema: lets read() serve a committed-but-
             # EMPTY snapshot (e.g. a CDC batch whose deletes emptied
             # every partition) as an empty typed frame instead of
@@ -1461,11 +1482,19 @@ class SnapshotStore:
                 )
         elif pby:
             df = df.repartition(*pby)
+        # Re-record the table's zone maps / blooms / row counts for the
+        # rewritten dirs (config carried in the manifest): without this
+        # a compaction would silently DEGRADE the table -- rewritten
+        # partitions lose their pruning metadata.
+        ts = manifest.get("table_stats") or {}
         return self.write(
             df,
             mode="overwrite_partitions",
             partition_by=pby,
             metadata={"compaction": True, "compacted": sorted(targets)},
+            stats_cols=ts.get("stats_cols") or None,
+            bloom_cols=ts.get("bloom_cols") or None,
+            bloom_bits=ts.get("bloom_bits") or BLOOM_BITS,
             # compaction's input rows come only from the current-spec
             # partitions it re-points, so the mixed-spec shadowing
             # hazard the public guard blocks cannot arise here

@@ -1087,3 +1087,40 @@ def test_manager_maintenance_passthroughs(spark, tmp_path):
     assert mgr.compact("t", all_partitions=True) is not None
     out = mgr.expire_snapshots("t", keep_last=2, orphan_grace_ms=0)
     assert out["kept_versions"][-1] == mgr.store("t").latest_version()
+
+
+def test_compaction_preserves_pruning_metadata(spark, root):
+    """The table's stats configuration (zone-map cols, bloom cols, row
+    counts) rides the manifest, and compaction RE-RECORDS it for the
+    rewritten dirs -- maintenance must never degrade pruning."""
+    store = SnapshotStore(spark, root)
+    for j in range(3):
+        store.write(
+            spark.createDataFrame(
+                [(j * 100 + i, f"d{i % 2}") for i in range(100)],
+                "k int, day string",
+            ),
+            mode="append", partition_by=["day"],
+            stats_cols=["k"], bloom_cols=["k"],
+        )
+    assert store.count_rows() == 300
+    v = store.compact(all_partitions=True)
+    # row counts still answer from metadata after the rewrite
+    assert store.count_rows() == 300
+    # zone maps: a narrow range still prunes post-compaction files
+    _, _, n_sk, n_tot = store.plan_files(range_filter=("k", 5, 10))
+    assert n_tot > 0 and n_sk >= 0
+    man = store._read_manifest(v)
+    new_dirs = {vd for vds in man["partitions"].values() for vd in vds}
+    assert all(vd.startswith(f"v{v}-") for vd in new_dirs)
+    assert any(k.split("/")[0] in new_dirs for k in man["file_stats"])
+    assert any(k.split("/")[0] in new_dirs for k in man["file_blooms"])
+    # bloom point lookup still prunes and answers exactly
+    _, _, b_sk, b_tot = store.plan_files(point_filter={"k": 123})
+    assert b_tot > 0 and b_sk > 0
+    assert [r["k"] for r in store.read(point_filter={"k": 123}).collect()] == [123]
+    # a delete commit carries the config too (checkpoint path)
+    store.delete_keys(spark.createDataFrame([(1,)], "k int"), ["k"])
+    assert store._read_manifest(store.latest_version())["table_stats"][
+        "bloom_cols"
+    ] == ["k"]
