@@ -121,8 +121,25 @@ def _bloom_hash_pair(value) -> tuple[int, int]:
 
 
 def _bloom_probe_positions(value, bits: int) -> list[int]:
+    if not isinstance(value, (int, str)) or isinstance(value, bool):
+        # probing with a type whose str() diverges from Spark's string
+        # cast would skip files that DO hold the value -- refuse
+        raise ValueError(
+            f"bloom point_filter supports int/string values; got "
+            f"{type(value).__name__}"
+        )
     h1, h2 = _bloom_hash_pair(value)
     return [(h1 + i * h2) % bits for i in range(BLOOM_K)]
+
+
+# Key types whose Spark CAST(col AS STRING) agrees with Python str():
+# the bloom build/probe contract.  Doubles ('1.0E-4' vs '0.0001'),
+# booleans ('true' vs 'True'), decimals etc. DIVERGE -- hashing them
+# would make the probe miss real rows (an unsound skip), so both the
+# write and the probe validate instead of guessing.
+_BLOOM_KEY_TYPES = frozenset(
+    {"byte", "short", "int", "integer", "long", "bigint", "string"}
+)
 
 
 def _bloom_excludes(file_blooms: dict, points: dict) -> bool:
@@ -489,11 +506,23 @@ class SnapshotStore:
         fs.mkdirs(p.getParent())
         if not replace and fs.exists(p):
             raise ValueError(f"tag {name!r} already exists")
-        out = fs.create(p, replace)
+        # tmp-write-then-rename: a concurrent tags() reader must never
+        # observe a torn/empty JSON mid-write (the same reason
+        # _commit_manifest never writes the final path directly)
+        tmp_path = (
+            f"{self.root.rstrip('/')}/{REFS_DIR}/.{name}.json.tmp"
+        )
+        fs, tmp_p = _fs_and_path(self.spark, tmp_path)
+        out = fs.create(tmp_p, True)
         try:
             out.write(bytearray(payload))
         finally:
             out.close()
+        if replace and fs.exists(p):
+            fs.delete(p, False)
+        if not fs.rename(tmp_p, p):
+            fs.delete(tmp_p, False)
+            raise ValueError(f"tag {name!r} already exists")
         return v
 
     def tags(self) -> dict[str, int]:
@@ -504,7 +533,7 @@ class SnapshotStore:
         out: dict[str, int] = {}
         for st in fs.listStatus(d):
             n = st.getPath().getName()
-            if not n.endswith(".json"):
+            if not n.endswith(".json") or n.startswith("."):
                 continue
             stream = fs.open(st.getPath())
             try:
@@ -513,7 +542,10 @@ class SnapshotStore:
                 )
             finally:
                 stream.close()
-            ref = json.loads(raw.decode("utf-8"))
+            try:
+                ref = json.loads(raw.decode("utf-8"))
+            except ValueError:
+                continue  # in-flight or torn writer on a weaker store
             out[ref["name"]] = int(ref["version"])
         return out
 
@@ -626,6 +658,18 @@ class SnapshotStore:
         if parent_v is None:
             raise ValueError(f"no snapshots committed under {self.root}")
         parent = self._read_manifest(parent_v)
+        # Validate against the TABLE schema now: a typo'd key column
+        # would otherwise commit fine and then crash every later read's
+        # anti join -- wedging the table until a rollback.
+        table_cols = {
+            f["name"] for f in json.loads(parent["schema"])["fields"]
+        }
+        missing = [c for c in key_cols if c not in table_cols]
+        if missing:
+            raise ValueError(
+                f"delete key_cols {missing} not in table schema "
+                f"{sorted(table_cols)}"
+            )
         for d in parent.get("delete_sets", []):
             if list(d["key_cols"]) != list(key_cols):
                 raise ValueError(
@@ -851,12 +895,27 @@ class SnapshotStore:
             # positions ride the same scan: per bloom column, BLOOM_K
             # collect_set aggregates of (h1 + i*h2) mod bits -- each
             # bounded by bits distinct values, combined into one bitmap
-            # driver-side.
-            scan = self.spark.read.option("basePath", data_path).parquet(data_path)
+            # driver-side.  The frame's own schema is passed explicitly:
+            # no footer inference, and an EMPTY write (e.g. compaction
+            # after a full purge) yields an empty stats scan instead of
+            # UNABLE_TO_INFER_SCHEMA.
+            scan = (
+                self.spark.read.schema(df.schema)
+                .option("basePath", data_path)
+                .parquet(data_path)
+            )
             aggs = [F.count(F.lit(1)).alias("__rows")]
             for c in stats_cols:
                 aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
             for c in bloom_cols:
+                # int/string keys only: other types' CAST-to-STRING
+                # form differs from the driver probe's str() and would
+                # make bloom skipping UNSOUND (see _BLOOM_KEY_TYPES)
+                dt = scan.schema[c].dataType.simpleString()
+                if dt not in _BLOOM_KEY_TYPES:
+                    raise ValueError(
+                        f"bloom_cols supports int/string keys; {c!r} is {dt}"
+                    )
                 s = F.col(c).cast("string")
                 h1, h2 = h32(s), h32_hi(s)
                 aggs += [
@@ -1274,6 +1333,15 @@ class SnapshotStore:
         manifest = self._read_manifest(version)
         if manifest.get("delete_sets"):
             return None
+        if partitions is not None:
+            unknown = set(partitions) - set(manifest["partitions"])
+            if unknown:
+                # a typo'd selector must not read as "0 rows, proven":
+                # mirror read()'s no-matching-partitions refusal
+                raise ValueError(
+                    f"no such partitions in snapshot v{version}: "
+                    f"{sorted(unknown)}"
+                )
         rows = manifest.get("dir_rows", {})
         total = 0
         for part, vdirs in manifest["partitions"].items():
@@ -1307,7 +1375,17 @@ class SnapshotStore:
             raise ValueError(f"no snapshots committed under {self.root}")
         if since_version > head:
             raise ValueError(f"since_version {since_version} > head {head}")
+        committed = set(self.versions())
         for v in range(since_version + 1, head + 1):
+            if v not in committed:
+                # retention dropped part of the window (tag holes make
+                # this the NORMAL lagging-consumer case) -- refuse with
+                # guidance instead of surfacing a raw FileNotFound
+                raise ValueError(
+                    f"incremental read window lost v{v} to retention; "
+                    "consume via snapshot_diff or restart from a full "
+                    "read"
+                )
             mode = self._read_manifest_raw(v)["mode"]
             if mode not in ("append", "delete_keys"):
                 raise ValueError(
@@ -1460,14 +1538,16 @@ class SnapshotStore:
                     .alias("__nf")
                 )
                 total = nf.agg(F.sum("__nf").alias("t")).collect()[0]["t"]
-                df = (
-                    df.join(F.broadcast(nf), pby)
-                    .withColumn(
-                        "__salt", F.pmod(F.xxhash64(*cols), F.col("__nf"))
+                if total:  # empty read-back (e.g. deletes masked all
+                    # target rows): nothing to size, write as-is
+                    df = (
+                        df.join(F.broadcast(nf), pby)
+                        .withColumn(
+                            "__salt", F.pmod(F.xxhash64(*cols), F.col("__nf"))
+                        )
+                        .repartition(int(total), *pby, F.col("__salt"))
+                        .drop("__nf", "__salt")
                     )
-                    .repartition(int(total), *pby, F.col("__salt"))
-                    .drop("__nf", "__salt")
-                )
             else:
                 import math
 
@@ -1641,8 +1721,10 @@ class SnapshotTableManager:
     def rollback(self, table: str, version: int, **kw) -> int:
         return self.store(table).rollback(version, **kw)
 
-    def delete_keys(self, table: str, keys_df: DataFrame, key_cols: list[str]) -> int:
-        return self.store(table).delete_keys(keys_df, key_cols)
+    def delete_keys(
+        self, table: str, keys_df: DataFrame, key_cols: list[str], **kw
+    ) -> int:
+        return self.store(table).delete_keys(keys_df, key_cols, **kw)
 
     def read_appends(self, table: str, since_version: int) -> DataFrame:
         return self.store(table).read_appends(since_version)

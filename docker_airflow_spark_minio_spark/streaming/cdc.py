@@ -79,10 +79,14 @@ def upsert_snapshot_batch(
 
     Exactly-once for merge-on-read spans two commits (delete, then
     append): only the APPEND carries the batch id + watermark, so a
-    crash between them replays BOTH -- the duplicate delete set is
-    harmless (same keys, masks the same or nothing) and is pruned
-    after the next compaction, while the append still lands exactly
-    once.
+    crash between them replays BOTH -- the duplicate delete set masks
+    nothing new, and the append still lands exactly once.  This holds
+    under the SINGLE-WRITER assumption a streaming sink already has
+    (one query per checkpoint, no other writers on the table): a
+    CONCURRENT writer appending one of the batch's keys between the
+    crash and the replay would see its row masked by the replayed
+    delete (the replay's delete set is newer).  If other writers share
+    the table, use copy-on-write, whose merge is one commit.
 
     Within a key the greatest ``order_by`` wins; on a tie the update
     beats the stored row (re-applying a batch is a no-op).  When

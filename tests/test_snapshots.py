@@ -1124,3 +1124,51 @@ def test_compaction_preserves_pruning_metadata(spark, root):
     assert store._read_manifest(store.latest_version())["table_stats"][
         "bloom_cols"
     ] == ["k"]
+
+
+def test_review_hardening_fixes(spark, root):
+    """Round-6 self-review fixes: bloom type validation (write AND
+    probe), empty-compaction sizing, delete key schema check, expired
+    incremental window refusal, strict count_rows partitions."""
+    store = SnapshotStore(spark, root)
+    df = spark.createDataFrame(
+        [(i, float(i) / 10, f"d{i % 2}") for i in range(40)],
+        "k int, score double, day string",
+    )
+    # bloom on a double column: refused at write (unsound cast pairing)
+    with pytest.raises(ValueError, match="int/string"):
+        store.write(df, mode="snapshot", partition_by=["day"],
+                    bloom_cols=["score"])
+    store.write(df, mode="snapshot", partition_by=["day"],
+                stats_cols=["k"], bloom_cols=["k"])
+    # probing a bloomed column with a float: refused (would skip real rows)
+    with pytest.raises(ValueError, match="int/string"):
+        store.plan_files(point_filter={"k": 1.0})
+    # delete with a typo'd key column: refused at commit, not at read
+    with pytest.raises(ValueError, match="not in table schema"):
+        store.delete_keys(spark.createDataFrame([(1,)], "kk int"), ["kk"])
+    # count_rows with an unknown partition name: loud, never "0 proven"
+    with pytest.raises(ValueError, match="no such partitions"):
+        store.count_rows(partitions=["day=nope"])
+    # GDPR-style full purge then sized compaction: no crash, empty table
+    store.delete_keys(df.select("k"), ["k"])
+    v = store.compact(all_partitions=True, target_rows_per_file=10)
+    assert v is not None and store.read().count() == 0
+    # incremental window with a retention hole: loud refusal
+    store2 = SnapshotStore(spark, root + "_2")
+    for i in range(4):
+        store2.write(
+            spark.createDataFrame([(i, "d0")], "k int, day string"),
+            mode="append", partition_by=["day"],
+        )
+    store2.tag("old", version=0)
+    store2.expire_snapshots(keep_last=1, orphan_grace_ms=0)
+    with pytest.raises(ValueError, match="lost v.*retention"):
+        store2.read_appends(0)
+    # torn/in-flight ref files are skipped by tags(), not fatal
+    import os
+
+    os.makedirs(f"{root}_2/_refs", exist_ok=True)
+    with open(f"{root}_2/_refs/broken.json", "w", encoding="utf-8") as f:
+        f.write("")
+    assert store2.tags() == {"old": 0}
