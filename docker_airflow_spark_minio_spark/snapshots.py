@@ -245,6 +245,19 @@ class SnapshotStore:
         vs = self.versions()
         return vs[-1] if vs else None
 
+    def current_version(self) -> int | None:
+        """The PUBLISHED table head: the newest committed version that is
+        not a staged write-audit-publish snapshot (see
+        :meth:`write` ``staged=``).  This -- not :meth:`latest_version`,
+        which is the raw commit counter -- is what reads, writes and
+        maintenance chain from; staged snapshots are invisible until
+        :meth:`publish_staged` replays them here.  Usually one manifest
+        read (staged commits are transient)."""
+        for v in reversed(self.versions()):
+            if self._read_manifest_raw(v).get("staged") is None:
+                return v
+        return None
+
     def _read_manifest_raw(self, version: int) -> dict:
         """One manifest FILE, as committed (full checkpoint or delta)."""
         fs, p = _fs_and_path(self.spark, self._manifest_path(version))
@@ -339,6 +352,11 @@ class SnapshotStore:
                 **(raw.get("watermarks") or {}),
             },
             "manifest_kind": "delta",
+            **(
+                {"staged": raw["staged"]}
+                if raw.get("staged") is not None
+                else {}
+            ),
         }
 
     def _commit_manifest(self, version: int, manifest: dict) -> None:
@@ -452,8 +470,17 @@ class SnapshotStore:
         equivalent of an Iceberg table)."""
         return [
             {
-                k: m.get(k)
-                for k in ("version", "parent", "mode", "committed_at_ms", "metadata")
+                **{
+                    k: m.get(k)
+                    for k in (
+                        "version",
+                        "parent",
+                        "mode",
+                        "committed_at_ms",
+                        "metadata",
+                    )
+                },
+                "staged": self._read_manifest_raw(m["version"]).get("staged"),
             }
             for m in (self._read_manifest(v) for v in self.versions())
         ]
@@ -466,15 +493,23 @@ class SnapshotStore:
         metadata-plane, bounded by retention."""
         out = set()
         for v in self.versions():
-            val = self._read_manifest(v).get("metadata", {}).get(key)
+            raw = self._read_manifest_raw(v)
+            if raw.get("staged") is not None:
+                # Unpublished WAP snapshots are not table state: their
+                # metadata must not satisfy a replay probe, or a staged
+                # batch later abandoned would read as "already applied".
+                # publish_staged re-records it on the publish commit.
+                continue
+            val = raw.get("metadata", {}).get(key)
             if val is not None:
                 out.add(val)
         return out
 
     def watermark(self, key: str, default=None):
-        """The carried-forward ``watermarks[key]`` at the table head (see
-        :meth:`write`).  One manifest read -- O(1), retention-proof."""
-        v = self.latest_version()
+        """The carried-forward ``watermarks[key]`` at the PUBLISHED table
+        head (see :meth:`write`; staged WAP snapshots' marks are
+        invisible until published).  O(1), retention-proof."""
+        v = self.current_version()
         if v is None:
             return default
         return (self._read_manifest(v).get("watermarks") or {}).get(key, default)
@@ -496,7 +531,7 @@ class SnapshotStore:
         :meth:`read` accepts ``ref=name``.  Defaults to the current
         head; ``replace=True`` re-points an existing tag."""
         self._check_ref_name(name)
-        v = self.latest_version() if version is None else version
+        v = self.current_version() if version is None else version
         if v is None or v not in self.versions():
             raise ValueError(f"cannot tag missing version {v}")
         payload = json.dumps(
@@ -576,11 +611,16 @@ class SnapshotStore:
         guards (CDC batch ids) must never rewind with the data, or an
         already-committed batch would apply twice after the rollback.
         Pass ``watermarks`` to override explicitly."""
-        head = self.latest_version()
+        head = self.current_version()
         if head is None:
             raise ValueError(f"no snapshots committed under {self.root}")
         if version not in self.versions():
             raise ValueError(f"cannot roll back to missing version {version}")
+        if self._read_manifest_raw(version).get("staged") is not None:
+            raise ValueError(
+                f"v{version} is an unpublished staged snapshot; "
+                "publish_staged() it instead of rolling back to it"
+            )
         target = self._read_manifest(version)
         head_man = self._read_manifest(head)
         # Guard: every data dir the target references must still exist
@@ -599,7 +639,9 @@ class SnapshotStore:
                 f"cannot roll back to v{version}: data dirs expired: "
                 f"{sorted(set(missing))}"
             )
-        new_v = head + 1
+        # Version numbers are a GLOBAL counter (staged commits hold
+        # numbers too); the logical parent is the published head.
+        new_v = self.latest_version() + 1
         manifest = {
             "version": new_v,
             "parent": head,
@@ -625,6 +667,237 @@ class SnapshotStore:
         }
         self._commit_manifest(new_v, manifest)
         return new_v
+
+    # -- write-audit-publish (staged snapshots) ---------------------------
+
+    def staged_versions(self, wap_id: str | None = None) -> dict[int, str]:
+        """Unpublished staged snapshots, version -> wap id (optionally
+        filtered to one id).  A published stage keeps its ``staged``
+        marker (the publish is a separate cherry-pick commit), so
+        versions any publish commit recorded as ``published_from`` are
+        excluded here.  O(versions) raw manifest reads."""
+        published_from = self.committed_metadata("published_from")
+        out: dict[int, str] = {}
+        for v in self.versions():
+            if v in published_from:
+                continue
+            s = self._read_manifest_raw(v).get("staged")
+            if s is not None and (wap_id is None or s == wap_id):
+                out[v] = s
+        return out
+
+    def _staged_own_watermarks(self, raw: dict, base: dict | None) -> dict:
+        """The marks a staged commit itself set (a full staged manifest
+        merged its base's marks in; peel those back off so publishing
+        never overwrites a newer head mark with the base's stale one)."""
+        if raw.get("manifest_kind") == "delta":
+            return dict(raw.get("watermarks") or {})
+        base_wm = (base or {}).get("watermarks") or {}
+        return {
+            k: v
+            for k, v in (raw.get("watermarks") or {}).items()
+            if base_wm.get(k) != v
+        }
+
+    def publish_staged(self, wap_id: str) -> int:
+        """Cherry-pick every staged snapshot carrying ``wap_id`` onto the
+        published head, in commit order -- the Iceberg
+        ``cherrypick_snapshot`` / WAP publish step.  Metadata-only: the
+        staged data directories are re-pointed, never rewritten, so
+        publish cost is O(manifest) regardless of batch size.
+
+        Replay rules (matching Iceberg's cherry-pick restrictions):
+
+        * head unchanged since the stage -- fast-forward, any mode;
+        * head moved, staged ``append`` -- its directories are appended
+          to the current head's partition map;
+        * head moved, staged ``overwrite_partitions`` -- replayed only
+          if every partition it touched is UNCHANGED between its base
+          and the head (else :class:`SnapshotConflict`: the overwrite
+          was computed against data that no longer exists);
+        * head moved, staged ``snapshot`` (full replace) --
+          :class:`SnapshotConflict` always.
+
+        The publish commit records the staged commit's ``metadata``
+        (plus ``published_wap``) and its own watermarks, so replay
+        probes and CDC exactly-once see the batch only once it is
+        table state.  A wap id publishes at most once (checked).
+        Merge-on-read equality deletes committed while the snapshot
+        was staged DO apply to it on read (the staged directory keeps
+        its stage-time sequence number) -- the audit saw that data, so
+        a delete targeting a key removes the staged copy too.
+        ``read_appends`` refuses windows crossing a publish commit
+        (mode ``wap_publish``), the same contract as any replace.
+        """
+        if wap_id in self.committed_metadata("published_wap"):
+            raise ValueError(f"wap id {wap_id!r} already published")
+        staged = sorted(self.staged_versions(wap_id))
+        if not staged:
+            raise ValueError(f"no staged snapshots with wap id {wap_id!r}")
+        new_v = None
+        for sv in staged:
+            raw = self._read_manifest_raw(sv)
+            st = self._read_manifest(sv)
+            base_v = raw["parent"]
+            base = self._read_manifest(base_v) if base_v is not None else None
+            head_v = self.current_version()
+            head = (
+                self._read_manifest(head_v) if head_v is not None else None
+            )
+            own_wm = self._staged_own_watermarks(raw, base)
+            meta = {
+                **(st.get("metadata") or {}),
+                "published_wap": wap_id,
+                "published_from": sv,
+            }
+            if head_v == base_v:
+                # Fast-forward: the staged state IS head + this commit.
+                merged = st
+                schema = st["schema"]
+            elif st["mode"] == "snapshot":
+                raise SnapshotConflict(
+                    f"cannot publish staged full-replace v{sv}: the table "
+                    f"advanced from v{base_v} to v{head_v} since the stage"
+                )
+            else:
+                if st["partition_by"] != head["partition_by"]:
+                    raise SnapshotConflict(
+                        f"cannot publish staged v{sv}: partition spec "
+                        f"changed since the stage"
+                    )
+                st_vdirs = {
+                    vd
+                    for vds in st["partitions"].values()
+                    for vd in vds
+                    if _vdir_version(vd) == sv
+                }
+                partitions = {
+                    k: list(v) for k, v in head["partitions"].items()
+                }
+                if st["mode"] == "append":
+                    for p, vds in st["partitions"].items():
+                        add = [vd for vd in vds if vd in st_vdirs]
+                        if add:
+                            partitions.setdefault(p, []).extend(add)
+                else:  # overwrite_partitions
+                    base_parts = (base or {}).get("partitions", {})
+                    touched = {
+                        p
+                        for p, vds in st["partitions"].items()
+                        if any(vd in st_vdirs for vd in vds)
+                    } | (set(base_parts) - set(st["partitions"]))
+                    for p in touched:
+                        if head["partitions"].get(p) != base_parts.get(p):
+                            raise SnapshotConflict(
+                                f"cannot publish staged overwrite v{sv}: "
+                                f"partition {p!r} changed between v{base_v} "
+                                f"and v{head_v}"
+                            )
+                        if p in st["partitions"]:
+                            partitions[p] = list(st["partitions"][p])
+                        else:
+                            partitions.pop(p, None)
+                live = {
+                    f"{vd}/{p}" if p else vd
+                    for p, vds in partitions.items()
+                    for vd in vds
+                }
+                vdir_live = {vd for vds in partitions.values() for vd in vds}
+
+                def _carry(hk: str, sk_dirs: set, by_file: bool) -> dict:
+                    out = {
+                        k: v
+                        for k, v in head.get(hk, {}).items()
+                        if (k.rsplit("/", 1)[0] if by_file else k) in live
+                    }
+                    for k, v in st.get(hk, {}).items():
+                        d = k.rsplit("/", 1)[0] if by_file else k
+                        if d in live and d.split("/", 1)[0] in sk_dirs:
+                            out[k] = v
+                    return out
+
+                merged = {
+                    "partitions": partitions,
+                    "dir_stats": _carry("dir_stats", st_vdirs, False),
+                    "file_stats": _carry("file_stats", st_vdirs, True),
+                    "file_blooms": _carry("file_blooms", st_vdirs, True),
+                    "dir_rows": _carry("dir_rows", st_vdirs, False),
+                    "delete_sets": _prune_delete_sets(
+                        list(head.get("delete_sets", [])), partitions
+                    ),
+                    "dir_specs": {
+                        **{
+                            vd: spec
+                            for vd, spec in _filled_dir_specs(head).items()
+                            if vd in vdir_live
+                        },
+                        **{
+                            vd: spec
+                            for vd, spec in _filled_dir_specs(st).items()
+                            if vd in st_vdirs
+                        },
+                    },
+                    "partition_by": head["partition_by"],
+                    "table_stats": (
+                        st.get("table_stats")
+                        if st.get("table_stats") is not None
+                        else head.get("table_stats")
+                    ),
+                }
+                # Schema: the head's unless the stage itself evolved it.
+                schema = (
+                    st["schema"]
+                    if base is None or st["schema"] != base["schema"]
+                    else head["schema"]
+                )
+            new_v = self.latest_version() + 1
+            manifest = {
+                "version": new_v,
+                "parent": head_v,
+                "mode": "wap_publish",
+                "manifest_kind": "full",
+                "partition_by": merged["partition_by"],
+                "partitions": merged["partitions"],
+                "dir_stats": merged.get("dir_stats", {}),
+                "file_stats": merged.get("file_stats", {}),
+                "file_blooms": merged.get("file_blooms", {}),
+                "delete_sets": merged.get("delete_sets", []),
+                "dir_specs": _filled_dir_specs(merged),
+                "dir_rows": merged.get("dir_rows", {}),
+                "table_stats": merged.get("table_stats"),
+                "committed_at_ms": int(time.time() * 1000),
+                "metadata": meta,
+                "schema": schema,
+                "watermarks": {
+                    **((head or {}).get("watermarks") or {}),
+                    **own_wm,
+                },
+            }
+            self._commit_manifest(new_v, manifest)
+        return new_v
+
+    def abandon_staged(self, wap_id: str) -> int:
+        """Drop every unpublished staged snapshot carrying ``wap_id`` --
+        manifests AND their attempt-unique data directories (nothing
+        else can reference an unpublished stage).  The failed-audit
+        exit of the WAP pattern; refuses after a publish."""
+        if wap_id in self.committed_metadata("published_wap"):
+            raise ValueError(
+                f"wap id {wap_id!r} was published; rollback() the table "
+                "instead of abandoning the stage"
+            )
+        staged = sorted(self.staged_versions(wap_id))
+        if not staged:
+            raise ValueError(f"no staged snapshots with wap id {wap_id!r}")
+        droot = f"{self.root.rstrip('/')}/{DATA_DIR}"
+        for sv in staged:
+            st = self._read_manifest(sv)
+            for vds in st["partitions"].values():
+                for vd in vds:
+                    if _vdir_version(vd) == sv:
+                        delete_prefix(self.spark, f"{droot}/{vd}")
+            delete_prefix(self.spark, self._manifest_path(sv))
+        return len(staged)
 
     def delete_keys(
         self,
@@ -654,7 +927,7 @@ class SnapshotStore:
         sets (checked)."""
         if not key_cols:
             raise ValueError("key_cols must be non-empty")
-        parent_v = self.latest_version()
+        parent_v = self.current_version()
         if parent_v is None:
             raise ValueError(f"no snapshots committed under {self.root}")
         parent = self._read_manifest(parent_v)
@@ -675,7 +948,7 @@ class SnapshotStore:
                 raise ValueError(
                     f"delete key_cols {key_cols} != existing {d['key_cols']}"
                 )
-        version = parent_v + 1
+        version = self.latest_version() + 1
         vdir = f"v{version}-{uuid.uuid4().hex[:8]}-del"
         del_path = f"{self.root.rstrip('/')}/{DATA_DIR}/{vdir}"
         keys_df.select(*key_cols).dropDuplicates(key_cols).write.format(
@@ -739,9 +1012,20 @@ class SnapshotStore:
         bloom_bits: int = BLOOM_BITS,
         watermarks: dict | None = None,
         evolve_partitioning: bool = False,
+        staged: str | None = None,
         _mixed_spec_overwrite_ok: bool = False,
     ) -> int:
         """Commit ``df`` as a new snapshot; returns the committed version.
+
+        ``staged``: a write-audit-publish id (Iceberg's ``wap.id``).
+        The snapshot commits durably -- data written, version number
+        allocated -- but is INVISIBLE to every default read/write path
+        (:meth:`current_version` skips it): reads, watermarks, replay
+        probes and later writes all chain from the published head.  An
+        auditor reads it explicitly via ``read(as_of=version)``, then
+        either :meth:`publish_staged` replays it onto the head or
+        :meth:`abandon_staged` drops it -- the WAP pattern: bad data
+        never becomes table state, yet is validated exactly as written.
 
         mode: 'snapshot' | 'append' | 'overwrite_partitions'
         ``partition_by`` must be stable across the table's lifetime
@@ -794,7 +1078,9 @@ class SnapshotStore:
         """
         if mode not in ("snapshot", "append", "overwrite_partitions"):
             raise ValueError(f"unknown snapshot write mode: {mode}")
-        parent_v = self.latest_version()
+        if staged is not None:
+            self._check_ref_name(staged)
+        parent_v = self.current_version()
         parent = self._read_manifest(parent_v) if parent_v is not None else None
         pby = list(partition_by or [])
         if parent is not None and parent["partition_by"] != pby:
@@ -826,7 +1112,8 @@ class SnapshotStore:
                     "is unsafe until a snapshot-mode rewrite normalizes "
                     "the layout"
                 )
-        version = 0 if parent_v is None else parent_v + 1
+        latest = self.latest_version()
+        version = 0 if latest is None else latest + 1
         # Attempt-UNIQUE data directory (the Iceberg convention): two
         # committers racing for the same version must not write into one
         # path -- the commit rename decides the winner only AFTER both
@@ -1022,6 +1309,7 @@ class SnapshotStore:
             "committed_at_ms": int(time.time() * 1000),
             "metadata": dict(metadata or {}),
             "table_stats": table_stats,
+            **({"staged": staged} if staged is not None else {}),
             # Written-frame schema: lets read() serve a committed-but-
             # EMPTY snapshot (e.g. a CDC batch whose deletes emptied
             # every partition) as an empty typed frame instead of
@@ -1143,7 +1431,7 @@ class SnapshotStore:
         directories without stats for a filtered column are kept
         (sound).  Exposed separately from :meth:`read` so tests and
         observability can assert pruning decisions without scanning."""
-        version = self.latest_version() if as_of is None else as_of
+        version = self.current_version() if as_of is None else as_of
         if version is None:
             raise ValueError(f"no snapshots committed under {self.root}")
         manifest = self._read_manifest(version)
@@ -1264,7 +1552,7 @@ class SnapshotStore:
             if as_of is not None:
                 raise ValueError("pass as_of or ref, not both")
             as_of = self.resolve_ref(ref)
-        version = self.latest_version() if as_of is None else as_of
+        version = self.current_version() if as_of is None else as_of
         if version is None:
             raise ValueError(f"no snapshots committed under {self.root}")
         points = dict(point_filter or {})
@@ -1327,7 +1615,7 @@ class SnapshotStore:
         proven exact from metadata alone: a live directory without a
         recorded count, or live merge-on-read delete sets (the masked
         rows are not knowable without reading)."""
-        version = self.latest_version() if as_of is None else as_of
+        version = self.current_version() if as_of is None else as_of
         if version is None:
             raise ValueError(f"no snapshots committed under {self.root}")
         manifest = self._read_manifest(version)
@@ -1370,7 +1658,7 @@ class SnapshotStore:
         that would then be re-emitted as if new, so the method refuses
         loudly instead of double-delivering (the same refusal Iceberg's
         incremental scan gives across replace snapshots)."""
-        head = self.latest_version() if as_of is None else as_of
+        head = self.current_version() if as_of is None else as_of
         if head is None:
             raise ValueError(f"no snapshots committed under {self.root}")
         if since_version > head:
@@ -1505,7 +1793,7 @@ class SnapshotStore:
         collisions can merge a pair of sub-target files, so the target
         bounds expected -- not worst-case -- rows per file.
         """
-        head = self.latest_version()
+        head = self.current_version()
         if head is None:
             return None
         manifest = self._read_manifest(head)
@@ -1610,12 +1898,28 @@ class SnapshotStore:
             raise ValueError("keep_last must be >= 1")
         now_ms = int(time.time() * 1000)
         vs = self.versions()
-        # Tagged versions are retention-proof (the Iceberg tag
+        # keep_last counts PUBLISHED history; unpublished staged (WAP)
+        # snapshots are kept while younger than the orphan grace -- an
+        # audit still in flight -- and expired with their data after it
+        # (Iceberg expires abandoned staged snapshots by age the same
+        # way).  Tagged versions are retention-proof (the Iceberg tag
         # contract): a tag pins its snapshot AND its data dirs past
         # keep_last, until the tag is deleted.
-        keep = set(vs[-keep_last:]) | {
-            v for v in self.tags().values() if v in vs
+        staged_at = {
+            v: raw["committed_at_ms"]
+            for v in vs
+            if (raw := self._read_manifest_raw(v)).get("staged") is not None
         }
+        published = [v for v in vs if v not in staged_at]
+        keep = (
+            set(published[-keep_last:])
+            | {v for v in self.tags().values() if v in vs}
+            | {
+                v
+                for v, at in staged_at.items()
+                if now_ms - at <= orphan_grace_ms
+            }
+        )
         live_vdirs: set[str] = set()
         expired_vdirs: set[str] = set()
         for v in vs:
@@ -1626,16 +1930,18 @@ class SnapshotStore:
             # merge-on-read delete dirs are as live as the data they mask
             target.update(d["dir"] for d in m.get("delete_sets", []))
         expired_vdirs -= live_vdirs
-        # Versions are dense (parent = version - 1).  Any kept delta
-        # whose PARENT is being dropped loses its resolution chain --
-        # with tags the kept set can have holes, not just a truncated
-        # prefix -- so materialize every such delta as a full
-        # checkpoint BEFORE deleting ancestors.
+        # Any kept delta whose PARENT manifest is being dropped loses
+        # its resolution chain -- tag holes and staged commits (whose
+        # parent is the published head at stage time, not version-1)
+        # both make the kept set non-contiguous -- so materialize every
+        # such delta as a full checkpoint BEFORE deleting ancestors.
         if keep and any(v not in keep for v in vs):
             for v in sorted(keep):
-                if (v - 1) in keep:
-                    continue
-                if self._read_manifest_raw(v).get("manifest_kind") == "delta":
+                raw = self._read_manifest_raw(v)
+                if (
+                    raw.get("manifest_kind") == "delta"
+                    and raw["parent"] not in keep
+                ):
                     resolved = dict(self._read_manifest(v))
                     resolved["manifest_kind"] = "full"
                     self._replace_manifest(v, resolved)
@@ -1728,6 +2034,15 @@ class SnapshotTableManager:
 
     def read_appends(self, table: str, since_version: int) -> DataFrame:
         return self.store(table).read_appends(since_version)
+
+    def publish_staged(self, table: str, wap_id: str) -> int:
+        return self.store(table).publish_staged(wap_id)
+
+    def abandon_staged(self, table: str, wap_id: str) -> int:
+        return self.store(table).abandon_staged(wap_id)
+
+    def staged_versions(self, table: str, wap_id: str | None = None) -> dict:
+        return self.store(table).staged_versions(wap_id)
 
     def count_rows(self, table: str, **kw) -> int | None:
         return self.store(table).count_rows(**kw)

@@ -1689,3 +1689,105 @@ def snapshot_compaction_sizing_read(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "snapshot_wap_publish_read",
+    oracle="""
+    WITH good AS (
+        SELECT doc_id + 10000000 AS doc_id, text, lang,
+               'wap' AS source, n_chars + 1 AS n_chars
+        FROM documents WHERE lang = 'en' AND doc_id % 3 = 0
+    )
+    SELECT CAST(0 AS INT) AS phase, lang,
+           CAST(COUNT(*) AS BIGINT)    AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT CAST(1 AS INT), lang,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT)
+    FROM (SELECT * FROM documents UNION ALL SELECT * FROM good)
+    GROUP BY lang
+    ORDER BY phase, lang
+    """,
+    category="etl",
+    description="write-audit-publish under the gate: stage a good crawl "
+    "batch and a corrupt one as INVISIBLE WAP snapshots (Iceberg "
+    "wap.id), audit each staged snapshot with the expectations "
+    "operator, abandon the failing one and publish the passing one; "
+    "phase 0 aggregates the head while both stages are pending (must "
+    "equal the base table -- staging leaked nothing), phase 1 the head "
+    "after publish (base + good batch only).  The oracle recomputes "
+    "both states from the source table.  Publish is a metadata-only "
+    "cherry-pick: staged dirs are re-pointed, never rewritten",
+)
+def snapshot_wap_publish_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..operators.expectations import check, in_range, not_null
+    from ..snapshots import SnapshotStore
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    root = (
+        f"{tempfile.gettempdir()}/snapshot_wap_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(spark, root)
+    by_lang = docs.repartition("lang")
+    store.write(by_lang, mode="snapshot", partition_by=["lang"])
+
+    good = docs.where(
+        (F.col("lang") == "en") & (F.col("doc_id") % 3 == 0)
+    ).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("wap").alias("source"),
+        (F.col("n_chars") + 1).alias("n_chars"),
+    ).repartition("lang")
+    bad = docs.limit(50).select(
+        "doc_id",
+        "text",
+        F.lit("xx").alias("lang"),
+        F.lit("wap").alias("source"),
+        (-F.col("n_chars")).alias("n_chars"),  # audit-failing payload
+    )
+    sv_good = store.write(
+        good, mode="append", partition_by=["lang"], staged="crawl-good"
+    )
+    sv_bad = store.write(
+        bad, mode="append", partition_by=["lang"], staged="crawl-bad"
+    )
+
+    # Phase 0: the visible head while both stages are pending.  The
+    # partition map is resolved NOW, so this frame proves staging leaked
+    # nothing even though it is evaluated after the publish below.
+    def _agg(df: DataFrame, phase: int) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        ).select(
+            F.lit(phase).cast("int").alias("phase"),
+            "lang",
+            "n_docs",
+            "sum_doc_id",
+        )
+
+    pending = _agg(store.read(), 0)
+
+    # The audit: expectations evaluated on each staged snapshot EXACTLY
+    # as written (read by explicit version).  Constraint-count rows --
+    # metadata-sized collect.
+    suite = [not_null("doc_id"), in_range("n_chars", 0, 1 << 40)]
+    for sv, wap in ((sv_good, "crawl-good"), (sv_bad, "crawl-bad")):
+        verdict = check(store.read(as_of=sv), suite).collect()
+        if all(r["passed"] for r in verdict):
+            store.publish_staged(wap)
+        else:
+            store.abandon_staged(wap)
+
+    return pending.unionByName(_agg(store.read(), 1)).orderBy("phase", "lang")

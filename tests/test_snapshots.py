@@ -1172,3 +1172,196 @@ def test_review_hardening_fixes(spark, root):
     with open(f"{root}_2/_refs/broken.json", "w", encoding="utf-8") as f:
         f.write("")
     assert store2.tags() == {"old": 0}
+
+
+def test_wap_stage_is_invisible_until_published(spark, root):
+    """Write-audit-publish (Iceberg wap.id): a staged commit is durable
+    and auditable by explicit version, but reads, watermarks, replay
+    probes and later writes all chain from the published head."""
+    store = SnapshotStore(spark, root)
+    base = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p2")], "id int, v string, p string"
+    )
+    v0 = store.write(base, mode="snapshot", partition_by=["p"])
+    batch = spark.createDataFrame([(3, "c", "p1")], "id int, v string, p string")
+    sv = store.write(
+        batch,
+        mode="append",
+        partition_by=["p"],
+        staged="load-3",
+        metadata={"batch_id": "b3"},
+        watermarks={"hi_batch": "b3"},
+    )
+    assert sv == v0 + 1
+    # invisible everywhere by default...
+    assert store.current_version() == v0
+    assert _rows(store.read()) == [(1, "a", "p1"), (2, "b", "p2")]
+    assert store.watermark("hi_batch") is None
+    assert "b3" not in store.committed_metadata("batch_id")
+    # ...but fully auditable as written
+    assert (3, "c", "p1") in _rows(store.read(as_of=sv))
+    # a later unrelated write chains from the published head, not the stage
+    v2 = store.write(
+        spark.createDataFrame([(9, "z", "p2")], "id int, v string, p string"),
+        mode="append",
+        partition_by=["p"],
+    )
+    assert store._read_manifest_raw(v2)["parent"] == v0
+    # publish replays the staged append onto the moved head: all 4 rows
+    pv = store.publish_staged("load-3")
+    assert _rows(store.read()) == [
+        (1, "a", "p1"),
+        (2, "b", "p2"),
+        (3, "c", "p1"),
+        (9, "z", "p2"),
+    ]
+    assert store.watermark("hi_batch") == "b3"
+    assert "b3" in store.committed_metadata("batch_id")
+    man = store._read_manifest(pv)
+    assert man["mode"] == "wap_publish"
+    assert man["metadata"]["published_wap"] == "load-3"
+    # published stages are no longer "staged" (the marker stays on the
+    # old manifest, but published_from excludes it)
+    assert store.staged_versions() == {}
+    with pytest.raises(ValueError, match="already published"):
+        store.publish_staged("load-3")
+
+
+def test_wap_abandon_drops_manifest_and_data(spark, root):
+    store = SnapshotStore(spark, root)
+    base = spark.createDataFrame([(1, "a")], "id int, v string")
+    store.write(base, mode="snapshot")
+    sv = store.write(
+        spark.createDataFrame([(2, "bad")], "id int, v string"),
+        mode="append",
+        staged="audit-fail",
+    )
+    assert store.staged_versions() == {sv: "audit-fail"}
+    assert store.abandon_staged("audit-fail") == 1
+    assert store.staged_versions() == {}
+    assert sv not in store.versions()
+    assert _rows(store.read()) == [(1, "a")]
+    # the staged data dir is gone too (no orphan for expire to chase)
+    import os
+
+    droot = os.path.join(root, "data")
+    assert not any(n.startswith(f"v{sv}-") for n in os.listdir(droot))
+    with pytest.raises(ValueError, match="no staged"):
+        store.abandon_staged("audit-fail")
+
+
+def test_wap_overwrite_replay_and_conflict(spark, root):
+    """A staged dynamic overwrite publishes iff its partitions did not
+    change under it (Iceberg cherry-pick rule); a touched partition
+    conflicts loudly."""
+    store = SnapshotStore(spark, root)
+    rows = [(1, "a", "p1"), (2, "b", "p2"), (3, "c", "p3")]
+    store.write(
+        spark.createDataFrame(rows, "id int, v string, p string"),
+        mode="snapshot",
+        partition_by=["p"],
+    )
+    sv = store.write(
+        spark.createDataFrame([(20, "B", "p2")], "id int, v string, p string"),
+        mode="overwrite_partitions",
+        partition_by=["p"],
+        staged="fix-p2",
+    )
+    # head moves in an UNRELATED partition -> replay is safe
+    store.write(
+        spark.createDataFrame([(30, "C", "p3")], "id int, v string, p string"),
+        mode="overwrite_partitions",
+        partition_by=["p"],
+    )
+    store.publish_staged("fix-p2")
+    assert _rows(store.read()) == [
+        (1, "a", "p1"),
+        (20, "B", "p2"),
+        (30, "C", "p3"),
+    ]
+    # now a staged overwrite whose partition IS overwritten underneath
+    store.write(
+        spark.createDataFrame([(201, "x", "p2")], "id int, v string, p string"),
+        mode="overwrite_partitions",
+        partition_by=["p"],
+        staged="fix2-p2",
+    )
+    store.write(
+        spark.createDataFrame([(202, "y", "p2")], "id int, v string, p string"),
+        mode="overwrite_partitions",
+        partition_by=["p"],
+    )
+    with pytest.raises(SnapshotConflict, match="changed between"):
+        store.publish_staged("fix2-p2")
+    # fast-forward path: full-replace staged with unmoved head publishes
+    store.abandon_staged("fix2-p2")
+    store.write(
+        spark.createDataFrame([(7, "q", "p9")], "id int, v string, p string"),
+        mode="snapshot",
+        partition_by=["p"],
+        staged="replace-all",
+    )
+    store.publish_staged("replace-all")
+    assert _rows(store.read()) == [(7, "q", "p9")]
+
+
+def test_wap_expire_ages_out_abandoned_stages(spark, root):
+    """Retention: unpublished stages survive expire while younger than
+    the orphan grace (audit in flight), and are reclaimed -- manifest
+    and data -- once aged; published history is unaffected."""
+    store = SnapshotStore(spark, root)
+    store.write(
+        spark.createDataFrame([(1, "a")], "id int, v string"), mode="snapshot"
+    )
+    sv = store.write(
+        spark.createDataFrame([(2, "s")], "id int, v string"),
+        mode="append",
+        staged="slow-audit",
+    )
+    res = store.expire_snapshots(keep_last=1, orphan_grace_ms=3600 * 1000)
+    assert sv in store.versions()  # young stage kept
+    assert res["dropped_data_dirs"] == 0
+    res = store.expire_snapshots(keep_last=1, orphan_grace_ms=0)
+    assert sv not in store.versions()  # aged stage reclaimed
+    assert store.staged_versions() == {}
+    assert _rows(store.read()) == [(1, "a")]
+
+
+def test_wap_stats_ride_publish(spark, root):
+    """Zone maps / row counts recorded by the staged write survive the
+    publish replay: pruning metadata is not degraded by going through
+    the WAP door."""
+    store = SnapshotStore(spark, root)
+    store.write(
+        spark.createDataFrame(
+            [(5, "p1"), (6, "p2")], "k int, p string"
+        ),
+        mode="snapshot",
+        partition_by=["p"],
+        stats_cols=["k"],
+    )
+    store.write(
+        spark.createDataFrame([(100, "p1")], "k int, p string"),
+        mode="append",
+        partition_by=["p"],
+        staged="big-k",
+        stats_cols=["k"],
+    )
+    # head moves so the publish takes the replay path, not fast-forward
+    store.write(
+        spark.createDataFrame([(7, "p2")], "k int, p string"),
+        mode="append",
+        partition_by=["p"],
+        stats_cols=["k"],
+    )
+    pv = store.publish_staged("big-k")
+    # metadata count proves dir_rows carried for every dir incl. staged
+    assert store.count_rows() == 4
+    # zone maps prune: k>=100 must scan only the staged dir
+    _, by_vdir, n_skipped, n_total = store.plan_dirs(
+        range_filter=("k", 50, 1000)
+    )
+    assert n_total == 4 and n_skipped == 3
+    man = store._read_manifest(pv)
+    staged_dirs = [d for d in man["dir_stats"] if "p1" in d]
+    assert any(man["dir_stats"][d]["k"] == [100, 100] for d in staged_dirs)
