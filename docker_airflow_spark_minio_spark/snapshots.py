@@ -1590,7 +1590,9 @@ class SnapshotStore:
                 from pyspark.sql import functions as F
 
                 df = self._scan(by_vdir)
-                return df.where(F.lit(False))
+                return self._retype_void_columns(
+                    df.where(F.lit(False)), manifest
+                )
             raise ValueError(
                 f"no matching partitions in snapshot v{version} under {self.root}"
             )
@@ -1602,7 +1604,7 @@ class SnapshotStore:
                 df = df.where((F.col(col) >= lo) & (F.col(col) <= hi))
             for col, value in points.items():
                 df = df.where(F.col(col) == value)
-        return df
+        return self._retype_void_columns(df, manifest)
 
     def count_rows(
         self, as_of: int | None = None, partitions: list[str] | None = None
@@ -1641,6 +1643,32 @@ class SnapshotStore:
                     return None
                 total += int(n)
         return total
+
+    def commit_modes(
+        self, since_version: int, as_of: int | None = None
+    ) -> dict[int, str | None]:
+        """Commit modes of the published window ``(since_version,
+        as_of]`` (default head) -- ``None`` for versions lost to
+        retention; staged (WAP) commits are omitted (not table state).
+        Lets incremental consumers (:class:`~..matview.IncrementalMatView`,
+        custom CDC readers) decide delta-vs-full from metadata alone:
+        O(window) manifest reads, no data touched."""
+        head = self.current_version() if as_of is None else as_of
+        if head is None:
+            raise ValueError(f"no snapshots committed under {self.root}")
+        if since_version > head:
+            raise ValueError(f"since_version {since_version} > head {head}")
+        committed = set(self.versions())
+        out: dict[int, str | None] = {}
+        for v in range(since_version + 1, head + 1):
+            if v not in committed:
+                out[v] = None
+                continue
+            raw = self._read_manifest_raw(v)
+            if raw.get("staged") is not None:
+                continue
+            out[v] = raw["mode"]
+        return out
 
     def read_appends(
         self, since_version: int, as_of: int | None = None
@@ -1692,7 +1720,37 @@ class SnapshotStore:
 
             schema = T.StructType.fromJson(json.loads(manifest["schema"]))
             return self.spark.createDataFrame([], schema)
-        return self._scan(by_vdir, delete_sets=manifest.get("delete_sets"))
+        return self._retype_void_columns(
+            self._scan(by_vdir, delete_sets=manifest.get("delete_sets")),
+            manifest,
+        )
+
+    def _retype_void_columns(self, df: DataFrame, manifest: dict) -> DataFrame:
+        """Subset scans covering ONLY the Hive default (NULL) partition
+        dir make Spark infer the partition column as VOID -- there is no
+        value to infer a type from.  Re-type such columns from the
+        manifest's recorded table schema (a cast of all-NULL values:
+        lossless by construction).  Columns with a REAL inferred type
+        are left alone, so incompatible type changes still fail loudly
+        at analysis rather than being papered over."""
+        void_cols = {f.name for f in df.schema.fields if f.dataType.typeName() == "void"}
+        if not void_cols or not manifest.get("schema"):
+            return df
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        recorded = {
+            f.name: f.dataType
+            for f in T.StructType.fromJson(json.loads(manifest["schema"]))
+        }
+        return df.select(
+            *[
+                F.col(c).cast(recorded[c]).alias(c)
+                if c in void_cols and c in recorded
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
 
     def _scan(
         self,

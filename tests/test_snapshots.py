@@ -1174,6 +1174,24 @@ def test_review_hardening_fixes(spark, root):
     assert store2.tags() == {"old": 0}
 
 
+def test_null_only_partition_subset_keeps_recorded_type(spark, root):
+    """A subset read covering ONLY the Hive default (NULL) partition
+    dir must serve the column with its RECORDED type, not the VOID that
+    partition-value inference produces when every value is null."""
+    store = SnapshotStore(spark, root)
+    store.write(
+        spark.createDataFrame([("a", 1), (None, 7)], "g string, x int"),
+        mode="snapshot",
+        partition_by=["g"],
+    )
+    df = store.read(partitions=["g=__HIVE_DEFAULT_PARTITION__"])
+    assert dict((f.name, f.dataType.simpleString()) for f in df.schema.fields) == {
+        "x": "int",
+        "g": "string",
+    }
+    assert [tuple(r) for r in df.collect()] == [(7, None)]
+
+
 def test_wap_stage_is_invisible_until_published(spark, root):
     """Write-audit-publish (Iceberg wap.id): a staged commit is durable
     and auditable by explicit version, but reads, watermarks, replay
