@@ -178,9 +178,11 @@ class IncrementalMatView:
             if self.partition_by:
                 # O(affected partitions) driver rows -- the same
                 # cardinality the overwrite commit itself must track.
-                vals = (
-                    partial.select(*self.partition_by).distinct().collect()
-                )
+                # Probed on the raw delta (a shuffle of the partition
+                # columns only), not on ``partial``, which would
+                # recompute the whole delta aggregation just to list
+                # its groups.
+                vals = delta.select(*self.partition_by).distinct().collect()
                 dirs = [
                     hive_partition_dir(
                         self.spark,
