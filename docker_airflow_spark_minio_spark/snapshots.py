@@ -211,6 +211,11 @@ def _filled_dir_specs(manifest: dict) -> dict[str, list[str]]:
 # deltas back to a checkpoint -- bounded driver-side JSON reads.
 CHECKPOINT_EVERY = 8
 
+#: Namespace prefix separating BRANCH markers from plain WAP ids in the
+#: ``staged`` manifest field -- a branch is a staged chain with extra
+#: lifecycle rules (repeat fast-forwards allowed; see :meth:`SnapshotStore.branch_write`).
+BRANCH_NS = "branch."
+
 
 class SnapshotConflict(RuntimeError):
     """Another committer claimed this version first (optimistic-commit
@@ -729,7 +734,13 @@ class SnapshotStore:
         ``read_appends`` refuses windows crossing a publish commit
         (mode ``wap_publish``), the same contract as any replace.
         """
-        if wap_id in self.committed_metadata("published_wap"):
+        if not wap_id.startswith(BRANCH_NS) and wap_id in self.committed_metadata(
+            "published_wap"
+        ):
+            # A WAP id publishes at most once (idempotence contract).
+            # Branch markers are exempt: staged_versions already
+            # excludes published commits, so a repeat fast-forward
+            # publishes only the commits added since the last one.
             raise ValueError(f"wap id {wap_id!r} already published")
         staged = sorted(self.staged_versions(wap_id))
         if not staged:
@@ -750,8 +761,18 @@ class SnapshotStore:
                 "published_wap": wap_id,
                 "published_from": sv,
             }
-            if head_v == base_v:
+            if head_v == base_v or (
+                head is not None
+                and base_v is not None
+                and (head.get("metadata") or {}).get("published_from")
+                == base_v
+            ):
                 # Fast-forward: the staged state IS head + this commit.
+                # The second arm chains a staged SEQUENCE: when the
+                # current head is the publish of this commit's own
+                # staged parent, the head state equals that parent's
+                # state, so the staged manifest (parent state + this
+                # commit) is exactly head + this commit.
                 merged = st
                 schema = st["schema"]
             elif st["mode"] == "snapshot":
@@ -880,8 +901,14 @@ class SnapshotStore:
         """Drop every unpublished staged snapshot carrying ``wap_id`` --
         manifests AND their attempt-unique data directories (nothing
         else can reference an unpublished stage).  The failed-audit
-        exit of the WAP pattern; refuses after a publish."""
-        if wap_id in self.committed_metadata("published_wap"):
+        exit of the WAP pattern; refuses after a publish.  Branch
+        markers are exempt from the refusal: dropping a branch after a
+        fast-forward discards only the commits staged SINCE it
+        (published branch state is table history, reachable only via
+        ``rollback``)."""
+        if not wap_id.startswith(BRANCH_NS) and wap_id in self.committed_metadata(
+            "published_wap"
+        ):
             raise ValueError(
                 f"wap id {wap_id!r} was published; rollback() the table "
                 "instead of abandoning the stage"
@@ -898,6 +925,82 @@ class SnapshotStore:
                         delete_prefix(self.spark, f"{droot}/{vd}")
             delete_prefix(self.spark, self._manifest_path(sv))
         return len(staged)
+
+    # -- branches (isolated multi-commit lineage) --------------------------
+    #
+    # The Iceberg branch model, built on the staged-snapshot machinery:
+    # a branch is a CHAIN of staged commits (each chaining from the
+    # previous one with the same marker -- see the parent resolution in
+    # :meth:`write`), invisible to every default read/write/maintenance
+    # path until :meth:`fast_forward` publishes it onto main.  Where a
+    # WAP id stages ONE audit batch and publishes at most once, a
+    # branch accumulates arbitrarily many commits, reads back its own
+    # accumulated state while unpublished, and may fast-forward
+    # repeatedly (each publish consumes the commits staged since the
+    # last).  Publish conflict rules are inherited from
+    # :meth:`publish_staged`: if main moved since the branch point,
+    # appends replay cleanly, partition overwrites replay only onto
+    # untouched partitions, full replaces refuse.
+    #
+    # Scale posture: a branch commit costs exactly what the same commit
+    # on main costs (data write + one manifest); fast-forward is
+    # metadata-only (directories re-pointed, never rewritten), so
+    # publishing an N-commit 100 TB backfill branch is N manifest
+    # commits, zero data movement.  Unpublished branches age out with
+    # the same grace window as abandoned WAP stages (expire_snapshots).
+
+    def branch_write(
+        self, name: str, df: DataFrame, mode: str = "append", **kw
+    ) -> int:
+        """Commit to branch ``name`` (created on first write, forking
+        from the published head).  Accepts :meth:`write`'s kwargs;
+        equality deletes / compaction / rollback are main-only."""
+        self._check_ref_name(name)
+        if kw.get("staged") is not None:
+            raise ValueError("branch_write sets staged= itself")
+        return self.write(df, mode=mode, staged=BRANCH_NS + name, **kw)
+
+    def branch_head(self, name: str) -> int | None:
+        """Version of ``name``'s newest UNPUBLISHED commit (None when
+        the branch has none -- never created, dropped, or fully
+        fast-forwarded)."""
+        self._check_ref_name(name)
+        prior = self.staged_versions(BRANCH_NS + name)
+        return max(prior) if prior else None
+
+    def branches(self) -> dict[str, int]:
+        """Live (unpublished) branches, name -> head version."""
+        out: dict[str, int] = {}
+        for v, marker in self.staged_versions().items():
+            if marker.startswith(BRANCH_NS):
+                n = marker[len(BRANCH_NS):]
+                out[n] = max(out.get(n, -1), v)
+        return out
+
+    def branch_read(self, name: str, **kw) -> DataFrame:
+        """Scan the branch's accumulated state (its fork point plus
+        every branch commit so far).  Accepts :meth:`read`'s pruning
+        kwargs (``partitions`` / ``range_filter`` / ``point_filter``)."""
+        head = self.branch_head(name)
+        if head is None:
+            raise ValueError(f"no such branch: {name!r}")
+        return self.read(as_of=head, **kw)
+
+    def fast_forward(self, name: str) -> int:
+        """Publish every commit staged on ``name`` since the last
+        fast-forward onto main, in order (metadata-only; the Iceberg
+        ``fast_forward`` / cherry-pick).  Returns the new head.  Raises
+        :class:`SnapshotConflict` if main changed incompatibly since
+        the branch point; the branch stays intact to retry or drop."""
+        self._check_ref_name(name)
+        return self.publish_staged(BRANCH_NS + name)
+
+    def drop_branch(self, name: str) -> int:
+        """Discard the branch's unpublished commits -- manifests and
+        their data directories; already-fast-forwarded state is table
+        history and stays."""
+        self._check_ref_name(name)
+        return self.abandon_staged(BRANCH_NS + name)
 
     def delete_keys(
         self,
@@ -1079,8 +1182,20 @@ class SnapshotStore:
         if mode not in ("snapshot", "append", "overwrite_partitions"):
             raise ValueError(f"unknown snapshot write mode: {mode}")
         if staged is not None:
-            self._check_ref_name(staged)
+            self._check_ref_name(
+                staged[len(BRANCH_NS):]
+                if staged.startswith(BRANCH_NS)
+                else staged
+            )
         parent_v = self.current_version()
+        if staged is not None:
+            prior = self.staged_versions(staged)
+            if prior:
+                # A staged CHAIN (multi-commit WAP batch, or a branch)
+                # grows from its own unpublished head: a later staged
+                # commit sees and builds on the earlier ones with the
+                # same id, not on the published head it forked from.
+                parent_v = max(prior)
         parent = self._read_manifest(parent_v) if parent_v is not None else None
         pby = list(partition_by or [])
         if parent is not None and parent["partition_by"] != pby:
