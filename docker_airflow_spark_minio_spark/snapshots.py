@@ -86,6 +86,56 @@ REFS_DIR = "_refs"
 # these semantics (tests/fixtures/mockfs/MockS3FileSystem.java).
 NO_ATOMIC_RENAME_SCHEMES = frozenset({"s3", "s3a", "s3n", "mocks3"})
 
+# Markers that identify a LOST COMMIT RACE across the stores we claim
+# on.  file:// createLink raises java.nio.file.FileAlreadyExistsException;
+# HDFS create(overwrite=False) raises o.a.h.fs.FileAlreadyExistsException;
+# real s3a conditional-create failures can instead surface as HTTP 412
+# PreconditionFailed or RemoteFileChangedException whose message lacks
+# any "AlreadyExists" substring -- so classification checks the py4j
+# java_exception CLASS NAMES down the cause chain, not just str(exc).
+_CONFLICT_MSG_MARKERS = (
+    "AlreadyExists",
+    "PreconditionFailed",
+    "Precondition Failed",
+    "RemoteFileChanged",
+    "Status Code: 412",
+    "status code: 412",
+)
+_CONFLICT_CLASS_MARKERS = (
+    "FileAlreadyExistsException",
+    "RemoteFileChangedException",
+    "PathExistsException",
+)
+
+
+def _is_conflict_exc(exc: Exception) -> bool:
+    """True when ``exc`` (possibly a py4j-wrapped Java exception) means
+    ANOTHER WRITER ALREADY CREATED the destination -- a lost
+    single-winner race, not an infrastructure failure.  Misclassifying
+    a real conflict as a raw error would bypass callers' SnapshotConflict
+    cleanup/retry contracts, so this matches both message markers and
+    Java exception class names along the getCause() chain."""
+    if any(m in str(exc) for m in _CONFLICT_MSG_MARKERS):
+        return True
+    j = getattr(exc, "java_exception", None)
+    hops = 0
+    while j is not None and hops < 8:
+        try:
+            cls = j.getClass().getName()
+            msg = j.getMessage() or ""
+        except Exception:  # noqa: BLE001 -- dead gateway: fall through
+            return False
+        if any(c in cls for c in _CONFLICT_CLASS_MARKERS):
+            return True
+        if any(m in msg for m in _CONFLICT_MSG_MARKERS):
+            return True
+        try:
+            j = j.getCause()
+        except Exception:  # noqa: BLE001
+            return False
+        hops += 1
+    return False
+
 # Per-file BLOOM FILTERS (``bloom_cols`` at write time): zone maps
 # prune range predicates, but a POINT lookup on a high-cardinality key
 # whose values are hash-scattered across files (the common layout for
@@ -386,31 +436,54 @@ class SnapshotStore:
           HDFS-semantics stores (rename fails on an existing
           destination).
         """
-        final = self._manifest_path(version)
-        payload = bytearray(json.dumps(manifest).encode("utf-8"))
+        self._write_atomic_claim(
+            self._manifest_path(version),
+            json.dumps(manifest).encode("utf-8"),
+            f"{self.root.rstrip('/')}/{MANIFEST_DIR}/.v{version}.json.tmp",
+            what=f"version {version}",
+        )
+
+    def _write_atomic_claim(
+        self, final: str, payload: bytes, tmp: str, what: str
+    ) -> None:
+        """Single-winner creation of ``final`` holding ``payload`` --
+        the claim primitive behind :meth:`_commit_manifest` AND
+        non-replace :meth:`tag` (any named ref needing lost-update
+        safety).  Raises :class:`SnapshotConflict` when a racer already
+        created the destination; lost races are classified via
+        :func:`_is_conflict_exc` (class names + 412 markers, not just a
+        substring -- real s3a failures don't always say AlreadyExists).
+
+        The staging path gets an ATTEMPT-UNIQUE suffix: were two racers
+        to share one tmp file, the winner's hard link would capture the
+        inode while the LOSER was overwriting it, publishing the loser's
+        bytes under the winner's claim -- then the loser's conflict
+        cleanup deletes the very directories the published manifest
+        references."""
+        tmp = f"{tmp}.{uuid.uuid4().hex[:12]}"
         fs, final_p = _fs_and_path(self.spark, final)
         scheme = fs.getUri().getScheme()
+        buf = bytearray(payload)
         if scheme in NO_ATOMIC_RENAME_SCHEMES:
             fs.mkdirs(final_p.getParent())
             try:
                 out = fs.create(final_p, False)
                 try:
-                    out.write(payload)
+                    out.write(buf)
                 finally:
                     out.close()  # conditional-PUT completion = the claim
             except Exception as exc:  # noqa: BLE001 -- py4j-wrapped java exc
-                if "AlreadyExists" in str(exc):
+                if _is_conflict_exc(exc):
                     raise SnapshotConflict(
-                        f"version {version} already committed at {final}"
+                        f"{what} already committed at {final}"
                     ) from None
                 raise
             return
-        tmp = f"{self.root.rstrip('/')}/{MANIFEST_DIR}/.v{version}.json.tmp"
         fs, tmp_p = _fs_and_path(self.spark, tmp)
         fs.mkdirs(tmp_p.getParent())
         out = fs.create(tmp_p, True)
         try:
-            out.write(payload)
+            out.write(buf)
         finally:
             out.close()
         if scheme == "file":
@@ -421,18 +494,16 @@ class SnapshotStore:
                 jvm.java.nio.file.Files.createLink(dst, src)
             except Exception as exc:  # noqa: BLE001 -- py4j-wrapped java exc
                 fs.delete(tmp_p, False)
-                if "FileAlreadyExistsException" in str(exc):
+                if _is_conflict_exc(exc):
                     raise SnapshotConflict(
-                        f"version {version} already committed at {final}"
+                        f"{what} already committed at {final}"
                     ) from None
                 raise
             fs.delete(tmp_p, False)
             return
         if fs.exists(final_p) or not fs.rename(tmp_p, final_p):
             fs.delete(tmp_p, False)
-            raise SnapshotConflict(
-                f"version {version} already committed at {final}"
-            )
+            raise SnapshotConflict(f"{what} already committed at {final}")
 
     def _replace_manifest(self, version: int, manifest: dict) -> None:
         """Maintenance-only overwrite of an EXISTING manifest with a
@@ -443,12 +514,26 @@ class SnapshotStore:
         move, elsewhere a create-overwrite (readers racing the
         maintenance window may retry, the same contract expire already
         carries for data-dir reclamation)."""
-        final = self._manifest_path(version)
-        payload = bytearray(json.dumps(manifest).encode("utf-8"))
+        self._write_atomic_replace(
+            self._manifest_path(version),
+            json.dumps(manifest).encode("utf-8"),
+            f"{self.root.rstrip('/')}/{MANIFEST_DIR}/.v{version}.json.mat.tmp",
+        )
+
+    def _write_atomic_replace(self, final: str, payload: bytes, tmp: str) -> None:
+        """Overwrite ``final`` with ``payload`` such that a reader never
+        observes a torn file AND the destination never transiently
+        disappears: ``file://`` gets an atomic REPLACE_EXISTING move,
+        other schemes a create-overwrite (their strongest primitive).
+        The staging path is attempt-unique for the same reason as
+        :meth:`_write_atomic_claim` -- concurrent replacers must not
+        publish each other's in-flight bytes."""
+        tmp = f"{tmp}.{uuid.uuid4().hex[:12]}"
         fs, final_p = _fs_and_path(self.spark, final)
+        payload = bytearray(payload)
         if fs.getUri().getScheme() == "file":
-            tmp = f"{self.root.rstrip('/')}/{MANIFEST_DIR}/.v{version}.json.mat.tmp"
             _, tmp_p = _fs_and_path(self.spark, tmp)
+            fs.mkdirs(tmp_p.getParent())
             out = fs.create(tmp_p, True)
             try:
                 out.write(payload)
@@ -534,7 +619,16 @@ class SnapshotStore:
         Iceberg tag): :meth:`expire_snapshots` keeps tagged versions
         (and their data) alive regardless of ``keep_last``, and
         :meth:`read` accepts ``ref=name``.  Defaults to the current
-        head; ``replace=True`` re-points an existing tag."""
+        head; ``replace=True`` re-points an existing tag.
+
+        Creation rides the SAME single-winner claim as
+        :meth:`_commit_manifest` (createLink on ``file://``, conditional
+        create on S3 schemes): a plain exists()+rename has a TOCTOU on
+        RawLocalFileSystem, whose rename silently REPLACES an existing
+        destination -- two racing tag() calls would both "succeed" with
+        one silently clobbered.  ``replace=True`` is an atomic
+        REPLACE_EXISTING swap, so a repointed ref never transiently
+        disappears to a concurrent reader."""
         self._check_ref_name(name)
         v = self.current_version() if version is None else version
         if v is None or v not in self.versions():
@@ -542,27 +636,23 @@ class SnapshotStore:
         payload = json.dumps(
             {"name": name, "version": v, "created_at_ms": int(time.time() * 1000)}
         ).encode("utf-8")
-        fs, p = _fs_and_path(self.spark, self._ref_path(name))
-        fs.mkdirs(p.getParent())
-        if not replace and fs.exists(p):
-            raise ValueError(f"tag {name!r} already exists")
-        # tmp-write-then-rename: a concurrent tags() reader must never
-        # observe a torn/empty JSON mid-write (the same reason
-        # _commit_manifest never writes the final path directly)
-        tmp_path = (
-            f"{self.root.rstrip('/')}/{REFS_DIR}/.{name}.json.tmp"
-        )
-        fs, tmp_p = _fs_and_path(self.spark, tmp_path)
-        out = fs.create(tmp_p, True)
+        final = self._ref_path(name)
+        tmp = f"{self.root.rstrip('/')}/{REFS_DIR}/.{name}.json.tmp"
+        if replace:
+            fs, p = _fs_and_path(self.spark, final)
+            if fs.exists(p):
+                self._write_atomic_replace(final, payload, tmp)
+                return v
         try:
-            out.write(bytearray(payload))
-        finally:
-            out.close()
-        if replace and fs.exists(p):
-            fs.delete(p, False)
-        if not fs.rename(tmp_p, p):
-            fs.delete(tmp_p, False)
-            raise ValueError(f"tag {name!r} already exists")
+            self._write_atomic_claim(final, payload, tmp, what=f"tag {name!r}")
+        except SnapshotConflict:
+            if replace:
+                # lost a race with a concurrent creator between the
+                # exists() probe and the claim: the tag exists now, and
+                # replace=True means "repoint whatever is there"
+                self._write_atomic_replace(final, payload, tmp)
+                return v
+            raise ValueError(f"tag {name!r} already exists") from None
         return v
 
     def tags(self) -> dict[str, int]:
@@ -746,6 +836,14 @@ class SnapshotStore:
         if not staged:
             raise ValueError(f"no staged snapshots with wap id {wap_id!r}")
         new_v = None
+        # True while the published head state still EQUALS the staged
+        # chain's own state -- the precondition for the chained
+        # fast-forward arm below.  A replay onto a moved head merges in
+        # commits the staged chain never saw, after which a child's
+        # staged manifest (parent state + child) is NOT head + child:
+        # fast-forwarding it would silently drop main's intervening
+        # data (lost update), so every later commit must replay too.
+        ff_chain = True
         for sv in staged:
             raw = self._read_manifest_raw(sv)
             st = self._read_manifest(sv)
@@ -762,7 +860,8 @@ class SnapshotStore:
                 "published_from": sv,
             }
             if head_v == base_v or (
-                head is not None
+                ff_chain
+                and head is not None
                 and base_v is not None
                 and (head.get("metadata") or {}).get("published_from")
                 == base_v
@@ -781,6 +880,7 @@ class SnapshotStore:
                     f"advanced from v{base_v} to v{head_v} since the stage"
                 )
             else:
+                ff_chain = False  # merging commits the chain never saw
                 if st["partition_by"] != head["partition_by"]:
                     raise SnapshotConflict(
                         f"cannot publish staged v{sv}: partition spec "
@@ -1817,7 +1917,16 @@ class SnapshotStore:
                     "consume via snapshot_diff or restart from a full "
                     "read"
                 )
-            mode = self._read_manifest_raw(v)["mode"]
+            raw = self._read_manifest_raw(v)
+            if raw.get("staged") is not None:
+                # unpublished WAP/branch snapshots are not table state
+                # (same rule as commit_modes): their dirs are absent
+                # from the head's partition map, so an unpublished
+                # staged full-replace inside the window must not trip
+                # the replace refusal below -- publish_staged re-records
+                # the mode on the publish commit, which IS in-window
+                continue
+            mode = raw["mode"]
             if mode not in ("append", "delete_keys"):
                 raise ValueError(
                     f"incremental read window crosses a '{mode}' commit "
@@ -1921,6 +2030,18 @@ class SnapshotStore:
             if dels is not None:
                 from pyspark.sql import functions as F
 
+                for f in dels.schema.fields:
+                    if f.name not in scan.columns:
+                        # delete keyed on a column ADDED by schema
+                        # evolution after this directory was written:
+                        # its rows carry NULL there, and NULL never
+                        # equals a delete key (the documented NULL-key
+                        # semantics), so null-fill instead of letting
+                        # the anti-join fail UNRESOLVED_USING_COLUMN
+                        # and wedge every read of the table
+                        scan = scan.withColumn(
+                            f.name, F.lit(None).cast(f.dataType)
+                        )
                 scan = scan.join(
                     F.broadcast(dels), on=list(dels.columns), how="left_anti"
                 )
