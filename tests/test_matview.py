@@ -259,3 +259,33 @@ def test_null_group_partition_roundtrip(spark, roots):
     assert mv.refresh()["mode"] == "incremental"
     got = {tuple(r) for r in mv.read().select("g", "n", "s").collect()}
     assert got == {("a", 1, 1), (None, 2, 10)}
+
+
+def test_refresh_incremental_with_staged_commit_in_window(spark, roots):
+    """An unpublished staged (WAP) commit inside the refresh window is
+    not table state: commit_modes omits it (so refresh picks
+    incremental) and read_appends must skip it too -- a staged
+    full-replace in the window used to crash the refresh after
+    commit_modes had already promised append-only."""
+    source, mv = _mk(spark, roots)
+    source.write(
+        spark.createDataFrame([("a", 1)], "g STRING, x INT"),
+        mode="snapshot",
+        partition_by=["g"],
+    )
+    assert mv.refresh()["mode"] == "full"
+    # staged full replace (never published) + a published append
+    source.write(
+        spark.createDataFrame([("z", 99)], "g STRING, x INT"),
+        mode="snapshot",
+        partition_by=["g"],
+        staged="audit-mv",
+    )
+    source.write(
+        spark.createDataFrame([("a", 2), ("b", 5)], "g STRING, x INT"),
+        mode="append",
+        partition_by=["g"],
+    )
+    out = mv.refresh()
+    assert out["mode"] == "incremental", out
+    assert _mvrows(mv) == [("a", 2, 3, 1, 2), ("b", 1, 5, 5, 5)]
