@@ -1,0 +1,431 @@
+"""LM training-data curation workloads: published-rule quality filtering,
+corpus-LM novelty scoring, importance-resampling feature leans, and
+temperature-based mixture weights.
+
+These extend the text/curation families with the *named* techniques a
+large-scale pretraining pipeline runs (the reference computes nothing
+text-analytic -- its documents are opaque payloads; SURVEY.md section
+7.2.5 marks this whole family as extension surface):
+
+* Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+  Methods, Analysis & Insights from Training Gopher", App. A1.1)
+* corpus bigram-LM novelty (the KenLM-style rarity filter shape of
+  CCNet/RefinedWeb, re-expressed as exact integer document-frequency
+  rarity so the oracle hash-matches)
+* DSIR-style hashed n-gram importance leans (Xie et al. 2023, "Data
+  Selection for Language Models via Importance Resampling"),
+  integer-exact via cross-multiplied ratio comparison
+* unigram-LM temperature sampling weights (multilingual mixing a la
+  XLM-R: weight ~ n^alpha) -- exact across engines because IEEE-754
+  mandates correctly-rounded sqrt, so alpha in {0.5, 0.25} is portable
+
+Everything stays JVM-side (split / higher-order functions / one hash
+aggregate); ratios are integer per-mille (``a*1000 // b``), never float
+division, so every output column is bit-exact against DuckDB.
+
+Scale notes (100 TB posture):
+ * gopher rules: scan -> project -> one low-cardinality hash agg; zero
+   joins, zero Python
+ * bigram novelty: the document-frequency table is filtered to df >= 2
+   BEFORE the back-join, dropping the singleton tail that dominates web
+   corpora (Zipf: most bigrams are unique), and bigrams travel as 8-byte
+   portable hashes, never strings
+ * DSIR leans: the per-bucket model is a FIXED 1024-row table (hashed
+   feature space), broadcast back over a map-only scoring pass -- the
+   same two-aggregate shape at any corpus size
+ * temperature weights: one aggregate to per-source counts (rows ==
+   number of sources), then driver-free 1-row-broadcast normalization
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h32, h32_sql
+from ..functions.text import (
+    shingles_from_tokens,
+    shingles_sql,
+    tokens_expr,
+    tokens_sql,
+)
+from .base import load_tables, register
+
+# Gopher's "stop word" presence rule uses this fixed list (Rae et al.
+# 2021 App. A1.1: a document must contain at least two of them).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# Hashed feature space for the DSIR lean model (the paper uses 10k
+# buckets for hashed n-grams; 1024 keeps the bucket table obviously
+# broadcastable while preserving the shape).
+DSIR_BUCKETS = 1024
+
+
+@register(
+    "text_gopher_quality_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang,
+               {tokens_sql("text")}                                AS toks,
+               length(replace(text, ' ', ''))                      AS wchars,
+               len(regexp_extract_all(text, '#|\\.\\.\\.'))        AS n_sym
+        FROM documents
+    ), f AS (
+        SELECT lang,
+               len(toks) AS n_tok,
+               wchars,
+               n_sym,
+               len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+                   AS n_alpha,
+               len(list_intersect(list_distinct(toks),
+                   {GOPHER_STOPWORDS!r}))                           AS n_stop
+        FROM t
+    ), r AS (
+        SELECT lang,
+               CASE WHEN n_tok BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+                   AS r_wordcount,
+               CASE WHEN wchars >= 3 * n_tok AND wchars <= 10 * n_tok
+                    THEN 1 ELSE 0 END                               AS r_meanlen,
+               CASE WHEN n_sym * 10 <= n_tok THEN 1 ELSE 0 END      AS r_symbol,
+               CASE WHEN n_alpha * 10 >= n_tok * 8 THEN 1 ELSE 0 END
+                   AS r_alpha,
+               CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END              AS r_stopword
+        FROM f
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)          AS n_docs,
+           CAST(SUM(r_wordcount) AS BIGINT)  AS n_wordcount,
+           CAST(SUM(r_meanlen) AS BIGINT)    AS n_meanlen,
+           CAST(SUM(r_symbol) AS BIGINT)     AS n_symbol,
+           CAST(SUM(r_alpha) AS BIGINT)      AS n_alpha_ok,
+           CAST(SUM(r_stopword) AS BIGINT)   AS n_stopword,
+           CAST(SUM(r_wordcount * r_meanlen * r_symbol * r_alpha
+                    * r_stopword) AS BIGINT) AS n_pass_all,
+           CAST((SUM(r_wordcount * r_meanlen * r_symbol * r_alpha
+                     * r_stopword) * 1000) // COUNT(*) AS BIGINT)
+               AS pass_all_pm
+    FROM r GROUP BY lang ORDER BY lang
+    """,
+    category="text",
+    description="Gopher quality rules (Rae et al. 2021 App. A1.1): word "
+    "count 50..100k, mean word length 3..10, #/ellipsis symbol ratio "
+    "<= 0.1, >= 80% alphabetic words, >= 2 Gopher stop words -- all as "
+    "pure integer comparisons; per-lang per-rule pass counts (the "
+    "line-level bullet/ellipsis rules need line structure the synthetic "
+    "corpus lacks and are documented out)",
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: scan -> project (whole-stage codegen, no Python) -> one
+    hash aggregate on ``lang``.  The mean-word-length rule is the exact
+    integer form ``3*n_tok <= wchars <= 10*n_tok`` (wchars = characters
+    excluding spaces), so no float division anywhere."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = tokens_expr("text")
+    feats = docs.select(
+        "lang",
+        F.size(t).alias("n_tok"),
+        F.length(F.regexp_replace("text", " ", "")).alias("wchars"),
+        F.size(F.regexp_extract_all("text", F.lit(r"#|\.\.\."), 0)).alias(
+            "n_sym"
+        ),
+        F.size(F.filter(t, lambda x: x.rlike("[a-zA-Z]"))).alias("n_alpha"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(t),
+                F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            )
+        ).alias("n_stop"),
+    )
+    rules = feats.select(
+        "lang",
+        F.when(F.col("n_tok").between(50, 100000), 1).otherwise(0).alias(
+            "r_wordcount"
+        ),
+        F.when(
+            (F.col("wchars") >= 3 * F.col("n_tok"))
+            & (F.col("wchars") <= 10 * F.col("n_tok")),
+            1,
+        )
+        .otherwise(0)
+        .alias("r_meanlen"),
+        F.when(F.col("n_sym") * 10 <= F.col("n_tok"), 1).otherwise(0).alias(
+            "r_symbol"
+        ),
+        F.when(F.col("n_alpha") * 10 >= F.col("n_tok") * 8, 1)
+        .otherwise(0)
+        .alias("r_alpha"),
+        F.when(F.col("n_stop") >= 2, 1).otherwise(0).alias("r_stopword"),
+    )
+    passed = (
+        F.col("r_wordcount")
+        * F.col("r_meanlen")
+        * F.col("r_symbol")
+        * F.col("r_alpha")
+        * F.col("r_stopword")
+    )
+    return (
+        rules.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("r_wordcount").alias("n_wordcount"),
+            F.sum("r_meanlen").alias("n_meanlen"),
+            F.sum("r_symbol").alias("n_symbol"),
+            F.sum("r_alpha").alias("n_alpha_ok"),
+            F.sum("r_stopword").alias("n_stopword"),
+            F.sum(passed).alias("n_pass_all"),
+            F.expr(
+                "(SUM(r_wordcount * r_meanlen * r_symbol * r_alpha "
+                "* r_stopword) * 1000) DIV COUNT(*)"
+            ).alias("pass_all_pm"),
+        )
+        .orderBy("lang")
+    )
+
+
+_BIGRAM_HASH_SQL = (
+    "list_distinct(list_transform("
+    + shingles_sql(tokens_sql("text"), 2)
+    + ", g -> " + h32_sql("g") + "))"
+)
+
+
+@register(
+    "text_bigram_novelty",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, {_BIGRAM_HASH_SQL} AS bh FROM documents
+    ), e AS (
+        SELECT doc_id, lang, len(bh) AS n_bi, UNNEST(bh) AS gh FROM d
+    ), seen AS (
+        SELECT gh FROM e GROUP BY gh HAVING COUNT(*) >= 2
+    ), m AS (
+        SELECT e.doc_id, COUNT(*) AS n_seen
+        FROM e JOIN seen USING (gh) GROUP BY e.doc_id
+    ), a AS (
+        SELECT d.lang, len(d.bh) AS n_bi, COALESCE(m.n_seen, 0) AS n_seen
+        FROM d LEFT JOIN m ON d.doc_id = m.doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)            AS n_docs,
+           CAST(SUM(n_bi) AS BIGINT)           AS sum_bigrams,
+           CAST(SUM(n_bi - n_seen) AS BIGINT)  AS sum_novel,
+           CAST((SUM(n_bi - n_seen) * 1000) // SUM(n_bi) AS BIGINT)
+               AS novelty_pm
+    FROM a GROUP BY lang ORDER BY lang
+    """,
+    category="text",
+    description="corpus bigram-LM novelty (the CCNet/KenLM rarity-filter "
+    "shape): per-document share of distinct bigrams seen NOWHERE else in "
+    "the corpus, as exact integer per-mille; bigrams travel as portable "
+    "32-bit hashes and the df table is pruned to df>=2 before the "
+    "back-join (the Zipf singleton tail never shuffles twice)",
+)
+def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one posting-list shuffle on 8-byte bigram hashes to build
+    the document-frequency table, pruned to df >= 2 (at web scale most
+    bigrams are singletons -- they are NOVEL by definition and never
+    join), then one join back and two low-cardinality aggregates.  A
+    float perplexity would need ln(), which is not correctly-rounded
+    across engines; df-rarity is the exact-integer projection of the
+    same filter."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    sel = docs.select(
+        "doc_id",
+        "lang",
+        tokens_expr("text").alias("toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.transform(
+                shingles_from_tokens(F.col("toks"), 2), lambda g: h32(g)
+            )
+        ).alias("bh"),
+    )
+    ex = sel.select(
+        "doc_id", "lang", F.explode("bh").alias("gh")
+    )
+    seen = (
+        ex.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+        .select("gh")
+    )
+    matched = (
+        ex.join(seen, "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_seen"))
+    )
+    per_doc = (
+        sel.select("doc_id", "lang", F.size("bh").alias("n_bi"))
+        .join(matched, "doc_id", "left")
+        .fillna(0, ["n_seen"])
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bi").alias("sum_bigrams"),
+            F.sum(F.col("n_bi") - F.col("n_seen")).alias("sum_novel"),
+            F.expr("(SUM(n_bi - n_seen) * 1000) DIV SUM(n_bi)").alias(
+                "novelty_pm"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "curation_dsir_feature_lean",
+    oracle=f"""
+    WITH ex AS (
+        SELECT source, lang,
+               {h32_sql("tok")} % {DSIR_BUCKETS} AS bucket
+        FROM (SELECT source, lang, UNNEST({tokens_sql("text")}) AS tok
+              FROM documents)
+    ), b AS (
+        SELECT bucket,
+               COUNT(*)                                        AS raw_cnt,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)    AS tgt_cnt
+        FROM ex GROUP BY bucket
+    ), tot AS (
+        SELECT SUM(raw_cnt) AS r_total, SUM(tgt_cnt) AS t_total FROM b
+    ), lean AS (
+        SELECT bucket,
+               CASE WHEN CAST(tgt_cnt AS HUGEINT) * r_total
+                         > CAST(raw_cnt AS HUGEINT) * t_total
+                    THEN 1 ELSE 0 END AS leans_target
+        FROM b, tot
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                  AS n_tokens,
+           CAST(SUM(leans_target) AS BIGINT)         AS n_lean_tokens,
+           CAST((SUM(leans_target) * 1000) // COUNT(*) AS BIGINT)
+               AS lean_pm
+    FROM ex JOIN lean USING (bucket)
+    GROUP BY source ORDER BY source
+    """,
+    category="curation",
+    description="DSIR-style importance lean (Xie et al. 2023): hashed "
+    "unigram features into 1024 buckets; a bucket leans target when its "
+    "target-share exceeds its raw-share (cross-multiplied in 38-digit "
+    "integers -- no float ratio), target = lang='en'; per-source share "
+    "of tokens in target-leaning buckets as integer per-mille",
+)
+def curation_dsir_feature_lean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the bucket model is a FIXED 1024-row aggregate whatever the
+    corpus size -- built in one shuffle, normalized against a 1-row
+    total, broadcast back over a map-side join.  The ratio comparison
+    cross-multiplies in decimal(38,0) (HUGEINT on the oracle side)
+    because bucket_count * corpus_total overflows int64 at ~1e13 tokens,
+    which a 100 TB corpus exceeds."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    ex = docs.select(
+        "source", "lang", F.explode(tokens_expr("text")).alias("tok")
+    ).select(
+        "source",
+        "lang",
+        (h32(F.col("tok")) % DSIR_BUCKETS).alias("bucket"),
+    )
+    b = ex.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tgt_cnt"),
+    )
+    tot = b.agg(
+        F.sum("raw_cnt").alias("r_total"), F.sum("tgt_cnt").alias("t_total")
+    )
+    lean = b.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.when(
+            F.col("tgt_cnt").cast("decimal(38,0)")
+            * F.col("r_total").cast("decimal(38,0)")
+            > F.col("raw_cnt").cast("decimal(38,0)")
+            * F.col("t_total").cast("decimal(38,0)"),
+            1,
+        )
+        .otherwise(0)
+        .alias("leans_target"),
+    )
+    return (
+        ex.join(F.broadcast(lean), "bucket")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("leans_target").alias("n_lean_tokens"),
+            F.expr("(SUM(leans_target) * 1000) DIV COUNT(*)").alias(
+                "lean_pm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "corpus_temperature_weights",
+    oracle="""
+    WITH s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ), w AS (
+        SELECT source, n_docs,
+               CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS w_half_x1e6,
+               CAST(FLOOR(sqrt(sqrt(CAST(n_docs AS DOUBLE))) * 1000000)
+                    AS BIGINT) AS w_quarter_x1e6
+        FROM s
+    ), tot AS (
+        SELECT SUM(w_half_x1e6) AS sum_half, MIN(w_half_x1e6) AS min_half
+        FROM w
+    )
+    SELECT source, n_docs, w_half_x1e6, w_quarter_x1e6,
+           CAST((w_half_x1e6 * 1000) // sum_half AS BIGINT)
+               AS share_half_pm,
+           CAST((w_half_x1e6 * 1000) // min_half AS BIGINT)
+               AS upsample_x1000
+    FROM w, tot ORDER BY source
+    """,
+    category="curation",
+    description="unigram-LM temperature sampling weights (XLM-R-style "
+    "multilingual mixing, weight ~ n^alpha for alpha in {0.5, 0.25}): "
+    "portable because IEEE-754 mandates correctly-rounded sqrt, then "
+    "integer-floored before any cross-source arithmetic; per-source "
+    "mixture share and upsampling factor vs the smallest source",
+)
+def corpus_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one count aggregate to source granularity (rows == number
+    of sources), then a 1-row-broadcast normalization -- no window over
+    the corpus, no driver collect.  alpha is restricted to {0.5, 0.25}
+    = sqrt / sqrt(sqrt): general pow() is NOT correctly-rounded across
+    engines, sqrt is, so these weights hash-match bit-for-bit."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = s.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("w_half_x1e6"),
+        F.floor(F.sqrt(F.sqrt(F.col("n_docs").cast("double"))) * 1000000)
+        .cast("bigint")
+        .alias("w_quarter_x1e6"),
+    )
+    tot = w.agg(
+        F.sum("w_half_x1e6").alias("sum_half"),
+        F.min("w_half_x1e6").alias("min_half"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "w_half_x1e6",
+            "w_quarter_x1e6",
+            F.expr("(w_half_x1e6 * 1000) DIV sum_half").alias(
+                "share_half_pm"
+            ),
+            F.expr("(w_half_x1e6 * 1000) DIV min_half").alias(
+                "upsample_x1000"
+            ),
+        )
+        .orderBy("source")
+    )
