@@ -1181,3 +1181,88 @@ def ann_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall (MRL-style dimensionality audit)
+# ---------------------------------------------------------------------------
+
+# Matryoshka Representation Learning (Kusupati et al. 2022) trains
+# embeddings whose leading dimensions are themselves a usable embedding;
+# the operational question at corpus scale is "how much recall does a
+# D' = 16 prefix keep vs the full D = 64 vector?" -- truncated vectors
+# cost 4x less to scan, store, and shuffle, so this audit decides
+# whether the cheap index is good enough before committing to it.
+MRL_DIMS = 16
+
+_MRL_TRUNC_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, (CAST(embedding AS DOUBLE[]))[1:{MRL_DIMS}] AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), c AS (
+        SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:{MRL_DIMS}] AS v
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), s AS (
+        SELECT query_id, vec_id, {_cos_sql('qv', 'v')} AS cos_sim FROM q, c
+    ), r AS (
+        SELECT query_id, vec_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+        FROM s
+    )
+    SELECT query_id, vec_id, rank, cos_sim
+    FROM r WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+@register(
+    "ann_matryoshka_truncation_recall",
+    oracle=f"""
+    WITH bf AS ({{bf}}),
+    tr AS ({_MRL_TRUNC_ORACLE})
+    SELECT bf.query_id,
+           CAST(COUNT(tr.vec_id) AS BIGINT) AS n_hits,
+           CAST(FLOOR(10000.0 * COUNT(tr.vec_id) / {TOP_K}) AS BIGINT)
+               AS recall_bp
+    FROM bf LEFT JOIN tr
+      ON tr.query_id = bf.query_id AND tr.vec_id = bf.vec_id
+    GROUP BY bf.query_id ORDER BY bf.query_id
+    """.format(bf=_BF_ORACLE),
+    category="similarity",
+    description=f"Matryoshka truncation audit (Kusupati et al. 2022): "
+    f"recall@{TOP_K} of cosine top-k over the LEADING {MRL_DIMS} of 64 "
+    "dims against the full-precision top-k -- the acceptance check "
+    "before switching the index to 4x-cheaper truncated vectors",
+)
+def ann_matryoshka_truncation_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale: identical shape to the brute-force baseline -- broadcast
+    query set, map-only scoring over the corpus scan, two-phase salted
+    top-k -- but the scored vectors are ``slice(v, 1, 16)``, so the scan
+    moves a quarter of the bytes.  At 10^9 vectors this is the audit
+    that justifies running the WHOLE retrieval stack at D'=16."""
+    queries, corpus = _split(spark, sf_dir)
+    tq = queries.select("query_id", F.slice("qv", 1, MRL_DIMS).alias("qv"))
+    tc = corpus.select("vec_id", F.slice("v", 1, MRL_DIMS).alias("v"))
+    scored = tc.crossJoin(F.broadcast(tq)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    tr = _two_phase_topk(scored).select("query_id", "vec_id").withColumn(
+        "hit", F.lit(1)
+    )
+    bf = ann_cosine_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    j = bf.join(tr, ["query_id", "vec_id"], "left")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+            F.floor(10000.0 * F.sum(F.coalesce("hit", F.lit(0))) / TOP_K)
+            .cast("long")
+            .alias("recall_bp"),
+        )
+        .orderBy("query_id")
+    )

@@ -365,3 +365,213 @@ def sketch_cms_point_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch set operations (deterministic, hash-exact)
+# ---------------------------------------------------------------------------
+
+# Unlike HLL (engine-specific registers -- only the BOUND is checkable),
+# a K-minimum-values / theta sketch is a deterministic FUNCTION of the
+# hashed input: keep the K smallest distinct 32-bit hashes; theta = the
+# K-th smallest; estimate = |{h < theta}| * 2^32 / theta.  Set algebra
+# (the reason theta sketches exist -- Dasgupta et al. 2016, "A Framework
+# for Estimating Stream Expression Cardinalities"): union = K smallest
+# of the combined retained sets under min(theta); intersection = common
+# retained hashes under min(theta).  Because the hash (portable md5 h32)
+# and the min-K selection are deterministic, BOTH the estimates and the
+# error are bit-identical across engines -- the estimates themselves are
+# oracle-gated, not just their bounds.
+KMV_K = 64
+_TWO32 = 4_294_967_296
+_KMV_SALTS = 16  # stage-1 fan-out for the two-phase min-K
+
+
+@register(
+    "sketch_kmv_theta_setops",
+    oracle=f"""
+    WITH dh AS (
+        SELECT DISTINCT event_type,
+               {h32_sql("CAST(user_id AS VARCHAR)")} AS h
+        FROM events
+    ), rk AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM dh
+    ), sk AS (
+        SELECT event_type, h, rn FROM rk WHERE rn <= {KMV_K}
+    ), st AS (
+        SELECT event_type,
+               COUNT(*) AS n_sk,
+               CASE WHEN COUNT(*) >= {KMV_K}
+                    THEN MAX(CASE WHEN rn = {KMV_K} THEN h END)
+                    ELSE {_TWO32} END AS theta
+        FROM sk GROUP BY event_type
+    ), ret AS (
+        SELECT sk.event_type, sk.h
+        FROM sk JOIN st USING (event_type) WHERE sk.h < st.theta
+    ), per_type AS (
+        SELECT st.event_type AS set_name,
+               (SELECT COUNT(*) FROM ret r
+                 WHERE r.event_type = st.event_type)
+                   * {_TWO32} // st.theta AS est,
+               (SELECT COUNT(DISTINCT user_id) FROM events e
+                 WHERE e.event_type = st.event_type) AS exact
+        FROM st
+    ), tu AS (
+        SELECT MIN(theta) AS theta FROM st
+    ), u AS (
+        SELECT 'union_all' AS set_name,
+               (SELECT COUNT(DISTINCT r.h) FROM ret r, tu
+                 WHERE r.h < tu.theta) * {_TWO32} // (SELECT theta FROM tu)
+                   AS est,
+               (SELECT COUNT(DISTINCT user_id) FROM events) AS exact
+    ), ti AS (
+        SELECT MIN(theta) AS theta FROM st
+        WHERE event_type IN ('view', 'click')
+    ), i AS (
+        SELECT 'view_x_click' AS set_name,
+               (SELECT COUNT(*) FROM
+                  (SELECT h FROM ret WHERE event_type = 'view'
+                   INTERSECT
+                   SELECT h FROM ret WHERE event_type = 'click') x, ti
+                 WHERE x.h < ti.theta) * {_TWO32} // (SELECT theta FROM ti)
+                   AS est,
+               (SELECT COUNT(*) FROM
+                  (SELECT user_id FROM events WHERE event_type = 'view'
+                   INTERSECT
+                   SELECT user_id FROM events WHERE event_type = 'click') y)
+                   AS exact
+    ), allr AS (
+        SELECT * FROM per_type UNION ALL SELECT * FROM u
+        UNION ALL SELECT * FROM i
+    )
+    SELECT set_name,
+           CAST(est AS BIGINT)   AS est_distinct_users,
+           CAST(exact AS BIGINT) AS exact_distinct_users,
+           CAST((ABS(est - exact) * 1000) // GREATEST(exact, 1) AS BIGINT)
+               AS err_pm
+    FROM allr ORDER BY set_name
+    """,
+    category="sketch",
+    description=f"KMV/theta sketch (K={KMV_K}, portable md5 hash): "
+    "per-event-type distinct-user estimates plus UNION and INTERSECTION "
+    "estimates via theta-sketch set algebra -- fully deterministic, so "
+    "the ESTIMATES hash-match the oracle (not just an error bound); "
+    "exact twins and integer per-mille error alongside",
+)
+def sketch_kmv_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the sketch build shuffles DISTINCT (type, hash) pairs --
+    8-byte hashes, never user ids -- and min-K selection is two-phase
+    (salted partial min-K, then final over type*salts*K survivors), so
+    no single reducer sorts a whole type's distinct set.  All set
+    algebra then runs on <= types*K retained hashes: metadata-sized,
+    whatever the corpus size.  The exact twins are for the gate at test
+    scale; production at 100 TB keeps only the sketches."""
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import h32
+
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "user_id")
+    dh = ev.select(
+        "event_type", h32(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    w1 = Window.partitionBy("event_type", "salt").orderBy("h")
+    partial = (
+        dh.withColumn("salt", F.pmod("h", F.lit(_KMV_SALTS)))
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= KMV_K)
+        .drop("salt", "rn")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    sk = partial.withColumn("rn", F.row_number().over(w2)).where(
+        F.col("rn") <= KMV_K
+    )
+    st = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sk"),
+        F.when(
+            F.count(F.lit(1)) >= KMV_K,
+            F.max(F.when(F.col("rn") == KMV_K, F.col("h"))),
+        )
+        .otherwise(F.lit(_TWO32))
+        .alias("theta"),
+    )
+    ret = (
+        sk.join(F.broadcast(st), "event_type")
+        .where(F.col("h") < F.col("theta"))
+        .select("event_type", "h", "theta")
+    )
+    exact_t = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    per_type = (
+        ret.groupBy("event_type", "theta")
+        .agg(F.count(F.lit(1)).alias("n_ret"))
+        .join(exact_t, "event_type")
+        .select(
+            F.col("event_type").alias("set_name"),
+            F.expr(f"(n_ret * {_TWO32}) DIV theta").alias("est"),
+            F.col("exact").cast("long").alias("exact"),
+        )
+    )
+    tu = st.agg(F.min("theta").alias("theta"))
+    exact_u = ev.agg(F.countDistinct("user_id").alias("exact"))
+    u = (
+        ret.select("h")
+        .distinct()
+        .crossJoin(F.broadcast(tu))
+        .where(F.col("h") < F.col("theta"))
+        .groupBy("theta")
+        .agg(F.count(F.lit(1)).alias("n_ret"))
+        .crossJoin(F.broadcast(exact_u))
+        .select(
+            F.lit("union_all").alias("set_name"),
+            F.expr(f"(n_ret * {_TWO32}) DIV theta").alias("est"),
+            F.col("exact").cast("long").alias("exact"),
+        )
+    )
+    ti = st.where(F.col("event_type").isin("view", "click")).agg(
+        F.min("theta").alias("theta")
+    )
+    common = (
+        ret.where(F.col("event_type") == "view")
+        .select("h")
+        .join(
+            ret.where(F.col("event_type") == "click").select("h"),
+            "h",
+            "left_semi",
+        )
+    )
+    exact_i = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("nt"))
+        .where(F.col("nt") == 2)
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    # global (non-grouped) aggregate so an EMPTY intersection still
+    # emits its row (est 0), matching the oracle's scalar COUNT
+    common_cnt = (
+        common.crossJoin(F.broadcast(ti))
+        .where(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_ret"))
+    )
+    i = (
+        ti.crossJoin(F.broadcast(common_cnt))
+        .crossJoin(F.broadcast(exact_i))
+        .select(
+            F.lit("view_x_click").alias("set_name"),
+            F.expr(f"(n_ret * {_TWO32}) DIV theta").alias("est"),
+            F.col("exact").cast("long").alias("exact"),
+        )
+    )
+    out = per_type.unionByName(u).unionByName(i)
+    res = out.select(
+        "set_name",
+        F.col("est").alias("est_distinct_users"),
+        F.col("exact").alias("exact_distinct_users"),
+        F.expr("(ABS(est - exact) * 1000) DIV GREATEST(exact, 1)").alias(
+            "err_pm"
+        ),
+    ).orderBy("set_name")
+    return res
