@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.hashing import h32, h32_sql
 from ..functions.text import (
@@ -49,7 +50,14 @@ from ..functions.text import (
     tokens_expr,
     tokens_sql,
 )
-from .base import load_tables, register
+from .base import PersistCache, load_tables, register
+
+#: (doc_id, lang, gh) -- one row per DISTINCT hashed bigram per document
+#: (gh NULL for bigram-less docs, so they stay countable).  Built once,
+#: consumed by the df-build, the back-join, and the per-doc totals of
+#: ``text_bigram_novelty`` -- without the cache each branch would re-run
+#: the tokenize+shingle+md5 pipeline, the expensive part of the query.
+_BIGRAM_CACHE = PersistCache("bigram_hashes")
 
 # Gopher's "stop word" presence rule uses this fixed list (Rae et al.
 # 2021 App. A1.1: a document must contain at least two of them).
@@ -228,25 +236,29 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     float perplexity would need ln(), which is not correctly-rounded
     across engines; df-rarity is the exact-integer projection of the
     same filter."""
-    docs = load_tables(spark, sf_dir)["documents"]
-    sel = docs.select(
-        "doc_id",
-        "lang",
-        tokens_expr("text").alias("toks"),
-    ).select(
-        "doc_id",
-        "lang",
-        F.array_distinct(
-            F.transform(
-                shingles_from_tokens(F.col("toks"), 2), lambda g: h32(g)
-            )
-        ).alias("bh"),
-    )
-    ex = sel.select(
-        "doc_id", "lang", F.explode("bh").alias("gh")
-    )
+    def _build() -> DataFrame:
+        docs = load_tables(spark, sf_dir)["documents"]
+        sel = docs.select(
+            "doc_id",
+            "lang",
+            tokens_expr("text").alias("toks"),
+        ).select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.transform(
+                    shingles_from_tokens(F.col("toks"), 2), lambda g: h32(g)
+                )
+            ).alias("bh"),
+        )
+        # explode_outer keeps bigram-less documents as a single NULL-gh
+        # row, so they still count into n_docs with n_bi = 0
+        return sel.select("doc_id", "lang", F.explode_outer("bh").alias("gh"))
+
+    ex = _BIGRAM_CACHE.get_or_build(spark, sf_dir, _build)
     seen = (
-        ex.groupBy("gh")
+        ex.where(F.col("gh").isNotNull())
+        .groupBy("gh")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= 2)
         .select("gh")
@@ -257,7 +269,8 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_seen"))
     )
     per_doc = (
-        sel.select("doc_id", "lang", F.size("bh").alias("n_bi"))
+        ex.groupBy("doc_id", "lang")
+        .agg(F.count("gh").alias("n_bi"))
         .join(matched, "doc_id", "left")
         .fillna(0, ["n_seen"])
     )
@@ -331,10 +344,19 @@ def curation_dsir_feature_lean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("raw_cnt"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tgt_cnt"),
     )
-    tot = b.agg(
-        F.sum("raw_cnt").alias("r_total"), F.sum("tgt_cnt").alias("t_total")
-    )
-    lean = b.crossJoin(F.broadcast(tot)).select(
+    # Totals via an unpartitioned window OVER THE BUCKET TABLE -- a
+    # constant-size (<= DSIR_BUCKETS rows) post-aggregate frame, so the
+    # single-partition window is bounded whatever the corpus size.  A
+    # separate .agg() branch would re-derive b from lineage and scan the
+    # whole documents table a third time (measured in the plan audit).
+    w_all = Window.partitionBy()
+    lean = b.select(
+        "bucket",
+        "raw_cnt",
+        "tgt_cnt",
+        F.sum("raw_cnt").over(w_all).alias("r_total"),
+        F.sum("tgt_cnt").over(w_all).alias("t_total"),
+    ).select(
         "bucket",
         F.when(
             F.col("tgt_cnt").cast("decimal(38,0)")

@@ -67,6 +67,15 @@ def test_no_cartesian_anywhere_in_the_registry(spark):
         # single-row total-token-count attach for the e*N/W width bound
         # (the Q11 global-total pattern; the sketch side is <= D*W rows)
         "sketch_cms_point_queries",
+        # round 7: 1-row weight-total / min attach over the per-source
+        # aggregate (rows == number of sources)
+        "corpus_temperature_weights",
+        # round 7: theta / exact-count scalar attaches over <= types*K
+        # retained sketch hashes -- every cross side is a 1-row aggregate
+        "sketch_kmv_theta_setops",
+        # round 7: composes the brute-force baseline (allowed above) and
+        # its own broadcast fixed query set for the truncated side
+        "ann_matryoshka_truncation_recall",
     }
     for name, wl in REGISTRY.items():
         if name in allowed:
