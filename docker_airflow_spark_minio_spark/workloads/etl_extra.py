@@ -2058,3 +2058,121 @@ def streaming_matview_gold_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in phases[1:]:
         out = out.unionByName(p)
     return out.orderBy("phase", "event_type")
+
+
+@register(
+    "snapshot_branch_publish_read",
+    oracle="""
+    WITH b1 AS (
+        SELECT doc_id + 20000000 AS doc_id, text, lang,
+               'branch' AS source, n_chars FROM documents
+        WHERE lang = 'en' AND doc_id % 4 = 1
+    ), b2 AS (
+        SELECT doc_id + 30000000 AS doc_id, text, 'zz' AS lang,
+               'branch' AS source, n_chars FROM documents
+        WHERE doc_id % 4 = 2
+    ), m AS (
+        SELECT doc_id + 40000000 AS doc_id, text, lang,
+               'mainline' AS source, n_chars FROM documents
+        WHERE doc_id % 4 = 3
+    ),
+    main0 AS (SELECT * FROM documents UNION ALL SELECT * FROM m),
+    dev AS (SELECT * FROM documents
+            UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+    pub AS (SELECT * FROM main0
+            UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+    s AS (
+        SELECT 0 AS phase, * FROM main0 UNION ALL
+        SELECT 1, * FROM dev UNION ALL
+        SELECT 2, * FROM pub
+    )
+    SELECT CAST(phase AS INT) AS phase, lang,
+           CAST(COUNT(*) AS BIGINT)    AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM s GROUP BY phase, lang ORDER BY phase, lang
+    """,
+    category="etl",
+    description="snapshot BRANCHES under the gate (Iceberg branch / "
+    "fast-forward): two chained commits accumulate on branch 'dev' "
+    "(the second introducing a brand-new lang partition) while MAIN "
+    "independently appends; phase 0 aggregates main (branch invisible), "
+    "phase 1 the branch's accumulated state (main's new append "
+    "invisible to it), phase 2 the fast-forwarded head -- the chained "
+    "replay onto a MOVED main must keep main's intervening data (the "
+    "round-7 lost-update fix, exercised here in the driver gate).  The "
+    "oracle recomputes all three states from the source table",
+)
+def snapshot_branch_publish_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: branch commits are ordinary staged snapshots --
+    data written once, manifests invisible to main until fast_forward
+    re-points them (metadata-only publish, O(manifest) not O(data)).
+    The accumulated branch read is a normal pruned scan at the branch
+    head.  Reference parity: the reference has no branching at all;
+    this is the WAP machinery (snapshots.py publish_staged) under a
+    named-branch convention (snapshots.py:1042-1105)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    root = (
+        f"{tempfile.gettempdir()}/snapshot_branch_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(spark, root)
+    store.write(
+        docs.repartition("lang"), mode="snapshot", partition_by=["lang"]
+    )
+
+    b1 = docs.where((F.col("lang") == "en") & (F.col("doc_id") % 4 == 1)).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("branch").alias("source"),
+        "n_chars",
+    )
+    b2 = docs.where(F.col("doc_id") % 4 == 2).select(
+        (F.col("doc_id") + 30000000).alias("doc_id"),
+        "text",
+        F.lit("zz").alias("lang"),
+        F.lit("branch").alias("source"),
+        "n_chars",
+    )
+    m = docs.where(F.col("doc_id") % 4 == 3).select(
+        (F.col("doc_id") + 40000000).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("mainline").alias("source"),
+        "n_chars",
+    )
+    store.branch_write("dev", b1.repartition("lang"), partition_by=["lang"])
+    store.branch_write("dev", b2.repartition("lang"), partition_by=["lang"])
+    # main moves AFTER the branch point -- the fast-forward below must
+    # replay, not fast-forward, or this append would be lost
+    store.write(m.repartition("lang"), mode="append", partition_by=["lang"])
+
+    def _agg(df: DataFrame, phase: int) -> DataFrame:
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").alias("sum_doc_id"),
+            )
+            .select(
+                F.lit(phase).cast("int").alias("phase"),
+                "lang",
+                "n_docs",
+                "sum_doc_id",
+            )
+        )
+
+    main0 = _agg(store.read(), 0)
+    dev = _agg(store.branch_read("dev"), 1)
+    store.fast_forward("dev")
+    if store.branch_head("dev") is not None:
+        raise AssertionError("branch still lists after fast_forward")
+    pub = _agg(store.read(), 2)
+    return main0.unionByName(dev).unionByName(pub).orderBy("phase", "lang")
