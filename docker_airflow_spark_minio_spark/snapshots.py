@@ -136,6 +136,120 @@ def _is_conflict_exc(exc: Exception) -> bool:
         hops += 1
     return False
 
+
+def write_atomic_claim(
+    spark: SparkSession, final: str, payload: bytes, tmp: str, what: str
+) -> None:
+    """Single-winner creation of ``final`` holding ``payload`` -- the
+    claim primitive behind manifest commits, non-replace tags, and the
+    transaction coordinator's WAL records (any path needing lost-update
+    safety).  Raises :class:`SnapshotConflict` when a racer already
+    created the destination; lost races are classified via
+    :func:`_is_conflict_exc` (class names + 412 markers, not just a
+    substring -- real s3a failures don't always say AlreadyExists).
+
+    Per store semantics:
+
+    * ``file://`` -- claim via ``java.nio.Files.createLink(final, tmp)``:
+      hard-link creation fails atomically when the destination exists
+      (POSIX ``link(2)``), closing the exists()-then-rename TOCTOU where
+      a POSIX rename silently REPLACES a racing committer's file.
+    * S3-semantics schemes (NO_ATOMIC_RENAME_SCHEMES) -- the final file
+      is written ONCE with ``create(path, overwrite=False)``, the Hadoop
+      spelling of S3's conditional PUT (If-None-Match).
+    * other schemes -- exists() check + rename (correct on
+      HDFS-semantics stores, whose rename fails on an existing
+      destination).
+
+    The staging path gets an ATTEMPT-UNIQUE suffix: were two racers to
+    share one tmp file, the winner's hard link would capture the inode
+    while the LOSER was overwriting it, publishing the loser's bytes
+    under the winner's claim -- then the loser's conflict cleanup
+    deletes the very directories the published file references."""
+    tmp = f"{tmp}.{uuid.uuid4().hex[:12]}"
+    fs, final_p = _fs_and_path(spark, final)
+    scheme = fs.getUri().getScheme()
+    buf = bytearray(payload)
+    if scheme in NO_ATOMIC_RENAME_SCHEMES:
+        fs.mkdirs(final_p.getParent())
+        try:
+            out = fs.create(final_p, False)
+            try:
+                out.write(buf)
+            finally:
+                out.close()  # conditional-PUT completion = the claim
+        except Exception as exc:  # noqa: BLE001 -- py4j-wrapped java exc
+            if _is_conflict_exc(exc):
+                raise SnapshotConflict(
+                    f"{what} already committed at {final}"
+                ) from None
+            raise
+        return
+    fs, tmp_p = _fs_and_path(spark, tmp)
+    fs.mkdirs(tmp_p.getParent())
+    out = fs.create(tmp_p, True)
+    try:
+        out.write(buf)
+    finally:
+        out.close()
+    if scheme == "file":
+        jvm = spark._jvm
+        src = jvm.java.io.File(tmp_p.toUri().getPath()).toPath()
+        dst = jvm.java.io.File(final_p.toUri().getPath()).toPath()
+        try:
+            jvm.java.nio.file.Files.createLink(dst, src)
+        except Exception as exc:  # noqa: BLE001 -- py4j-wrapped java exc
+            fs.delete(tmp_p, False)
+            if _is_conflict_exc(exc):
+                raise SnapshotConflict(
+                    f"{what} already committed at {final}"
+                ) from None
+            raise
+        fs.delete(tmp_p, False)
+        return
+    if fs.exists(final_p) or not fs.rename(tmp_p, final_p):
+        fs.delete(tmp_p, False)
+        raise SnapshotConflict(f"{what} already committed at {final}")
+
+
+def write_atomic_replace(
+    spark: SparkSession, final: str, payload: bytes, tmp: str
+) -> None:
+    """Overwrite ``final`` with ``payload`` such that a reader never
+    observes a torn file AND the destination never transiently
+    disappears: ``file://`` gets an atomic REPLACE_EXISTING move, other
+    schemes a create-overwrite (their strongest primitive).  The staging
+    path is attempt-unique for the same reason as
+    :func:`write_atomic_claim` -- concurrent replacers must not publish
+    each other's in-flight bytes."""
+    tmp = f"{tmp}.{uuid.uuid4().hex[:12]}"
+    fs, final_p = _fs_and_path(spark, final)
+    payload = bytearray(payload)
+    if fs.getUri().getScheme() == "file":
+        _, tmp_p = _fs_and_path(spark, tmp)
+        fs.mkdirs(tmp_p.getParent())
+        out = fs.create(tmp_p, True)
+        try:
+            out.write(payload)
+        finally:
+            out.close()
+        jvm = spark._jvm
+        src = jvm.java.io.File(tmp_p.toUri().getPath()).toPath()
+        dst = jvm.java.io.File(final_p.toUri().getPath()).toPath()
+        # CopyOption is a varargs parameter: build the Java array
+        # explicitly (py4j does not auto-wrap varargs).
+        gateway = spark.sparkContext._gateway
+        opts = gateway.new_array(jvm.java.nio.file.CopyOption, 1)
+        opts[0] = jvm.java.nio.file.StandardCopyOption.REPLACE_EXISTING
+        jvm.java.nio.file.Files.move(src, dst, opts)
+        return
+    fs.mkdirs(final_p.getParent())
+    out = fs.create(final_p, True)
+    try:
+        out.write(payload)
+    finally:
+        out.close()
+
 # Per-file BLOOM FILTERS (``bloom_cols`` at write time): zone maps
 # prune range predicates, but a POINT lookup on a high-cardinality key
 # whose values are hash-scattered across files (the common layout for
@@ -446,64 +560,7 @@ class SnapshotStore:
     def _write_atomic_claim(
         self, final: str, payload: bytes, tmp: str, what: str
     ) -> None:
-        """Single-winner creation of ``final`` holding ``payload`` --
-        the claim primitive behind :meth:`_commit_manifest` AND
-        non-replace :meth:`tag` (any named ref needing lost-update
-        safety).  Raises :class:`SnapshotConflict` when a racer already
-        created the destination; lost races are classified via
-        :func:`_is_conflict_exc` (class names + 412 markers, not just a
-        substring -- real s3a failures don't always say AlreadyExists).
-
-        The staging path gets an ATTEMPT-UNIQUE suffix: were two racers
-        to share one tmp file, the winner's hard link would capture the
-        inode while the LOSER was overwriting it, publishing the loser's
-        bytes under the winner's claim -- then the loser's conflict
-        cleanup deletes the very directories the published manifest
-        references."""
-        tmp = f"{tmp}.{uuid.uuid4().hex[:12]}"
-        fs, final_p = _fs_and_path(self.spark, final)
-        scheme = fs.getUri().getScheme()
-        buf = bytearray(payload)
-        if scheme in NO_ATOMIC_RENAME_SCHEMES:
-            fs.mkdirs(final_p.getParent())
-            try:
-                out = fs.create(final_p, False)
-                try:
-                    out.write(buf)
-                finally:
-                    out.close()  # conditional-PUT completion = the claim
-            except Exception as exc:  # noqa: BLE001 -- py4j-wrapped java exc
-                if _is_conflict_exc(exc):
-                    raise SnapshotConflict(
-                        f"{what} already committed at {final}"
-                    ) from None
-                raise
-            return
-        fs, tmp_p = _fs_and_path(self.spark, tmp)
-        fs.mkdirs(tmp_p.getParent())
-        out = fs.create(tmp_p, True)
-        try:
-            out.write(buf)
-        finally:
-            out.close()
-        if scheme == "file":
-            jvm = self.spark._jvm
-            src = jvm.java.io.File(tmp_p.toUri().getPath()).toPath()
-            dst = jvm.java.io.File(final_p.toUri().getPath()).toPath()
-            try:
-                jvm.java.nio.file.Files.createLink(dst, src)
-            except Exception as exc:  # noqa: BLE001 -- py4j-wrapped java exc
-                fs.delete(tmp_p, False)
-                if _is_conflict_exc(exc):
-                    raise SnapshotConflict(
-                        f"{what} already committed at {final}"
-                    ) from None
-                raise
-            fs.delete(tmp_p, False)
-            return
-        if fs.exists(final_p) or not fs.rename(tmp_p, final_p):
-            fs.delete(tmp_p, False)
-            raise SnapshotConflict(f"{what} already committed at {final}")
+        write_atomic_claim(self.spark, final, payload, tmp, what)
 
     def _replace_manifest(self, version: int, manifest: dict) -> None:
         """Maintenance-only overwrite of an EXISTING manifest with a
@@ -521,39 +578,7 @@ class SnapshotStore:
         )
 
     def _write_atomic_replace(self, final: str, payload: bytes, tmp: str) -> None:
-        """Overwrite ``final`` with ``payload`` such that a reader never
-        observes a torn file AND the destination never transiently
-        disappears: ``file://`` gets an atomic REPLACE_EXISTING move,
-        other schemes a create-overwrite (their strongest primitive).
-        The staging path is attempt-unique for the same reason as
-        :meth:`_write_atomic_claim` -- concurrent replacers must not
-        publish each other's in-flight bytes."""
-        tmp = f"{tmp}.{uuid.uuid4().hex[:12]}"
-        fs, final_p = _fs_and_path(self.spark, final)
-        payload = bytearray(payload)
-        if fs.getUri().getScheme() == "file":
-            _, tmp_p = _fs_and_path(self.spark, tmp)
-            fs.mkdirs(tmp_p.getParent())
-            out = fs.create(tmp_p, True)
-            try:
-                out.write(payload)
-            finally:
-                out.close()
-            jvm = self.spark._jvm
-            src = jvm.java.io.File(tmp_p.toUri().getPath()).toPath()
-            dst = jvm.java.io.File(final_p.toUri().getPath()).toPath()
-            # CopyOption is a varargs parameter: build the Java array
-            # explicitly (py4j does not auto-wrap varargs).
-            gateway = self.spark.sparkContext._gateway
-            opts = gateway.new_array(jvm.java.nio.file.CopyOption, 1)
-            opts[0] = jvm.java.nio.file.StandardCopyOption.REPLACE_EXISTING
-            jvm.java.nio.file.Files.move(src, dst, opts)
-            return
-        out = fs.create(final_p, True)
-        try:
-            out.write(payload)
-        finally:
-            out.close()
+        write_atomic_replace(self.spark, final, payload, tmp)
 
     def history(self) -> list[dict]:
         """Commit metadata per version, ascending (the ``.history``

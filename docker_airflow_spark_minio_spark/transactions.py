@@ -1,0 +1,344 @@
+"""Multi-table atomic transactions over :class:`~.snapshots.SnapshotStore`
+tables -- two-phase commit with a coordinator write-ahead log.
+
+The reference's pipeline writes silver THEN gold as separate jobs
+(/root/reference/spark/jobs/job_silver.py, job_gold.py): a crash between
+them leaves the two tables describing different states of the world, and
+nothing records that a repair is owed.  This module closes that gap the
+way a lakehouse catalog does (the transactional-catalog idea behind
+Nessie / Iceberg REST catalog multi-table commits), built entirely from
+primitives this repo already trusts:
+
+* every table write in the transaction is a **staged WAP snapshot**
+  (``SnapshotStore.write(staged=...)``) -- durable, invisible, auditable;
+* ``commit()`` first claims a single **WAL record** (the same
+  single-winner :func:`~.snapshots.write_atomic_claim` as manifest
+  commits -- the WAL claim IS the transaction's commit point), then
+  publishes each table's stage in deterministic (sorted-root) order,
+  then marks the record ``committed``;
+* a crash anywhere is repaired by :func:`recover`: a claimed-but-
+  unfinished WAL record is rolled FORWARD (publish is idempotent per
+  table -- a wap id publishes at most once, and already-published
+  tables are detected via ``committed_metadata``), and staged writes
+  with NO WAL record are rolled BACK by :func:`abort_orphans` after a
+  grace period (the coordinator died before deciding).
+
+Contract, stated honestly:
+
+* **Atomic durability**: after the WAL claim succeeds, the transaction
+  WILL apply to every table (roll-forward); before it, it never applies
+  anywhere (roll-back).  There is no state from which half the tables
+  keep the writes permanently.
+* **Per-table snapshot isolation**, not cross-table serializability:
+  during the publish window a reader pinning table heads itself can see
+  table A published and table B not yet.  :func:`consistent_read` closes
+  this for readers by pinning every table's head version and REFUSING
+  while a claimed-but-unfinished WAL overlaps the table set -- the same
+  read-repair contract a catalog-level commit offers.
+
+Scale notes (100 TB posture): everything here is metadata-plane.  The
+data was already written (once) by the staged commits; commit/recover
+cost is O(tables) manifest reads + one WAL record, independent of data
+size.  The WAL directory is bounded by retention (``expire_txns``).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .fsmeta import _fs_and_path, delete_prefix
+from .snapshots import (
+    SnapshotConflict,
+    SnapshotStore,
+    write_atomic_claim,
+    write_atomic_replace,
+)
+
+TXN_DIR = "_txns"
+TXN_WAP_PREFIX = "txn-"
+
+#: WAL record states.  ``committing`` = claimed, roll FORWARD on
+#: recovery; ``committed`` / ``aborted`` = terminal.
+_STATES = ("committing", "committed", "aborted")
+
+
+def _txn_path(root: str, txn_id: str) -> str:
+    return f"{root.rstrip('/')}/{TXN_DIR}/{txn_id}.json"
+
+
+def _read_json(spark: SparkSession, path: str) -> dict | None:
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        raw = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(raw.decode("utf-8"))
+
+
+class MultiTableTransaction:
+    """One transaction instance; not thread-safe (one writer drives it).
+
+    ``coordinator_root`` holds the WAL; it can be any URI the session's
+    Hadoop FS layer reaches (file://, s3a://, the mockfs fixtures) and
+    is usually a sibling of the table roots.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        coordinator_root: str,
+        txn_id: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.root = coordinator_root
+        self.txn_id = txn_id or uuid.uuid4().hex[:16]
+        if not all(c.isalnum() or c in "._-" for c in self.txn_id):
+            raise ValueError(f"invalid txn id: {self.txn_id!r}")
+        self.wap = f"{TXN_WAP_PREFIX}{self.txn_id}"
+        self._stores: dict[str, SnapshotStore] = {}
+        self._done = False
+
+    # -- staging -----------------------------------------------------------
+
+    def write(self, store: SnapshotStore, df: DataFrame, **kw) -> int:
+        """Stage ``df`` into ``store`` under this transaction (any
+        ``SnapshotStore.write`` kwargs except ``staged``).  Durable
+        immediately, invisible everywhere until :meth:`commit`."""
+        if self._done:
+            raise ValueError(f"txn {self.txn_id} already finished")
+        if "staged" in kw:
+            raise ValueError("txn writes stage implicitly; drop staged=")
+        v = store.write(df, staged=self.wap, **kw)
+        self._stores[store.root] = store
+        return v
+
+    def delete_keys(self, store: SnapshotStore, *a, **kw):
+        raise NotImplementedError(
+            "merge-on-read deletes are not stageable (they commit "
+            "directly to the published log); run them outside the txn"
+        )
+
+    # -- decision ----------------------------------------------------------
+
+    def _wal(self, state: str) -> dict:
+        return {
+            "txn_id": self.txn_id,
+            "wap": self.wap,
+            "table_roots": sorted(self._stores),
+            "state": state,
+            "ts_ms": int(time.time() * 1000),
+        }
+
+    def commit(self) -> None:
+        """Claim the WAL record (the commit point), publish every
+        table's stage in sorted-root order, mark committed.  A crash
+        after the claim is repaired forward by :func:`recover`."""
+        if self._done:
+            raise ValueError(f"txn {self.txn_id} already finished")
+        if not self._stores:
+            raise ValueError("nothing staged in this transaction")
+        path = _txn_path(self.root, self.txn_id)
+        write_atomic_claim(
+            self.spark,
+            path,
+            json.dumps(self._wal("committing")).encode("utf-8"),
+            f"{self.root.rstrip('/')}/{TXN_DIR}/.{self.txn_id}.tmp",
+            what=f"txn {self.txn_id}",
+        )
+        _publish_all(self.spark, sorted(self._stores), self.wap)
+        write_atomic_replace(
+            self.spark,
+            path,
+            json.dumps(self._wal("committed")).encode("utf-8"),
+            f"{self.root.rstrip('/')}/{TXN_DIR}/.{self.txn_id}.tmp",
+        )
+        self._done = True
+
+    def abort(self) -> None:
+        """Drop every staged write (manifests + data) and record the
+        decision.  Refuses if the transaction already claimed its WAL
+        (a claimed txn rolls FORWARD -- use :func:`recover`)."""
+        if self._done:
+            raise ValueError(f"txn {self.txn_id} already finished")
+        path = _txn_path(self.root, self.txn_id)
+        existing = _read_json(self.spark, path)
+        if existing is not None and existing["state"] != "aborted":
+            raise SnapshotConflict(
+                f"txn {self.txn_id} already claimed "
+                f"({existing['state']}); recover() it instead"
+            )
+        for root in sorted(self._stores):
+            store = self._stores[root]
+            if store.staged_versions(self.wap):
+                store.abandon_staged(self.wap)
+        try:
+            write_atomic_claim(
+                self.spark,
+                path,
+                json.dumps(self._wal("aborted")).encode("utf-8"),
+                f"{self.root.rstrip('/')}/{TXN_DIR}/.{self.txn_id}.tmp",
+                what=f"txn {self.txn_id}",
+            )
+        except SnapshotConflict:
+            pass  # raced recover()'s orphan sweep; staged already gone
+        self._done = True
+
+
+def _publish_all(
+    spark: SparkSession, roots: list[str], wap: str
+) -> None:
+    """Publish ``wap`` on every table, skipping tables where it already
+    published (idempotent roll-forward)."""
+    for root in roots:
+        store = SnapshotStore(spark, root)
+        if wap in store.committed_metadata("published_wap"):
+            continue  # this table already rolled forward
+        if not store.staged_versions(wap):
+            raise SnapshotConflict(
+                f"txn wap {wap!r} neither staged nor published on "
+                f"{root}: stage was lost (abandoned out-of-band?)"
+            )
+        store.publish_staged(wap)
+
+
+def _list_txns(spark: SparkSession, coordinator_root: str) -> list[dict]:
+    fs, d = _fs_and_path(spark, f"{coordinator_root.rstrip('/')}/{TXN_DIR}")
+    if not fs.exists(d):
+        return []
+    out = []
+    for st in fs.listStatus(d):
+        n = st.getPath().getName()
+        if not n.endswith(".json") or n.startswith("."):
+            continue
+        rec = _read_json(spark, str(st.getPath()))
+        if rec is not None and rec.get("state") in _STATES:
+            out.append(rec)
+    return sorted(out, key=lambda r: r["ts_ms"])
+
+
+def recover(spark: SparkSession, coordinator_root: str) -> dict:
+    """Repair after a coordinator crash: every ``committing`` WAL record
+    is rolled FORWARD (publish remaining tables, mark committed).
+    Idempotent -- safe to run unconditionally at startup.  Returns
+    ``{"rolled_forward": [txn ids], "already_terminal": n}``."""
+    rolled = []
+    terminal = 0
+    for rec in _list_txns(spark, coordinator_root):
+        if rec["state"] != "committing":
+            terminal += 1
+            continue
+        _publish_all(spark, list(rec["table_roots"]), rec["wap"])
+        write_atomic_replace(
+            spark,
+            _txn_path(coordinator_root, rec["txn_id"]),
+            json.dumps({**rec, "state": "committed"}).encode("utf-8"),
+            f"{coordinator_root.rstrip('/')}/{TXN_DIR}/.{rec['txn_id']}.tmp",
+        )
+        rolled.append(rec["txn_id"])
+    return {"rolled_forward": rolled, "already_terminal": terminal}
+
+
+def abort_orphans(
+    spark: SparkSession,
+    coordinator_root: str,
+    table_roots: list[str],
+    grace_ms: int = 24 * 3600 * 1000,
+) -> list[str]:
+    """Roll BACK transaction stages whose coordinator died before the
+    WAL claim: staged ``txn-*`` wap ids on the given tables with NO WAL
+    record and every staged commit older than ``grace_ms`` (the same
+    age-gate expire_snapshots applies to orphan data dirs -- an
+    in-flight young txn is indistinguishable from a dead one).  Returns
+    the abandoned wap ids."""
+    known = {r["wap"] for r in _list_txns(spark, coordinator_root)}
+    now = int(time.time() * 1000)
+    dropped = []
+    for root in table_roots:
+        store = SnapshotStore(spark, root)
+        by_wap: dict[str, list[int]] = {}
+        for v, wap in store.staged_versions().items():
+            if wap.startswith(TXN_WAP_PREFIX) and wap not in known:
+                by_wap.setdefault(wap, []).append(v)
+        for wap, versions in by_wap.items():
+            ages = [
+                now - store._read_manifest_raw(v)["committed_at_ms"]
+                for v in versions
+            ]
+            if min(ages) >= grace_ms:
+                store.abandon_staged(wap)
+                dropped.append(f"{root}::{wap}")
+    return dropped
+
+
+def expire_txns(
+    spark: SparkSession,
+    coordinator_root: str,
+    keep_ms: int = 7 * 24 * 3600 * 1000,
+) -> int:
+    """Drop TERMINAL (committed/aborted) WAL records older than
+    ``keep_ms``.  ``committing`` records are never expired -- they carry
+    a roll-forward obligation.  Returns the number removed."""
+    now = int(time.time() * 1000)
+    n = 0
+    for rec in _list_txns(spark, coordinator_root):
+        if rec["state"] == "committing":
+            continue
+        if now - rec["ts_ms"] >= keep_ms:
+            delete_prefix(
+                spark, _txn_path(coordinator_root, rec["txn_id"])
+            )
+            n += 1
+    return n
+
+
+def consistent_read(
+    spark: SparkSession,
+    coordinator_root: str,
+    table_roots: list[str],
+    retries: int = 20,
+    wait_s: float = 0.25,
+) -> dict[str, DataFrame]:
+    """Cross-table snapshot-consistent read: pin every table's head
+    version while NO claimed-but-unfinished transaction overlaps the
+    table set, then read each table ``as_of`` its pin.  Retries through
+    publish windows (they are metadata-only, O(tables) manifest writes);
+    raises if one stays open past the retry budget -- at that point a
+    coordinator crashed mid-commit and :func:`recover` is owed."""
+    targets = set(table_roots)
+    for _ in range(retries):
+        inflight = [
+            r
+            for r in _list_txns(spark, coordinator_root)
+            if r["state"] == "committing" and targets & set(r["table_roots"])
+        ]
+        if not inflight:
+            stores = {root: SnapshotStore(spark, root) for root in table_roots}
+            pins = {root: s.current_version() for root, s in stores.items()}
+            # Re-check AFTER pinning: a commit claiming between the scan
+            # and the pins could have published into our pinned heads on
+            # one table but not another.  If one appeared, retry.
+            still = [
+                r
+                for r in _list_txns(spark, coordinator_root)
+                if r["state"] == "committing"
+                and targets & set(r["table_roots"])
+            ]
+            if not still:
+                return {
+                    root: stores[root].read(as_of=pins[root])
+                    for root in table_roots
+                }
+        time.sleep(wait_s)
+    raise SnapshotConflict(
+        "a multi-table commit stayed in 'committing' past the retry "
+        "budget; run transactions.recover() and retry the read"
+    )

@@ -2176,3 +2176,116 @@ def snapshot_branch_publish_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("branch still lists after fast_forward")
     pub = _agg(store.read(), 2)
     return main0.unionByName(dev).unionByName(pub).orderBy("phase", "lang")
+
+
+@register(
+    "snapshot_txn_multi_table_read",
+    oracle="""
+    WITH d0 AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    e0 AS (SELECT * FROM events WHERE event_id % 2 = 0),
+    s AS (
+        SELECT 0 AS phase, 'silver' AS tbl, lang AS grp,
+               COUNT(*) AS n_rows, SUM(doc_id) AS sum_key
+        FROM d0 GROUP BY lang
+        UNION ALL
+        SELECT 0, 'gold', event_type, COUNT(*), SUM(event_id)
+        FROM e0 GROUP BY event_type
+        UNION ALL
+        SELECT 1, 'silver', lang, COUNT(*), SUM(doc_id)
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT 1, 'gold', event_type, COUNT(*), SUM(event_id)
+        FROM events GROUP BY event_type
+    )
+    SELECT CAST(phase AS INT) AS phase, tbl, grp,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(sum_key AS BIGINT) AS sum_key
+    FROM s ORDER BY phase, tbl, grp
+    """,
+    category="etl",
+    description="multi-table ATOMIC transaction under the gate "
+    "(transactions.MultiTableTransaction): one transaction stages a "
+    "backfill batch into BOTH a silver (documents) and a gold (events) "
+    "snapshot table; phase 0 aggregates both heads while the txn is "
+    "staged (must equal the bases -- nothing leaked on either table), "
+    "phase 1 after commit (both batches visible).  Commit is 2PC with "
+    "a coordinator WAL: the WAL claim is the commit point, publish is "
+    "metadata-only per table, a crash rolls forward via recover().  "
+    "The oracle recomputes both tables' both states from source",
+)
+def snapshot_txn_multi_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: transaction cost is metadata-plane -- the staged
+    data was already written once; commit adds one WAL record + one
+    manifest commit per table (O(tables), independent of data size).
+    Reference parity: the reference runs silver then gold as separate
+    jobs with no cross-table consistency (job_silver.py, job_gold.py);
+    this is that pipeline made atomic (transactions.py)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+    from ..transactions import MultiTableTransaction
+
+    t = load_tables(spark, sf_dir)
+    docs, events = t["documents"], t["events"].select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    base = (
+        f"{tempfile.gettempdir()}/snapshot_txn_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    silver = SnapshotStore(spark, f"{base}/silver")
+    gold = SnapshotStore(spark, f"{base}/gold")
+    silver.write(
+        docs.where(F.col("doc_id") % 2 == 0).repartition("lang"),
+        mode="snapshot",
+        partition_by=["lang"],
+    )
+    gold.write(
+        events.where(F.col("event_id") % 2 == 0).repartition("event_type"),
+        mode="snapshot",
+        partition_by=["event_type"],
+    )
+
+    txn = MultiTableTransaction(spark, f"{base}/txlog")
+    txn.write(
+        silver,
+        docs.where(F.col("doc_id") % 2 == 1).repartition("lang"),
+        mode="append",
+        partition_by=["lang"],
+    )
+    txn.write(
+        gold,
+        events.where(F.col("event_id") % 2 == 1).repartition("event_type"),
+        mode="append",
+        partition_by=["event_type"],
+    )
+
+    def _agg(df: DataFrame, phase: int, tbl: str, grp: str, key: str) -> DataFrame:
+        return (
+            df.groupBy(F.col(grp).alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(key).alias("sum_key"),
+            )
+            .select(
+                F.lit(phase).cast("int").alias("phase"),
+                F.lit(tbl).alias("tbl"),
+                "grp",
+                "n_rows",
+                "sum_key",
+            )
+        )
+
+    # phase 0 resolves the partition maps NOW: proves the staged batches
+    # leaked into NEITHER table even though collection happens later
+    p0 = _agg(silver.read(), 0, "silver", "lang", "doc_id").unionByName(
+        _agg(gold.read(), 0, "gold", "event_type", "event_id")
+    )
+    txn.commit()
+    p1 = _agg(silver.read(), 1, "silver", "lang", "doc_id").unionByName(
+        _agg(gold.read(), 1, "gold", "event_type", "event_id")
+    )
+    return p0.unionByName(p1).orderBy("phase", "tbl", "grp")

@@ -1,0 +1,210 @@
+"""Multi-table atomic transactions (`transactions.py`).
+
+The contract under test: after the WAL claim the transaction applies to
+EVERY table (crash -> roll-forward), before it to NONE (crash -> orphan
+roll-back); staged writes are invisible until the decision; readers can
+get a cross-table-consistent pin.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from docker_airflow_spark_minio_spark import transactions as tx
+from docker_airflow_spark_minio_spark.snapshots import (
+    SnapshotConflict,
+    SnapshotStore,
+)
+
+SCHEMA = "id INT, day STRING, amt INT"
+
+
+@pytest.fixture
+def roots(tmp_path):
+    return (
+        str(tmp_path / "txlog"),
+        str(tmp_path / "silver"),
+        str(tmp_path / "gold"),
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _ids(store):
+    return sorted(r["id"] for r in store.read().collect())
+
+
+def _seed(spark, roots):
+    silver = SnapshotStore(spark, roots[1])
+    gold = SnapshotStore(spark, roots[2])
+    silver.write(_df(spark, [(1, "d1", 10)]), mode="snapshot", partition_by=["day"])
+    gold.write(_df(spark, [(100, "d1", 1)]), mode="snapshot", partition_by=["day"])
+    return silver, gold
+
+
+def test_commit_all_or_nothing_visibility(spark, roots):
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.write(silver, _df(spark, [(2, "d2", 20)]), mode="append", partition_by=["day"])
+    t.write(gold, _df(spark, [(200, "d2", 2)]), mode="append", partition_by=["day"])
+    # staged: invisible on BOTH tables
+    assert _ids(silver) == [1] and _ids(gold) == [100]
+    t.commit()
+    assert _ids(silver) == [1, 2] and _ids(gold) == [100, 200]
+    # terminal: no further use
+    with pytest.raises(ValueError, match="finished"):
+        t.commit()
+
+
+def test_abort_rolls_back_everything(spark, roots):
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.write(silver, _df(spark, [(2, "d2", 20)]), mode="append", partition_by=["day"])
+    t.write(gold, _df(spark, [(200, "d2", 2)]), mode="append", partition_by=["day"])
+    t.abort()
+    assert _ids(silver) == [1] and _ids(gold) == [100]
+    assert silver.staged_versions() == {} and gold.staged_versions() == {}
+
+
+def test_crash_mid_publish_rolls_forward(spark, roots, monkeypatch):
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.write(silver, _df(spark, [(2, "d2", 20)]), mode="append", partition_by=["day"])
+    t.write(gold, _df(spark, [(200, "d2", 2)]), mode="append", partition_by=["day"])
+
+    real = tx._publish_all
+
+    def _crash_after_first(spark_, roots_, wap):
+        real(spark_, roots_[:1], wap)
+        raise RuntimeError("simulated coordinator crash")
+
+    monkeypatch.setattr(tx, "_publish_all", _crash_after_first)
+    with pytest.raises(RuntimeError, match="simulated"):
+        t.commit()
+    monkeypatch.setattr(tx, "_publish_all", real)
+
+    # exactly one table published -- the inconsistent window recover()
+    # exists to close
+    published = [s for s in (silver, gold) if len(_ids(s)) == 2]
+    assert len(published) == 1
+    out = tx.recover(spark, roots[0])
+    assert out["rolled_forward"] == [t.txn_id]
+    assert _ids(silver) == [1, 2] and _ids(gold) == [100, 200]
+    # idempotent: second recover is a no-op
+    out2 = tx.recover(spark, roots[0])
+    assert out2["rolled_forward"] == [] and out2["already_terminal"] == 1
+
+
+def test_abort_refuses_after_claim(spark, roots, monkeypatch):
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.write(silver, _df(spark, [(2, "d2", 20)]), mode="append", partition_by=["day"])
+
+    real = tx._publish_all
+
+    def _boom(spark_, roots_, wap):
+        raise RuntimeError("crash before any publish")
+
+    monkeypatch.setattr(tx, "_publish_all", _boom)
+    with pytest.raises(RuntimeError):
+        t.commit()
+    monkeypatch.setattr(tx, "_publish_all", real)
+    with pytest.raises(SnapshotConflict, match="recover"):
+        t.abort()
+    tx.recover(spark, roots[0])
+    assert _ids(silver) == [1, 2]
+
+
+def test_abort_orphans_grace_gated(spark, roots):
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.write(silver, _df(spark, [(2, "d2", 20)]), mode="append", partition_by=["day"])
+    # no WAL record exists (coordinator died before deciding)
+    # young: the default grace keeps it
+    assert tx.abort_orphans(spark, roots[0], [roots[1], roots[2]]) == []
+    assert silver.staged_versions() != {}
+    # grace 0: swept
+    dropped = tx.abort_orphans(
+        spark, roots[0], [roots[1], roots[2]], grace_ms=0
+    )
+    assert dropped == [f"{roots[1]}::{t.wap}"]
+    assert silver.staged_versions() == {}
+    assert _ids(silver) == [1]
+
+
+def test_orphan_sweep_spares_claimed_txns(spark, roots, monkeypatch):
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.write(silver, _df(spark, [(2, "d2", 20)]), mode="append", partition_by=["day"])
+
+    real = tx._publish_all
+
+    def _boom(spark_, roots_, wap):
+        raise RuntimeError("crash")
+
+    monkeypatch.setattr(tx, "_publish_all", _boom)
+    with pytest.raises(RuntimeError):
+        t.commit()
+    monkeypatch.setattr(tx, "_publish_all", real)
+    # WAL exists (committing): the sweep must NOT touch it even at
+    # grace 0 -- it carries a roll-forward obligation
+    assert tx.abort_orphans(spark, roots[0], [roots[1]], grace_ms=0) == []
+    tx.recover(spark, roots[0])
+    assert _ids(silver) == [1, 2]
+
+
+def test_consistent_read_pins_and_blocks(spark, roots, monkeypatch):
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.write(silver, _df(spark, [(2, "d2", 20)]), mode="append", partition_by=["day"])
+    t.write(gold, _df(spark, [(200, "d2", 2)]), mode="append", partition_by=["day"])
+    t.commit()
+    frames = tx.consistent_read(spark, roots[0], [roots[1], roots[2]])
+    assert sorted(r["id"] for r in frames[roots[1]].collect()) == [1, 2]
+    assert sorted(r["id"] for r in frames[roots[2]].collect()) == [100, 200]
+
+    # a stuck 'committing' record overlapping the tables blocks the read
+    t2 = tx.MultiTableTransaction(spark, roots[0])
+    t2.write(silver, _df(spark, [(3, "d3", 30)]), mode="append", partition_by=["day"])
+
+    real = tx._publish_all
+
+    def _boom(spark_, roots_, wap):
+        raise RuntimeError("crash")
+
+    monkeypatch.setattr(tx, "_publish_all", _boom)
+    with pytest.raises(RuntimeError):
+        t2.commit()
+    monkeypatch.setattr(tx, "_publish_all", real)
+    with pytest.raises(SnapshotConflict, match="recover"):
+        tx.consistent_read(
+            spark, roots[0], [roots[1]], retries=2, wait_s=0.05
+        )
+    tx.recover(spark, roots[0])
+    frames = tx.consistent_read(spark, roots[0], [roots[1]])
+    assert sorted(r["id"] for r in frames[roots[1]].collect()) == [1, 2, 3]
+
+
+def test_expire_txns_keeps_committing(spark, roots, monkeypatch):
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.write(silver, _df(spark, [(2, "d2", 20)]), mode="append", partition_by=["day"])
+    t.commit()
+    # terminal + old enough -> expired
+    assert tx.expire_txns(spark, roots[0], keep_ms=0) == 1
+    assert tx._list_txns(spark, roots[0]) == []
+
+    t2 = tx.MultiTableTransaction(spark, roots[0])
+    t2.write(silver, _df(spark, [(3, "d3", 30)]), mode="append", partition_by=["day"])
+
+    def _boom(spark_, roots_, wap):
+        raise RuntimeError("crash")
+
+    monkeypatch.setattr(tx, "_publish_all", _boom)
+    with pytest.raises(RuntimeError):
+        t2.commit()
+    # committing records carry an obligation: never expired
+    assert tx.expire_txns(spark, roots[0], keep_ms=0) == 0
+    assert len(tx._list_txns(spark, roots[0])) == 1
