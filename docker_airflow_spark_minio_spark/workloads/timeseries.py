@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import h32_sql
 from ..operators.temporal import asof_join, sessionize
 from .base import _CACHE_LOCK, load_tables, register
 
@@ -1092,6 +1093,108 @@ def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(is_scored.cast("long")).alias("n_scored"),
             F.sum(is_anom.cast("long")).alias("n_anomalies"),
             F.sum(F.when(is_anom, F.col("x")).otherwise(0)).alias("anom_value_mu"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "streaming_watermark_lateness_profile",
+    oracle=f"""
+    WITH a AS (
+        SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+               {h32_sql("CAST(event_id AS VARCHAR)")} AS arrival
+        FROM events
+    ), ingest AS (
+        SELECT event_type,
+               CASE WHEN MAX(ts_us) OVER (
+                        PARTITION BY event_type ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) > ts_us
+                    THEN 1 ELSE 0 END AS late
+        FROM a
+    ), stress AS (
+        SELECT event_type,
+               GREATEST(MAX(ts_us) OVER (
+                   PARTITION BY event_type ORDER BY arrival, event_id
+                   ROWS UNBOUNDED PRECEDING) - ts_us, 0) AS late_us
+        FROM a
+    ), si AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT)                      AS n_events,
+               CAST(quantile_disc(late_us, 0.5) AS BIGINT)   AS stress_p50_us,
+               CAST(quantile_disc(late_us, 0.95) AS BIGINT)  AS stress_p95_us,
+               CAST(MAX(late_us) AS BIGINT)                  AS stress_max_us
+        FROM stress GROUP BY event_type
+    ), ii AS (
+        SELECT event_type, CAST(SUM(late) AS BIGINT) AS ingest_out_of_order
+        FROM ingest GROUP BY event_type
+    )
+    SELECT si.event_type, si.n_events, ii.ingest_out_of_order,
+           si.stress_p50_us, si.stress_p95_us, si.stress_max_us
+    FROM si JOIN ii ON si.event_type = ii.event_type
+    ORDER BY si.event_type
+    """,
+    category="streaming",
+    description="watermark-delay calibration, two arrival models per "
+    "event type: (a) the TRUE ingest order (event_id) -- how many events "
+    "actually arrive behind the running event-time max (this corpus: "
+    "zero, it ships time-sorted); (b) a deterministic hash-permuted "
+    "arrival (md5 of event_id) as the adversarial-reordering STRESS "
+    "bound -- discrete p50/p95/max lateness in exact integer micros.  A "
+    "withWatermark() delay must dominate (a) to drop nothing today and "
+    "is bounded by (b) under worst-case redelivery",
+)
+def streaming_watermark_lateness_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale notes: two running-max windows per event type (one per
+    arrival model) + one aggregate; at production scale the arrival log
+    is bucketed by ingest partition and the window runs per-(type,
+    partition) with a final merge -- the two-phase top-k shape.
+    Lateness is integer micros end-to-end (epoch_us both engines), the
+    permutation is the portable md5 h32 (same on both engines), and the
+    percentiles are discrete elements -- all hash-exact."""
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import h32
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type",
+        "event_id",
+        "ts_us",
+        h32(F.col("event_id").cast("string")).alias("arrival"),
+    )
+    w_ingest = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_stress = (
+        Window.partitionBy("event_type")
+        .orderBy("arrival", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = ev.select(
+        "event_type",
+        F.when(F.max("ts_us").over(w_ingest) > F.col("ts_us"), 1)
+        .otherwise(0)
+        .alias("late"),
+        F.greatest(
+            F.max("ts_us").over(w_stress) - F.col("ts_us"), F.lit(0)
+        ).alias("late_us"),
+    )
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("late").cast("long").alias("ingest_out_of_order"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY late_us)")
+            .cast("long")
+            .alias("stress_p50_us"),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY late_us)")
+            .cast("long")
+            .alias("stress_p95_us"),
+            F.max("late_us").cast("long").alias("stress_max_us"),
         )
         .orderBy("event_type")
     )
