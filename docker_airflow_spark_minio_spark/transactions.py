@@ -81,7 +81,13 @@ def _read_json(spark: SparkSession, path: str) -> dict | None:
         )
     finally:
         stream.close()
-    return json.loads(raw.decode("utf-8"))
+    try:
+        return json.loads(raw.decode("utf-8"))
+    except ValueError:
+        # torn read on a store without atomic replace (create-overwrite
+        # window): treat as absent -- a committing record reappears to
+        # the NEXT recover/scan, which is when its obligation is due
+        return None
 
 
 class MultiTableTransaction:
