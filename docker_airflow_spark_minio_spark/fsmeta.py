@@ -81,3 +81,17 @@ def hive_partition_dir(spark: SparkSession, cols: list[str], vals: tuple) -> str
         pv = "__HIVE_DEFAULT_PARTITION__" if v is None else esc.escapePathName(str(v))
         parts.append(f"{esc.escapePathName(c)}={pv}")
     return "/".join(parts)
+
+
+def read_bytes(spark: SparkSession, uri: str) -> bytes:
+    """Slurp one file JVM-side (commons-io ships with Spark): a single
+    py4j round-trip for the whole payload instead of one per byte.  The
+    shared read primitive behind manifest/tag/WAL record loading."""
+    fs, p = _fs_and_path(spark, uri)
+    stream = fs.open(p)
+    try:
+        return bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()

@@ -73,7 +73,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .fsmeta import _fs_and_path, delete_prefix
+from .fsmeta import _fs_and_path, delete_prefix, read_bytes
 from .fsmeta import hive_partition_dir as _hive_partition_dir
 
 MANIFEST_DIR = "_manifests"
@@ -429,16 +429,7 @@ class SnapshotStore:
 
     def _read_manifest_raw(self, version: int) -> dict:
         """One manifest FILE, as committed (full checkpoint or delta)."""
-        fs, p = _fs_and_path(self.spark, self._manifest_path(version))
-        stream = fs.open(p)
-        try:
-            # Slurp JVM-side (commons-io ships with Spark): one py4j
-            # round-trip for the whole manifest instead of one per byte.
-            raw = bytes(
-                self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-            )
-        finally:
-            stream.close()
+        raw = read_bytes(self.spark, self._manifest_path(version))
         return json.loads(raw.decode("utf-8"))
 
     def _read_manifest(self, version: int) -> dict:
@@ -550,17 +541,13 @@ class SnapshotStore:
           HDFS-semantics stores (rename fails on an existing
           destination).
         """
-        self._write_atomic_claim(
+        write_atomic_claim(
+            self.spark,
             self._manifest_path(version),
             json.dumps(manifest).encode("utf-8"),
             f"{self.root.rstrip('/')}/{MANIFEST_DIR}/.v{version}.json.tmp",
             what=f"version {version}",
         )
-
-    def _write_atomic_claim(
-        self, final: str, payload: bytes, tmp: str, what: str
-    ) -> None:
-        write_atomic_claim(self.spark, final, payload, tmp, what)
 
     def _replace_manifest(self, version: int, manifest: dict) -> None:
         """Maintenance-only overwrite of an EXISTING manifest with a
@@ -571,14 +558,12 @@ class SnapshotStore:
         move, elsewhere a create-overwrite (readers racing the
         maintenance window may retry, the same contract expire already
         carries for data-dir reclamation)."""
-        self._write_atomic_replace(
+        write_atomic_replace(
+            self.spark,
             self._manifest_path(version),
             json.dumps(manifest).encode("utf-8"),
             f"{self.root.rstrip('/')}/{MANIFEST_DIR}/.v{version}.json.mat.tmp",
         )
-
-    def _write_atomic_replace(self, final: str, payload: bytes, tmp: str) -> None:
-        write_atomic_replace(self.spark, final, payload, tmp)
 
     def history(self) -> list[dict]:
         """Commit metadata per version, ascending (the ``.history``
@@ -666,16 +651,18 @@ class SnapshotStore:
         if replace:
             fs, p = _fs_and_path(self.spark, final)
             if fs.exists(p):
-                self._write_atomic_replace(final, payload, tmp)
+                write_atomic_replace(self.spark, final, payload, tmp)
                 return v
         try:
-            self._write_atomic_claim(final, payload, tmp, what=f"tag {name!r}")
+            write_atomic_claim(
+                self.spark, final, payload, tmp, what=f"tag {name!r}"
+            )
         except SnapshotConflict:
             if replace:
                 # lost a race with a concurrent creator between the
                 # exists() probe and the claim: the tag exists now, and
                 # replace=True means "repoint whatever is there"
-                self._write_atomic_replace(final, payload, tmp)
+                write_atomic_replace(self.spark, final, payload, tmp)
                 return v
             raise ValueError(f"tag {name!r} already exists") from None
         return v
@@ -690,13 +677,7 @@ class SnapshotStore:
             n = st.getPath().getName()
             if not n.endswith(".json") or n.startswith("."):
                 continue
-            stream = fs.open(st.getPath())
-            try:
-                raw = bytes(
-                    self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-                )
-            finally:
-                stream.close()
+            raw = read_bytes(self.spark, str(st.getPath()))
             try:
                 ref = json.loads(raw.decode("utf-8"))
             except ValueError:
@@ -861,14 +842,6 @@ class SnapshotStore:
         if not staged:
             raise ValueError(f"no staged snapshots with wap id {wap_id!r}")
         new_v = None
-        # True while the published head state still EQUALS the staged
-        # chain's own state -- the precondition for the chained
-        # fast-forward arm below.  A replay onto a moved head merges in
-        # commits the staged chain never saw, after which a child's
-        # staged manifest (parent state + child) is NOT head + child:
-        # fast-forwarding it would silently drop main's intervening
-        # data (lost update), so every later commit must replay too.
-        ff_chain = True
         for sv in staged:
             raw = self._read_manifest_raw(sv)
             st = self._read_manifest(sv)
@@ -884,19 +857,27 @@ class SnapshotStore:
                 "published_wap": wap_id,
                 "published_from": sv,
             }
+            head_meta = (head.get("metadata") or {}) if head is not None else {}
             if head_v == base_v or (
-                ff_chain
-                and head is not None
+                head is not None
                 and base_v is not None
-                and (head.get("metadata") or {}).get("published_from")
-                == base_v
+                and head_meta.get("published_from") == base_v
+                and head_meta.get("published_state_equal") is True
             ):
                 # Fast-forward: the staged state IS head + this commit.
                 # The second arm chains a staged SEQUENCE: when the
                 # current head is the publish of this commit's own
-                # staged parent, the head state equals that parent's
-                # state, so the staged manifest (parent state + this
-                # commit) is exactly head + this commit.
+                # staged parent AND that publish was itself state-equal
+                # (recorded DURABLY as published_state_equal -- a
+                # process-local flag would forget a REPLAY onto a moved
+                # head across a crash-retry, resurrecting the lost
+                # update), the head state equals that parent's state, so
+                # the staged manifest (parent state + this commit) is
+                # exactly head + this commit.  A replayed publish
+                # records published_state_equal=False, and commits from
+                # before the marker existed read as absent (falsy):
+                # both force the replay arm, which is always safe.
+                meta["published_state_equal"] = True
                 merged = st
                 schema = st["schema"]
             elif st["mode"] == "snapshot":
@@ -905,7 +886,9 @@ class SnapshotStore:
                     f"advanced from v{base_v} to v{head_v} since the stage"
                 )
             else:
-                ff_chain = False  # merging commits the chain never saw
+                # replay: merging commits the chain never saw -- head
+                # state no longer equals the chain's state, durably so
+                meta["published_state_equal"] = False
                 if st["partition_by"] != head["partition_by"]:
                     raise SnapshotConflict(
                         f"cannot publish staged v{sv}: partition spec "

@@ -28,7 +28,12 @@ Contract, stated honestly:
 * **Atomic durability**: after the WAL claim succeeds, the transaction
   WILL apply to every table (roll-forward); before it, it never applies
   anywhere (roll-back).  There is no state from which half the tables
-  keep the writes permanently.
+  keep the writes permanently.  This holds BECAUSE transactional writes
+  are restricted to ``mode='append'``, one per table (see
+  :meth:`MultiTableTransaction.write`): appends replay cleanly onto any
+  moved head, so a claimed transaction's publish cannot refuse --
+  replace semantics would reintroduce publish-time conflicts after the
+  point of no return.
 * **Per-table snapshot isolation**, not cross-table serializability:
   during the publish window a reader pinning table heads itself can see
   table A published and table B not yet.  :func:`consistent_read` closes
@@ -50,7 +55,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .fsmeta import _fs_and_path, delete_prefix
+from .fsmeta import _fs_and_path, delete_prefix, read_bytes
 from .snapshots import (
     SnapshotConflict,
     SnapshotStore,
@@ -74,19 +79,14 @@ def _read_json(spark: SparkSession, path: str) -> dict | None:
     fs, p = _fs_and_path(spark, path)
     if not fs.exists(p):
         return None
-    stream = fs.open(p)
     try:
-        raw = bytes(
-            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        )
-    finally:
-        stream.close()
-    try:
-        return json.loads(raw.decode("utf-8"))
+        return json.loads(read_bytes(spark, path).decode("utf-8"))
     except ValueError:
         # torn read on a store without atomic replace (create-overwrite
         # window): treat as absent -- a committing record reappears to
-        # the NEXT recover/scan, which is when its obligation is due
+        # the NEXT recover/scan, which is when its obligation is due.
+        # (abort_orphans derives its protection set from FILENAMES, so
+        # a torn record still shields its stages from the sweep.)
         return None
 
 
@@ -116,13 +116,47 @@ class MultiTableTransaction:
     # -- staging -----------------------------------------------------------
 
     def write(self, store: SnapshotStore, df: DataFrame, **kw) -> int:
-        """Stage ``df`` into ``store`` under this transaction (any
+        """Stage ``df`` into ``store`` under this transaction (the
         ``SnapshotStore.write`` kwargs except ``staged``).  Durable
-        immediately, invisible everywhere until :meth:`commit`."""
+        immediately, invisible everywhere until :meth:`commit`.
+
+        Two restrictions keep the commit contract TRUE rather than
+        aspirational:
+
+        * ``mode`` must be ``append`` -- an append replays cleanly onto
+          any moved head, so publish cannot refuse after the WAL claim.
+          A staged full-replace or partition overwrite can legitimately
+          raise SnapshotConflict at publish time if the table advanced,
+          which would wedge a CLAIMED transaction (no abort after the
+          commit point, no forward progress).  Replace semantics belong
+          in single-table WAP, where the auditor handles the conflict.
+        * one write per table per transaction -- roll-forward detects a
+          finished table by its published wap id, which is recorded by
+          the FIRST cherry-pick; a crash between two same-table
+          cherry-picks would read as "done" and strand the second
+          stage half-applied forever.
+        """
         if self._done:
             raise ValueError(f"txn {self.txn_id} already finished")
         if "staged" in kw:
             raise ValueError("txn writes stage implicitly; drop staged=")
+        if kw.get("mode", "snapshot") != "append":
+            raise ValueError(
+                "multi-table transactions support mode='append' only "
+                "(see docstring: replace modes can refuse at publish "
+                "time, wedging a claimed transaction)"
+            )
+        if kw.get("evolve_partitioning"):
+            raise ValueError(
+                "partition-spec evolution cannot ride a multi-table "
+                "transaction (publish would refuse under the new spec)"
+            )
+        if store.root in self._stores:
+            raise ValueError(
+                f"table {store.root} already written in txn "
+                f"{self.txn_id}: one write per table per transaction "
+                "(union the frames instead)"
+            )
         v = store.write(df, staged=self.wap, **kw)
         self._stores[store.root] = store
         return v
@@ -234,15 +268,25 @@ def _list_txns(spark: SparkSession, coordinator_root: str) -> list[dict]:
 def recover(spark: SparkSession, coordinator_root: str) -> dict:
     """Repair after a coordinator crash: every ``committing`` WAL record
     is rolled FORWARD (publish remaining tables, mark committed).
-    Idempotent -- safe to run unconditionally at startup.  Returns
-    ``{"rolled_forward": [txn ids], "already_terminal": n}``."""
+    Idempotent -- safe to run unconditionally at startup.  A record
+    whose roll-forward itself refuses (possible only through
+    out-of-band interference: a partition-spec evolution between stage
+    and publish, or a stage abandoned by hand) is reported under
+    ``stuck`` with its error instead of aborting the pass -- other
+    transactions still recover.  Returns ``{"rolled_forward": [...],
+    "already_terminal": n, "stuck": {txn_id: reason}}``."""
     rolled = []
+    stuck: dict[str, str] = {}
     terminal = 0
     for rec in _list_txns(spark, coordinator_root):
         if rec["state"] != "committing":
             terminal += 1
             continue
-        _publish_all(spark, list(rec["table_roots"]), rec["wap"])
+        try:
+            _publish_all(spark, list(rec["table_roots"]), rec["wap"])
+        except SnapshotConflict as exc:
+            stuck[rec["txn_id"]] = str(exc)
+            continue
         write_atomic_replace(
             spark,
             _txn_path(coordinator_root, rec["txn_id"]),
@@ -250,7 +294,11 @@ def recover(spark: SparkSession, coordinator_root: str) -> dict:
             f"{coordinator_root.rstrip('/')}/{TXN_DIR}/.{rec['txn_id']}.tmp",
         )
         rolled.append(rec["txn_id"])
-    return {"rolled_forward": rolled, "already_terminal": terminal}
+    return {
+        "rolled_forward": rolled,
+        "already_terminal": terminal,
+        "stuck": stuck,
+    }
 
 
 def abort_orphans(
@@ -264,8 +312,20 @@ def abort_orphans(
     record and every staged commit older than ``grace_ms`` (the same
     age-gate expire_snapshots applies to orphan data dirs -- an
     in-flight young txn is indistinguishable from a dead one).  Returns
-    the abandoned wap ids."""
-    known = {r["wap"] for r in _list_txns(spark, coordinator_root)}
+    the abandoned wap ids.
+
+    The protection set derives from WAL FILENAMES (``<txn_id>.json`` ->
+    ``txn-<txn_id>``), not parsed record contents: a record caught torn
+    mid-write parses as absent, and content-derived protection would
+    let the sweep roll back a CLAIMED transaction's stages -- after
+    which its recover() raises "stage was lost"."""
+    fs, d = _fs_and_path(spark, f"{coordinator_root.rstrip('/')}/{TXN_DIR}")
+    known = set()
+    if fs.exists(d):
+        for st in fs.listStatus(d):
+            n = st.getPath().getName()
+            if n.endswith(".json") and not n.startswith("."):
+                known.add(f"{TXN_WAP_PREFIX}{n[: -len('.json')]}")
     now = int(time.time() * 1000)
     dropped = []
     for root in table_roots:
@@ -329,16 +389,26 @@ def consistent_read(
         if not inflight:
             stores = {root: SnapshotStore(spark, root) for root in table_roots}
             pins = {root: s.current_version() for root, s in stores.items()}
-            # Re-check AFTER pinning: a commit claiming between the scan
-            # and the pins could have published into our pinned heads on
-            # one table but not another.  If one appeared, retry.
+            # Validate AFTER pinning: a multi-table commit is fast
+            # (metadata-only), so one that claims between the scan and
+            # the pins can have published into SOME of the pinned heads
+            # -- and may already read 'committed' again, which a
+            # committing-only re-check would miss.  Two conditions close
+            # it: no overlapping record is mid-commit now, AND every
+            # pinned head is still the head (any concurrent commit --
+            # txn or ordinary writer -- moved a head between our pins,
+            # so the pins may straddle it).
             still = [
                 r
                 for r in _list_txns(spark, coordinator_root)
                 if r["state"] == "committing"
                 and targets & set(r["table_roots"])
             ]
-            if not still:
+            moved = any(
+                stores[root].current_version() != pins[root]
+                for root in table_roots
+            )
+            if not still and not moved:
                 return {
                     root: stores[root].read(as_of=pins[root])
                     for root in table_roots

@@ -268,3 +268,41 @@ def test_publish_chain_overwrite_after_replay_onto_moved_head(spark, root):
     store.write(_df(spark, [(4, "d3", 40)]), mode="append", partition_by=["day"])
     store.publish_staged("wap-ow")
     assert _rows(store.read()) == [(4, "d3", 40), (9, "d1", 90)]
+
+
+def test_publish_chain_crash_retry_keeps_main_commits(spark, root, monkeypatch):
+    """A fast_forward that REPLAYS its first staged commit onto a moved
+    main, then crashes before the second, must NOT fast-forward the
+    second on retry: the retry runs with fresh process state, so the
+    state-equality signal has to live in the publish commit's metadata
+    (published_state_equal), not in a local flag."""
+    store = SnapshotStore(spark, root)
+    store.write(_df(spark, [(1, "d1", 10)]), mode="snapshot", partition_by=["day"])
+    store.branch_write("dev", _df(spark, [(2, "d1", 20)]), partition_by=["day"])
+    store.branch_write("dev", _df(spark, [(3, "d2", 30)]), partition_by=["day"])
+    # main moves after the branch point -> the first publish REPLAYS
+    store.write(_df(spark, [(4, "d3", 40)]), mode="append", partition_by=["day"])
+
+    real = SnapshotStore._commit_manifest
+    calls = {"n": 0}
+
+    def _crash_on_second_publish(self, version, manifest):
+        if manifest["mode"] == "wap_publish":
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("simulated crash between publishes")
+        return real(self, version, manifest)
+
+    monkeypatch.setattr(SnapshotStore, "_commit_manifest", _crash_on_second_publish)
+    with pytest.raises(RuntimeError, match="simulated"):
+        store.fast_forward("dev")
+    monkeypatch.setattr(SnapshotStore, "_commit_manifest", real)
+
+    # retry in "a new process": only the second commit is still staged
+    store.fast_forward("dev")
+    assert _rows(store.read()) == [
+        (1, "d1", 10),
+        (2, "d1", 20),
+        (3, "d2", 30),
+        (4, "d3", 40),
+    ]

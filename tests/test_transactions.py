@@ -208,3 +208,69 @@ def test_expire_txns_keeps_committing(spark, roots, monkeypatch):
     # committing records carry an obligation: never expired
     assert tx.expire_txns(spark, roots[0], keep_ms=0) == 0
     assert len(tx._list_txns(spark, roots[0])) == 1
+
+
+def test_write_restrictions(spark, roots):
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    # replace modes can refuse at publish time -> rejected at write time
+    with pytest.raises(ValueError, match="append"):
+        t.write(silver, _df(spark, [(2, "d2", 20)]), mode="snapshot",
+                partition_by=["day"])
+    with pytest.raises(ValueError, match="append"):
+        t.write(silver, _df(spark, [(2, "d2", 20)]),
+                mode="overwrite_partitions", partition_by=["day"])
+    t.write(silver, _df(spark, [(2, "d2", 20)]), mode="append",
+            partition_by=["day"])
+    # one write per table: a crash between two same-table cherry-picks
+    # would strand the second stage
+    with pytest.raises(ValueError, match="one write per table"):
+        t.write(silver, _df(spark, [(3, "d3", 30)]), mode="append",
+                partition_by=["day"])
+    t.abort()
+
+
+def test_commit_survives_concurrent_main_append(spark, roots):
+    """The reason for the append-only restriction: another writer moves
+    a table's head between stage and commit, and the publish must merge
+    (replay), never refuse -- a claimed txn has no abort path."""
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.write(silver, _df(spark, [(2, "d2", 20)]), mode="append", partition_by=["day"])
+    t.write(gold, _df(spark, [(200, "d2", 2)]), mode="append", partition_by=["day"])
+    # independent writer advances silver AFTER the stage
+    silver.write(_df(spark, [(5, "d5", 50)]), mode="append", partition_by=["day"])
+    t.commit()
+    assert _ids(silver) == [1, 2, 5]
+    assert _ids(gold) == [100, 200]
+
+
+def test_orphan_sweep_spares_torn_wal_records(spark, roots, monkeypatch):
+    """Protection against the sweep derives from WAL FILENAMES: a record
+    caught torn mid-write parses as absent, but its stages must NOT be
+    rolled back -- recover() owes them a roll-forward."""
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.write(silver, _df(spark, [(2, "d2", 20)]), mode="append", partition_by=["day"])
+
+    real = tx._publish_all
+
+    def _boom(spark_, roots_, wap):
+        raise RuntimeError("crash")
+
+    monkeypatch.setattr(tx, "_publish_all", _boom)
+    with pytest.raises(RuntimeError):
+        t.commit()
+    monkeypatch.setattr(tx, "_publish_all", real)
+    # corrupt the WAL record in place (simulated torn write)
+    import glob
+    import os
+
+    path = glob.glob(os.path.join(roots[0], "_txns", "*.json"))[0]
+    with open(path, "w") as fh:
+        fh.write('{"txn_id": "trunc')
+    # parses as absent...
+    assert tx._list_txns(spark, roots[0]) == []
+    # ...but the filename still shields the stages
+    assert tx.abort_orphans(spark, roots[0], [roots[1]], grace_ms=0) == []
+    assert silver.staged_versions() != {}
