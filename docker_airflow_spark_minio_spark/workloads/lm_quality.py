@@ -451,3 +451,91 @@ def corpus_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Token budget for the apportionment entry: fixed so the oracle is a
+# pure function of the corpus (any real pipeline passes its own).
+APPORTION_BUDGET = 1_000_000
+
+
+@register(
+    "corpus_token_apportionment",
+    oracle=f"""
+    WITH s AS (
+        SELECT source,
+               CAST(SUM(len({tokens_sql("text")})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), w AS (
+        SELECT source, n_tokens,
+               ({APPORTION_BUDGET} * n_tokens)
+                   // SUM(n_tokens) OVER ()                   AS base_quota,
+               ({APPORTION_BUDGET} * n_tokens)
+                   % SUM(n_tokens) OVER ()                    AS remainder
+        FROM s
+    ), r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY remainder DESC, source)
+                   AS rem_rank,
+               {APPORTION_BUDGET} - SUM(base_quota) OVER ()   AS leftover
+        FROM w
+    )
+    SELECT source, n_tokens,
+           CAST(base_quota + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota_tokens
+    FROM r ORDER BY source
+    """,
+    category="curation",
+    description=f"exact token-budget apportionment (Hamilton / largest "
+    f"remainder) of a {APPORTION_BUDGET}-token training budget across "
+    "sources proportional to their token mass: floor quotas + the "
+    "largest remainders get the leftover units, deterministic "
+    "source-name tie-break -- quotas sum EXACTLY to the budget, with "
+    "no floating-point shares to drift",
+)
+def corpus_token_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one aggregate to source granularity, then windows over the
+    constant-size (rows == number of sources) weight table -- the
+    RRF-pool bounded-window argument.  The quota arithmetic is PURE
+    BIGINT div/mod on both engines (a decimal division would round
+    before the floor and hand the leftover units to different sources
+    -- observed at sf0.1); budget * per-source-tokens stays inside
+    int64 up to ~9e12 tokens per source at this budget, and past that
+    the budget is apportioned hierarchically (per shard, then across
+    shards) rather than widening the type."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    s = (
+        docs.select("source", tokens_expr("text").alias("t"))
+        .select("source", F.size("t").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+    )
+    w_all = Window.partitionBy()
+    w = s.select(
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w_all).alias("total"),
+    ).selectExpr(
+        "source",
+        "n_tokens",
+        f"({APPORTION_BUDGET}L * n_tokens) DIV total AS base_quota",
+        f"({APPORTION_BUDGET}L * n_tokens) % total AS remainder",
+    )
+    r = w.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.desc("remainder"), F.asc("source")))
+        .alias("rem_rank"),
+        (F.lit(APPORTION_BUDGET) - F.sum("base_quota").over(w_all)).alias(
+            "leftover"
+        ),
+    )
+    return r.select(
+        "source",
+        "n_tokens",
+        (
+            F.col("base_quota")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota_tokens"),
+    ).orderBy("source")
