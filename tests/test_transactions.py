@@ -274,3 +274,28 @@ def test_orphan_sweep_spares_torn_wal_records(spark, roots, monkeypatch):
     # ...but the filename still shields the stages
     assert tx.abort_orphans(spark, roots[0], [roots[1]], grace_ms=0) == []
     assert silver.staged_versions() != {}
+
+
+def test_s3_semantics_txn_commit_recover_claim():
+    """The coordinator WAL on an S3-semantics store (mocks3://):
+    conditional-put claim, crash roll-forward, duplicate-txn-id race --
+    in a subprocess so the fs impl jar is on the JVM classpath."""
+    import os
+    import subprocess
+    import sys
+
+    from test_nonlocal_fs_pipeline import FIXTURE_DIR, _ensure_jar
+
+    if not _ensure_jar():
+        pytest.skip("mockfs fixture jar unavailable (no javac)")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(FIXTURE_DIR, "drive_s3txn.py")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out[-4000:]
+    assert "S3TXN-COMMIT-OK" in out
+    assert "S3TXN-RECOVER-OK" in out
+    assert "S3TXN-CLAIM-RACE-OK" in out
