@@ -75,6 +75,26 @@ def _txn_path(root: str, txn_id: str) -> str:
     return f"{root.rstrip('/')}/{TXN_DIR}/{txn_id}.json"
 
 
+def _txn_tmp(root: str, txn_id: str) -> str:
+    return f"{root.rstrip('/')}/{TXN_DIR}/.{txn_id}.tmp"
+
+
+def _wal_entries(spark: SparkSession, coordinator_root: str) -> list[tuple[str, str]]:
+    """(txn_id, record path) for every WAL record FILE, parsed or not --
+    the shared listing behind :func:`_list_txns` (which reads each) and
+    :func:`abort_orphans` (which needs only the ids: a torn record must
+    still shield its stages)."""
+    fs, d = _fs_and_path(spark, f"{coordinator_root.rstrip('/')}/{TXN_DIR}")
+    if not fs.exists(d):
+        return []
+    out = []
+    for st in fs.listStatus(d):
+        n = st.getPath().getName()
+        if n.endswith(".json") and not n.startswith("."):
+            out.append((n[: -len(".json")], str(st.getPath())))
+    return out
+
+
 def _read_json(spark: SparkSession, path: str) -> dict | None:
     fs, p = _fs_and_path(spark, path)
     if not fs.exists(p):
@@ -191,7 +211,7 @@ class MultiTableTransaction:
             self.spark,
             path,
             json.dumps(self._wal("committing")).encode("utf-8"),
-            f"{self.root.rstrip('/')}/{TXN_DIR}/.{self.txn_id}.tmp",
+            _txn_tmp(self.root, self.txn_id),
             what=f"txn {self.txn_id}",
         )
         _publish_all(self.spark, sorted(self._stores), self.wap)
@@ -199,7 +219,7 @@ class MultiTableTransaction:
             self.spark,
             path,
             json.dumps(self._wal("committed")).encode("utf-8"),
-            f"{self.root.rstrip('/')}/{TXN_DIR}/.{self.txn_id}.tmp",
+            _txn_tmp(self.root, self.txn_id),
         )
         self._done = True
 
@@ -225,7 +245,7 @@ class MultiTableTransaction:
                 self.spark,
                 path,
                 json.dumps(self._wal("aborted")).encode("utf-8"),
-                f"{self.root.rstrip('/')}/{TXN_DIR}/.{self.txn_id}.tmp",
+                _txn_tmp(self.root, self.txn_id),
                 what=f"txn {self.txn_id}",
             )
         except SnapshotConflict:
@@ -251,15 +271,9 @@ def _publish_all(
 
 
 def _list_txns(spark: SparkSession, coordinator_root: str) -> list[dict]:
-    fs, d = _fs_and_path(spark, f"{coordinator_root.rstrip('/')}/{TXN_DIR}")
-    if not fs.exists(d):
-        return []
     out = []
-    for st in fs.listStatus(d):
-        n = st.getPath().getName()
-        if not n.endswith(".json") or n.startswith("."):
-            continue
-        rec = _read_json(spark, str(st.getPath()))
+    for _txn_id, path in _wal_entries(spark, coordinator_root):
+        rec = _read_json(spark, path)
         if rec is not None and rec.get("state") in _STATES:
             out.append(rec)
     return sorted(out, key=lambda r: r["ts_ms"])
@@ -291,7 +305,7 @@ def recover(spark: SparkSession, coordinator_root: str) -> dict:
             spark,
             _txn_path(coordinator_root, rec["txn_id"]),
             json.dumps({**rec, "state": "committed"}).encode("utf-8"),
-            f"{coordinator_root.rstrip('/')}/{TXN_DIR}/.{rec['txn_id']}.tmp",
+            _txn_tmp(coordinator_root, rec["txn_id"]),
         )
         rolled.append(rec["txn_id"])
     return {
@@ -319,13 +333,10 @@ def abort_orphans(
     mid-write parses as absent, and content-derived protection would
     let the sweep roll back a CLAIMED transaction's stages -- after
     which its recover() raises "stage was lost"."""
-    fs, d = _fs_and_path(spark, f"{coordinator_root.rstrip('/')}/{TXN_DIR}")
-    known = set()
-    if fs.exists(d):
-        for st in fs.listStatus(d):
-            n = st.getPath().getName()
-            if n.endswith(".json") and not n.startswith("."):
-                known.add(f"{TXN_WAP_PREFIX}{n[: -len('.json')]}")
+    known = {
+        f"{TXN_WAP_PREFIX}{txn_id}"
+        for txn_id, _path in _wal_entries(spark, coordinator_root)
+    }
     now = int(time.time() * 1000)
     dropped = []
     for root in table_roots:
@@ -380,13 +391,15 @@ def consistent_read(
     raises if one stays open past the retry budget -- at that point a
     coordinator crashed mid-commit and :func:`recover` is owed."""
     targets = set(table_roots)
-    for _ in range(retries):
-        inflight = [
-            r
+
+    def _overlapping_inflight() -> bool:
+        return any(
+            r["state"] == "committing" and targets & set(r["table_roots"])
             for r in _list_txns(spark, coordinator_root)
-            if r["state"] == "committing" and targets & set(r["table_roots"])
-        ]
-        if not inflight:
+        )
+
+    for _ in range(retries):
+        if not _overlapping_inflight():
             stores = {root: SnapshotStore(spark, root) for root in table_roots}
             pins = {root: s.current_version() for root, s in stores.items()}
             # Validate AFTER pinning: a multi-table commit is fast
@@ -398,17 +411,11 @@ def consistent_read(
             # pinned head is still the head (any concurrent commit --
             # txn or ordinary writer -- moved a head between our pins,
             # so the pins may straddle it).
-            still = [
-                r
-                for r in _list_txns(spark, coordinator_root)
-                if r["state"] == "committing"
-                and targets & set(r["table_roots"])
-            ]
             moved = any(
                 stores[root].current_version() != pins[root]
                 for root in table_roots
             )
-            if not still and not moved:
+            if not _overlapping_inflight() and not moved:
                 return {
                     root: stores[root].read(as_of=pins[root])
                     for root in table_roots
