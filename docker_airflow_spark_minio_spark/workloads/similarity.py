@@ -1266,3 +1266,77 @@ def ann_matryoshka_truncation_recall(
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm health (per-label hygiene audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_norm_health",
+    oracle=f"""
+    WITH n AS (
+        SELECT label,
+               CAST(FLOOR(sqrt({_DOT}(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))) * 1000000)
+                    AS BIGINT) AS norm_x1e6,
+               len(list_filter(CAST(embedding AS DOUBLE[]), x -> x = 0))
+                   AS n_zero_dims,
+               len(embedding) AS dims
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT)                       AS n_vecs,
+           CAST(MIN(norm_x1e6) AS BIGINT)                 AS min_norm_x1e6,
+           CAST(quantile_disc(norm_x1e6, 0.5) AS BIGINT)  AS p50_norm_x1e6,
+           CAST(MAX(norm_x1e6) AS BIGINT)                 AS max_norm_x1e6,
+           CAST((SUM(norm_x1e6)) // COUNT(*) AS BIGINT)   AS avg_norm_x1e6,
+           CAST(SUM(CASE WHEN norm_x1e6 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_vectors,
+           CAST(SUM(n_zero_dims) AS BIGINT)               AS sum_zero_dims,
+           CAST(MAX(dims) AS BIGINT)                      AS dims
+    FROM n GROUP BY label ORDER BY label
+    """,
+    category="similarity",
+    description="embedding hygiene audit before indexing: per-label "
+    "vector counts, min/p50/max/avg L2 norm (integer micro-units; "
+    "IEEE-exact sqrt over the same left-to-right fold both engines "
+    "run), zero-vector and zero-dimension counts -- degenerate vectors "
+    "poison cosine similarity (division by zero norm) and IVF/k-means "
+    "centroids, so this is the gate an embedding batch passes before "
+    "it reaches the ANN index",
+)
+def embedding_norm_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: scan -> map (fold per row, no shuffle of vectors) -> one
+    hash aggregate on label; the discrete median runs over integer
+    micro-norms so it is an actual element, hash-exact.  No vector
+    leaves its scan task -- only 8-byte norms shuffle."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = F.col("embedding").cast("array<double>")
+    n = emb.select(
+        "label",
+        F.floor(l2_norm(v) * 1e6).cast("long").alias("norm_x1e6"),
+        F.size(F.filter(v, lambda x: x == 0)).alias("n_zero_dims"),
+        F.size("embedding").alias("dims"),
+    )
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("norm_x1e6").alias("min_norm_x1e6"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY norm_x1e6)"
+            )
+            .cast("long")
+            .alias("p50_norm_x1e6"),
+            F.max("norm_x1e6").alias("max_norm_x1e6"),
+            F.expr("SUM(norm_x1e6) DIV COUNT(*)").alias("avg_norm_x1e6"),
+            F.sum(F.when(F.col("norm_x1e6") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero_vectors"),
+            F.sum("n_zero_dims").cast("long").alias("sum_zero_dims"),
+            F.max("dims").cast("long").alias("dims"),
+        )
+        .orderBy("label")
+    )
