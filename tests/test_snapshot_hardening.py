@@ -306,3 +306,39 @@ def test_publish_chain_crash_retry_keeps_main_commits(spark, root, monkeypatch):
         (3, "d2", 30),
         (4, "d3", 40),
     ]
+
+
+def test_publish_records_state_equality_marker_durably(spark, root):
+    """Every publish commit must record published_state_equal in its
+    metadata: True for a state-equal fast-forward, False for a replay
+    onto a moved head -- the durable signal the chained fast-forward
+    arm reads (a crash-retry starts with fresh process state)."""
+    store = SnapshotStore(spark, root)
+    store.write(_df(spark, [(1, "d1", 10)]), mode="snapshot", partition_by=["day"])
+    # fast-forward publish: head unchanged since the stage
+    store.write(
+        _df(spark, [(2, "d1", 20)]),
+        mode="append",
+        partition_by=["day"],
+        staged="wap-ff",
+    )
+    v_ff = store.publish_staged("wap-ff")
+    m_ff = store._read_manifest(v_ff)
+    assert m_ff["metadata"]["published_state_equal"] is True
+    # replay publish: head moved after the stage
+    store.write(
+        _df(spark, [(3, "d2", 30)]),
+        mode="append",
+        partition_by=["day"],
+        staged="wap-replay",
+    )
+    store.write(_df(spark, [(4, "d3", 40)]), mode="append", partition_by=["day"])
+    v_rp = store.publish_staged("wap-replay")
+    m_rp = store._read_manifest(v_rp)
+    assert m_rp["metadata"]["published_state_equal"] is False
+    assert _rows(store.read()) == [
+        (1, "d1", 10),
+        (2, "d1", 20),
+        (3, "d2", 30),
+        (4, "d3", 40),
+    ]
