@@ -1021,6 +1021,34 @@ class SnapshotStore:
                 f"wap id {wap_id!r} was published; rollback() the table "
                 "instead of abandoning the stage"
             )
+        return self._drop_staged(wap_id)
+
+    def drop_dead_staged(self, wap_id: str) -> int:
+        """Drop UNPUBLISHED staged snapshots sitting under an
+        ALREADY-PUBLISHED wap id -- the dead-stage state a reused
+        transaction/wap id creates: the first use staged and published,
+        a second use staged again and then lost its claim, leaving a
+        stage that can never publish (a wap publishes at most once) and
+        that :meth:`abandon_staged` refuses to touch (its published
+        check protects table history, which is exactly what must NOT be
+        rolled back here).  ``staged_versions`` excludes published
+        commits, so only the dead second stage's manifests and
+        attempt-unique data directories are removed; the published
+        history is untouched.  Refuses when the wap was never published
+        (that is a live stage -- use :meth:`abandon_staged`)."""
+        if wap_id.startswith(BRANCH_NS) or wap_id not in self.committed_metadata(
+            "published_wap"
+        ):
+            raise ValueError(
+                f"wap id {wap_id!r} was never published; "
+                "abandon_staged() is the path for live stages"
+            )
+        return self._drop_staged(wap_id)
+
+    def _drop_staged(self, wap_id: str) -> int:
+        """Shared drop loop: remove every unpublished staged manifest
+        carrying ``wap_id`` plus the attempt-unique data directories
+        only those manifests reference."""
         staged = sorted(self.staged_versions(wap_id))
         if not staged:
             raise ValueError(f"no staged snapshots with wap id {wap_id!r}")
@@ -2174,7 +2202,10 @@ class SnapshotStore:
     # -- retention --------------------------------------------------------
 
     def expire_snapshots(
-        self, keep_last: int = 10, orphan_grace_ms: int = 24 * 3600 * 1000
+        self,
+        keep_last: int = 10,
+        orphan_grace_ms: int = 24 * 3600 * 1000,
+        protected_waps: "frozenset[str] | set[str]" = frozenset(),
     ) -> dict:
         """Drop all but the newest ``keep_last`` snapshots and every data
         directory no kept snapshot references -- the executed equivalent
@@ -2195,7 +2226,17 @@ class SnapshotStore:
         possible write duration -- with that invariant this method is
         safe to run concurrently with writers.  ``orphan_grace_ms=0``
         reclaims everything immediately and is only safe with no
-        in-flight writers."""
+        in-flight writers.
+
+        ``protected_waps``: staged snapshots carrying any of these wap
+        ids are kept REGARDLESS of age.  Multi-table transactions need
+        this: a claimed-but-unfinished transaction (live ``committing``
+        WAL record) carries a roll-forward obligation on its stages,
+        and a coordinator can legitimately stay claimed past any fixed
+        grace -- use :func:`..transactions.expire_snapshots_txn_safe`,
+        which derives the set from the coordinator's WAL, instead of
+        calling this directly on tables that take transactional
+        writes."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         now_ms = int(time.time() * 1000)
@@ -2208,7 +2249,7 @@ class SnapshotStore:
         # contract): a tag pins its snapshot AND its data dirs past
         # keep_last, until the tag is deleted.
         staged_at = {
-            v: raw["committed_at_ms"]
+            v: (raw["committed_at_ms"], raw["staged"])
             for v in vs
             if (raw := self._read_manifest_raw(v)).get("staged") is not None
         }
@@ -2218,8 +2259,8 @@ class SnapshotStore:
             | {v for v in self.tags().values() if v in vs}
             | {
                 v
-                for v, at in staged_at.items()
-                if now_ms - at <= orphan_grace_ms
+                for v, (at, wap) in staged_at.items()
+                if now_ms - at <= orphan_grace_ms or wap in protected_waps
             }
         )
         live_vdirs: set[str] = set()

@@ -171,14 +171,19 @@ class MultiTableTransaction:
                 "partition-spec evolution cannot ride a multi-table "
                 "transaction (publish would refuse under the new spec)"
             )
-        if store.root in self._stores:
+        # Key by the NORMALIZED root: a trailing-slash difference between
+        # two handles to the same table must not defeat the
+        # one-write-per-table guard, and the WAL's table_roots must
+        # compare equal to what consistent_read normalizes its targets to.
+        root = store.root.rstrip("/")
+        if root in self._stores:
             raise ValueError(
-                f"table {store.root} already written in txn "
+                f"table {root} already written in txn "
                 f"{self.txn_id}: one write per table per transaction "
                 "(union the frames instead)"
             )
         v = store.write(df, staged=self.wap, **kw)
-        self._stores[store.root] = store
+        self._stores[root] = store
         return v
 
     def delete_keys(self, store: SnapshotStore, *a, **kw):
@@ -249,7 +254,23 @@ class MultiTableTransaction:
                 what=f"txn {self.txn_id}",
             )
         except SnapshotConflict:
-            pass  # raced recover()'s orphan sweep; staged already gone
+            # A record appeared between the probe above and this claim.
+            # abort_orphans never writes WAL records, so "raced the
+            # sweep" cannot explain it -- the probe read the record torn
+            # (parses as absent) or a reused txn_id's coordinator
+            # claimed concurrently.  Re-read and decide: a 'committing'
+            # record means we may have just abandoned a CLAIMED
+            # transaction's stages -- surface that instead of reporting
+            # a clean abort.
+            rec = _read_json(self.spark, path)
+            if rec is not None and rec.get("state") == "committing":
+                raise SnapshotConflict(
+                    f"txn {self.txn_id}: a 'committing' WAL record "
+                    "surfaced during abort -- its stages may have been "
+                    "abandoned; run recover() and inspect 'stuck'"
+                )
+            # terminal record (committed/aborted) or still torn: the
+            # abort decision stands, nothing claimed is at risk.
         self._done = True
 
 
@@ -332,11 +353,28 @@ def abort_orphans(
     ``txn-<txn_id>``), not parsed record contents: a record caught torn
     mid-write parses as absent, and content-derived protection would
     let the sweep roll back a CLAIMED transaction's stages -- after
-    which its recover() raises "stage was lost"."""
-    known = {
-        f"{TXN_WAP_PREFIX}{txn_id}"
-        for txn_id, _path in _wal_entries(spark, coordinator_root)
-    }
+    which its recover() raises "stage was lost".  The set is re-listed
+    immediately before each drop (not once per sweep): a coordinator
+    that claims AFTER the initial listing, whose stages were already
+    past grace (a long-staging transaction), must keep them -- the
+    re-list shrinks that TOCTOU window from the whole sweep to one
+    call.
+
+    A stage under a wap that ALREADY PUBLISHED on the table is a dead
+    stage (a reused txn id staged again after its first life published,
+    then lost the claim); once ``expire_txns`` drops the terminal WAL
+    record it stops shielding the stage, and ``abandon_staged`` refuses
+    published waps -- so dead stages take the dedicated
+    ``drop_dead_staged`` path rather than crashing the sweep and
+    leaking every orphan after them."""
+
+    def _known() -> set:
+        return {
+            f"{TXN_WAP_PREFIX}{txn_id}"
+            for txn_id, _path in _wal_entries(spark, coordinator_root)
+        }
+
+    known = _known()
     now = int(time.time() * 1000)
     dropped = []
     for root in table_roots:
@@ -350,9 +388,16 @@ def abort_orphans(
                 now - store._read_manifest_raw(v)["committed_at_ms"]
                 for v in versions
             ]
-            if min(ages) >= grace_ms:
+            if min(ages) < grace_ms:
+                continue
+            known = _known()
+            if wap in known:
+                continue  # claimed since the last listing; now protected
+            if wap in store.committed_metadata("published_wap"):
+                store.drop_dead_staged(wap)
+            else:
                 store.abandon_staged(wap)
-                dropped.append(f"{root}::{wap}")
+            dropped.append(f"{root}::{wap}")
     return dropped
 
 
@@ -377,6 +422,31 @@ def expire_txns(
     return n
 
 
+def expire_snapshots_txn_safe(
+    spark: SparkSession,
+    store: SnapshotStore,
+    coordinator_root: str,
+    **kw,
+) -> dict:
+    """Run ``store.expire_snapshots`` with every WAL-shielded ``txn-*``
+    stage exempt from the age gate.  Plain ``expire_snapshots`` expires
+    ANY staged snapshot older than ``orphan_grace_ms`` -- but a claimed
+    transaction stuck mid-commit past the grace (table A published,
+    coordinator crashed) still carries a roll-forward obligation on
+    table B's stage; letting routine table maintenance reclaim it makes
+    :func:`recover` report "stage was lost" forever, permanently
+    half-applying the transaction.  Protection derives from WAL
+    FILENAMES (torn records still shield, matching
+    :func:`abort_orphans`); unshielded ``txn-*`` orphans keep aging out
+    normally.  Tables that take transactional writes should expire
+    through this wrapper, not directly."""
+    protected = {
+        f"{TXN_WAP_PREFIX}{txn_id}"
+        for txn_id, _path in _wal_entries(spark, coordinator_root)
+    }
+    return store.expire_snapshots(protected_waps=protected, **kw)
+
+
 def consistent_read(
     spark: SparkSession,
     coordinator_root: str,
@@ -390,11 +460,16 @@ def consistent_read(
     publish windows (they are metadata-only, O(tables) manifest writes);
     raises if one stays open past the retry budget -- at that point a
     coordinator crashed mid-commit and :func:`recover` is owed."""
-    targets = set(table_roots)
+    # Compare NORMALIZED roots on both sides: the WAL records normalized
+    # roots since round 8, but older records (and caller-supplied
+    # targets) may carry trailing slashes, and a slash mismatch here
+    # silently defeats the cross-table consistency guard.
+    targets = {r.rstrip("/") for r in table_roots}
 
     def _overlapping_inflight() -> bool:
         return any(
-            r["state"] == "committing" and targets & set(r["table_roots"])
+            r["state"] == "committing"
+            and targets & {t.rstrip("/") for t in r["table_roots"]}
             for r in _list_txns(spark, coordinator_root)
         )
 

@@ -276,6 +276,164 @@ def test_orphan_sweep_spares_torn_wal_records(spark, roots, monkeypatch):
     assert silver.staged_versions() != {}
 
 
+def test_orphan_sweep_survives_published_dead_stage(spark, roots):
+    """A reused txn id whose first life published leaves its second
+    life's stage permanently unpublishable (a wap publishes at most
+    once).  Once expire_txns drops the terminal WAL record the stage
+    stops being shielded -- the sweep must take the dead-stage drop
+    path (abandon_staged refuses published waps) instead of crashing
+    and leaking every orphan after it."""
+    silver, gold = _seed(spark, roots)
+    t1 = tx.MultiTableTransaction(spark, roots[0], txn_id="reused01")
+    t1.write(silver, _df(spark, [(2, "d2", 20)]), mode="append",
+             partition_by=["day"])
+    t1.commit()
+    assert _ids(silver) == [1, 2]
+    # second life of the same id: stages, then loses the WAL claim
+    t2 = tx.MultiTableTransaction(spark, roots[0], txn_id="reused01")
+    t2.write(silver, _df(spark, [(3, "d3", 30)]), mode="append",
+             partition_by=["day"])
+    with pytest.raises(SnapshotConflict):
+        t2.commit()
+    # terminal record ages out -> the wap leaves the protection set
+    assert tx.expire_txns(spark, roots[0], keep_ms=0) == 1
+    # an unrelated orphan AFTER the dead stage in sweep order must
+    # still be reclaimed (the pre-fix crash leaked it)
+    t3 = tx.MultiTableTransaction(spark, roots[0])
+    t3.write(gold, _df(spark, [(300, "d3", 3)]), mode="append",
+             partition_by=["day"])
+    dropped = tx.abort_orphans(
+        spark, roots[0], [roots[1], roots[2]], grace_ms=0
+    )
+    assert sorted(dropped) == sorted(
+        [f"{roots[1]}::{t2.wap}", f"{roots[2]}::{t3.wap}"]
+    )
+    # published history untouched; dead stage gone
+    assert _ids(silver) == [1, 2]
+    assert silver.staged_versions() == {} and gold.staged_versions() == {}
+
+
+def test_expire_snapshots_txn_safe_shields_claimed_stage(spark, roots, monkeypatch):
+    """A transaction stuck mid-commit past the orphan grace (table A
+    published, coordinator crashed) still owes table B a roll-forward;
+    table maintenance run through the txn-safe wrapper must keep the
+    shielded stage even at grace 0, and recover() must then complete
+    the transaction."""
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.write(silver, _df(spark, [(2, "d2", 20)]), mode="append",
+            partition_by=["day"])
+    t.write(gold, _df(spark, [(200, "d2", 2)]), mode="append",
+            partition_by=["day"])
+
+    real = tx._publish_all
+
+    def _crash_after_first(spark_, roots_, wap):
+        real(spark_, roots_[:1], wap)
+        raise RuntimeError("simulated coordinator crash")
+
+    monkeypatch.setattr(tx, "_publish_all", _crash_after_first)
+    with pytest.raises(RuntimeError, match="simulated"):
+        t.commit()
+    monkeypatch.setattr(tx, "_publish_all", real)
+    unpublished = silver if len(_ids(silver)) == 1 else gold
+    # routine maintenance at grace 0: the WAL-shielded stage survives
+    out = tx.expire_snapshots_txn_safe(
+        spark, unpublished, roots[0], keep_last=1, orphan_grace_ms=0
+    )
+    assert unpublished.staged_versions(t.wap) != {}
+    assert any(v in out["kept_versions"]
+               for v in unpublished.staged_versions(t.wap))
+    rec = tx.recover(spark, roots[0])
+    assert rec["rolled_forward"] == [t.txn_id] and rec["stuck"] == {}
+    assert _ids(silver) == [1, 2] and _ids(gold) == [100, 200]
+
+
+def test_orphan_sweep_relists_wal_before_each_drop(spark, roots, monkeypatch):
+    """A coordinator that claims AFTER the sweep's initial WAL listing
+    (stages already past grace) must keep its stages: the sweep
+    re-lists immediately before each drop."""
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.write(silver, _df(spark, [(2, "d2", 20)]), mode="append",
+            partition_by=["day"])
+    # no WAL record yet; simulate the claim landing between the sweep's
+    # first listing and the drop by hiding the record on call #1 only
+    import json as _json
+    import os
+
+    os.makedirs(os.path.join(roots[0], tx.TXN_DIR), exist_ok=True)
+    with open(os.path.join(roots[0], tx.TXN_DIR, f"{t.txn_id}.json"), "w") as fh:
+        fh.write(_json.dumps(t._wal("committing")))
+    real = tx._wal_entries
+    calls = {"n": 0}
+
+    def _hide_first(spark_, root_):
+        calls["n"] += 1
+        return [] if calls["n"] == 1 else real(spark_, root_)
+
+    monkeypatch.setattr(tx, "_wal_entries", _hide_first)
+    assert tx.abort_orphans(spark, roots[0], [roots[1]], grace_ms=0) == []
+    assert calls["n"] >= 2
+    assert silver.staged_versions(t.wap) != {}
+
+
+def test_abort_surfaces_committing_record_after_torn_probe(spark, roots, monkeypatch):
+    """abort()'s probe can read a record torn (parses as absent); when
+    the subsequent claim conflicts and the re-read shows 'committing',
+    abort must raise toward recover(), not silently report success --
+    it may have just abandoned a claimed transaction's stages."""
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0], txn_id="tornprobe")
+    t.write(silver, _df(spark, [(2, "d2", 20)]), mode="append",
+            partition_by=["day"])
+    import json as _json
+    import os
+
+    os.makedirs(os.path.join(roots[0], tx.TXN_DIR), exist_ok=True)
+    with open(os.path.join(roots[0], tx.TXN_DIR, "tornprobe.json"), "w") as fh:
+        fh.write(_json.dumps(t._wal("committing")))
+    real = tx._read_json
+    calls = {"n": 0}
+
+    def _torn_first(spark_, path_):
+        calls["n"] += 1
+        return None if calls["n"] == 1 else real(spark_, path_)
+
+    monkeypatch.setattr(tx, "_read_json", _torn_first)
+    with pytest.raises(SnapshotConflict, match="recover"):
+        t.abort()
+    assert calls["n"] >= 2
+
+
+def test_root_normalization_guard(spark, roots):
+    """Trailing-slash root handles must not defeat the one-write-per-
+    table guard or consistent_read's overlap check."""
+    silver, gold = _seed(spark, roots)
+    silver_slash = SnapshotStore(spark, roots[1] + "/")
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.write(silver_slash, _df(spark, [(2, "d2", 20)]), mode="append",
+            partition_by=["day"])
+    with pytest.raises(ValueError, match="one write per table"):
+        t.write(silver, _df(spark, [(3, "d3", 30)]), mode="append",
+                partition_by=["day"])
+    # leave the txn claimed-but-unfinished; a slash-variant target must
+    # still see the overlap and block
+    import json as _json
+    import os
+
+    os.makedirs(os.path.join(roots[0], tx.TXN_DIR), exist_ok=True)
+    with open(os.path.join(roots[0], tx.TXN_DIR, f"{t.txn_id}.json"), "w") as fh:
+        fh.write(_json.dumps(t._wal("committing")))
+    with pytest.raises(SnapshotConflict, match="recover"):
+        tx.consistent_read(
+            spark, roots[0], [roots[1] + "/"], retries=2, wait_s=0.05
+        )
+    rec = tx.recover(spark, roots[0])
+    assert rec["rolled_forward"] == [t.txn_id]
+    assert _ids(silver) == [1, 2]
+
+
 def test_s3_semantics_txn_commit_recover_claim():
     """The coordinator WAL on an S3-semantics store (mocks3://):
     conditional-put claim, crash roll-forward, duplicate-txn-id race --
