@@ -78,6 +78,15 @@ from .fsmeta import hive_partition_dir as _hive_partition_dir
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
+STATS_DIR = "_stats"
+#: Per-commit file count above which write() stores the per-file
+#: zone-map/bloom rows in an executor-written PARQUET SIDECAR instead
+#: of inline JSON collected to the driver.  Below it the inline path
+#: is cheaper (no extra files, no Spark job at plan time); above it
+#: the driver never materializes O(files x cols) stats rows -- the
+#: 100 TB posture (a 10^7-file table plans through a Spark job over
+#: the sidecars, collecting only surviving file names).
+SIDECAR_FILE_THRESHOLD = 512
 REFS_DIR = "_refs"
 
 # Stores whose rename is copy+delete (overwrites, non-atomic): the
@@ -472,6 +481,9 @@ class SnapshotStore:
             if k.rsplit("/", 1)[0] in live
         }
         file_blooms.update(raw.get("file_blooms_added", {}))
+        sidecars = self._live_sidecars(
+            parent.get("file_stats_sidecars"), partitions
+        ) + list(raw.get("file_stats_sidecars_added", []))
         delete_sets = _prune_delete_sets(
             list(parent.get("delete_sets", []))
             + list(raw.get("delete_sets_added", [])),
@@ -496,6 +508,7 @@ class SnapshotStore:
             "dir_stats": dir_stats,
             "file_stats": file_stats,
             "file_blooms": file_blooms,
+            "file_stats_sidecars": sidecars,
             "delete_sets": delete_sets,
             "dir_specs": dir_specs,
             "dir_rows": dir_rows,
@@ -753,6 +766,11 @@ class SnapshotStore:
             "dir_stats": target.get("dir_stats", {}),
             "file_stats": target.get("file_stats", {}),
             "file_blooms": target.get("file_blooms", {}),
+            # sidecars pin to their data dirs, which this rollback just
+            # verified still exist; refs stay valid as long as the
+            # target manifest is retained (expire keeps sidecars
+            # referenced by ANY kept manifest)
+            "file_stats_sidecars": target.get("file_stats_sidecars", []),
             # the target's visible state includes its delete sets
             "delete_sets": target.get("delete_sets", []),
             "dir_specs": _filled_dir_specs(target),
@@ -950,6 +968,16 @@ class SnapshotStore:
                     "dir_stats": _carry("dir_stats", st_vdirs, False),
                     "file_stats": _carry("file_stats", st_vdirs, True),
                     "file_blooms": _carry("file_blooms", st_vdirs, True),
+                    "file_stats_sidecars": self._live_sidecars(
+                        head.get("file_stats_sidecars"), partitions
+                    )
+                    + [
+                        s
+                        for s in self._live_sidecars(
+                            st.get("file_stats_sidecars"), partitions
+                        )
+                        if s["vdir"] in st_vdirs
+                    ],
                     "dir_rows": _carry("dir_rows", st_vdirs, False),
                     "delete_sets": _prune_delete_sets(
                         list(head.get("delete_sets", [])), partitions
@@ -990,6 +1018,7 @@ class SnapshotStore:
                 "dir_stats": merged.get("dir_stats", {}),
                 "file_stats": merged.get("file_stats", {}),
                 "file_blooms": merged.get("file_blooms", {}),
+                "file_stats_sidecars": merged.get("file_stats_sidecars", []),
                 "delete_sets": merged.get("delete_sets", []),
                 "dir_specs": _filled_dir_specs(merged),
                 "dir_rows": merged.get("dir_rows", {}),
@@ -1053,12 +1082,23 @@ class SnapshotStore:
         if not staged:
             raise ValueError(f"no staged snapshots with wap id {wap_id!r}")
         droot = f"{self.root.rstrip('/')}/{DATA_DIR}"
+        root = self.root.rstrip("/")
         for sv in staged:
             st = self._read_manifest(sv)
+            raw = self._read_manifest_raw(sv)
             for vds in st["partitions"].values():
                 for vd in vds:
                     if _vdir_version(vd) == sv:
                         delete_prefix(self.spark, f"{droot}/{vd}")
+            # the stage's OWN stats sidecar goes with its data dir
+            # (carried-forward refs belong to published history)
+            own_refs = raw.get(
+                "file_stats_sidecars_added",
+                raw.get("file_stats_sidecars", []),
+            )
+            for s in own_refs:
+                if _vdir_version(s["vdir"]) == sv:
+                    delete_prefix(self.spark, f"{root}/{s['path']}")
             delete_prefix(self.spark, self._manifest_path(sv))
         return len(staged)
 
@@ -1212,6 +1252,7 @@ class SnapshotStore:
                 "dir_stats": parent.get("dir_stats", {}),
                 "file_stats": parent.get("file_stats", {}),
                 "file_blooms": parent.get("file_blooms", {}),
+                "file_stats_sidecars": parent.get("file_stats_sidecars", []),
                 "delete_sets": _prune_delete_sets(
                     list(parent.get("delete_sets", [])) + [entry],
                     parent["partitions"],
@@ -1229,6 +1270,7 @@ class SnapshotStore:
                 "dir_stats_added": {},
                 "file_stats_added": {},
                 "file_blooms_added": {},
+                "file_stats_sidecars_added": [],
                 "delete_sets_added": [entry],
                 "watermarks": {},
             }
@@ -1252,6 +1294,7 @@ class SnapshotStore:
         watermarks: dict | None = None,
         evolve_partitioning: bool = False,
         staged: str | None = None,
+        stats_sidecar_threshold: int | None = None,
         _mixed_spec_overwrite_ok: bool = False,
     ) -> int:
         """Commit ``df`` as a new snapshot; returns the committed version.
@@ -1314,6 +1357,16 @@ class SnapshotStore:
         per-commit ``metadata`` which retention can expire.  The CDC
         sink records its high-water batch id here so replay detection
         survives ``expire_snapshots`` and compaction commits.
+        ``stats_sidecar_threshold``: per-commit file count above which
+        the per-FILE stats/bloom rows are written by the EXECUTORS as a
+        parquet sidecar (``_stats/<vdir>-stats``) referenced from the
+        manifest, instead of collected to the driver and inlined as
+        JSON -- the manifest then stays O(directories) however many
+        files the commit produced, and :meth:`plan_files` prunes
+        sidecar-backed directories through a Spark job that collects
+        only SURVIVING file names.  Defaults to
+        ``SIDECAR_FILE_THRESHOLD``; both representations prune
+        identically (tested).
         """
         if mode not in ("snapshot", "append", "overwrite_partitions"):
             raise ValueError(f"unknown snapshot write mode: {mode}")
@@ -1417,6 +1470,7 @@ class SnapshotStore:
         file_stats: dict[str, dict] = {}
         file_blooms: dict[str, dict] = {}
         dir_rows: dict[str, int] = {}
+        own_sidecars: list[dict] = []
         if stats_cols or bloom_cols:
             from pyspark.sql import functions as F
 
@@ -1428,15 +1482,14 @@ class SnapshotStore:
             # manifest records min/max per file (Iceberg-manifest
             # granularity -- at 100 TB most of the skipping power is
             # per-file, a partition dir holds many files), and the
-            # per-directory rollup is derived driver-side from the same
-            # rows (metadata-sized), not a second scan.  Bloom bit
+            # per-directory rollup is derived from the same aggregate
+            # (metadata-sized), not a second scan.  Bloom bit
             # positions ride the same scan: per bloom column, BLOOM_K
             # collect_set aggregates of (h1 + i*h2) mod bits -- each
-            # bounded by bits distinct values, combined into one bitmap
-            # driver-side.  The frame's own schema is passed explicitly:
-            # no footer inference, and an EMPTY write (e.g. compaction
-            # after a full purge) yields an empty stats scan instead of
-            # UNABLE_TO_INFER_SCHEMA.
+            # bounded by bits distinct values.  The frame's own schema
+            # is passed explicitly: no footer inference, and an EMPTY
+            # write (e.g. compaction after a full purge) yields an
+            # empty stats scan instead of UNABLE_TO_INFER_SCHEMA.
             scan = (
                 self.spark.read.schema(df.schema)
                 .option("basePath", data_path)
@@ -1462,11 +1515,40 @@ class SnapshotStore:
                     )
                     for i in range(BLOOM_K)
                 ]
-            rows = (
-                scan.groupBy(F.input_file_name().alias("__file"), *pby)
-                .agg(*aggs)
-                .collect()
-            )
+            agg_df = scan.groupBy(
+                F.input_file_name().alias("__file"), *pby
+            ).agg(*aggs)
+            agg_df.persist()
+            try:
+                n_file_rows = agg_df.count()
+                threshold = (
+                    SIDECAR_FILE_THRESHOLD
+                    if stats_sidecar_threshold is None
+                    else stats_sidecar_threshold
+                )
+                if n_file_rows > threshold:
+                    # 100 TB path: the per-file rows never reach the
+                    # driver -- executors write them as a parquet
+                    # sidecar the manifest references; the driver keeps
+                    # only the per-DIRECTORY rollup (O(partitions)).
+                    own_sidecars.append(
+                        self._write_stats_sidecar(
+                            agg_df, vdir, stats_cols, bloom_cols, bloom_bits
+                        )
+                    )
+                    roll = [F.sum("__rows").alias("__rows")]
+                    for c in stats_cols:
+                        roll += [
+                            F.min(f"mn_{c}").alias(f"mn_{c}"),
+                            F.max(f"mx_{c}").alias(f"mx_{c}"),
+                        ]
+                    rows = agg_df.groupBy(*pby).agg(*roll).collect()
+                    per_file_rows = False
+                else:
+                    rows = agg_df.collect()
+                    per_file_rows = True
+            finally:
+                agg_df.unpersist()
             raw_dir: dict[str, dict[str, list]] = {}
             for r in rows:
                 part = (
@@ -1475,24 +1557,25 @@ class SnapshotStore:
                     else ""
                 )
                 dkey = f"{vdir}/{part}" if part else vdir
-                # basename only: partition dir names come from
-                # _hive_partition_dir (on-disk escaping), never parsed
-                # back out of the URI input_file_name returns
-                fname = r["__file"].rstrip("/").rsplit("/", 1)[-1]
-                if stats_cols:
-                    file_stats[f"{dkey}/{fname}"] = {
-                        c: [_stat_json(r[f"mn_{c}"]), _stat_json(r[f"mx_{c}"])]
-                        for c in stats_cols
-                    }
-                if bloom_cols:
-                    blooms = {}
-                    for c in bloom_cols:
-                        bm = 0
-                        for i in range(BLOOM_K):
-                            for pos in r[f"bl_{c}_{i}"]:
-                                bm |= 1 << pos
-                        blooms[c] = [bloom_bits, f"{bm:0{bloom_bits // 4}x}"]
-                    file_blooms[f"{dkey}/{fname}"] = blooms
+                if per_file_rows:
+                    # basename only: partition dir names come from
+                    # _hive_partition_dir (on-disk escaping), never
+                    # parsed back out of the URI input_file_name returns
+                    fname = r["__file"].rstrip("/").rsplit("/", 1)[-1]
+                    if stats_cols:
+                        file_stats[f"{dkey}/{fname}"] = {
+                            c: [_stat_json(r[f"mn_{c}"]), _stat_json(r[f"mx_{c}"])]
+                            for c in stats_cols
+                        }
+                    if bloom_cols:
+                        blooms = {}
+                        for c in bloom_cols:
+                            bm = 0
+                            for i in range(BLOOM_K):
+                                for pos in r[f"bl_{c}_{i}"]:
+                                    bm |= 1 << pos
+                            blooms[c] = [bloom_bits, f"{bm:0{bloom_bits // 4}x}"]
+                        file_blooms[f"{dkey}/{fname}"] = blooms
                 dir_rows[dkey] = dir_rows.get(dkey, 0) + int(r["__rows"])
                 agg = raw_dir.setdefault(dkey, {})
                 for c in stats_cols:
@@ -1511,6 +1594,14 @@ class SnapshotStore:
         fresh_file_stats = dict(file_stats)
         fresh_file_blooms = dict(file_blooms)
         fresh_dir_rows = dict(dir_rows)
+        sidecars = list(own_sidecars)
+        if parent is not None:
+            sidecars = (
+                self._live_sidecars(
+                    parent.get("file_stats_sidecars"), partitions
+                )
+                + own_sidecars
+            )
         if parent is not None:
             # Carry stats forward for directories this commit keeps.
             live = {
@@ -1575,6 +1666,7 @@ class SnapshotStore:
                 "dir_stats": dir_stats,
                 "file_stats": file_stats,
                 "file_blooms": file_blooms,
+                "file_stats_sidecars": sidecars,
                 # Equality deletes carry forward (pruned against the new
                 # partition map); a table-replacing snapshot clears them
                 # -- the replaced data is gone, nothing left to mask.
@@ -1604,6 +1696,7 @@ class SnapshotStore:
                 "dir_stats_added": fresh_dir_stats,
                 "file_stats_added": fresh_file_stats,
                 "file_blooms_added": fresh_file_blooms,
+                "file_stats_sidecars_added": list(own_sidecars),
                 "dir_specs_added": (
                     {vdir: list(pby)} if vdir_referenced else {}
                 ),
@@ -1617,8 +1710,106 @@ class SnapshotStore:
         except SnapshotConflict:
             # Loser's data dir is orphaned (invisible); reclaim eagerly.
             delete_prefix(self.spark, data_path)
+            for s in own_sidecars:
+                delete_prefix(
+                    self.spark, f"{self.root.rstrip('/')}/{s['path']}"
+                )
             raise
         return version
+
+    #: JSON-equivalent sidecar types: _stat_json passes these through,
+    #: so a native sidecar column of one of these types compares exactly
+    #: as the inline JSON bound would driver-side; anything else is
+    #: stored cast-to-string (matching _stat_json's str() serialization
+    #: for dates/timestamps/decimals, which orders identically).
+    _SIDECAR_NATIVE_TYPES = frozenset(
+        ["tinyint", "smallint", "int", "bigint", "float", "double",
+         "string", "boolean"]
+    )
+
+    def _write_stats_sidecar(
+        self,
+        agg_df: DataFrame,
+        vdir: str,
+        stats_cols: list[str],
+        bloom_cols: list[str],
+        bloom_bits: int,
+    ) -> dict:
+        """Write the per-file stats aggregate as a parquet sidecar under
+        ``_stats/<vdir>-stats`` -- executor-side, never collected.  One
+        row per data file: ``(dkey, fname, rows, mn_<c>, mx_<c>,
+        bl_<c>)`` where ``bl_<c>`` is the sorted set-bit position list
+        of the file's bloom bitmap (array<int>: probe-able with
+        array_contains, and parquet-encodes well).  Bounds are stored
+        in their JSON-equivalent type (see _SIDECAR_NATIVE_TYPES) so
+        sidecar pruning decisions match the inline path exactly.
+
+        The sidecar is attempt-unique (named by the data vdir): a
+        losing racer's sidecar becomes an orphan swept by
+        expire_snapshots' age gate, like its data directory.  Returns
+        the manifest reference dict."""
+        from pyspark.sql import functions as F
+
+        # dkey/fname derive from the file URI's tail after the
+        # attempt-unique vdir (hex + dash: regex-safe), so the on-disk
+        # partition escaping is preserved verbatim.
+        rel = F.element_at(F.split(F.col("__file"), f"/{vdir}/"), -1)
+        out = agg_df.withColumn("__rel", rel).withColumn(
+            "fname", F.element_at(F.split(F.col("__rel"), "/"), -1)
+        )
+        out = out.withColumn(
+            "dkey",
+            F.when(
+                F.length("__rel") > F.length("fname"),
+                F.concat(
+                    F.lit(f"{vdir}/"),
+                    F.expr(
+                        "substring(__rel, 1, length(__rel) - length(fname) - 1)"
+                    ),
+                ),
+            ).otherwise(F.lit(vdir)),
+        )
+        cols = [F.col("dkey"), F.col("fname"), F.col("__rows").alias("rows")]
+        for c in stats_cols:
+            native = (
+                out.schema[f"mn_{c}"].dataType.simpleString()
+                in self._SIDECAR_NATIVE_TYPES
+            )
+            for pfx in ("mn", "mx"):
+                col = F.col(f"{pfx}_{c}")
+                cols.append(
+                    (col if native else col.cast("string")).alias(f"{pfx}_{c}")
+                )
+        for c in bloom_cols:
+            cols.append(
+                F.array_sort(
+                    F.array_distinct(
+                        F.concat(
+                            *[F.col(f"bl_{c}_{i}") for i in range(BLOOM_K)]
+                        )
+                    )
+                ).alias(f"bl_{c}")
+            )
+        relpath = f"{STATS_DIR}/{vdir}-stats"
+        out.select(*cols).write.format("parquet").mode("overwrite").save(
+            f"{self.root.rstrip('/')}/{relpath}"
+        )
+        return {
+            "path": relpath,
+            "vdir": vdir,
+            "stats_cols": list(stats_cols),
+            "bloom_cols": list(bloom_cols),
+            "bloom_bits": bloom_bits,
+        }
+
+    @staticmethod
+    def _live_sidecars(refs: list, partitions: dict) -> list:
+        """Sidecar refs whose originating data dir is still referenced
+        by the partition map (per-file rows for re-pointed partitions
+        go stale in place -- harmless: plan_files only consults live
+        directory keys)."""
+        vdir_live = {vd for vds in partitions.values() for vd in vds}
+        return [s for s in (refs or []) if s["vdir"] in vdir_live]
 
     def _list_partition_dirs(self, data_path: str, depth: int) -> list[str]:
         """Relative Hive partition dirs under a committed data dir
@@ -1753,14 +1944,27 @@ class SnapshotStore:
         files_by_dir: dict[str, list[str]] = {}
         for k in sorted(set(fstats) | set(fblooms)):
             files_by_dir.setdefault(k.rsplit("/", 1)[0], []).append(k)
+        sidecar_by_vdir = {
+            s["vdir"]: s for s in manifest.get("file_stats_sidecars", [])
+        }
         units: dict[str, dict[str, list[str] | None]] = {}
+        deferred: list[tuple[str, str]] = []
         n_skipped = n_total = 0
         for vd, parts in by_vdir.items():
             for part in parts:
                 dkey = f"{vd}/{part}" if part else vd
                 known = files_by_dir.get(dkey)
-                if (not ranges and not points) or not known:
+                if not ranges and not points:
                     units.setdefault(vd, {})[part] = None
+                    continue
+                if not known:
+                    if vd in sidecar_by_vdir:
+                        # per-file stats live in this commit's parquet
+                        # sidecar: resolve all such dirs in ONE Spark
+                        # job below, collecting only surviving names
+                        deferred.append((vd, part))
+                    else:
+                        units.setdefault(vd, {})[part] = None
                     continue
                 keep: list[str] = []
                 for k in known:
@@ -1772,7 +1976,129 @@ class SnapshotStore:
                     else:
                         keep.append(k.rsplit("/", 1)[1])
                 units.setdefault(vd, {})[part] = keep
+        if deferred:
+            resolved = self._plan_files_sidecar(
+                sidecar_by_vdir, deferred, file_ranges, points
+            )
+            for vd, part in deferred:
+                dkey = f"{vd}/{part}" if part else vd
+                got = resolved.get(dkey)
+                if got is None:
+                    # sidecar carries no rows for this dir (e.g. stats
+                    # config predates it): scan whole -- sound
+                    units.setdefault(vd, {})[part] = None
+                else:
+                    total, keep = got
+                    n_total += total
+                    n_skipped += total - len(keep)
+                    units.setdefault(vd, {})[part] = keep
         return manifest, units, n_skipped, n_total
+
+    #: value-type -> sidecar column types the inline (Python) comparison
+    #: semantics carry over to exactly; anything else mirrors the inline
+    #: path's TypeError branch (inconclusive: keep).
+    _SIDECAR_COMPAT = {
+        bool: frozenset(["boolean"]),
+        int: frozenset(["tinyint", "smallint", "int", "bigint",
+                        "float", "double"]),
+        float: frozenset(["tinyint", "smallint", "int", "bigint",
+                          "float", "double"]),
+        str: frozenset(["string"]),
+    }
+
+    def _plan_files_sidecar(
+        self,
+        sidecar_by_vdir: dict[str, dict],
+        deferred: list[tuple[str, str]],
+        file_ranges: list[tuple],
+        points: dict,
+    ) -> dict[str, tuple[int, list[str]]]:
+        """File pruning over parquet stats sidecars, THROUGH Spark: the
+        predicate evaluation runs executor-side and only (dkey ->
+        (total files, surviving file names)) comes back -- output-sized,
+        never O(all files).  Decision semantics mirror the inline path
+        bit-for-bit: null/missing bounds are inconclusive (keep), a
+        filter-value type the stored type cannot compare with is
+        inconclusive (the inline TypeError branch), blooms exclude only
+        on a provably-unset probe bit."""
+        from pyspark.sql import functions as F
+
+        root = self.root.rstrip("/")
+        want = {
+            f"{vd}/{part}" if part else vd for vd, part in deferred
+        }
+        out: dict[str, tuple[int, list[str]]] = {}
+        # Group sidecars by stats configuration so each group reads as
+        # one schema-consistent multi-path scan (normally one group).
+        groups: dict[tuple, list[dict]] = {}
+        for vd, _part in deferred:
+            s = sidecar_by_vdir[vd]
+            key = (
+                tuple(s["stats_cols"]),
+                tuple(s["bloom_cols"]),
+                s["bloom_bits"],
+            )
+            groups.setdefault(key, [])
+            if s not in groups[key]:
+                groups[key].append(s)
+        for (g_stats, g_blooms, g_bits), refs in groups.items():
+            paths = [f"{root}/{s['path']}" for s in refs]
+            g_vdirs = {s["vdir"] for s in refs}
+            dkeys = sorted(
+                dk
+                for dk in want
+                if dk.split("/", 1)[0] in g_vdirs
+            )
+            sdf = (
+                self.spark.read.parquet(*paths)
+                .where(F.col("dkey").isin(dkeys))
+            )
+            dtypes = dict(sdf.dtypes)
+            keep = F.lit(True)
+            for col, lo, hi in file_ranges:
+                if f"mn_{col}" not in dtypes:
+                    continue
+                dt = dtypes[f"mn_{col}"]
+                lo_ok = dt in self._SIDECAR_COMPAT.get(type(lo), frozenset())
+                hi_ok = dt in self._SIDECAR_COMPAT.get(type(hi), frozenset())
+                if not lo_ok:
+                    # the inline path evaluates `mx < lo` FIRST; an
+                    # incomparable lo raises there -> whole range
+                    # inconclusive regardless of hi
+                    continue
+                mn, mx = F.col(f"mn_{col}"), F.col(f"mx_{col}")
+                term = mx < F.lit(lo)
+                if hi_ok:
+                    term = term | (mn > F.lit(hi))
+                disjoint = F.when(
+                    mn.isNull() | mx.isNull(), F.lit(False)
+                ).otherwise(term)
+                keep = keep & ~disjoint
+            for col, value in points.items():
+                if f"bl_{col}" not in dtypes:
+                    continue
+                present = F.lit(True)
+                for pos in _bloom_probe_positions(value, g_bits):
+                    present = present & F.array_contains(
+                        F.col(f"bl_{col}"), pos
+                    )
+                keep = keep & present
+            rows = (
+                sdf.select("dkey", "fname", keep.alias("__keep"))
+                .groupBy("dkey")
+                .agg(
+                    F.count(F.lit(1)).alias("__total"),
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("__keep"), F.col("fname"))
+                        )
+                    ).alias("__keep_files"),
+                )
+                .collect()
+            )
+            for r in rows:
+                out[r["dkey"]] = (int(r["__total"]), list(r["__keep_files"]))
+        return out
 
     def read(
         self,
@@ -2265,6 +2591,7 @@ class SnapshotStore:
         )
         live_vdirs: set[str] = set()
         expired_vdirs: set[str] = set()
+        live_sidecar_names: set[str] = set()
         for v in vs:
             target = live_vdirs if v in keep else expired_vdirs
             m = self._read_manifest(v)
@@ -2272,6 +2599,14 @@ class SnapshotStore:
                 target.update(vdirs)
             # merge-on-read delete dirs are as live as the data they mask
             target.update(d["dir"] for d in m.get("delete_sets", []))
+            if v in keep:
+                # a stats sidecar lives as long as ANY kept manifest
+                # references it (carry-forward can outlive the commit
+                # that wrote it)
+                live_sidecar_names.update(
+                    s["path"].rsplit("/", 1)[-1]
+                    for s in m.get("file_stats_sidecars", [])
+                )
         expired_vdirs -= live_vdirs
         # Any kept delta whose PARENT manifest is being dropped loses
         # its resolution chain -- tag holes and staged commits (whose
@@ -2313,10 +2648,27 @@ class SnapshotStore:
                 if name in expired_vdirs or aged:
                     delete_prefix(self.spark, f"{droot}/{name}")
                     dropped_data += 1
+        # Stats sidecars unreferenced by every kept manifest: expired
+        # history's sidecars reclaim with it; a possible in-flight
+        # commit's sidecar (written before its manifest rename) is
+        # age-gated like an orphan data dir.
+        dropped_sidecars = 0
+        sroot = f"{self.root.rstrip('/')}/{STATS_DIR}"
+        fs, sp = _fs_and_path(self.spark, sroot)
+        if fs.exists(sp):
+            for st in fs.listStatus(sp):
+                name = st.getPath().getName()
+                if name in live_sidecar_names:
+                    continue
+                aged = now_ms - st.getModificationTime() > orphan_grace_ms
+                if aged:
+                    delete_prefix(self.spark, f"{sroot}/{name}")
+                    dropped_sidecars += 1
         return {
             "kept_versions": sorted(keep),
             "dropped_manifests": dropped_manifests,
             "dropped_data_dirs": dropped_data,
+            "dropped_stats_sidecars": dropped_sidecars,
         }
 
 
