@@ -539,3 +539,220 @@ def corpus_token_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("quota_tokens"),
     ).orderBy("source")
+
+
+# CCNet-style line-level boilerplate: "lines" for this corpus are
+# non-overlapping 3-token windows (the synthetic documents carry no
+# newline/sentence structure -- see text_gopher_quality_rules' note);
+# a line is boilerplate when its hash occurs in >= 4 distinct docs.
+LINE_CHUNK_TOKENS = 3
+BOILERPLATE_MIN_DOCS = 4
+
+#: (doc_id, source, lh) -- one row per line INSTANCE; consumed by both
+#: the distinct-doc-frequency build and the back-join, so the
+#: tokenize+chunk+hash pipeline (the expensive part) runs once.
+_LINE_CACHE = PersistCache("line_hashes")
+
+_LINES_SQL = (
+    f"list_transform(generate_series(0, (len(toks) + {LINE_CHUNK_TOKENS - 1})"
+    f" // {LINE_CHUNK_TOKENS} - 1), "
+    f"i -> array_to_string(toks[i*{LINE_CHUNK_TOKENS}+1 : "
+    f"i*{LINE_CHUNK_TOKENS}+{LINE_CHUNK_TOKENS}], ' '))"
+)
+
+
+@register(
+    "text_line_boilerplate",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, {tokens_sql("text")} AS toks FROM documents
+    ), l AS (
+        SELECT doc_id, source, {h32_sql("line")} AS lh
+        FROM (SELECT doc_id, source, UNNEST({_LINES_SQL}) AS line FROM t)
+    ), boiler AS (
+        SELECT lh FROM l GROUP BY lh
+        HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}
+    ), flagged AS (
+        SELECT l.doc_id, l.source,
+               CASE WHEN b.lh IS NOT NULL THEN 1 ELSE 0 END AS is_boiler
+        FROM l LEFT JOIN boiler b USING (lh)
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT)      AS n_docs,
+           CAST(COUNT(*) AS BIGINT)                    AS n_lines,
+           CAST(SUM(is_boiler) AS BIGINT)              AS n_boiler_lines,
+           CAST((SUM(is_boiler) * 1000) // COUNT(*) AS BIGINT)
+               AS removed_pm
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+    category="text",
+    description="CCNet-style line-level boilerplate removal (Wenzek et "
+    "al. 2020): hash every pseudo-line (non-overlapping 3-token window "
+    "-- the corpus has no newline structure), flag lines whose hash "
+    "occurs in >= 4 distinct documents as boilerplate, report per-source "
+    "removal stats as exact integer per-mille; line hashes travel as "
+    "portable 32-bit integers and the Zipf singleton tail is pruned "
+    "before the back-join",
+)
+def text_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the same posting-list shape as ``text_bigram_novelty`` --
+    one shuffle of (line_hash, doc_id) pairs (8-byte hashes, never the
+    line text) to build the distinct-doc-frequency table, pruned to
+    df >= BOILERPLATE_MIN_DOCS BEFORE the back-join so the singleton
+    tail that dominates web corpora (most lines are unique) shuffles
+    once, not twice; then one broadcast-sized semi-join back and a
+    low-cardinality per-source aggregate.  CCNet's percentile-based
+    variant needs only a different threshold on the same df table."""
+    def _build() -> DataFrame:
+        docs = load_tables(spark, sf_dir)["documents"]
+        w = LINE_CHUNK_TOKENS
+        lines = docs.select(
+            "doc_id", "source", tokens_expr("text").alias("toks")
+        ).select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, (size(toks) + {w - 1}) DIV {w} - 1), "
+                    f"i -> array_join(slice(toks, i*{w}+1, {w}), ' '))"
+                )
+            ).alias("line"),
+        )
+        return lines.select("doc_id", "source", h32(F.col("line")).alias("lh"))
+
+    inst = _LINE_CACHE.get_or_build(spark, sf_dir, _build)
+    boiler = (
+        inst.groupBy("lh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= BOILERPLATE_MIN_DOCS)
+        .select("lh", F.lit(1).alias("is_b"))
+    )
+    flagged = inst.join(F.broadcast(boiler), "lh", "left_outer").select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("is_b"), F.lit(0)).alias("is_boiler"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("is_boiler").alias("n_boiler_lines"),
+            F.expr("(SUM(is_boiler) * 1000) DIV COUNT(*)").alias(
+                "removed_pm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "curation_quality_classifier",
+    oracle=f"""
+    WITH ex AS (
+        SELECT doc_id, source, lang,
+               {h32_sql("tok")} % {DSIR_BUCKETS} AS bucket
+        FROM (SELECT doc_id, source, lang, UNNEST({tokens_sql("text")}) AS tok
+              FROM documents)
+    ), b AS (
+        SELECT bucket,
+               COUNT(*)                                     AS raw_cnt,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_cnt
+        FROM ex GROUP BY bucket
+    ), tot AS (
+        SELECT SUM(raw_cnt) - SUM(tgt_cnt) AS rest_total,
+               SUM(tgt_cnt) AS t_total
+        FROM b
+    ), w AS (
+        SELECT bucket,
+               (tgt_cnt * 1000000) // t_total
+               - ((raw_cnt - tgt_cnt) * 1000000) // rest_total AS weight
+        FROM b, tot
+    ), scored AS (
+        SELECT ex.doc_id, ANY_VALUE(ex.source) AS source,
+               SUM(w.weight) AS margin
+        FROM ex JOIN w USING (bucket) GROUP BY ex.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                       AS n_docs,
+           CAST(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_positive,
+           CAST(SUM(margin) AS BIGINT)                    AS sum_margin,
+           CAST((SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) * 1000)
+                // COUNT(*) AS BIGINT)                    AS positive_pm
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    category="curation",
+    description="hashed-feature linear quality-classifier inference "
+    "(the fastText-style classifier stage completing the Gopher-rules / "
+    "DSIR-importance / classifier curation triad): per-bucket integer "
+    "weight = target ppm-rate minus background ppm-rate (target = "
+    "lang='en', weights derived in-corpus like the DSIR leans), "
+    "document margin = sum of weights over token instances, decision "
+    "by integer margin sign -- bit-exact across engines",
+)
+def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the model is a FIXED <= 1024-row integer-weight table
+    (one shuffle + a bounded 1024-row window for totals), broadcast
+    over a MAP-ONLY scoring pass -- O(1) model size at any corpus
+    size, the property that makes classifier inference viable at
+    100 TB.  Per-doc margins partial-aggregate map-side before the
+    doc_id shuffle.  Weights are per-mille-of-a-mille integer rates
+    (ppm), so margins stay within int64 for documents up to ~9e12
+    tokens; no float ever enters, which is what lets the decision
+    boundary hash-match DuckDB exactly."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    ex = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(tokens_expr("text")).alias("tok"),
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        (h32(F.col("tok")) % DSIR_BUCKETS).alias("bucket"),
+    )
+    b = ex.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tgt_cnt"),
+    )
+    # totals over the bounded (<= DSIR_BUCKETS rows) bucket table, same
+    # rationale as curation_dsir_feature_lean
+    w_all = Window.partitionBy()
+    weights = b.select(
+        "bucket",
+        "raw_cnt",
+        "tgt_cnt",
+        (F.sum("raw_cnt").over(w_all) - F.sum("tgt_cnt").over(w_all)).alias(
+            "rest_total"
+        ),
+        F.sum("tgt_cnt").over(w_all).alias("t_total"),
+    ).selectExpr(
+        "bucket",
+        "(tgt_cnt * 1000000) DIV t_total "
+        "- ((raw_cnt - tgt_cnt) * 1000000) DIV rest_total AS weight",
+    )
+    scored = (
+        ex.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.sum("weight").alias("margin"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("margin") > 0, 1).otherwise(0)).alias(
+                "n_positive"
+            ),
+            F.sum("margin").alias("sum_margin"),
+            F.expr(
+                "(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) * 1000) "
+                "DIV COUNT(*)"
+            ).alias("positive_pm"),
+        )
+        .orderBy("source")
+    )
