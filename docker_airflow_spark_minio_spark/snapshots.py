@@ -818,7 +818,9 @@ class SnapshotStore:
             if base_wm.get(k) != v
         }
 
-    def publish_staged(self, wap_id: str) -> int:
+    def publish_staged(
+        self, wap_id: str, force_overwrite_replay: bool = False
+    ) -> int:
         """Cherry-pick every staged snapshot carrying ``wap_id`` onto the
         published head, in commit order -- the Iceberg
         ``cherrypick_snapshot`` / WAP publish step.  Metadata-only: the
@@ -847,6 +849,21 @@ class SnapshotStore:
         a delete targeting a key removes the staged copy too.
         ``read_appends`` refuses windows crossing a publish commit
         (mode ``wap_publish``), the same contract as any replace.
+
+        ``force_overwrite_replay``: replay a staged
+        ``overwrite_partitions`` onto a moved head even when its
+        touched partitions changed since the stage -- the claimed
+        partitions are re-pointed last-writer-wins instead of raising
+        :class:`SnapshotConflict`.  FOR CLAIMED MULTI-TABLE
+        TRANSACTIONS ONLY (:mod:`..transactions`): after a
+        transaction's WAL claim there is no abort path, so its
+        roll-forward must be refusal-free; the coordinator validates
+        the touched partitions BEFORE claiming, and this flag only
+        decides the races that land inside the validate-to-claim
+        window, where claim order is the documented winner.  Ordinary
+        WAP audits must leave it off (the refusal is the conflict
+        detection).  Full replaces still refuse -- their conflict
+        surface is the whole table, not a claimable partition set.
         """
         if not wap_id.startswith(BRANCH_NS) and wap_id in self.committed_metadata(
             "published_wap"
@@ -934,7 +951,10 @@ class SnapshotStore:
                         if any(vd in st_vdirs for vd in vds)
                     } | (set(base_parts) - set(st["partitions"]))
                     for p in touched:
-                        if head["partitions"].get(p) != base_parts.get(p):
+                        if (
+                            not force_overwrite_replay
+                            and head["partitions"].get(p) != base_parts.get(p)
+                        ):
                             raise SnapshotConflict(
                                 f"cannot publish staged overwrite v{sv}: "
                                 f"partition {p!r} changed between v{base_v} "

@@ -28,12 +28,16 @@ Contract, stated honestly:
 * **Atomic durability**: after the WAL claim succeeds, the transaction
   WILL apply to every table (roll-forward); before it, it never applies
   anywhere (roll-back).  There is no state from which half the tables
-  keep the writes permanently.  This holds BECAUSE transactional writes
-  are restricted to ``mode='append'``, one per table (see
-  :meth:`MultiTableTransaction.write`): appends replay cleanly onto any
-  moved head, so a claimed transaction's publish cannot refuse --
-  replace semantics would reintroduce publish-time conflicts after the
-  point of no return.
+  keep the writes permanently.  This holds BECAUSE a claimed
+  transaction's publish can never refuse: appends replay cleanly onto
+  any moved head, and ``overwrite_partitions`` stages record a CLAIMED
+  PARTITION SET validated immediately before the WAL claim (conflicts
+  raise there, pre-claim, where abort is still possible) and publish
+  with ``force_overwrite_replay`` after it -- a race inside the
+  validate-to-claim window resolves last-writer-wins by claim order,
+  recorded in the WAL (``overwrite_claims``).  Full replaces stay
+  banned: their conflict surface is the whole table, which cannot be
+  claimed partition-wise (see :meth:`MultiTableTransaction.write`).
 * **Per-table snapshot isolation**, not cross-table serializability:
   during the publish window a reader pinning table heads itself can see
   table A published and table B not yet.  :func:`consistent_read` closes
@@ -59,6 +63,7 @@ from .fsmeta import _fs_and_path, delete_prefix, read_bytes
 from .snapshots import (
     SnapshotConflict,
     SnapshotStore,
+    _vdir_version,
     write_atomic_claim,
     write_atomic_replace,
 )
@@ -131,6 +136,9 @@ class MultiTableTransaction:
             raise ValueError(f"invalid txn id: {self.txn_id!r}")
         self.wap = f"{TXN_WAP_PREFIX}{self.txn_id}"
         self._stores: dict[str, SnapshotStore] = {}
+        self._modes: dict[str, str] = {}
+        self._staged_v: dict[str, int] = {}
+        self._claims: dict[str, list[str]] = {}
         self._done = False
 
     # -- staging -----------------------------------------------------------
@@ -140,16 +148,22 @@ class MultiTableTransaction:
         ``SnapshotStore.write`` kwargs except ``staged``).  Durable
         immediately, invisible everywhere until :meth:`commit`.
 
-        Two restrictions keep the commit contract TRUE rather than
+        Restrictions that keep the commit contract TRUE rather than
         aspirational:
 
-        * ``mode`` must be ``append`` -- an append replays cleanly onto
-          any moved head, so publish cannot refuse after the WAL claim.
-          A staged full-replace or partition overwrite can legitimately
-          raise SnapshotConflict at publish time if the table advanced,
-          which would wedge a CLAIMED transaction (no abort after the
-          commit point, no forward progress).  Replace semantics belong
-          in single-table WAP, where the auditor handles the conflict.
+        * ``mode`` must be ``append`` or ``overwrite_partitions``.
+          An append replays cleanly onto any moved head, so publish
+          cannot refuse after the WAL claim.  A partition overwrite
+          CLAIMS its touched partition set: ``commit()`` validates
+          that no concurrent commit touched those partitions between
+          stage and claim (conflict -> SnapshotConflict BEFORE the
+          claim, while abort is still possible -- the caller re-stages
+          and retries), and after the claim the roll-forward publishes
+          with ``force_overwrite_replay`` so it can never refuse; a
+          race landing inside the validate-to-claim window resolves
+          last-writer-wins by claim order, recorded in the WAL.  A
+          staged FULL replace stays banned -- its conflict surface is
+          the whole table, which cannot be claimed partition-wise.
         * one write per table per transaction -- roll-forward detects a
           finished table by its published wap id, which is recorded by
           the FIRST cherry-pick; a crash between two same-table
@@ -160,11 +174,13 @@ class MultiTableTransaction:
             raise ValueError(f"txn {self.txn_id} already finished")
         if "staged" in kw:
             raise ValueError("txn writes stage implicitly; drop staged=")
-        if kw.get("mode", "snapshot") != "append":
+        mode = kw.get("mode", "snapshot")
+        if mode not in ("append", "overwrite_partitions"):
             raise ValueError(
-                "multi-table transactions support mode='append' only "
-                "(see docstring: replace modes can refuse at publish "
-                "time, wedging a claimed transaction)"
+                "multi-table transactions support mode='append' or "
+                "'overwrite_partitions' only (see docstring: a full "
+                "replace can refuse at publish time, wedging a claimed "
+                "transaction)"
             )
         if kw.get("evolve_partitioning"):
             raise ValueError(
@@ -184,6 +200,8 @@ class MultiTableTransaction:
             )
         v = store.write(df, staged=self.wap, **kw)
         self._stores[root] = store
+        self._modes[root] = mode
+        self._staged_v[root] = v
         return v
 
     def delete_keys(self, store: SnapshotStore, *a, **kw):
@@ -199,18 +217,77 @@ class MultiTableTransaction:
             "txn_id": self.txn_id,
             "wap": self.wap,
             "table_roots": sorted(self._stores),
+            "table_modes": dict(sorted(self._modes.items())),
+            # claimed partition sets of the overwrite stages, recorded
+            # durably at claim time: the audit trail for the
+            # last-writer-wins decision force_overwrite_replay makes
+            "overwrite_claims": {
+                r: ps for r, ps in sorted(self._claims.items())
+            },
             "state": state,
             "ts_ms": int(time.time() * 1000),
         }
 
+    def _validate_overwrites(self) -> dict[str, list[str]]:
+        """Pre-claim conflict check for overwrite stages: every claimed
+        partition must be UNCHANGED between the stage's base and the
+        current head.  Returns {root: sorted claimed partitions}.
+        Raising here is safe -- no WAL claim exists yet, so abort (or a
+        re-stage-and-retry loop) remains available to the caller."""
+        claims: dict[str, list[str]] = {}
+        for root in sorted(self._stores):
+            if self._modes.get(root) != "overwrite_partitions":
+                continue
+            store = self._stores[root]
+            sv = self._staged_v[root]
+            raw = store._read_manifest_raw(sv)
+            st = store._read_manifest(sv)
+            base_v = raw["parent"]
+            base = (
+                store._read_manifest(base_v) if base_v is not None else {}
+            )
+            st_vdirs = {
+                vd
+                for vds in st["partitions"].values()
+                for vd in vds
+                if _vdir_version(vd) == sv
+            }
+            touched = {
+                p
+                for p, vds in st["partitions"].items()
+                if any(vd in st_vdirs for vd in vds)
+            } | (set(base.get("partitions", {})) - set(st["partitions"]))
+            claims[root] = sorted(touched)
+            head_v = store.current_version()
+            if head_v == base_v:
+                continue
+            head = (
+                store._read_manifest(head_v) if head_v is not None else {}
+            )
+            for p in claims[root]:
+                if head.get("partitions", {}).get(p) != base.get(
+                    "partitions", {}
+                ).get(p):
+                    raise SnapshotConflict(
+                        f"txn {self.txn_id}: partition {p!r} of {root} "
+                        "changed since the stage; abort or re-stage and "
+                        "retry (no WAL claim was made -- the table is "
+                        "untouched)"
+                    )
+        return claims
+
     def commit(self) -> None:
-        """Claim the WAL record (the commit point), publish every
-        table's stage in sorted-root order, mark committed.  A crash
-        after the claim is repaired forward by :func:`recover`."""
+        """Validate overwrite claims, claim the WAL record (the commit
+        point), publish every table's stage in sorted-root order, mark
+        committed.  A crash after the claim is repaired forward by
+        :func:`recover`; publish runs with ``force_overwrite_replay``
+        so a race landing inside the validate-to-claim window resolves
+        last-writer-wins (by claim order) instead of wedging."""
         if self._done:
             raise ValueError(f"txn {self.txn_id} already finished")
         if not self._stores:
             raise ValueError("nothing staged in this transaction")
+        self._claims = self._validate_overwrites()
         path = _txn_path(self.root, self.txn_id)
         write_atomic_claim(
             self.spark,
@@ -278,7 +355,12 @@ def _publish_all(
     spark: SparkSession, roots: list[str], wap: str
 ) -> None:
     """Publish ``wap`` on every table, skipping tables where it already
-    published (idempotent roll-forward)."""
+    published (idempotent roll-forward).  Always runs with
+    ``force_overwrite_replay``: this path executes only AFTER a WAL
+    claim (commit() or recover()), past the point of no return --
+    overwrite conflicts were validated before the claim, and anything
+    that landed inside the validate-to-claim window loses
+    last-writer-wins to the claim holder."""
     for root in roots:
         store = SnapshotStore(spark, root)
         if wap in store.committed_metadata("published_wap"):
@@ -288,7 +370,7 @@ def _publish_all(
                 f"txn wap {wap!r} neither staged nor published on "
                 f"{root}: stage was lost (abandoned out-of-band?)"
             )
-        store.publish_staged(wap)
+        store.publish_staged(wap, force_overwrite_replay=True)
 
 
 def _list_txns(spark: SparkSession, coordinator_root: str) -> list[dict]:

@@ -213,13 +213,10 @@ def test_expire_txns_keeps_committing(spark, roots, monkeypatch):
 def test_write_restrictions(spark, roots):
     silver, gold = _seed(spark, roots)
     t = tx.MultiTableTransaction(spark, roots[0])
-    # replace modes can refuse at publish time -> rejected at write time
-    with pytest.raises(ValueError, match="append"):
+    # a full replace can refuse at publish time -> rejected at write time
+    with pytest.raises(ValueError, match="full"):
         t.write(silver, _df(spark, [(2, "d2", 20)]), mode="snapshot",
                 partition_by=["day"])
-    with pytest.raises(ValueError, match="append"):
-        t.write(silver, _df(spark, [(2, "d2", 20)]),
-                mode="overwrite_partitions", partition_by=["day"])
     t.write(silver, _df(spark, [(2, "d2", 20)]), mode="append",
             partition_by=["day"])
     # one write per table: a crash between two same-table cherry-picks
@@ -274,6 +271,116 @@ def test_orphan_sweep_spares_torn_wal_records(spark, roots, monkeypatch):
     # ...but the filename still shields the stages
     assert tx.abort_orphans(spark, roots[0], [roots[1]], grace_ms=0) == []
     assert silver.staged_versions() != {}
+
+
+def test_overwrite_txn_commits_atomically(spark, roots):
+    """A mixed transaction (overwrite on silver, append on gold)
+    commits all-or-nothing, and the WAL records the claimed
+    partitions."""
+    silver, gold = _seed(spark, roots)
+    silver.write(_df(spark, [(2, "d2", 20)]), mode="append",
+                 partition_by=["day"])
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.write(silver, _df(spark, [(9, "d1", 90)]),
+            mode="overwrite_partitions", partition_by=["day"])
+    t.write(gold, _df(spark, [(200, "d2", 2)]), mode="append",
+            partition_by=["day"])
+    assert _ids(silver) == [1, 2]  # staged: invisible
+    t.commit()
+    assert _ids(silver) == [2, 9]  # d1 replaced, d2 untouched
+    assert _ids(gold) == [100, 200]
+    rec = tx._list_txns(spark, roots[0])[0]
+    assert rec["table_modes"][roots[1]] == "overwrite_partitions"
+    assert rec["overwrite_claims"][roots[1]] == ["day=d1"]
+
+
+def test_overwrite_txn_conflict_detected_before_claim(spark, roots):
+    """A concurrent commit touching a CLAIMED partition between stage
+    and commit surfaces as SnapshotConflict BEFORE the WAL claim --
+    abort stays possible and no table moved."""
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.write(silver, _df(spark, [(9, "d1", 90)]),
+            mode="overwrite_partitions", partition_by=["day"])
+    # concurrent writer replaces d1 after the stage
+    silver.write(_df(spark, [(7, "d1", 70)]),
+                 mode="overwrite_partitions", partition_by=["day"])
+    with pytest.raises(SnapshotConflict, match="no WAL claim"):
+        t.commit()
+    assert tx._list_txns(spark, roots[0]) == []  # nothing claimed
+    t.abort()  # still possible
+    assert _ids(silver) == [7] and silver.staged_versions() == {}
+
+
+def test_overwrite_txn_survives_untouched_concurrent_commits(spark, roots):
+    """Concurrent commits on partitions OUTSIDE the claimed set replay
+    cleanly -- the overwrite analogue of
+    test_commit_survives_concurrent_main_append."""
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.write(silver, _df(spark, [(9, "d1", 90)]),
+            mode="overwrite_partitions", partition_by=["day"])
+    t.write(gold, _df(spark, [(200, "d2", 2)]), mode="append",
+            partition_by=["day"])
+    # a different partition appends after the stage
+    silver.write(_df(spark, [(5, "d5", 50)]), mode="append",
+                 partition_by=["day"])
+    t.commit()
+    assert _ids(silver) == [5, 9]  # d1 replaced, d5 kept
+    assert _ids(gold) == [100, 200]
+
+
+def test_overwrite_txn_crash_windows_roll_forward(spark, roots, monkeypatch):
+    """The crash matrix for the overwrite mode, mirroring
+    test_commit_survives_concurrent_main_append: after the claim, a
+    crash mid-publish rolls FORWARD even when a racer overwrote a
+    claimed partition inside the validate-to-claim window -- the claim
+    holder wins (last-writer-wins by claim order), never a wedge."""
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.write(silver, _df(spark, [(9, "d1", 90)]),
+            mode="overwrite_partitions", partition_by=["day"])
+    t.write(gold, _df(spark, [(200, "d2", 2)]), mode="append",
+            partition_by=["day"])
+
+    real = tx._publish_all
+
+    def _crash_after_claim(spark_, roots_, wap):
+        # simulates the racer landing after validation (which already
+        # ran) and the coordinator dying before ANY publish
+        SnapshotStore(spark_, roots[1]).write(
+            _df(spark, [(7, "d1", 70)]),
+            mode="overwrite_partitions",
+            partition_by=["day"],
+        )
+        raise RuntimeError("simulated crash inside the claim window")
+
+    monkeypatch.setattr(tx, "_publish_all", _crash_after_claim)
+    with pytest.raises(RuntimeError, match="simulated"):
+        t.commit()
+    monkeypatch.setattr(tx, "_publish_all", real)
+    # racer's overwrite is visible pre-recovery
+    assert _ids(silver) == [7]
+    out = tx.recover(spark, roots[0])
+    assert out["rolled_forward"] == [t.txn_id] and out["stuck"] == {}
+    # the claimed transaction wins the contested partition
+    assert _ids(silver) == [9] and _ids(gold) == [100, 200]
+    # idempotent
+    out2 = tx.recover(spark, roots[0])
+    assert out2["rolled_forward"] == [] and out2["already_terminal"] == 1
+
+
+def test_plain_wap_overwrite_still_refuses_on_conflict(spark, roots):
+    """force_overwrite_replay is a transaction-only escape hatch: the
+    ordinary WAP publish path keeps refusing conflicting overwrites."""
+    silver, gold = _seed(spark, roots)
+    silver.write(_df(spark, [(9, "d1", 90)]),
+                 mode="overwrite_partitions", partition_by=["day"],
+                 staged="audit-ow")
+    silver.write(_df(spark, [(7, "d1", 70)]),
+                 mode="overwrite_partitions", partition_by=["day"])
+    with pytest.raises(SnapshotConflict, match="changed between"):
+        silver.publish_staged("audit-ow")
 
 
 def test_orphan_sweep_survives_published_dead_stage(spark, roots):
