@@ -21,14 +21,24 @@ Cost model per refresh at scale:
   ``overwrite_partitions``;
 * decision side -- O(window) manifest READS
   (:meth:`~.snapshots.SnapshotStore.commit_modes`): a window containing
-  anything but plain appends (merge-on-read deletes, replaces,
-  compaction, rollback, retention holes) cannot be maintained from
-  deltas alone, so the refresh falls back to a full recompute -- never
-  a silently-wrong summary.  This is the same refusal
-  ``read_appends`` gives across replace snapshots, applied one level
-  up.  (``delete_keys`` windows fall back too: an equality delete may
-  erase rows already folded into the summary, and counts/sums are not
-  retractable without knowing exactly which rows died.)
+  replaces (snapshot / overwrite / compaction / rollback) or retention
+  holes cannot be maintained from deltas alone, so the refresh falls
+  back to a full recompute -- never a silently-wrong summary.  This is
+  the same refusal ``read_appends`` gives across replace snapshots,
+  applied one level up.
+* ``delete_keys`` windows ARE delta-maintainable (round 8): counts and
+  sums are not retractable from keys alone, but the delete sets CARRY
+  the keys, and the summary's partition columns are a subset of the
+  group keys -- so the summary partitions a delete touches are
+  derivable from the delete-set keys without scanning the table.
+  Those partitions are RECOMPUTED from the (post-delete-mask) source
+  restricted to exactly their values -- literal partition predicates,
+  so the source scan prunes to the affected partitions -- while
+  append-only partitions keep the cheap partial-merge path.  Requires
+  ``partition_by`` to be a subset of every window delete's
+  ``key_cols`` (else the touched set is unknowable from keys: full
+  recompute), and a non-empty ``partition_by`` (else "touched" is the
+  whole summary anyway).
 
 Exactly-once: the refresh commits the consumed source version as a
 carried-forward watermark (``mv_source_version``) on the summary
@@ -48,7 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .fsmeta import hive_partition_dir
-from .snapshots import SnapshotStore
+from .snapshots import DATA_DIR, SnapshotStore
 
 WATERMARK_KEY = "mv_source_version"
 
@@ -143,6 +153,56 @@ class IncrementalMatView:
         u = current.select(*partial.columns).unionByName(partial)
         return u.groupBy(*self.group_by).agg(*cols)
 
+    # -- delete-window support ----------------------------------------------
+
+    def _delete_touched_values(
+        self, src_head: int, del_versions: list[int]
+    ) -> list[tuple] | None:
+        """The distinct summary-partition value tuples the window's
+        equality deletes touch, derived from the DELETE-SET KEYS alone
+        (O(deleted keys), never a table scan).  Returns None when some
+        window delete's ``key_cols`` do not cover ``partition_by`` --
+        the touched set is then unknowable from keys and the caller
+        falls back to a full recompute.  Window delete sets are always
+        present in the head manifest: the prune rule drops a set only
+        when NO live dir predates it, which inside an
+        append/delete-only window would need a replace commit."""
+        head_man = self.source._read_manifest(src_head)
+        by_version = {
+            int(d["version"]): d for d in head_man.get("delete_sets", [])
+        }
+        frames = []
+        for dv in del_versions:
+            entry = by_version.get(dv)
+            if entry is None or any(
+                c not in entry["key_cols"] for c in self.partition_by
+            ):
+                return None
+            frames.append(
+                self.spark.read.parquet(
+                    f"{self.source.root.rstrip('/')}/{DATA_DIR}/{entry['dir']}"
+                ).select(*self.partition_by)
+            )
+        keys = frames[0]
+        for f in frames[1:]:
+            keys = keys.unionByName(f)
+        return [
+            tuple(r[c] for c in self.partition_by)
+            for r in keys.distinct().collect()
+        ]
+
+    def _partition_predicate(self, vals: list[tuple]):
+        """OR of per-tuple null-safe equality conjunctions over the
+        summary partition columns -- literal predicates, which the
+        partitioned parquet scans prune on."""
+        pred = F.lit(False)
+        for tup in vals:
+            c = F.lit(True)
+            for col, v in zip(self.partition_by, tup):
+                c = c & F.col(col).eqNullSafe(F.lit(v))
+            pred = pred | c
+        return pred
+
     # -- refresh -----------------------------------------------------------
 
     def refresh(self) -> dict:
@@ -162,20 +222,64 @@ class IncrementalMatView:
             }
         reason = "first refresh"
         incremental = False
+        del_versions: list[int] = []
         if last is not None:
             modes = self.source.commit_modes(int(last), as_of=src_head)
-            bad = {v: m for v, m in modes.items() if m != "append"}
-            incremental = not bad
-            reason = (
-                "append-only window"
-                if incremental
-                else f"window not append-only: {bad}"
+            bad = {
+                v: m
+                for v, m in modes.items()
+                if m not in ("append", "delete_keys")
+            }
+            del_versions = sorted(
+                v for v, m in modes.items() if m == "delete_keys"
             )
+            incremental = not bad and (not del_versions or self.partition_by)
+            if bad:
+                reason = f"window not delta-maintainable: {bad}"
+            elif del_versions and not self.partition_by:
+                reason = (
+                    "delete window with unpartitioned summary: 'touched' "
+                    "is the whole summary"
+                )
+            elif del_versions:
+                reason = f"append+delete window (deletes: {del_versions})"
+            else:
+                reason = "append-only window"
         wm = {WATERMARK_KEY: src_head}
+        del_vals: list[tuple] = []
+        if incremental and del_versions:
+            del_vals = self._delete_touched_values(src_head, del_versions)
+            if del_vals is None:
+                incremental = False
+                reason = (
+                    "delete_keys window whose keys do not carry the "
+                    "summary partition columns: touched partitions "
+                    "unknowable from keys"
+                )
         if incremental:
             delta = self.source.read_appends(int(last), as_of=src_head)
-            partial = self._partial(delta)
             if self.partition_by:
+                recomputed = None
+                claimed = None
+                if del_vals:
+                    # Exclude delete-touched partitions from the cheap
+                    # merge path; they are recomputed below.  eqNullSafe
+                    # so a NULL partition value routes correctly.
+                    pred = self._partition_predicate(del_vals)
+                    delta = delta.where(~pred)
+                    # RECOMPUTE exactly the touched partitions from the
+                    # post-delete-mask source: literal partition
+                    # predicates, so the snapshot scan partition-prunes
+                    # to the affected values.
+                    recomputed = self._partial(
+                        self.source.read(as_of=src_head).where(
+                            self._partition_predicate(del_vals)
+                        )
+                    )
+                    # a recomputed partition may now be EMPTY (every
+                    # row deleted): claim it so the overwrite removes it
+                    claimed = del_vals
+                partial = self._partial(delta)
                 # O(affected partitions) driver rows -- the same
                 # cardinality the overwrite commit itself must track.
                 # Probed on the raw delta (a shuffle of the partition
@@ -202,14 +306,17 @@ class IncrementalMatView:
                     else partial.limit(0)
                 )
                 merged = self._merge(current, partial)
+                if recomputed is not None:
+                    merged = merged.unionByName(recomputed)
                 v = self.target.write(
                     merged,
                     mode="overwrite_partitions",
                     partition_by=self.partition_by,
+                    claimed_partitions=claimed,
                     watermarks=wm,
                 )
             else:
-                merged = self._merge(self.target.read(), partial)
+                merged = self._merge(self.target.read(), self._partial(delta))
                 v = self.target.write(merged, mode="snapshot", watermarks=wm)
             return {
                 "mode": "incremental",

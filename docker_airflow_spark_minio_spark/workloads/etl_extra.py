@@ -1806,11 +1806,19 @@ def snapshot_wap_publish_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 AS (SELECT * FROM p0 UNION ALL SELECT * FROM b1),
     p2 AS (SELECT * FROM p1 UNION ALL SELECT * FROM b2),
     p3 AS (SELECT * FROM p2 WHERE doc_id % 5 <> 0),
+    p4 AS (SELECT * FROM p3
+           WHERE NOT (lang = 'zz' OR (lang = 'en' AND doc_id % 2 = 0))),
+    p5 AS (SELECT doc_id, lang,
+                  CASE WHEN lang = 'fr' THEN n_chars + 1 ELSE n_chars END
+                      AS n_chars
+           FROM p4),
     s AS (
         SELECT 0 AS phase, * FROM p0 UNION ALL
         SELECT 1, * FROM p1 UNION ALL
         SELECT 2, * FROM p2 UNION ALL
-        SELECT 3, * FROM p3
+        SELECT 3, * FROM p3 UNION ALL
+        SELECT 4, * FROM p4 UNION ALL
+        SELECT 5, * FROM p5
     )
     SELECT CAST(phase AS INT) AS phase, lang,
            CAST(COUNT(*) AS BIGINT)      AS n_docs,
@@ -1824,11 +1832,16 @@ def snapshot_wap_publish_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     "refreshed across four source states -- base snapshot (full "
     "recompute), two append-only deltas (each refresh reads ONLY the "
     "appended dirs and rewrites ONLY the touched summary partitions, "
-    "one introducing a brand-new lang partition), then a merge-on-read "
-    "equality delete (sound FULL fallback: deletes are not retractable "
-    "from count/sum partials).  The entry self-asserts each refresh "
-    "took the expected mode; the oracle recomputes all four summary "
-    "states from scratch",
+    "one introducing a brand-new lang partition), two merge-on-read "
+    "equality deletes keyed on (doc_id, lang) (round 8: INCREMENTAL -- "
+    "the delete-set keys carry the summary partition column, so the "
+    "touched partitions localize and recompute from the pruned source "
+    "while untouched partitions keep their pointers; the second delete "
+    "also empties the 'zz' partition, exercising claimed-partition "
+    "removal), then a partition OVERWRITE (sound FULL fallback: a "
+    "replace invalidates the delta algebra).  The entry self-asserts "
+    "each refresh took the expected mode; the oracle recomputes all six "
+    "summary states from scratch",
 )
 def snapshot_matview_refresh_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale notes: the anti-pattern this replaces is the reference's
@@ -1898,15 +1911,43 @@ def snapshot_matview_refresh_read(spark: SparkSession, sf_dir: str) -> DataFrame
                 ),
                 "incremental",
             ),
-            ("delete", "full"),
+            ("delete", "incremental"),
+            ("delete_empties_partition", "incremental"),
+            ("overwrite", "full"),
         ]
     ):
         if batch is None:
             pass
-        elif isinstance(batch, str):
+        elif batch == "delete":
+            # keys carry the partition column -> the matview localizes
+            # the touched summary partitions and refreshes incrementally
             source.delete_keys(
-                source.read().where(F.col("doc_id") % 5 == 0).select("doc_id"),
-                key_cols=["doc_id"],
+                source.read()
+                .where(F.col("doc_id") % 5 == 0)
+                .select("doc_id", "lang"),
+                key_cols=["doc_id", "lang"],
+            )
+        elif batch == "delete_empties_partition":
+            source.delete_keys(
+                source.read()
+                .where(
+                    (F.col("lang") == "zz")
+                    | ((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
+                )
+                .select("doc_id", "lang"),
+                key_cols=["doc_id", "lang"],
+            )
+        elif batch == "overwrite":
+            # a replace commit: the delta algebra cannot maintain it
+            source.write(
+                source.read()
+                .where(F.col("lang") == "fr")
+                .select(
+                    "doc_id", "lang", (F.col("n_chars") + 1).alias("n_chars")
+                )
+                .repartition("lang"),
+                mode="overwrite_partitions",
+                partition_by=["lang"],
             )
         else:
             source.write(

@@ -156,6 +156,102 @@ def test_full_fallback_on_delete_and_replace(spark, roots):
     assert _mvrows(mv) == _rows(_recompute(source).select(*ORDER))
 
 
+def test_delete_window_refreshes_incrementally(spark, roots):
+    """A delete whose keys carry the summary partition columns is
+    delta-maintained: only the delete-touched partitions recompute,
+    untouched partitions keep byte-identical pointers, and a partition
+    emptied by the delete disappears from the summary."""
+    source, mv = _mk(spark, roots)
+    source.write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 5), (4, "c", 7)],
+            "id int, g string, x int",
+        ),
+        mode="snapshot",
+        partition_by=["g"],
+    )
+    assert mv.refresh()["mode"] == "full"
+    before = mv.target._read_manifest(mv.target.current_version())
+    # delete one 'a' row and ALL of 'c' -- keys carry (id, g)
+    source.delete_keys(
+        spark.createDataFrame([(2, "a"), (4, "c")], "id int, g string"),
+        key_cols=["id", "g"],
+    )
+    r = mv.refresh()
+    assert r["mode"] == "incremental" and "delete" in r["reason"]
+    assert _mvrows(mv) == _rows(_recompute(source).select(*ORDER))
+    assert _rows(mv.read().select("g", "n", "s")) == [("a", 1, 10), ("b", 1, 5)]
+    after = mv.target._read_manifest(mv.target.current_version())
+    # untouched partition 'b' was not rewritten; emptied 'c' is gone
+    assert after["partitions"]["g=b"] == before["partitions"]["g=b"]
+    assert after["partitions"]["g=a"] != before["partitions"]["g=a"]
+    assert "g=c" not in after["partitions"]
+
+
+def test_mixed_append_and_delete_window(spark, roots):
+    """One refresh window holding appends AND deletes: delete-touched
+    partitions recompute, append-only partitions take the cheap merge
+    path, and the result matches a from-scratch recompute."""
+    source, mv = _mk(spark, roots)
+    source.write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 5)],
+            "id int, g string, x int",
+        ),
+        mode="snapshot",
+        partition_by=["g"],
+    )
+    assert mv.refresh()["mode"] == "full"
+    # window: append into 'a' (delete-touched) and 'd' (append-only),
+    # then delete one of 'a' (including the just-appended row) and the
+    # only 'c' row
+    source.write(
+        spark.createDataFrame(
+            [(5, "a", 100), (6, "d", 50)], "id int, g string, x int"
+        ),
+        mode="append",
+        partition_by=["g"],
+    )
+    source.delete_keys(
+        spark.createDataFrame([(5, "a"), (3, "c")], "id int, g string"),
+        key_cols=["id", "g"],
+    )
+    before = mv.target._read_manifest(mv.target.current_version())
+    r = mv.refresh()
+    assert r["mode"] == "incremental"
+    assert _mvrows(mv) == _rows(_recompute(source).select(*ORDER))
+    assert _rows(mv.read().select("g", "n", "s")) == [
+        ("a", 1, 10),
+        ("b", 1, 20),
+        ("d", 1, 50),
+    ]
+    after = mv.target._read_manifest(mv.target.current_version())
+    assert after["partitions"]["g=b"] == before["partitions"]["g=b"]
+    assert "g=c" not in after["partitions"]
+    # a second refresh is a noop (watermark advanced exactly once)
+    assert mv.refresh()["mode"] == "noop"
+
+
+def test_delete_window_without_partition_keys_falls_back(spark, roots):
+    """Deletes keyed WITHOUT the partition columns cannot localize the
+    touched summary partitions -> full recompute, never wrong."""
+    source, mv = _mk(spark, roots)
+    source.write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id int, g string, x int"
+        ),
+        mode="snapshot",
+        partition_by=["g"],
+    )
+    mv.refresh()
+    source.delete_keys(
+        spark.createDataFrame([(1,)], "id int"), key_cols=["id"]
+    )
+    r = mv.refresh()
+    assert r["mode"] == "full" and "delete_keys" in r["reason"]
+    assert _mvrows(mv) == _rows(_recompute(source).select(*ORDER))
+
+
 def test_staged_commits_are_invisible_to_refresh(spark, roots):
     """A WAP-staged source commit is not table state: the refresh
     neither consumes it nor trips the append-only check; after publish
