@@ -1771,9 +1771,18 @@ class SnapshotStore:
         from pyspark.sql import functions as F
 
         # dkey/fname derive from the file URI's tail after the
-        # attempt-unique vdir (hex + dash: regex-safe), so the on-disk
-        # partition escaping is preserved verbatim.
-        rel = F.element_at(F.split(F.col("__file"), f"/{vdir}/"), -1)
+        # attempt-unique vdir (hex + dash: regex-safe).
+        # input_file_name() returns a URI -- its %XX escapes must be
+        # decoded back to the ON-DISK names the manifest's partition
+        # map records (e.g. 'day=a b' rides the URI as 'day=a%20b',
+        # and a hive-escaped 'day=x%3Ay' as 'day=x%253Ay').
+        # url_decode is form-decoding, which would also turn a literal
+        # '+' into a space -- protect it first ('+' is a legal path
+        # char the URI leaves as-is).
+        decoded = F.url_decode(
+            F.replace(F.col("__file"), F.lit("+"), F.lit("%2B"))
+        )
+        rel = F.element_at(F.split(decoded, f"/{vdir}/"), -1)
         out = agg_df.withColumn("__rel", rel).withColumn(
             "fname", F.element_at(F.split(F.col("__rel"), "/"), -1)
         )
