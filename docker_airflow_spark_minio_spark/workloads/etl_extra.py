@@ -714,6 +714,102 @@ def snapshot_zone_map_file_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_stats_sidecar_read",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, lang FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)     AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT)  AS sum_doc_id
+    FROM t
+    WHERE doc_id >= 100 AND doc_id <= 1000150
+    GROUP BY lang ORDER BY lang
+    """,
+    category="etl",
+    description="executor-built parquet stats SIDECARS under the gate "
+    "(round 8): two commits write per-file zone maps + blooms with "
+    "stats_sidecar_threshold=0, so the per-file rows never reach the "
+    "driver -- the manifest carries sidecar references (runtime-asserted "
+    "empty inline maps), plan_files prunes THROUGH a Spark job over the "
+    "sidecars (runtime-asserted >0 files skipped for both a range and a "
+    "bloom point probe), and the pruned reads must equal the direct "
+    "filtered scan",
+)
+def snapshot_stats_sidecar_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: above SIDECAR_FILE_THRESHOLD files per commit the
+    write-time stats collect() would return O(files x cols) rows to the
+    driver and the manifest would grow file-sized -- the sidecar keeps
+    the manifest O(directories) and turns plan-time pruning into a
+    map-side Spark job that collects only SURVIVING file names
+    (output-sized).  This entry forces the sidecar path (threshold=0)
+    so the driver's correctness gate exercises it at every scale;
+    parity with the inline path is pinned by test_snapshot_sidecar.py."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang")
+    root = (
+        f"{tempfile.gettempdir()}/snapshot_ssr_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(spark, root)
+    kw = dict(
+        partition_by=["lang"],
+        stats_cols=["doc_id"],
+        bloom_cols=["doc_id"],
+        stats_sidecar_threshold=0,
+    )
+    store.write(docs.repartitionByRange(6, "doc_id"), mode="snapshot", **kw)
+    store.write(
+        docs.where(F.col("doc_id") % 4 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "lang")
+        .repartitionByRange(4, "doc_id"),
+        mode="append",
+        **kw,
+    )
+    m = store._read_manifest(store.current_version())
+    if m["file_stats"] or m["file_blooms"] or len(
+        m.get("file_stats_sidecars", [])
+    ) != 2:
+        raise AssertionError(
+            "expected 2 sidecar refs and empty inline stats, got "
+            f"{len(m.get('file_stats_sidecars', []))} refs, "
+            f"{len(m['file_stats'])} inline"
+        )
+    flt = ("doc_id", 100, 1_000_150)
+    _, _, n_skipped, n_total = store.plan_files(range_filter=flt)
+    if not (n_total > 0 and n_skipped > 0):
+        raise AssertionError(
+            f"expected sidecar range pruning, got {n_skipped}/{n_total}"
+        )
+    probe = 1_000_100  # present iff 100 % 4 == 0 (it is)
+    _, _, b_skipped, b_total = store.plan_files(point_filter={"doc_id": probe})
+    if not (b_total > 0 and b_skipped > 0):
+        raise AssertionError(
+            f"expected sidecar bloom pruning, got {b_skipped}/{b_total}"
+        )
+    hit = store.read(point_filter={"doc_id": probe}).count()
+    if hit != 1:
+        raise AssertionError(f"bloom point read returned {hit} rows, not 1")
+    return (
+        store.read(range_filter=flt)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "snapshot_zone_map_multi_read",
     oracle="""
     SELECT lang,
