@@ -733,13 +733,14 @@ def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(tgt_cnt * 1000000) DIV t_total "
         "- ((raw_cnt - tgt_cnt) * 1000000) DIV rest_total AS weight",
     )
+    # group by (doc_id, source) -- source is functionally dependent on
+    # doc_id, and including it keeps the aggregate HASH-based (a
+    # first() aggregate forces the sort-based strategy plus two extra
+    # Sorts, seen in the plan audit)
     scored = (
         ex.join(F.broadcast(weights), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.first("source").alias("source"),
-            F.sum("weight").alias("margin"),
-        )
+        .groupBy("doc_id", "source")
+        .agg(F.sum("weight").alias("margin"))
     )
     return (
         scored.groupBy("source")
