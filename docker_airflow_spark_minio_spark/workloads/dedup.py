@@ -1496,3 +1496,104 @@ def dedup_minhash_estimate_calibration(
             "SUM(ABS(est_bp - jaccard_bp)) DIV COUNT(1)"
         ).alias("mean_abs_err_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+# "Deduplicating Training Data Makes Language Models Better" flags any
+# >= 50-token run shared VERBATIM across documents (their suffix-array
+# method).  The distributed projection of the same test: two docs share
+# a >= W-token contiguous run IFF they share at least one stride-1
+# W-token window, so window-hash posting lists find every such pair --
+# the contiguity signal the shingle-set Jaccard/containment entries
+# cannot give (scattered shared 3-grams never imply a verbatim run).
+# W is corpus-adapted to 8 (the synthetic docs are short; the method is
+# W-agnostic) and the df cap excludes boilerplate windows from pair
+# generation -- ubiquitous spans are text_line_boilerplate's business,
+# and an uncapped hot window would generate a quadratic bucket at web
+# scale.
+SUBSTR_WINDOW = 8
+SUBSTR_DF_CAP = 16
+
+_SUBSTR_GRAMS_SQL = (
+    "list_transform("
+    + shingles_sql(f"string_split(text, ' ')", SUBSTR_WINDOW)
+    + ", g -> " + h32_sql("g") + ")"
+)
+
+
+@register(
+    "dedup_substring_pairs",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, UNNEST({_SUBSTR_GRAMS_SQL}) AS h FROM documents
+    ), f AS (
+        SELECT h FROM g GROUP BY h
+        HAVING COUNT(*) BETWEEN 2 AND {SUBSTR_DF_CAP}
+    )
+    SELECT a.doc_id                     AS doc_a,
+           b.doc_id                     AS doc_b,
+           CAST(COUNT(*) AS BIGINT)     AS n_shared_windows
+    FROM g a JOIN f USING (h) JOIN g b USING (h)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    ORDER BY doc_a, doc_b
+    """,
+    category="dedup",
+    description=f"exact-substring dedup (Lee et al. 2022, the "
+    f"suffix-array method's distributed projection): doc pairs sharing "
+    f"a verbatim >= {SUBSTR_WINDOW}-token contiguous run, found "
+    f"completely via stride-1 {SUBSTR_WINDOW}-token window-hash posting "
+    f"lists (df cap {SUBSTR_DF_CAP} keeps boilerplate windows out of "
+    "pair generation); reports shared-window counts per pair -- the "
+    "CONTIGUITY signal the shingle-set Jaccard/containment entries "
+    "cannot give",
+)
+def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the same bucketed-not-all-pairs shape as the n-gram
+    family -- window hashes travel as 8-byte ints, ONE posting-list
+    shuffle builds the per-hash doc sets, pairs generate map-side from
+    the df-capped sorted arrays (i < j index nesting, no self-join),
+    and the Zipf singleton tail (at web scale most windows are unique)
+    never shuffles twice.  Lee et al.'s 50-token threshold maps to
+    SUBSTR_WINDOW; completeness is exact, not probabilistic: any
+    >= W-token verbatim run necessarily yields an aligned shared
+    window.  Both engines hash with the same 32-bit function, so the
+    ~2^-32 collision surface is identical and results hash-match; a
+    production deployment widens to 64/128-bit hashes."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.select("doc_id", tokens_expr("text").alias("t"))
+    g = tok.select(
+        "doc_id",
+        F.explode(
+            shingles_from_tokens(F.col("t"), SUBSTR_WINDOW)
+        ).alias("w"),
+    ).select("doc_id", h32(F.col("w")).alias("h"))
+    posting = g.groupBy("h").agg(F.collect_set("doc_id").alias("docs"))
+    elig = posting.where(
+        F.size("docs").between(2, SUBSTR_DF_CAP)
+    ).select(F.sort_array("docs").alias("d"))
+    pairs = elig.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "d",
+                    lambda a, i: F.transform(
+                        F.slice("d", i + 2, F.size("d")),
+                        lambda b: F.struct(
+                            a.alias("doc_a"), b.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_windows"))
+        .orderBy("doc_a", "doc_b")
+    )
