@@ -2023,6 +2023,11 @@ class SnapshotStore:
                     units.setdefault(vd, {})[part] = keep
         return manifest, units, n_skipped, n_total
 
+    #: live-dkey filter strategy cutover in _plan_files_sidecar: up to
+    #: this many dirs an isin literal list is cheapest; above it a
+    #: broadcast semi-join keeps the plan O(1) in size.
+    _SIDECAR_ISIN_MAX = 256
+
     #: value-type -> sidecar column types the inline (Python) comparison
     #: semantics carry over to exactly; anything else mirrors the inline
     #: path's TypeError branch (inconclusive: keep).
@@ -2078,10 +2083,18 @@ class SnapshotStore:
                 for dk in want
                 if dk.split("/", 1)[0] in g_vdirs
             )
-            sdf = (
-                self.spark.read.parquet(*paths)
-                .where(F.col("dkey").isin(dkeys))
-            )
+            sdf = self.spark.read.parquet(*paths)
+            if len(dkeys) <= self._SIDECAR_ISIN_MAX:
+                sdf = sdf.where(F.col("dkey").isin(dkeys))
+            else:
+                # at 10^5 live directories an isin literal list bloats
+                # the plan; a broadcast semi-join against the dkey set
+                # keeps the filter O(1) in plan size and still
+                # evaluates map-side
+                live_df = self.spark.createDataFrame(
+                    [(d,) for d in dkeys], "dkey string"
+                )
+                sdf = sdf.join(F.broadcast(live_df), "dkey", "left_semi")
             dtypes = dict(sdf.dtypes)
             keep = F.lit(True)
             for col, lo, hi in file_ranges:

@@ -220,6 +220,25 @@ def test_sidecar_parity_with_escaped_and_null_partitions(spark, tmp_path):
     assert n_tot > 0 and n_skip == n_tot - 1
 
 
+def test_sidecar_semijoin_filter_arm(spark, tmp_path, monkeypatch):
+    """Above _SIDECAR_ISIN_MAX live dirs the dkey filter switches from
+    an isin literal list to a broadcast semi-join (plan stays O(1) in
+    size at 10^5 directories); both arms must plan identically."""
+    s = SnapshotStore(spark, str(tmp_path / "semi"))
+    s.write(
+        _frame(spark),
+        mode="snapshot",
+        partition_by=["day"],
+        stats_cols=["val"],
+        bloom_cols=["key"],
+        stats_sidecar_threshold=SIDECAR,
+    )
+    kw = dict(range_filter=("val", 0, 700), point_filter={"key": "k55"})
+    via_isin = _plan(s, **kw)
+    monkeypatch.setattr(SnapshotStore, "_SIDECAR_ISIN_MAX", 0)
+    assert _plan(s, **kw) == via_isin
+
+
 def test_sidecar_retention_and_abandon(spark, tmp_path):
     s = SnapshotStore(spark, str(tmp_path / "ret"))
     kw = dict(
