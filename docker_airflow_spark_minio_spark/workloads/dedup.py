@@ -1517,83 +1517,151 @@ def dedup_minhash_estimate_calibration(
 SUBSTR_WINDOW = 8
 SUBSTR_DF_CAP = 16
 
-_SUBSTR_GRAMS_SQL = (
-    "list_transform("
-    + shingles_sql(f"string_split(text, ' ')", SUBSTR_WINDOW)
-    + ", g -> " + h32_sql("g") + ")"
-)
-
-
 @register(
     "dedup_substring_pairs",
     oracle=f"""
-    WITH g AS (
-        SELECT doc_id, UNNEST({_SUBSTR_GRAMS_SQL}) AS h FROM documents
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), gp AS (
+        SELECT doc_id, t.i AS pos,
+               {h32_sql(f"array_to_string(toks[t.i:t.i+{SUBSTR_WINDOW - 1}], ' ')")} AS h
+        FROM tok,
+             UNNEST(generate_series(1,
+                 greatest(len(toks) - {SUBSTR_WINDOW - 1}, 0))) AS t(i)
     ), f AS (
-        SELECT h FROM g GROUP BY h
-        HAVING COUNT(*) BETWEEN 2 AND {SUBSTR_DF_CAP}
+        SELECT h FROM (SELECT DISTINCT doc_id, h FROM gp)
+        GROUP BY h HAVING COUNT(*) BETWEEN 2 AND {SUBSTR_DF_CAP}
+    ), m AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        h, a.pos AS pa, b.pos AS pb
+        FROM gp a JOIN f USING (h) JOIN gp b USING (h)
+        WHERE a.doc_id < b.doc_id
+    ), runs AS (
+        SELECT doc_a, doc_b, pa,
+               pa - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp,
+               pa - pb AS diag
+        FROM (SELECT DISTINCT doc_a, doc_b, pa, pb FROM m)
+    ), chains AS (
+        SELECT doc_a, doc_b, COUNT(*) AS chain
+        FROM runs GROUP BY doc_a, doc_b, diag, grp
     )
-    SELECT a.doc_id                     AS doc_a,
-           b.doc_id                     AS doc_b,
-           CAST(COUNT(*) AS BIGINT)     AS n_shared_windows
-    FROM g a JOIN f USING (h) JOIN g b USING (h)
-    WHERE a.doc_id < b.doc_id
-    GROUP BY doc_a, doc_b
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.n_shared AS BIGINT)                        AS n_shared_windows,
+           CAST(c.max_chain + {SUBSTR_WINDOW - 1} AS BIGINT) AS max_run_tokens
+    FROM (SELECT doc_a, doc_b, COUNT(DISTINCT h) AS n_shared
+          FROM m GROUP BY doc_a, doc_b) s
+    JOIN (SELECT doc_a, doc_b, MAX(chain) AS max_chain
+          FROM chains GROUP BY doc_a, doc_b) c USING (doc_a, doc_b)
     ORDER BY doc_a, doc_b
     """,
     category="dedup",
     description=f"exact-substring dedup (Lee et al. 2022, the "
     f"suffix-array method's distributed projection): doc pairs sharing "
     f"a verbatim >= {SUBSTR_WINDOW}-token contiguous run, found "
-    f"completely via stride-1 {SUBSTR_WINDOW}-token window-hash posting "
-    f"lists (df cap {SUBSTR_DF_CAP} keeps boilerplate windows out of "
-    "pair generation); reports shared-window counts per pair -- the "
-    "CONTIGUITY signal the shingle-set Jaccard/containment entries "
-    "cannot give",
+    f"COMPLETELY via stride-1 window-hash posting lists (any such run "
+    f"yields an aligned shared window), with the paper's statistic "
+    "computed exactly -- max_run_tokens = the longest verbatim run, "
+    "from consecutive aligned window positions on a (pos_a - pos_b) "
+    f"diagonal; df cap {SUBSTR_DF_CAP} keeps boilerplate windows out "
+    "of pair generation -- the CONTIGUITY signal shingle-set "
+    "Jaccard/containment cannot give",
 )
 def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale notes: the same bucketed-not-all-pairs shape as the n-gram
     family -- window hashes travel as 8-byte ints, ONE posting-list
-    shuffle builds the per-hash doc sets, pairs generate map-side from
-    the df-capped sorted arrays (i < j index nesting, no self-join),
-    and the Zipf singleton tail (at web scale most windows are unique)
-    never shuffles twice.  Lee et al.'s 50-token threshold maps to
-    SUBSTR_WINDOW; completeness is exact, not probabilistic: any
-    >= W-token verbatim run necessarily yields an aligned shared
-    window.  Both engines hash with the same 32-bit function, so the
-    ~2^-32 collision surface is identical and results hash-match; a
-    production deployment widens to 64/128-bit hashes."""
+    shuffle collects per-hash (doc, pos) occurrence lists, the
+    doc-frequency cap (distinct docs 2..{cap}) excludes boilerplate
+    windows, and aligned-occurrence pairs generate MAP-SIDE from the
+    capped arrays (i < j nesting, no self-join; the Zipf singleton
+    tail never shuffles twice).  Run lengths come from a window over
+    per-pair diagonal groups, each bounded by the shorter document.
+    Lee et al.'s 50-token threshold maps to SUBSTR_WINDOW; both
+    engines hash with the same 32-bit function so results hash-match
+    (a production deployment widens the hash and additionally caps
+    per-hash occurrences against within-doc repetition)."""
     docs = load_tables(spark, sf_dir)["documents"]
+    W = SUBSTR_WINDOW
     tok = docs.select("doc_id", tokens_expr("text").alias("t"))
-    g = tok.select(
+    gram = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("t") - (W - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("t"), i + k) for k in range(W)]
+        ),
+    )
+    gp = tok.select(
+        "doc_id", F.posexplode(gram).alias("pos0", "w")
+    ).select(
         "doc_id",
-        F.explode(
-            shingles_from_tokens(F.col("t"), SUBSTR_WINDOW)
-        ).alias("w"),
-    ).select("doc_id", h32(F.col("w")).alias("h"))
-    posting = g.groupBy("h").agg(F.collect_set("doc_id").alias("docs"))
-    elig = posting.where(
-        F.size("docs").between(2, SUBSTR_DF_CAP)
-    ).select(F.sort_array("docs").alias("d"))
-    pairs = elig.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "d",
-                    lambda a, i: F.transform(
-                        F.slice("d", i + 2, F.size("d")),
-                        lambda b: F.struct(
-                            a.alias("doc_a"), b.alias("doc_b")
+        (F.col("pos0") + 1).alias("pos"),
+        h32(F.col("w")).alias("h"),
+    )
+    occ = gp.groupBy("h").agg(
+        F.collect_list(F.struct("doc_id", "pos")).alias("e")
+    )
+    elig = occ.where(
+        F.size(
+            F.array_distinct(F.transform("e", lambda x: x["doc_id"]))
+        ).between(2, SUBSTR_DF_CAP)
+    )
+    # oriented cross-doc occurrence pairs, generated map-side from the
+    # capped per-hash arrays
+    pair_struct = F.filter(
+        F.flatten(
+            F.transform(
+                "e",
+                lambda a, i: F.transform(
+                    F.slice("e", i + 2, F.size("e")),
+                    lambda b: F.when(
+                        a["doc_id"] < b["doc_id"],
+                        F.struct(
+                            a["doc_id"].alias("doc_a"),
+                            b["doc_id"].alias("doc_b"),
+                            a["pos"].alias("pa"),
+                            b["pos"].alias("pb"),
+                        ),
+                    ).when(
+                        a["doc_id"] > b["doc_id"],
+                        F.struct(
+                            b["doc_id"].alias("doc_a"),
+                            a["doc_id"].alias("doc_b"),
+                            b["pos"].alias("pa"),
+                            a["pos"].alias("pb"),
                         ),
                     ),
-                )
+                ),
             )
-        ).alias("p")
+        ),
+        lambda x: x.isNotNull(),
     )
-    return (
-        pairs.groupBy(
-            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+    m = (
+        elig.select("h", F.explode(pair_struct).alias("p"))
+        .select("h", "p.doc_a", "p.doc_b", "p.pa", "p.pb")
+        .distinct()
+    )
+    m = m.persist()
+    n_shared = m.groupBy("doc_a", "doc_b").agg(
+        F.countDistinct("h").cast("bigint").alias("n_shared_windows")
+    )
+    w_diag = Window.partitionBy(
+        "doc_a", "doc_b", F.col("pa") - F.col("pb")
+    ).orderBy("pa")
+    chains = (
+        m.select("doc_a", "doc_b", "pa", "pb")
+        .distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("pa") - F.col("pb")).alias("diag"),
+            (F.col("pa") - F.row_number().over(w_diag)).alias("grp"),
         )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_windows"))
-        .orderBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("chain"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("chain") + (W - 1)).cast("bigint").alias("max_run_tokens")
+        )
+    )
+    return n_shared.join(chains, ["doc_a", "doc_b"]).orderBy(
+        "doc_a", "doc_b"
     )
