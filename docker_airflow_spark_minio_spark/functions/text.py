@@ -40,10 +40,20 @@ def shingles_from_tokens(tokens: Column, n: int = 3) -> Column:
     so an inline split would re-tokenize the whole document once per
     element -- O(len^2) per doc (measured 15x slower).  DuckDB
     equivalent: :func:`shingles_sql`."""
-    gram = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + k) for k in range(n)]),
-    )
+    # Guarded against sub-n-token inputs: Spark's sequence(1, 0) steps
+    # DOWN to [1, 0] (not empty like DuckDB's generate_series), and the
+    # i=0 element_at then throws under ANSI semantics -- a document
+    # shorter than the shingle width must yield NO shingles, not a
+    # crash.
+    gram = F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, i + k) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(gram)
 
 

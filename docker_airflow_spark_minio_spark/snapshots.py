@@ -2634,6 +2634,7 @@ class SnapshotStore:
         live_vdirs: set[str] = set()
         expired_vdirs: set[str] = set()
         live_sidecar_names: set[str] = set()
+        expired_sidecar_names: set[str] = set()
         for v in vs:
             target = live_vdirs if v in keep else expired_vdirs
             m = self._read_manifest(v)
@@ -2641,15 +2642,19 @@ class SnapshotStore:
                 target.update(vdirs)
             # merge-on-read delete dirs are as live as the data they mask
             target.update(d["dir"] for d in m.get("delete_sets", []))
-            if v in keep:
-                # a stats sidecar lives as long as ANY kept manifest
-                # references it (carry-forward can outlive the commit
-                # that wrote it)
-                live_sidecar_names.update(
-                    s["path"].rsplit("/", 1)[-1]
-                    for s in m.get("file_stats_sidecars", [])
-                )
+            # a stats sidecar lives as long as ANY kept manifest
+            # references it (carry-forward can outlive the commit that
+            # wrote it); referenced only by expired manifests ->
+            # committed history, reclaimed with it (same rule as dirs)
+            names = {
+                s["path"].rsplit("/", 1)[-1]
+                for s in m.get("file_stats_sidecars", [])
+            }
+            (live_sidecar_names if v in keep else expired_sidecar_names).update(
+                names
+            )
         expired_vdirs -= live_vdirs
+        expired_sidecar_names -= live_sidecar_names
         # Any kept delta whose PARENT manifest is being dropped loses
         # its resolution chain -- tag holes and staged commits (whose
         # parent is the published head at stage time, not version-1)
@@ -2691,9 +2696,10 @@ class SnapshotStore:
                     delete_prefix(self.spark, f"{droot}/{name}")
                     dropped_data += 1
         # Stats sidecars unreferenced by every kept manifest: expired
-        # history's sidecars reclaim with it; a possible in-flight
-        # commit's sidecar (written before its manifest rename) is
-        # age-gated like an orphan data dir.
+        # history's sidecars reclaim with it immediately; a TRUE orphan
+        # (referenced nowhere -- possibly an in-flight commit's sidecar
+        # written before its manifest rename) is age-gated like an
+        # orphan data dir.
         dropped_sidecars = 0
         sroot = f"{self.root.rstrip('/')}/{STATS_DIR}"
         fs, sp = _fs_and_path(self.spark, sroot)
@@ -2703,7 +2709,7 @@ class SnapshotStore:
                 if name in live_sidecar_names:
                     continue
                 aged = now_ms - st.getModificationTime() > orphan_grace_ms
-                if aged:
+                if name in expired_sidecar_names or aged:
                     delete_prefix(self.spark, f"{sroot}/{name}")
                     dropped_sidecars += 1
         return {

@@ -1517,6 +1517,13 @@ def dedup_minhash_estimate_calibration(
 SUBSTR_WINDOW = 8
 SUBSTR_DF_CAP = 16
 
+#: (h, doc_a, doc_b, pa, pb) -- distinct aligned window occurrences per
+#: candidate pair; two aggregates consume it (shared-window counts and
+#: diagonal run chains), so it rides a lifecycle-managed PersistCache
+#: (a bare .persist() would pin executor storage for the whole session
+#: -- clear_persist_caches() can't see it).
+_SUBSTR_ALIGN_CACHE = PersistCache("substr_alignments")
+
 @register(
     "dedup_substring_pairs",
     oracle=f"""
@@ -1580,66 +1587,76 @@ def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines hash with the same 32-bit function so results hash-match
     (a production deployment widens the hash and additionally caps
     per-hash occurrences against within-doc repetition)."""
-    docs = load_tables(spark, sf_dir)["documents"]
     W = SUBSTR_WINDOW
-    tok = docs.select("doc_id", tokens_expr("text").alias("t"))
-    gram = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("t") - (W - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("t"), i + k) for k in range(W)]
-        ),
-    )
-    gp = tok.select(
-        "doc_id", F.posexplode(gram).alias("pos0", "w")
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        h32(F.col("w")).alias("h"),
-    )
-    occ = gp.groupBy("h").agg(
-        F.collect_list(F.struct("doc_id", "pos")).alias("e")
-    )
-    elig = occ.where(
-        F.size(
-            F.array_distinct(F.transform("e", lambda x: x["doc_id"]))
-        ).between(2, SUBSTR_DF_CAP)
-    )
-    # oriented cross-doc occurrence pairs, generated map-side from the
-    # capped per-hash arrays
-    pair_struct = F.filter(
-        F.flatten(
+
+    def _build_alignments() -> DataFrame:
+        docs = load_tables(spark, sf_dir)["documents"]
+        tok = docs.select("doc_id", tokens_expr("text").alias("t"))
+        # sub-W-token docs yield NO windows (guarded: Spark's sequence(1,0)
+        # steps down to [1,0] and ANSI element_at(t, 0) throws -- same
+        # hazard shingles_from_tokens guards; DuckDB's generate_series(1,0)
+        # is naturally empty)
+        gram = F.when(
+            F.size("t") >= W,
             F.transform(
-                "e",
-                lambda a, i: F.transform(
-                    F.slice("e", i + 2, F.size("e")),
-                    lambda b: F.when(
-                        a["doc_id"] < b["doc_id"],
-                        F.struct(
-                            a["doc_id"].alias("doc_a"),
-                            b["doc_id"].alias("doc_b"),
-                            a["pos"].alias("pa"),
-                            b["pos"].alias("pb"),
-                        ),
-                    ).when(
-                        a["doc_id"] > b["doc_id"],
-                        F.struct(
-                            b["doc_id"].alias("doc_a"),
-                            a["doc_id"].alias("doc_b"),
-                            b["pos"].alias("pa"),
-                            a["pos"].alias("pb"),
+                F.sequence(F.lit(1), F.size("t") - (W - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(F.col("t"), i + k) for k in range(W)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        gp = tok.select(
+            "doc_id", F.posexplode(gram).alias("pos0", "w")
+        ).select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            h32(F.col("w")).alias("h"),
+        )
+        occ = gp.groupBy("h").agg(
+            F.collect_list(F.struct("doc_id", "pos")).alias("e")
+        )
+        elig = occ.where(
+            F.size(
+                F.array_distinct(F.transform("e", lambda x: x["doc_id"]))
+            ).between(2, SUBSTR_DF_CAP)
+        )
+        # oriented cross-doc occurrence pairs, generated map-side from the
+        # capped per-hash arrays
+        pair_struct = F.filter(
+            F.flatten(
+                F.transform(
+                    "e",
+                    lambda a, i: F.transform(
+                        F.slice("e", i + 2, F.size("e")),
+                        lambda b: F.when(
+                            a["doc_id"] < b["doc_id"],
+                            F.struct(
+                                a["doc_id"].alias("doc_a"),
+                                b["doc_id"].alias("doc_b"),
+                                a["pos"].alias("pa"),
+                                b["pos"].alias("pb"),
+                            ),
+                        ).when(
+                            a["doc_id"] > b["doc_id"],
+                            F.struct(
+                                b["doc_id"].alias("doc_a"),
+                                a["doc_id"].alias("doc_b"),
+                                b["pos"].alias("pa"),
+                                a["pos"].alias("pb"),
+                            ),
                         ),
                     ),
-                ),
-            )
-        ),
-        lambda x: x.isNotNull(),
-    )
-    m = (
-        elig.select("h", F.explode(pair_struct).alias("p"))
-        .select("h", "p.doc_a", "p.doc_b", "p.pa", "p.pb")
-        .distinct()
-    )
-    m = m.persist()
+                )
+            ),
+            lambda x: x.isNotNull(),
+        )
+        return (
+            elig.select("h", F.explode(pair_struct).alias("p"))
+            .select("h", "p.doc_a", "p.doc_b", "p.pa", "p.pb")
+            .distinct()
+        )
+
+    m = _SUBSTR_ALIGN_CACHE.get_or_build(spark, sf_dir, _build_alignments)
     n_shared = m.groupBy("doc_a", "doc_b").agg(
         F.countDistinct("h").cast("bigint").alias("n_shared_windows")
     )

@@ -665,8 +665,9 @@ def text_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM b
     ), w AS (
         SELECT bucket,
-               (tgt_cnt * 1000000) // t_total
-               - ((raw_cnt - tgt_cnt) * 1000000) // rest_total AS weight
+               (tgt_cnt * 1000000) // greatest(t_total, 1)
+               - ((raw_cnt - tgt_cnt) * 1000000)
+                   // greatest(rest_total, 1) AS weight
         FROM b, tot
     ), scored AS (
         SELECT ex.doc_id, ANY_VALUE(ex.source) AS source,
@@ -730,8 +731,13 @@ def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tgt_cnt").over(w_all).alias("t_total"),
     ).selectExpr(
         "bucket",
-        "(tgt_cnt * 1000000) DIV t_total "
-        "- ((raw_cnt - tgt_cnt) * 1000000) DIV rest_total AS weight",
+        # greatest(total, 1): a degenerate corpus (all-target or
+        # no-target) zeroes one side's counts, so its rate term is 0
+        # either way -- both engines stay defined and identical where
+        # a raw division would raise in DuckDB and NULL in Spark
+        "(tgt_cnt * 1000000) DIV greatest(t_total, 1) "
+        "- ((raw_cnt - tgt_cnt) * 1000000) DIV greatest(rest_total, 1) "
+        "AS weight",
     )
     # group by (doc_id, source) -- source is functionally dependent on
     # doc_id, and including it keeps the aggregate HASH-based (a

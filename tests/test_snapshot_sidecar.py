@@ -251,7 +251,10 @@ def test_sidecar_retention_and_abandon(spark, tmp_path):
     s.write(_frame(spark, n=400, offset=1000), mode="snapshot", **kw)  # replaces
     sdir = os.path.join(s.root, STATS_DIR)
     assert len(os.listdir(sdir)) == 2
-    out = s.expire_snapshots(keep_last=1, orphan_grace_ms=0)
+    # default grace: an EXPIRED manifest's sidecar reclaims with its
+    # history immediately (like its data dirs), not after the orphan
+    # age gate
+    out = s.expire_snapshots(keep_last=1)
     assert out["dropped_stats_sidecars"] == 1
     # the survivor still plans through its sidecar
     left = os.listdir(sdir)
