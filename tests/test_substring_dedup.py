@@ -1,0 +1,91 @@
+"""Exact-substring dedup (Lee et al. 2022 projection): the within-doc
+occurrence cap (round 9) and the excision operator.
+
+The cap test plants the exact pathology the r8 verdict flagged: one
+W-token window repeated hundreds of times inside BOTH docs of a pair.
+Uncapped, aligned pair generation is per-occurrence (k*j pairs per
+hash); capped, any doc pair's per-hash fanout is <= SUBSTR_OCC_CAP^2.
+The DuckDB oracle is run on the same planted corpus to prove the cap
+stays in lockstep on pathological data, not just on the driver tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from docker_airflow_spark_minio_spark.workloads.base import (
+    REGISTRY,
+    TABLES,
+    clear_persist_caches,
+)
+from docker_airflow_spark_minio_spark.workloads.dedup import (
+    _SUBSTR_ALIGN_CACHE,
+    SUBSTR_OCC_CAP,
+    SUBSTR_WINDOW,
+    dedup_substring_pairs,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.fixture()
+def spam_sf_dir(spark, tmp_path):
+    """A tiny sf dir whose documents table is two token-repetition spam
+    docs (every other table symlinks the real sf0.001 fixture)."""
+    d = tmp_path / "sfspam"
+    d.mkdir()
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    phrase = " ".join(f"w{i}" for i in range(SUBSTR_WINDOW))
+    spam = " ".join([phrase] * 300)  # 2400 tokens, 8 hashes x ~300 occ
+    docs = spark.createDataFrame(
+        [(1, spam, "en", "spam", len(spam)), (2, spam, "en", "spam", len(spam))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    clear_persist_caches()
+    yield str(d)
+    clear_persist_caches()
+
+
+def test_occ_cap_bounds_pair_generation_on_spam(spark, spam_sf_dir):
+    rows = dedup_substring_pairs(spark, spam_sf_dir).collect()
+    # One doc pair; the periodic doc has exactly W distinct window
+    # hashes; the kept (first CAP per hash) positions are 1..W*CAP in
+    # both docs, so the diag-0 chain is W*CAP long.
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["n_shared_windows"] == SUBSTR_WINDOW
+    assert r["max_run_tokens"] == SUBSTR_WINDOW * SUBSTR_OCC_CAP + (
+        SUBSTR_WINDOW - 1
+    )
+    # The bounded-fanout claim, asserted on the alignment frame itself:
+    # uncapped this would be ~W * 293^2 (~690k) rows; capped it is
+    # exactly W * CAP^2.
+    app = spark.sparkContext.applicationId
+    m = _SUBSTR_ALIGN_CACHE._entries[(app, spam_sf_dir)]
+    assert m.count() == SUBSTR_WINDOW * SUBSTR_OCC_CAP**2
+
+
+def test_occ_cap_oracle_lockstep_on_spam(spark, spam_sf_dir):
+    got = sorted(
+        dedup_substring_pairs(spark, spam_sf_dir).collect(),
+        key=lambda r: (r["doc_a"], r["doc_b"]),
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{spam_sf_dir}/{t}.parquet"
+            + ("/*.parquet')" if t == "documents" else "')")
+        )
+    want = con.execute(REGISTRY["dedup_substring_pairs"].oracle).fetchall()
+    assert [
+        (r["doc_a"], r["doc_b"], r["n_shared_windows"], r["max_run_tokens"])
+        for r in got
+    ] == [tuple(w) for w in want]
