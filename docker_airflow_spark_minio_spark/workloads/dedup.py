@@ -1530,15 +1530,16 @@ SUBSTR_DF_CAP = 16
 SUBSTR_OCC_CAP = 8
 
 #: (h, doc_a, doc_b, pa, pb) -- distinct aligned window occurrences per
-#: candidate pair; two aggregates consume it (shared-window counts and
-#: diagonal run chains), so it rides a lifecycle-managed PersistCache
+#: candidate pair; two REGISTRY entries consume it (pair statistics and
+#: the excision operator), so it rides a lifecycle-managed PersistCache
 #: (a bare .persist() would pin executor storage for the whole session
 #: -- clear_persist_caches() can't see it).
 _SUBSTR_ALIGN_CACHE = PersistCache("substr_alignments")
 
-@register(
-    "dedup_substring_pairs",
-    oracle=f"""
+#: Shared oracle prefix -- the CTE chain producing ``m``, the exact
+#: DuckDB twin of the cached alignment frame.  Both substring entries'
+#: oracles build on it so the caps can never drift between them.
+_SUBSTR_M_CTES = f"""
     WITH tok AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), gp AS (
@@ -1562,58 +1563,17 @@ _SUBSTR_ALIGN_CACHE = PersistCache("substr_alignments")
                         h, a.pos AS pa, b.pos AS pb
         FROM gpc a JOIN f USING (h) JOIN gpc b USING (h)
         WHERE a.doc_id < b.doc_id
-    ), runs AS (
-        SELECT doc_a, doc_b, pa,
-               pa - ROW_NUMBER() OVER (
-                   PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp,
-               pa - pb AS diag
-        FROM (SELECT DISTINCT doc_a, doc_b, pa, pb FROM m)
-    ), chains AS (
-        SELECT doc_a, doc_b, COUNT(*) AS chain
-        FROM runs GROUP BY doc_a, doc_b, diag, grp
-    )
-    SELECT s.doc_a, s.doc_b,
-           CAST(s.n_shared AS BIGINT)                        AS n_shared_windows,
-           CAST(c.max_chain + {SUBSTR_WINDOW - 1} AS BIGINT) AS max_run_tokens
-    FROM (SELECT doc_a, doc_b, COUNT(DISTINCT h) AS n_shared
-          FROM m GROUP BY doc_a, doc_b) s
-    JOIN (SELECT doc_a, doc_b, MAX(chain) AS max_chain
-          FROM chains GROUP BY doc_a, doc_b) c USING (doc_a, doc_b)
-    ORDER BY doc_a, doc_b
-    """,
-    category="dedup",
-    description=f"exact-substring dedup (Lee et al. 2022, the "
-    f"suffix-array method's distributed projection): doc pairs sharing "
-    f"a verbatim >= {SUBSTR_WINDOW}-token contiguous run, found "
-    f"COMPLETELY via stride-1 window-hash posting lists (any such run "
-    f"yields an aligned shared window), with the paper's statistic "
-    "computed exactly -- max_run_tokens = the longest verbatim run, "
-    "from consecutive aligned window positions on a (pos_a - pos_b) "
-    f"diagonal; df cap {SUBSTR_DF_CAP} keeps boilerplate windows out "
-    f"of pair generation and occurrence cap {SUBSTR_OCC_CAP} keeps "
-    "within-doc repetition spam from emitting k*j aligned pairs -- the "
-    "CONTIGUITY signal shingle-set Jaccard/containment cannot give",
-)
-def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale notes: the same bucketed-not-all-pairs shape as the n-gram
-    family -- window hashes travel as 8-byte ints, ONE two-level
-    posting-list aggregation collects per-(hash, doc) position lists
-    CAPPED at the first SUBSTR_OCC_CAP positions (within-doc
-    repetition spam is bounded at the map side, before any pair
-    exists), the doc-frequency cap (distinct docs 2..{df_cap})
-    excludes boilerplate windows, and aligned-occurrence pairs
-    generate MAP-SIDE from the capped arrays (i < j nesting over
-    per-doc entries, no self-join; the Zipf singleton tail never
-    shuffles twice).  Any doc pair's per-hash fanout is therefore
-    <= SUBSTR_OCC_CAP^2 regardless of input pathology.  Run lengths
-    come from a window over per-pair diagonal groups, each bounded by
-    the shorter document.  Lee et al.'s 50-token threshold maps to
-    SUBSTR_WINDOW; both engines hash with the same 32-bit function
-    and apply the same caps, so results hash-match (a production
-    deployment widens the hash)."""
-    W = SUBSTR_WINDOW
+    )"""
 
-    def _build_alignments() -> DataFrame:
+
+def _alignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cached ``(h, doc_a, doc_b, pa, pb)`` aligned-window frame
+    (see :data:`_SUBSTR_ALIGN_CACHE`); the Spark twin of the oracle's
+    ``m`` CTE, capped identically (df 2..{SUBSTR_DF_CAP}, first
+    {SUBSTR_OCC_CAP} occurrences per (hash, doc))."""
+
+    def _build() -> DataFrame:
+        W = SUBSTR_WINDOW
         docs = load_tables(spark, sf_dir)["documents"]
         tok = docs.select("doc_id", tokens_expr("text").alias("t"))
         # sub-W-token docs yield NO windows (guarded: Spark's sequence(1,0)
@@ -1694,7 +1654,62 @@ def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    m = _SUBSTR_ALIGN_CACHE.get_or_build(spark, sf_dir, _build_alignments)
+    return _SUBSTR_ALIGN_CACHE.get_or_build(spark, sf_dir, _build)
+
+
+@register(
+    "dedup_substring_pairs",
+    oracle=f"""{_SUBSTR_M_CTES}, runs AS (
+        SELECT doc_a, doc_b, pa,
+               pa - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp,
+               pa - pb AS diag
+        FROM (SELECT DISTINCT doc_a, doc_b, pa, pb FROM m)
+    ), chains AS (
+        SELECT doc_a, doc_b, COUNT(*) AS chain
+        FROM runs GROUP BY doc_a, doc_b, diag, grp
+    )
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.n_shared AS BIGINT)                        AS n_shared_windows,
+           CAST(c.max_chain + {SUBSTR_WINDOW - 1} AS BIGINT) AS max_run_tokens
+    FROM (SELECT doc_a, doc_b, COUNT(DISTINCT h) AS n_shared
+          FROM m GROUP BY doc_a, doc_b) s
+    JOIN (SELECT doc_a, doc_b, MAX(chain) AS max_chain
+          FROM chains GROUP BY doc_a, doc_b) c USING (doc_a, doc_b)
+    ORDER BY doc_a, doc_b
+    """,
+    category="dedup",
+    description=f"exact-substring dedup (Lee et al. 2022, the "
+    f"suffix-array method's distributed projection): doc pairs sharing "
+    f"a verbatim >= {SUBSTR_WINDOW}-token contiguous run, found "
+    f"COMPLETELY via stride-1 window-hash posting lists (any such run "
+    f"yields an aligned shared window), with the paper's statistic "
+    "computed exactly -- max_run_tokens = the longest verbatim run, "
+    "from consecutive aligned window positions on a (pos_a - pos_b) "
+    f"diagonal; df cap {SUBSTR_DF_CAP} keeps boilerplate windows out "
+    f"of pair generation and occurrence cap {SUBSTR_OCC_CAP} keeps "
+    "within-doc repetition spam from emitting k*j aligned pairs -- the "
+    "CONTIGUITY signal shingle-set Jaccard/containment cannot give",
+)
+def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the same bucketed-not-all-pairs shape as the n-gram
+    family -- window hashes travel as 8-byte ints, ONE two-level
+    posting-list aggregation collects per-(hash, doc) position lists
+    CAPPED at the first SUBSTR_OCC_CAP positions (within-doc
+    repetition spam is bounded at the map side, before any pair
+    exists), the doc-frequency cap (distinct docs 2..{df_cap})
+    excludes boilerplate windows, and aligned-occurrence pairs
+    generate MAP-SIDE from the capped arrays (i < j nesting over
+    per-doc entries, no self-join; the Zipf singleton tail never
+    shuffles twice).  Any doc pair's per-hash fanout is therefore
+    <= SUBSTR_OCC_CAP^2 regardless of input pathology.  Run lengths
+    come from a window over per-pair diagonal groups, each bounded by
+    the shorter document.  Lee et al.'s 50-token threshold maps to
+    SUBSTR_WINDOW; both engines hash with the same 32-bit function
+    and apply the same caps, so results hash-match (a production
+    deployment widens the hash)."""
+    W = SUBSTR_WINDOW
+    m = _alignments(spark, sf_dir)
     n_shared = m.groupBy("doc_a", "doc_b").agg(
         F.countDistinct("h").cast("bigint").alias("n_shared_windows")
     )
@@ -1719,4 +1734,139 @@ def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return n_shared.join(chains, ["doc_a", "doc_b"]).orderBy(
         "doc_a", "doc_b"
+    )
+
+
+@register(
+    "dedup_substring_excise",
+    oracle=f"""{_SUBSTR_M_CTES}, runs AS (
+        SELECT doc_a, doc_b, pa, pb,
+               pa - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp,
+               pa - pb AS diag
+        FROM (SELECT DISTINCT doc_a, doc_b, pa, pb FROM m)
+    ), iv AS (
+        SELECT DISTINCT doc_id, s, e FROM (
+            SELECT doc_b AS doc_id, MIN(pb) AS s,
+                   MAX(pb) + {SUBSTR_WINDOW - 1} AS e
+            FROM runs GROUP BY doc_a, doc_b, diag, grp)
+    ), w1 AS (
+        SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM iv
+    ), w2 AS (
+        SELECT doc_id, s, e,
+               SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS UNBOUNDED PRECEDING) AS isl
+        FROM w1
+    ), isles AS (
+        SELECT doc_id, isl, MIN(s) AS s, MAX(e) AS e
+        FROM w2 GROUP BY doc_id, isl
+    ), rem AS (
+        SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS removed_tokens
+        FROM isles GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT)                       AS n_tokens,
+           rem.removed_tokens,
+           CAST(len(t.toks) - rem.removed_tokens AS BIGINT)  AS kept_tokens
+    FROM rem JOIN tok t USING (doc_id)
+    ORDER BY doc_id
+    """,
+    category="dedup",
+    description="exact-substring EXCISION (Lee et al. 2022's action "
+    "step): remove each verbatim duplicated run, keeping the copy in "
+    "the smaller doc_id; per-chain run extents are reconstructed from "
+    "the shared alignment frame, overlapping extents are merged per "
+    "doc (gaps-and-islands), and the result accounts removed vs kept "
+    "tokens per excised document exactly",
+)
+def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The action step the pairs entry only measures: every aligned
+    diagonal chain is a verbatim run [min(pb), max(pb)+W-1] in the
+    HIGHER doc_id of its pair (policy: keep the first occurrence --
+    the smaller doc_id's copy survives, matching the keep-one
+    convention the exact/MinHash representative entries use).  Covered
+    token intervals are merged per document with one window pass
+    (gaps-and-islands: an interval starting past the running max of
+    prior ends opens a new island), so overlapping runs from DIFFERENT
+    partners never double-count a removed token.
+
+    Scale notes: rides the SAME cached alignment frame as
+    ``dedup_substring_pairs`` (bucketed, df- and occurrence-capped --
+    nothing here is all-pairs); the interval set is
+    O(chains) << O(alignments), the merge shuffles intervals by doc_id
+    only, and the final accounting joins one row per excised doc
+    against token counts.  Extents use the capped alignments, so runs
+    living entirely inside over-cap repetition spam excise only their
+    kept prefix -- the documented cap trade, identical in the oracle.
+
+    Reference basis: Lee et al. 2022 (arXiv:2107.06499) deduplicate by
+    removing all but one occurrence of >=50-token duplicated spans;
+    the reference repo itself has no dedup surface (its queries stop at
+    a GROUP BY count, /root/reference/spark/jobs/job_gold.py:71-83) --
+    this family is part of the training-data-pipeline extension
+    mandate."""
+    W = SUBSTR_WINDOW
+    m = _alignments(spark, sf_dir)
+    w_diag = Window.partitionBy(
+        "doc_a", "doc_b", F.col("pa") - F.col("pb")
+    ).orderBy("pa")
+    iv = (
+        m.select("doc_a", "doc_b", "pa", "pb")
+        .distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            "pb",
+            (F.col("pa") - F.col("pb")).alias("diag"),
+            (F.col("pa") - F.row_number().over(w_diag)).alias("grp"),
+        )
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pb").alias("s"),
+            (F.max("pb") + (W - 1)).alias("e"),
+        )
+        .select(F.col("doc_b").alias("doc_id"), "s", "e")
+        .distinct()
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("s", "e")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    islands = (
+        iv.select("doc_id", "s", "e", F.max("e").over(w_prev).alias("pmax"))
+        .select(
+            "doc_id",
+            "s",
+            "e",
+            F.sum(
+                F.when(
+                    F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
+                ).otherwise(0)
+            )
+            .over(w_run)
+            .alias("isl"),
+        )
+        .groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    removed = islands.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("removed_tokens")
+    )
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", F.size(tokens_expr("text")).cast("bigint").alias("n_tokens")
+    )
+    return (
+        removed.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "removed_tokens",
+            (F.col("n_tokens") - F.col("removed_tokens"))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .orderBy("doc_id")
     )

@@ -25,6 +25,7 @@ from docker_airflow_spark_minio_spark.workloads.dedup import (
     _SUBSTR_ALIGN_CACHE,
     SUBSTR_OCC_CAP,
     SUBSTR_WINDOW,
+    dedup_substring_excise,
     dedup_substring_pairs,
 )
 
@@ -89,3 +90,51 @@ def test_occ_cap_oracle_lockstep_on_spam(spark, spam_sf_dir):
         (r["doc_a"], r["doc_b"], r["n_shared_windows"], r["max_run_tokens"])
         for r in got
     ] == [tuple(w) for w in want]
+
+
+def test_excise_removes_capped_run_from_higher_doc(spark, spam_sf_dir):
+    rows = dedup_substring_excise(spark, spam_sf_dir).collect()
+    # Keep-first policy: doc 1 survives intact (never doc_b), doc 2
+    # excises the merged covered range [1, W*CAP + W - 1].
+    assert len(rows) == 1
+    r = rows[0]
+    covered = SUBSTR_WINDOW * SUBSTR_OCC_CAP + (SUBSTR_WINDOW - 1)
+    assert r["doc_id"] == 2
+    assert r["n_tokens"] == 2400
+    assert r["removed_tokens"] == covered
+    assert r["kept_tokens"] == 2400 - covered
+
+
+def test_excise_interval_merge_no_double_count(spark, tmp_path):
+    """Three docs sharing one run: the highest doc_id gets the run from
+    TWO partners; the merged accounting must not double-count it."""
+    d = tmp_path / "sftri"
+    d.mkdir()
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    run = " ".join(f"r{i}" for i in range(SUBSTR_WINDOW + 4))  # 12-token run
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 " + run, "en", "t", 0),
+            (2, "b1 b2 b3 b4 " + run, "en", "t", 0),
+            (3, run + " c1 c2 c3", "en", "t", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    clear_persist_caches()
+    try:
+        rows = {
+            r["doc_id"]: r
+            for r in dedup_substring_excise(spark, str(d)).collect()
+        }
+        # docs 2 and 3 each lose the 12-token run exactly once; doc 1
+        # (lowest id) keeps its copy
+        assert set(rows) == {2, 3}
+        assert rows[2]["removed_tokens"] == SUBSTR_WINDOW + 4
+        assert rows[3]["removed_tokens"] == SUBSTR_WINDOW + 4
+        assert rows[2]["n_tokens"] == 4 + SUBSTR_WINDOW + 4
+        assert rows[3]["kept_tokens"] == 3
+    finally:
+        clear_persist_caches()
