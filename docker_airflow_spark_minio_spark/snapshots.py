@@ -1085,9 +1085,17 @@ class SnapshotStore:
         attempt-unique data directories are removed; the published
         history is untouched.  Refuses when the wap was never published
         (that is a live stage -- use :meth:`abandon_staged`)."""
-        if wap_id.startswith(BRANCH_NS) or wap_id not in self.committed_metadata(
-            "published_wap"
-        ):
+        if wap_id.startswith(BRANCH_NS):
+            # Branches are managed via abandon_staged()/fast_forward()
+            # regardless of publish state -- reporting them as "never
+            # published" (they may well have published commits) sent
+            # branch callers down the wrong path.
+            raise ValueError(
+                f"wap id {wap_id!r} is a branch marker; branches are "
+                "managed via abandon_staged()/fast_forward(), not "
+                "drop_dead_staged()"
+            )
+        if wap_id not in self.committed_metadata("published_wap"):
             raise ValueError(
                 f"wap id {wap_id!r} was never published; "
                 "abandon_staged() is the path for live stages"
@@ -2125,21 +2133,29 @@ class SnapshotStore:
                         F.col(f"bl_{col}"), pos
                     )
                 keep = keep & present
-            rows = (
-                sdf.select("dkey", "fname", keep.alias("__keep"))
+            # Two bounded fetches instead of one collect of per-dkey
+            # name ARRAYS: a single ultra-wide directory (10^5+
+            # surviving files) would otherwise land on the driver as
+            # one giant row.  Totals are O(directories); surviving
+            # (dkey, fname) rows stream back partition-at-a-time via
+            # toLocalIterator -- the same output the caller must hold
+            # anyway (it enumerates scan paths), never materialized as
+            # a single array row.
+            totals = (
+                sdf.select("dkey")
                 .groupBy("dkey")
-                .agg(
-                    F.count(F.lit(1)).alias("__total"),
-                    F.sort_array(
-                        F.collect_list(
-                            F.when(F.col("__keep"), F.col("fname"))
-                        )
-                    ).alias("__keep_files"),
-                )
+                .agg(F.count(F.lit(1)).alias("__total"))
                 .collect()
             )
-            for r in rows:
-                out[r["dkey"]] = (int(r["__total"]), list(r["__keep_files"]))
+            acc: dict[str, list[str]] = {r["dkey"]: [] for r in totals}
+            for row in (
+                sdf.where(keep).select("dkey", "fname").toLocalIterator()
+            ):
+                acc[row["dkey"]].append(row["fname"])
+            for r in totals:
+                # sorted() on ASCII file names == the previous
+                # sort_array ordering (binary collation)
+                out[r["dkey"]] = (int(r["__total"]), sorted(acc[r["dkey"]]))
         return out
 
     def read(

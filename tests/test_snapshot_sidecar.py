@@ -269,3 +269,39 @@ def test_sidecar_retention_and_abandon(spark, tmp_path):
     assert len(os.listdir(sdir)) == 2
     s.abandon_staged("bad")
     assert sorted(os.listdir(sdir)) == sorted(left)
+
+
+def test_sidecar_wide_directory_chunked_collect(spark, tmp_path):
+    """One directory with >=10^4 stats rows (r8 verdict item 7): the
+    planner must stream surviving (dkey, fname) rows instead of
+    collecting one giant per-directory array row, and still return the
+    exact survivor set, sorted."""
+    root = str(tmp_path / "wide")
+    store = SnapshotStore(spark, root)
+    vdir = "v0-deadbeef"
+    n = 12_000
+    sdf = spark.range(n).selectExpr(
+        f"'{vdir}/day=a' AS dkey",
+        "format_string('part-%05d.parquet', id) AS fname",
+        "CAST(1 AS BIGINT) AS rows",
+        "id AS mn_val",
+        "id AS mx_val",
+    )
+    relpath = f"_stats/{vdir}-stats"
+    sdf.write.mode("overwrite").parquet(f"{root}/{relpath}")
+    ref = {
+        "path": relpath,
+        "vdir": vdir,
+        "stats_cols": ["val"],
+        "bloom_cols": [],
+        "bloom_bits": 0,
+    }
+    out = store._plan_files_sidecar(
+        {vdir: ref},
+        [(vdir, "day=a")],
+        [("val", 100, 199)],
+        {},
+    )
+    total, keep = out[f"{vdir}/day=a"]
+    assert total == n
+    assert keep == [f"part-{i:05d}.parquet" for i in range(100, 200)]
