@@ -59,8 +59,9 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .fsmeta import _fs_and_path, delete_prefix, read_bytes
+from .fsmeta import _fs_and_path, delete_prefix, hive_partition_dir, read_bytes
 from .snapshots import (
+    DATA_DIR,
     SnapshotConflict,
     SnapshotStore,
     _vdir_version,
@@ -274,6 +275,56 @@ class MultiTableTransaction:
                         "retry (no WAL claim was made -- the table is "
                         "untouched)"
                     )
+            # Interleaved MoR deletes (advisor r8, medium): a
+            # delete_keys commit landing between stage and claim never
+            # changes the partitions map -- the pointer check above
+            # passes -- but its delete set carries a version NEWER than
+            # the staged vdirs (named v{sv}), so after the claimed
+            # publish (force_overwrite_replay) it would MASK the
+            # overwrite's replacement rows, rows a DIRECT overwrite
+            # (whose dirs outrank the delete) would keep.  Any
+            # post-stage delete that can target a claimed partition is
+            # therefore a conflict, raised here pre-claim where abort /
+            # re-stage is still possible.  When the delete keys carry
+            # the partition columns, "can target" is decided exactly
+            # from the keys (O(deleted keys)); otherwise conservatively.
+            pby = st["partition_by"]
+            for entry in head.get("delete_sets", []):
+                dv = int(entry["version"])
+                if dv <= sv:
+                    continue  # predates the stage: never masks v{sv} dirs
+                if pby and all(c in entry["key_cols"] for c in pby):
+                    key_dirs = {
+                        hive_partition_dir(
+                            self.spark, pby, tuple(r[c] for c in pby)
+                        )
+                        for r in self.spark.read.parquet(
+                            f"{store.root.rstrip('/')}/{DATA_DIR}/"
+                            f"{entry['dir']}"
+                        )
+                        .select(*pby)
+                        .distinct()
+                        .collect()
+                    }
+                    hit = sorted(key_dirs & set(claims[root]))
+                    if not hit:
+                        continue
+                    why = f"keys target claimed partitions {hit}"
+                elif not pby:
+                    why = "the table is unpartitioned"
+                else:
+                    why = (
+                        f"its key_cols {entry['key_cols']} do not carry "
+                        f"the partition columns {pby}, so targeting "
+                        "cannot be ruled out"
+                    )
+                raise SnapshotConflict(
+                    f"txn {self.txn_id}: delete_keys v{dv} of {root} "
+                    f"landed after the overwrite stage (v{sv}) and {why}; "
+                    "published, it would mask the overwrite's replacement "
+                    "rows.  Abort or re-stage and retry (no WAL claim was "
+                    "made -- the table is untouched)"
+                )
         return claims
 
     def commit(self) -> None:

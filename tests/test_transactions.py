@@ -564,3 +564,90 @@ def test_s3_semantics_txn_commit_recover_claim():
     assert "S3TXN-COMMIT-OK" in out
     assert "S3TXN-RECOVER-OK" in out
     assert "S3TXN-CLAIM-RACE-OK" in out
+
+
+def test_overwrite_txn_conflicts_with_interleaved_delete(spark, roots):
+    """A delete_keys commit between stage and claim never changes the
+    partitions map, but published after the claim it would mask the
+    overwrite's replacement rows (their vdirs carry the STAGE version,
+    older than the delete).  _validate_overwrites must raise pre-claim
+    (advisor r8, medium)."""
+    silver, _ = _seed(spark, roots)
+    silver.write(
+        _df(spark, [(2, "d2", 20)]), mode="append", partition_by=["day"]
+    )
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.write(
+        silver,
+        _df(spark, [(7, "d1", 70)]),
+        mode="overwrite_partitions",
+        partition_by=["day"],
+    )
+    # interleaved direct delete whose keys CAN target the claimed d1
+    silver.delete_keys(
+        spark.createDataFrame([(1, "d1")], "id INT, day STRING"),
+        key_cols=["id", "day"],
+    )
+    with pytest.raises(SnapshotConflict, match="delete_keys .* landed after"):
+        t.commit()
+    # no WAL claim was made: abort is still available, table untouched
+    t.abort()
+    assert _ids(silver) == [2]  # the delete applied; the overwrite never did
+    # re-stage against the new head and retry: succeeds
+    t2 = tx.MultiTableTransaction(spark, roots[0])
+    t2.write(
+        silver,
+        _df(spark, [(7, "d1", 70)]),
+        mode="overwrite_partitions",
+        partition_by=["day"],
+    )
+    t2.commit()
+    assert _ids(silver) == [2, 7]
+
+
+def test_overwrite_txn_ignores_delete_on_unclaimed_partition(spark, roots):
+    """A post-stage delete whose keys provably target only UNCLAIMED
+    partitions is not a conflict: the overwrite's claimed partitions
+    are disjoint from the masked rows."""
+    silver, _ = _seed(spark, roots)
+    silver.write(
+        _df(spark, [(2, "d2", 20), (3, "d2", 30)]),
+        mode="append",
+        partition_by=["day"],
+    )
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.write(
+        silver,
+        _df(spark, [(7, "d1", 70)]),
+        mode="overwrite_partitions",
+        partition_by=["day"],
+    )
+    silver.delete_keys(
+        spark.createDataFrame([(2, "d2")], "id INT, day STRING"),
+        key_cols=["id", "day"],
+    )
+    t.commit()
+    # overwrite landed (7 replaces 1 in d1), delete applied in d2
+    assert _ids(silver) == [3, 7]
+
+
+def test_overwrite_txn_conservative_on_partition_blind_delete(spark, roots):
+    """Delete keys NOT carrying the partition columns cannot prove they
+    miss the claimed set -> conservative conflict."""
+    silver, _ = _seed(spark, roots)
+    silver.write(
+        _df(spark, [(2, "d2", 20)]), mode="append", partition_by=["day"]
+    )
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.write(
+        silver,
+        _df(spark, [(7, "d1", 70)]),
+        mode="overwrite_partitions",
+        partition_by=["day"],
+    )
+    silver.delete_keys(
+        spark.createDataFrame([(2,)], "id INT"), key_cols=["id"]
+    )
+    with pytest.raises(SnapshotConflict, match="cannot be ruled out"):
+        t.commit()
+    t.abort()
