@@ -887,6 +887,7 @@ class SnapshotStore:
                 self._read_manifest(head_v) if head_v is not None else None
             )
             own_wm = self._staged_own_watermarks(raw, base)
+            new_v = self.latest_version() + 1
             meta = {
                 **(st.get("metadata") or {}),
                 "published_wap": wap_id,
@@ -920,6 +921,66 @@ class SnapshotStore:
                     f"cannot publish staged full-replace v{sv}: the table "
                     f"advanced from v{base_v} to v{head_v} since the stage"
                 )
+            elif st["mode"] == "delete_keys":
+                # Replay a staged MoR delete onto a moved head: carry
+                # the head's state verbatim and append the stage's OWN
+                # delete-set entries RE-STAMPED to the publish version
+                # -- the transactional delete happens at COMMIT time,
+                # so it must mask every directory existing at publish,
+                # exactly as a direct delete committed now would
+                # (dirs appended after this publish stay visible).
+                # Never a partition-claim refusal; the only refusals
+                # are out-of-band interference (schema lost a key
+                # column, inconsistent live key_cols), the same class
+                # recover() reports as 'stuck'.
+                meta["published_state_equal"] = False
+                own = [
+                    d
+                    for d in st.get("delete_sets", [])
+                    if int(d["version"]) == sv
+                ]
+                head_cols = {
+                    f["name"] for f in json.loads(head["schema"])["fields"]
+                }
+                for d in own:
+                    missing = [
+                        c for c in d["key_cols"] if c not in head_cols
+                    ]
+                    if missing:
+                        raise SnapshotConflict(
+                            f"cannot publish staged delete v{sv}: key "
+                            f"columns {missing} are no longer in the "
+                            "table schema"
+                        )
+                    for d0 in head.get("delete_sets", []):
+                        if list(d0["key_cols"]) != list(d["key_cols"]):
+                            raise SnapshotConflict(
+                                f"cannot publish staged delete v{sv}: "
+                                f"key_cols {d['key_cols']} != the head's "
+                                f"live {d0['key_cols']}"
+                            )
+                partitions = {
+                    k: list(v) for k, v in head["partitions"].items()
+                }
+                merged = {
+                    "partitions": partitions,
+                    "dir_stats": dict(head.get("dir_stats", {})),
+                    "file_stats": dict(head.get("file_stats", {})),
+                    "file_blooms": dict(head.get("file_blooms", {})),
+                    "file_stats_sidecars": list(
+                        head.get("file_stats_sidecars") or []
+                    ),
+                    "dir_rows": dict(head.get("dir_rows", {})),
+                    "delete_sets": _prune_delete_sets(
+                        list(head.get("delete_sets", []))
+                        + [{**d, "version": new_v} for d in own],
+                        partitions,
+                    ),
+                    "dir_specs": _filled_dir_specs(head),
+                    "partition_by": head["partition_by"],
+                    "table_stats": head.get("table_stats"),
+                }
+                schema = head["schema"]
             else:
                 # replay: merging commits the chain never saw -- head
                 # state no longer equals the chain's state, durably so
@@ -1027,7 +1088,6 @@ class SnapshotStore:
                     if base is None or st["schema"] != base["schema"]
                     else head["schema"]
                 )
-            new_v = self.latest_version() + 1
             manifest = {
                 "version": new_v,
                 "parent": head_v,
@@ -1127,6 +1187,15 @@ class SnapshotStore:
             for s in own_refs:
                 if _vdir_version(s["vdir"]) == sv:
                     delete_prefix(self.spark, f"{root}/{s['path']}")
+            # a staged MoR delete's key parquet is referenced from
+            # delete_sets (not the partition map): reclaim the ones
+            # this stage itself committed
+            own_dels = raw.get(
+                "delete_sets_added", raw.get("delete_sets", [])
+            )
+            for d in own_dels:
+                if int(d["version"]) == sv:
+                    delete_prefix(self.spark, f"{droot}/{d['dir']}")
             delete_prefix(self.spark, self._manifest_path(sv))
         return len(staged)
 
@@ -1211,6 +1280,7 @@ class SnapshotStore:
         keys_df: DataFrame,
         key_cols: list[str],
         metadata: dict | None = None,
+        staged: str | None = None,
     ) -> int:
         """MERGE-ON-READ equality delete (Iceberg v2 delete files): commit
         the keys to delete as a small parquet set; NO data is rewritten.
@@ -1231,10 +1301,35 @@ class SnapshotStore:
         amortized into the next rewrite.  NULL key values never match an
         equality join and therefore cannot be deleted this way.
         ``key_cols`` must be consistent across a table's live delete
-        sets (checked)."""
+        sets (checked).
+
+        ``staged``: a write-audit-publish id, same semantics as
+        :meth:`write` ``staged=`` -- the delete commits durably but is
+        INVISIBLE to every default read path until
+        :meth:`publish_staged` replays it onto the head.  On publish,
+        the delete-set entry is RE-STAMPED to the publish version, so
+        it masks every data directory existing at publish time --
+        exactly what a direct delete committed at that moment would do
+        (the transactional-delete semantics :mod:`..transactions`
+        needs: the delete happens at COMMIT time).  Publish never
+        refuses (no partition claim surface), so staged deletes are
+        safe inside claimed multi-table transactions."""
         if not key_cols:
             raise ValueError("key_cols must be non-empty")
+        if staged is not None:
+            self._check_ref_name(
+                staged[len(BRANCH_NS):]
+                if staged.startswith(BRANCH_NS)
+                else staged
+            )
         parent_v = self.current_version()
+        if staged is not None:
+            prior = self.staged_versions(staged)
+            if prior:
+                # chain from the same wap's unpublished head, exactly
+                # like write(): a staged delete after a staged append
+                # sees (and on publish, masks) that append's rows
+                parent_v = max(prior)
         if parent_v is None:
             raise ValueError(f"no snapshots committed under {self.root}")
         parent = self._read_manifest(parent_v)
@@ -1271,6 +1366,7 @@ class SnapshotStore:
             "metadata": dict(metadata or {}),
             "table_stats": parent.get("table_stats"),
             "schema": parent["schema"],
+            **({"staged": staged} if staged is not None else {}),
         }
         if version % CHECKPOINT_EVERY == 0:
             manifest = {

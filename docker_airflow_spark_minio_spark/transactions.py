@@ -30,9 +30,14 @@ Contract, stated honestly:
   anywhere (roll-back).  There is no state from which half the tables
   keep the writes permanently.  This holds BECAUSE a claimed
   transaction's publish can never refuse: appends replay cleanly onto
-  any moved head, and ``overwrite_partitions`` stages record a CLAIMED
+  any moved head, staged MoR deletes replay refusal-free (their entry
+  is re-stamped to the publish version -- the delete happens at commit
+  time; see :meth:`MultiTableTransaction.delete_keys`), and
+  ``overwrite_partitions`` stages record a CLAIMED
   PARTITION SET validated immediately before the WAL claim (conflicts
-  raise there, pre-claim, where abort is still possible) and publish
+  -- including interleaved direct deletes that could mask the
+  replacement rows -- raise there, pre-claim, where abort is still
+  possible) and publish
   with ``force_overwrite_replay`` after it -- a race inside the
   validate-to-claim window resolves last-writer-wins by claim order,
   recorded in the WAL (``overwrite_claims``).  Full replaces stay
@@ -205,11 +210,38 @@ class MultiTableTransaction:
         self._staged_v[root] = v
         return v
 
-    def delete_keys(self, store: SnapshotStore, *a, **kw):
-        raise NotImplementedError(
-            "merge-on-read deletes are not stageable (they commit "
-            "directly to the published log); run them outside the txn"
-        )
+    def delete_keys(
+        self,
+        store: SnapshotStore,
+        keys_df: DataFrame,
+        key_cols: list[str],
+        **kw,
+    ) -> int:
+        """Stage a MERGE-ON-READ equality delete on ``store`` under this
+        transaction (round 9; ``SnapshotStore.delete_keys`` kwargs
+        except ``staged``).  The key set is written durably NOW but
+        invisible until :meth:`commit`; at publish the delete-set entry
+        is re-stamped to the publish version, so it masks exactly the
+        data existing at COMMIT time -- the same rows a direct delete
+        issued at that moment would remove.  Publish is refusal-free
+        (no partition-claim surface), so the post-claim roll-forward
+        contract holds; counts as this table's one write."""
+        if self._done:
+            raise ValueError(f"txn {self.txn_id} already finished")
+        if "staged" in kw:
+            raise ValueError("txn deletes stage implicitly; drop staged=")
+        root = store.root.rstrip("/")
+        if root in self._stores:
+            raise ValueError(
+                f"table {root} already written in txn "
+                f"{self.txn_id}: one write per table per transaction "
+                "(union the key frames instead)"
+            )
+        v = store.delete_keys(keys_df, key_cols, staged=self.wap, **kw)
+        self._stores[root] = store
+        self._modes[root] = "delete_keys"
+        self._staged_v[root] = v
+        return v
 
     # -- decision ----------------------------------------------------------
 

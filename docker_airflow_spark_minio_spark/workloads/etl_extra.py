@@ -2426,3 +2426,117 @@ def snapshot_txn_multi_table_read(spark: SparkSession, sf_dir: str) -> DataFrame
         _agg(gold.read(), 1, "gold", "event_type", "event_id")
     )
     return p0.unionByName(p1).orderBy("phase", "tbl", "grp")
+
+
+@register(
+    "snapshot_txn_upsert_delete_read",
+    oracle="""
+    WITH e0 AS (SELECT * FROM events WHERE event_id % 2 = 0),
+    s AS (
+        SELECT 0 AS phase, 'silver' AS tbl, lang AS grp,
+               COUNT(*) AS n_rows, SUM(doc_id) AS sum_key
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT 0, 'gold', event_type, COUNT(*), SUM(event_id)
+        FROM e0 GROUP BY event_type
+        UNION ALL
+        SELECT 1, 'silver', lang, COUNT(*), SUM(doc_id)
+        FROM documents WHERE doc_id % 10 <> 3 GROUP BY lang
+        UNION ALL
+        SELECT 1, 'gold', event_type, COUNT(*), SUM(event_id)
+        FROM events GROUP BY event_type
+    )
+    SELECT CAST(phase AS INT) AS phase, tbl, grp,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(sum_key AS BIGINT) AS sum_key
+    FROM s ORDER BY phase, tbl, grp
+    """,
+    category="etl",
+    description="cross-table UPSERT+DELETE transaction under the gate "
+    "(round 9): ONE atomic transaction appends a batch into the gold "
+    "(events) table AND merge-on-read-deletes keys from the silver "
+    "(documents) table -- txn.delete_keys stages the key set durably "
+    "(invisible), the WAL claim is the commit point, and at publish the "
+    "delete entry is re-stamped to the publish version (the delete "
+    "happens at commit time).  Phase 0 aggregates both heads while "
+    "staged (nothing leaked), phase 1 after commit (append visible, "
+    "deleted keys gone); a post-commit recover() must be a no-op",
+)
+def snapshot_txn_upsert_delete_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale notes: the delete stages O(keys) parquet + one manifest;
+    commit adds one WAL record + one metadata-only publish per table --
+    independent of table size (the MoR delete defers data rewriting to
+    compaction, the Iceberg v2 delete-file trade).  Reference parity:
+    the reference's silver/gold jobs have no cross-table atomicity and
+    no delete path at all (job_silver.py overwrites whole partitions);
+    this is the upsert+retention shape a GDPR-style key erasure needs,
+    made atomic (transactions.py:delete_keys)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+    from ..transactions import MultiTableTransaction, recover
+
+    t = load_tables(spark, sf_dir)
+    docs, events = t["documents"], t["events"].select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    base = (
+        f"{tempfile.gettempdir()}/snapshot_txn_ud_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    silver = SnapshotStore(spark, f"{base}/silver")
+    gold = SnapshotStore(spark, f"{base}/gold")
+    silver.write(docs.repartition("lang"), mode="snapshot", partition_by=["lang"])
+    gold.write(
+        events.where(F.col("event_id") % 2 == 0).repartition("event_type"),
+        mode="snapshot",
+        partition_by=["event_type"],
+    )
+
+    txn = MultiTableTransaction(spark, f"{base}/txlog")
+    txn.write(
+        gold,
+        events.where(F.col("event_id") % 2 == 1).repartition("event_type"),
+        mode="append",
+        partition_by=["event_type"],
+    )
+    txn.delete_keys(
+        silver,
+        docs.where(F.col("doc_id") % 10 == 3).select("doc_id"),
+        key_cols=["doc_id"],
+    )
+
+    def _agg(df: DataFrame, phase: int, tbl: str, grp: str, key: str) -> DataFrame:
+        return (
+            df.groupBy(F.col(grp).alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(key).alias("sum_key"),
+            )
+            .select(
+                F.lit(phase).cast("int").alias("phase"),
+                F.lit(tbl).alias("tbl"),
+                "grp",
+                "n_rows",
+                "sum_key",
+            )
+        )
+
+    # phase 0 resolves partition maps + delete sets NOW: proves the
+    # staged append AND the staged delete leaked into neither table
+    p0 = _agg(silver.read(), 0, "silver", "lang", "doc_id").unionByName(
+        _agg(gold.read(), 0, "gold", "event_type", "event_id")
+    )
+    txn.commit()
+    rec = recover(spark, f"{base}/txlog")
+    if rec["rolled_forward"] or rec["stuck"]:
+        raise AssertionError(f"post-commit recover not a no-op: {rec}")
+    p1 = _agg(silver.read(), 1, "silver", "lang", "doc_id").unionByName(
+        _agg(gold.read(), 1, "gold", "event_type", "event_id")
+    )
+    return p0.unionByName(p1).orderBy("phase", "tbl", "grp")

@@ -651,3 +651,177 @@ def test_overwrite_txn_conservative_on_partition_blind_delete(spark, roots):
     with pytest.raises(SnapshotConflict, match="cannot be ruled out"):
         t.commit()
     t.abort()
+
+
+# -- staged MoR deletes inside transactions (round 9) -----------------------
+
+
+def test_staged_delete_invisible_until_publish(spark, roots):
+    """Store-level: delete_keys(staged=...) is durable but invisible;
+    publish applies it; time travel before the publish is unaffected;
+    data appended AFTER the publish is never masked."""
+    silver, _ = _seed(spark, roots)
+    silver.write(
+        _df(spark, [(2, "d2", 20)]), mode="append", partition_by=["day"]
+    )
+    sv = silver.delete_keys(
+        spark.createDataFrame([(1, "d1")], "id INT, day STRING"),
+        key_cols=["id", "day"],
+        staged="audit-del",
+    )
+    assert _ids(silver) == [1, 2]  # invisible while staged
+    assert silver.staged_versions("audit-del") == {sv: "audit-del"}
+    pv = silver.publish_staged("audit-del")
+    assert _ids(silver) == [2]
+    # time travel to the pre-stage published head still sees the row
+    # (sv is the staged manifest itself -- the auditor's view, delete
+    # applied; sv-1 is the last published state before it)
+    assert sorted(
+        r["id"] for r in silver.read(as_of=sv - 1).collect()
+    ) == [1, 2]
+    assert pv == sv + 1
+    # a fresh (1, d1) appended after the publish is NOT masked
+    silver.write(
+        _df(spark, [(1, "d1", 11)]), mode="append", partition_by=["day"]
+    )
+    assert _ids(silver) == [1, 2]
+
+
+def test_staged_delete_abandon_reclaims_key_parquet(spark, roots):
+    silver, _ = _seed(spark, roots)
+    sv = silver.delete_keys(
+        spark.createDataFrame([(1, "d1")], "id INT, day STRING"),
+        key_cols=["id", "day"],
+        staged="audit-del2",
+    )
+    man = silver._read_manifest(sv)
+    own = [d for d in man["delete_sets"] if int(d["version"]) == sv]
+    assert len(own) == 1
+    import os
+
+    dpath = f"{silver.root}/data/{own[0]['dir']}"
+    assert os.path.exists(dpath)
+    silver.abandon_staged("audit-del2")
+    assert not os.path.exists(dpath)
+    assert silver.staged_versions() == {}
+    assert _ids(silver) == [1]
+
+
+def test_delete_txn_cross_table_upsert_and_delete(spark, roots):
+    """The gated-entry shape: one txn appends (upsert arm) to gold and
+    deletes keys from silver, atomically."""
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.write(
+        gold, _df(spark, [(200, "d2", 2)]), mode="append", partition_by=["day"]
+    )
+    t.delete_keys(
+        silver,
+        spark.createDataFrame([(1, "d1")], "id INT, day STRING"),
+        key_cols=["id", "day"],
+    )
+    # staged: neither visible
+    assert _ids(silver) == [1] and _ids(gold) == [100]
+    t.commit()
+    assert _ids(silver) == [] and _ids(gold) == [100, 200]
+    # one write per table: a second op on silver in a new txn is fine,
+    # but within one txn it is rejected
+    t2 = tx.MultiTableTransaction(spark, roots[0])
+    t2.delete_keys(
+        silver,
+        spark.createDataFrame([(9, "d1")], "id INT, day STRING"),
+        key_cols=["id", "day"],
+    )
+    with pytest.raises(ValueError, match="one write per table"):
+        t2.write(
+            silver,
+            _df(spark, [(3, "d3", 30)]),
+            mode="append",
+            partition_by=["day"],
+        )
+    t2.abort()
+
+
+def test_delete_txn_masks_interleaved_appends(spark, roots):
+    """Re-stamp semantics: the transactional delete happens at COMMIT
+    time, so a matching row appended between stage and commit is masked
+    too -- exactly what a direct delete issued at commit would do."""
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.delete_keys(
+        silver,
+        spark.createDataFrame([(1, "d1")], "id INT, day STRING"),
+        key_cols=["id", "day"],
+    )
+    t.write(
+        gold, _df(spark, [(200, "d2", 2)]), mode="append", partition_by=["day"]
+    )
+    # a second copy of the doomed key lands while the txn is in flight
+    silver.write(
+        _df(spark, [(1, "d1", 11)]), mode="append", partition_by=["day"]
+    )
+    t.commit()
+    assert _ids(silver) == []  # both copies masked
+    # appended after commit: visible (the delete never hides newer data)
+    silver.write(
+        _df(spark, [(1, "d1", 12)]), mode="append", partition_by=["day"]
+    )
+    assert _ids(silver) == [1]
+
+
+def test_delete_txn_crash_matrix_rolls_forward(spark, roots, monkeypatch):
+    """Both crash windows for a delete-bearing txn: (a) after the WAL
+    claim before ANY publish, (b) between the two tables' publishes.
+    recover() rolls forward in both; idempotent afterwards."""
+    silver, gold = _seed(spark, roots)
+    real = tx._publish_all
+
+    # (a) crash before any publish
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.delete_keys(
+        silver,
+        spark.createDataFrame([(1, "d1")], "id INT, day STRING"),
+        key_cols=["id", "day"],
+    )
+    t.write(
+        gold, _df(spark, [(200, "d2", 2)]), mode="append", partition_by=["day"]
+    )
+
+    def _crash_before_any(spark_, roots_, wap):
+        raise RuntimeError("simulated crash before any publish")
+
+    monkeypatch.setattr(tx, "_publish_all", _crash_before_any)
+    with pytest.raises(RuntimeError, match="simulated"):
+        t.commit()
+    monkeypatch.setattr(tx, "_publish_all", real)
+    assert _ids(silver) == [1] and _ids(gold) == [100]  # nothing applied
+    out = tx.recover(spark, roots[0])
+    assert out["rolled_forward"] == [t.txn_id] and out["stuck"] == {}
+    assert _ids(silver) == [] and _ids(gold) == [100, 200]
+
+    # (b) crash between the two publishes (sorted-root order)
+    t2 = tx.MultiTableTransaction(spark, roots[0])
+    t2.write(
+        gold, _df(spark, [(300, "d3", 3)]), mode="append", partition_by=["day"]
+    )
+    t2.delete_keys(
+        silver,
+        spark.createDataFrame([(200, "d2")], "id INT, day STRING"),
+        key_cols=["id", "day"],
+    )
+    gold.write(_df(spark, [(200, "d2", 9)]), mode="append", partition_by=["day"])
+
+    def _crash_after_first(spark_, roots_, wap):
+        real(spark_, roots_[:1], wap)
+        raise RuntimeError("simulated crash mid-publish")
+
+    monkeypatch.setattr(tx, "_publish_all", _crash_after_first)
+    with pytest.raises(RuntimeError, match="simulated"):
+        t2.commit()
+    monkeypatch.setattr(tx, "_publish_all", real)
+    out2 = tx.recover(spark, roots[0])
+    assert out2["rolled_forward"] == [t2.txn_id] and out2["stuck"] == {}
+    assert 300 in _ids(gold)
+    assert _ids(silver) == []
+    out3 = tx.recover(spark, roots[0])
+    assert out3["rolled_forward"] == []
