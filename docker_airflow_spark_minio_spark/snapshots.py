@@ -2232,11 +2232,15 @@ class SnapshotStore:
             # Two bounded fetches instead of one collect of per-dkey
             # name ARRAYS: a single ultra-wide directory (10^5+
             # surviving files) would otherwise land on the driver as
-            # one giant row.  Totals are O(directories); surviving
-            # (dkey, fname) rows stream back partition-at-a-time via
-            # toLocalIterator -- the same output the caller must hold
-            # anyway (it enumerates scan paths), never materialized as
-            # a single array row.
+            # one giant array row.  Totals are O(directories);
+            # survivors come back as individual (dkey, fname) ROWS in
+            # one job -- exactly the data the caller materializes in
+            # ``out`` anyway (it enumerates scan paths), so the
+            # driver-memory shape is output-sized either way, just
+            # never concentrated in single rows.  (A toLocalIterator
+            # variant was measured 2x slower here: it schedules one
+            # job per partition, and sidecar scans are job-latency
+            # bound, not data bound.)
             totals = (
                 sdf.select("dkey")
                 .groupBy("dkey")
@@ -2244,9 +2248,7 @@ class SnapshotStore:
                 .collect()
             )
             acc: dict[str, list[str]] = {r["dkey"]: [] for r in totals}
-            for row in (
-                sdf.where(keep).select("dkey", "fname").toLocalIterator()
-            ):
+            for row in sdf.where(keep).select("dkey", "fname").collect():
                 acc[row["dkey"]].append(row["fname"])
             for r in totals:
                 # sorted() on ASCII file names == the previous

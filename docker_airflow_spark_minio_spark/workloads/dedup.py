@@ -1566,6 +1566,37 @@ _SUBSTR_M_CTES = f"""
     )"""
 
 
+def _window_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-1 ``SUBSTR_WINDOW``-token window hashes of every document:
+    ``(doc_id, pos, h)`` with 1-based positions -- the shared front end
+    of the exact-substring family (pair alignment, excision, benchmark
+    decontamination).  Map-only: tokenize -> per-row window transform ->
+    posexplode, no shuffle."""
+    W = SUBSTR_WINDOW
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.select("doc_id", tokens_expr("text").alias("t"))
+    # sub-W-token docs yield NO windows (guarded: Spark's sequence(1,0)
+    # steps down to [1,0] and ANSI element_at(t, 0) throws -- same
+    # hazard shingles_from_tokens guards; DuckDB's generate_series(1,0)
+    # is naturally empty)
+    gram = F.when(
+        F.size("t") >= W,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (W - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("t"), i + k) for k in range(W)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return tok.select(
+        "doc_id", F.posexplode(gram).alias("pos0", "w")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        h32(F.col("w")).alias("h"),
+    )
+
+
 def _alignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cached ``(h, doc_a, doc_b, pa, pb)`` aligned-window frame
     (see :data:`_SUBSTR_ALIGN_CACHE`); the Spark twin of the oracle's
@@ -1573,29 +1604,7 @@ def _alignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     {SUBSTR_OCC_CAP} occurrences per (hash, doc))."""
 
     def _build() -> DataFrame:
-        W = SUBSTR_WINDOW
-        docs = load_tables(spark, sf_dir)["documents"]
-        tok = docs.select("doc_id", tokens_expr("text").alias("t"))
-        # sub-W-token docs yield NO windows (guarded: Spark's sequence(1,0)
-        # steps down to [1,0] and ANSI element_at(t, 0) throws -- same
-        # hazard shingles_from_tokens guards; DuckDB's generate_series(1,0)
-        # is naturally empty)
-        gram = F.when(
-            F.size("t") >= W,
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - (W - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(F.col("t"), i + k) for k in range(W)]
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        gp = tok.select(
-            "doc_id", F.posexplode(gram).alias("pos0", "w")
-        ).select(
-            "doc_id",
-            (F.col("pos0") + 1).alias("pos"),
-            h32(F.col("w")).alias("h"),
-        )
+        gp = _window_hashes(spark, sf_dir)
         # Two-level aggregation: (h, doc) -> first SUBSTR_OCC_CAP
         # positions (sorted, so "first" is deterministic and matches the
         # oracle's ROW_NUMBER ... ORDER BY pos), then h -> per-doc
@@ -1867,6 +1876,151 @@ def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_tokens") - F.col("removed_tokens"))
             .cast("bigint")
             .alias("kept_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (cross-set exact-substring excision)
+# ---------------------------------------------------------------------------
+
+#: Held-out benchmark split: doc_id % DECONTAM_MOD == 0 plays the
+#: benchmark/eval set, everything else is training data.  Same IDEA as
+#: corpus_extra.CONTAM_MOD's shingle-overlap FLAGGING entry (a literal
+#: here: corpus_extra imports from this module) but a denser split --
+#: verbatim 8-token cross-set overlap is much rarer than 2-shared-
+#: shingle overlap, and % 97 leaves the sf0.01 gate result empty (a
+#: passing-but-vacuous oracle row set); % 7 yields 9 contaminated docs
+#: at sf0.01, so the gate checks real accounting at both scales.
+DECONTAM_MOD = 7
+
+
+@register(
+    "dedup_decontaminate_excise",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), gp AS (
+        SELECT doc_id, t.i AS pos,
+               {h32_sql(f"array_to_string(toks[t.i:t.i+{SUBSTR_WINDOW - 1}], ' ')")} AS h
+        FROM tok,
+             UNNEST(generate_series(1,
+                 greatest(len(toks) - {SUBSTR_WINDOW - 1}, 0))) AS t(i)
+    ), bench AS (
+        SELECT DISTINCT h FROM gp WHERE doc_id % {DECONTAM_MOD} = 0
+    ), hit AS (
+        SELECT DISTINCT doc_id, pos, pos + {SUBSTR_WINDOW - 1} AS e
+        FROM gp JOIN bench USING (h)
+        WHERE doc_id % {DECONTAM_MOD} <> 0
+    ), w1 AS (
+        SELECT doc_id, pos AS s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY pos, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM hit
+    ), w2 AS (
+        SELECT doc_id, s, e,
+               SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS UNBOUNDED PRECEDING) AS isl
+        FROM w1
+    ), isles AS (
+        SELECT doc_id, isl, MIN(s) AS s, MAX(e) AS e
+        FROM w2 GROUP BY doc_id, isl
+    ), rem AS (
+        SELECT doc_id,
+               CAST(SUM(e - s + 1) AS BIGINT) AS contaminated_tokens,
+               CAST(COUNT(*) AS BIGINT)       AS n_spans
+        FROM isles GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT)      AS n_tokens,
+           rem.n_spans,
+           rem.contaminated_tokens,
+           CAST(len(t.toks) - rem.contaminated_tokens AS BIGINT)
+                                            AS clean_tokens
+    FROM rem JOIN tok t USING (doc_id)
+    ORDER BY doc_id
+    """,
+    category="dedup",
+    description=f"benchmark DECONTAMINATION excision (the GPT-3 / Lee et "
+    f"al. eval-overlap step): training docs (doc_id % {DECONTAM_MOD} != 0) "
+    f"have every verbatim >= {SUBSTR_WINDOW}-token span that also appears "
+    "in the held-out benchmark split excised -- contaminated window "
+    "positions found by ONE semi-join against the benchmark window-hash "
+    "set (no pair generation at all), merged per doc (gaps-and-islands), "
+    "with exact span/token accounting per contaminated training doc",
+)
+def dedup_decontaminate_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SET excision, structurally cheaper than within-corpus pair
+    dedup: a training window is contaminated iff its hash appears
+    anywhere in the benchmark set, so the whole operator is
+    (train windows) LEFT SEMI JOIN (distinct benchmark hashes) -- one
+    join on 8-byte keys, no posting lists, no occurrence pairing, no
+    df cap needed (a hot benchmark window costs nothing extra: the
+    semi-join emits each train position at most once).  At 100 TB the
+    benchmark side is eval-suite-sized (tiny) and broadcasts; the
+    train side stays map-local.  Overlapping hits merge with the same
+    gaps-and-islands pass as ``dedup_substring_excise``, so chained
+    spans never double-count a token.
+
+    Split parity: the benchmark subset (doc_id % 97 == 0) matches the
+    shingle-overlap FLAGGING entry ``text_contamination_check``
+    (corpus_extra.py) -- that one asks "which docs look contaminated",
+    this one performs the removal with exact token accounting."""
+    W = SUBSTR_WINDOW
+    gp = _window_hashes(spark, sf_dir)
+    is_bench = F.col("doc_id") % DECONTAM_MOD == 0
+    # eval-suite-sized in a real bake; AQE broadcasts it at test scale
+    bench = gp.where(is_bench).select("h").distinct()
+    hit = (
+        gp.where(~is_bench)
+        .join(bench, "h", "left_semi")
+        .select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + (W - 1)).alias("e"),
+        )
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("s", "e")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    islands = (
+        hit.select("doc_id", "s", "e", F.max("e").over(w_prev).alias("pmax"))
+        .select(
+            "doc_id",
+            "s",
+            "e",
+            F.sum(
+                F.when(
+                    F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
+                ).otherwise(0)
+            )
+            .over(w_run)
+            .alias("isl"),
+        )
+        .groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    rem = islands.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1)
+        .cast("bigint")
+        .alias("contaminated_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+    )
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", F.size(tokens_expr("text")).cast("bigint").alias("n_tokens")
+    )
+    return (
+        rem.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_spans",
+            "contaminated_tokens",
+            (F.col("n_tokens") - F.col("contaminated_tokens"))
+            .cast("bigint")
+            .alias("clean_tokens"),
         )
         .orderBy("doc_id")
     )

@@ -763,3 +763,143 @@ def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# UniMax epoch-capped language sampling (Chung et al. 2023, "UniMax:
+# Fairer and More Effective Language Sampling for Large-Scale
+# Multilingual Pretraining"): allocate a token budget across languages
+# as uniformly as possible, capping every language at E epochs of its
+# available tokens -- the waterfilling allocation.  The budget here is
+# 3/4 of total capacity (a pure function of the corpus, so the oracle
+# needs no side input, and the ratio is scale-invariant: the same
+# languages cap at every SF -- at sf0.01 the four smaller languages cap
+# at 2 epochs and 'en' absorbs the remainder).
+UNIMAX_EPOCHS = 2
+UNIMAX_BUDGET_NUM = 3
+UNIMAX_BUDGET_DEN = 4
+
+
+@register(
+    "corpus_unimax_allocation",
+    oracle=f"""
+    WITH s AS (
+        SELECT lang,
+               CAST(SUM(len({tokens_sql("text")})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ), c AS (
+        SELECT lang, n_tokens,
+               n_tokens * {UNIMAX_EPOCHS}                    AS capacity,
+               ({UNIMAX_BUDGET_NUM} * SUM(n_tokens * {UNIMAX_EPOCHS})
+                   OVER ()) // {UNIMAX_BUDGET_DEN}           AS budget,
+               COUNT(*) OVER ()                              AS n_langs,
+               ROW_NUMBER() OVER (ORDER BY n_tokens * {UNIMAX_EPOCHS},
+                                  lang)                      AS rnk,
+               COALESCE(SUM(n_tokens * {UNIMAX_EPOCHS}) OVER (
+                   ORDER BY n_tokens * {UNIMAX_EPOCHS}, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)                                        AS p_excl
+        FROM s
+    ), flg AS (
+        SELECT *,
+               MIN(CASE WHEN capacity * (n_langs - rnk + 1)
+                             <= budget - p_excl
+                        THEN 1 ELSE 0 END)
+                   OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING)
+                   AS capped
+        FROM c
+    ), tot AS (
+        SELECT *,
+               SUM(capped) OVER ()            AS k,
+               SUM(capped * capacity) OVER () AS p_k
+        FROM flg
+    )
+    SELECT lang, n_tokens,
+           CAST(capacity AS BIGINT)           AS capacity,
+           CAST(capped AS BIGINT)             AS is_capped,
+           CAST(CASE WHEN capped = 1 THEN capacity
+                ELSE (budget - p_k) // (n_langs - k) END AS BIGINT)
+                                              AS allocation,
+           CAST((CASE WHEN capped = 1 THEN capacity
+                 ELSE (budget - p_k) // (n_langs - k) END) * 10000
+                 // n_tokens AS BIGINT)       AS epochs_bp
+    FROM tot ORDER BY lang
+    """,
+    category="curation",
+    description=f"UniMax language sampling (Chung et al. 2023): allocate "
+    f"a token budget ({UNIMAX_BUDGET_NUM}/{UNIMAX_BUDGET_DEN} of total "
+    f"capacity) across languages as uniformly as possible with every "
+    f"language capped at {UNIMAX_EPOCHS} epochs of its tokens -- the "
+    "waterfilling solution in EXACT integer math (capping decided by "
+    "cross-multiplied comparisons, one integer division for the shared "
+    "water level); per-lang capacity/allocation/epochs-basis-points",
+)
+def corpus_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one aggregate to language granularity, then windows over a
+    constant-size (rows == number of languages) table -- the same
+    bounded-window argument as Hamilton apportionment above.  The
+    waterfilling recurrence is solved closed-form: ranked ascending by
+    capacity, a language is capped iff its capacity times the number
+    of not-yet-processed languages fits the remaining budget
+    (cross-multiplied -- no division), the capped prefix is a running
+    MIN, and the shared water level is ONE integer division on the
+    uncapped remainder.  Identical DIV//// semantics on all-positive
+    operands keeps both engines bit-equal."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    s = (
+        docs.select("lang", F.size(tokens_expr("text")).alias("n_tok"))
+        .groupBy("lang")
+        .agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy(F.col("capacity"), F.col("lang"))
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    c = (
+        s.withColumn("capacity", F.col("n_tokens") * UNIMAX_EPOCHS)
+        .withColumn(
+            "budget",
+            F.expr(
+                f"({UNIMAX_BUDGET_NUM} * SUM(capacity) OVER ()) "
+                f"DIV {UNIMAX_BUDGET_DEN}"
+            ),
+        )
+        .withColumn("n_langs", F.count(F.lit(1)).over(w_all))
+        .withColumn("rnk", F.row_number().over(w_ord))
+        .withColumn(
+            "p_excl", F.coalesce(F.sum("capacity").over(w_prev), F.lit(0))
+        )
+    )
+    flg = c.withColumn(
+        "capped",
+        F.min(
+            F.when(
+                F.col("capacity") * (F.col("n_langs") - F.col("rnk") + 1)
+                <= F.col("budget") - F.col("p_excl"),
+                1,
+            ).otherwise(0)
+        ).over(
+            Window.partitionBy()
+            .orderBy("rnk")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    tot = flg.withColumn("k", F.sum("capped").over(w_all)).withColumn(
+        "p_k", F.sum(F.col("capped") * F.col("capacity")).over(w_all)
+    )
+    alloc = F.when(F.col("capped") == 1, F.col("capacity")).otherwise(
+        F.expr("(budget - p_k) DIV (n_langs - k)")
+    )
+    return (
+        tot.select(
+            "lang",
+            "n_tokens",
+            F.col("capacity").cast("long").alias("capacity"),
+            F.col("capped").cast("long").alias("is_capped"),
+            alloc.cast("long").alias("allocation"),
+            (alloc * 10000)
+            .cast("long")
+            .alias("__a10k"),
+        )
+        .withColumn("epochs_bp", F.expr("__a10k DIV n_tokens"))
+        .drop("__a10k")
+        .orderBy("lang")
+    )

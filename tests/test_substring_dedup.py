@@ -138,3 +138,48 @@ def test_excise_interval_merge_no_double_count(spark, tmp_path):
         assert rows[3]["kept_tokens"] == 3
     finally:
         clear_persist_caches()
+
+
+def test_decontaminate_excise_planted_overlap(spark, tmp_path):
+    """A benchmark doc (doc_id % DECONTAM_MOD == 0) shares a verbatim
+    run with two training docs: both get exactly that span excised;
+    a training doc with no benchmark overlap is untouched; the
+    benchmark doc itself is never reported."""
+    from docker_airflow_spark_minio_spark.workloads.dedup import (
+        DECONTAM_MOD,
+        dedup_decontaminate_excise,
+    )
+
+    d = tmp_path / "sfdecon"
+    d.mkdir()
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    W = SUBSTR_WINDOW
+    run = " ".join(f"q{i}" for i in range(W + 2))  # 10-token benchmark span
+    bench_id = DECONTAM_MOD * 3  # % == 0 -> benchmark side
+    docs = spark.createDataFrame(
+        [
+            (bench_id, "b0 " + run + " b1", "en", "t", 0),
+            (1, "x1 x2 x3 " + run, "en", "t", 0),          # tail overlap
+            (2, run + " y1 y2 y3 y4", "en", "t", 0),        # head overlap
+            (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9", "en", "t", 0),  # clean
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    clear_persist_caches()
+    try:
+        rows = {
+            r["doc_id"]: r
+            for r in dedup_decontaminate_excise(spark, str(d)).collect()
+        }
+        assert set(rows) == {1, 2}
+        for did in (1, 2):
+            assert rows[did]["n_spans"] == 1
+            assert rows[did]["contaminated_tokens"] == W + 2
+        assert rows[1]["n_tokens"] == 3 + W + 2
+        assert rows[1]["clean_tokens"] == 3
+        assert rows[2]["clean_tokens"] == 4
+    finally:
+        clear_persist_caches()
