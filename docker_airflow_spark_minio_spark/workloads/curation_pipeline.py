@@ -225,6 +225,12 @@ def lm_curation_pipeline_incremental(
         )
 
     # -- self-asserted incremental contract --------------------------------
+    # Gate-only verification (this is what makes the entry a TEST of the
+    # incremental path): the direct recompute below intentionally scans
+    # the raw head to prove the incremental table equals it.  A
+    # production deployment runs only the incremental refreshes above --
+    # the assert is the oracle's job, not the pipeline's steady-state
+    # cost.
     if int(clean.watermark(CURATION_WM_KEY)) != raw.current_version():
         raise AssertionError("clean watermark not at raw head")
     got = clean.read().agg(
