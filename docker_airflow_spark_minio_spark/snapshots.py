@@ -818,8 +818,58 @@ class SnapshotStore:
             if base_wm.get(k) != v
         }
 
+    #: bounded driver probe in :meth:`_delete_may_target`: at most this
+    #: many distinct partition tuples of a delete set are pulled to
+    #: decide targeting; past it the answer is conservative.
+    _DELETE_PROBE_MAX = 65536
+
+    def _delete_may_target(
+        self, entry: dict, parts: set, pby: list[str]
+    ) -> str | None:
+        """Whether a merge-on-read delete set can remove rows from any
+        of the given hive partition dirs (spec ``pby``).  Returns None
+        when PROVABLY disjoint -- decided exactly from the delete-set
+        KEYS (O(deleted keys), bounded probe) when they carry the
+        partition columns -- else a human-readable reason (conservative
+        on unpartitioned tables, partition-blind keys, or key sets
+        spanning more distinct values than the probe bound)."""
+        if not pby:
+            return "the table is unpartitioned"
+        if any(c not in entry["key_cols"] for c in pby):
+            return (
+                f"its key_cols {entry['key_cols']} do not carry the "
+                f"partition columns {pby}, so targeting cannot be "
+                "ruled out"
+            )
+        rows = (
+            self.spark.read.parquet(
+                f"{self.root.rstrip('/')}/{DATA_DIR}/{entry['dir']}"
+            )
+            .select(*pby)
+            .distinct()
+            .limit(self._DELETE_PROBE_MAX + 1)
+            .collect()
+        )
+        if len(rows) > self._DELETE_PROBE_MAX:
+            return (
+                f"it spans more than {self._DELETE_PROBE_MAX} distinct "
+                "partition values (disjointness not provable within "
+                "the probe bound)"
+            )
+        key_dirs = {
+            _hive_partition_dir(self.spark, pby, tuple(r[c] for c in pby))
+            for r in rows
+        }
+        hit = sorted(key_dirs & set(parts))
+        if hit:
+            return f"keys target claimed partitions {hit[:8]}"
+        return None
+
     def publish_staged(
-        self, wap_id: str, force_overwrite_replay: bool = False
+        self,
+        wap_id: str,
+        force_overwrite_replay: bool = False,
+        delete_restamp_to: int | None = None,
     ) -> int:
         """Cherry-pick every staged snapshot carrying ``wap_id`` onto the
         published head, in commit order -- the Iceberg
@@ -864,6 +914,20 @@ class SnapshotStore:
         WAP audits must leave it off (the refusal is the conflict
         detection).  Full replaces still refuse -- their conflict
         surface is the whole table, not a claimable partition set.
+
+        An overwrite replay WITHOUT the force flag also refuses when a
+        merge-on-read delete committed after the stage could target a
+        touched partition (round 9): the replayed directories keep
+        their stage-time sequence number, so such a delete would mask
+        the replacement rows a direct overwrite would keep -- the same
+        hazard the transaction coordinator checks pre-claim.
+
+        ``delete_restamp_to``: for CLAIMED TRANSACTIONS -- re-stamp a
+        replayed staged delete's sequence number to ``this + 1`` (the
+        coordinator passes the table head recorded at WAL-claim time)
+        instead of the publish version, so the delete masks exactly
+        the data that existed at the transaction's commit point and
+        never rows appended during a crash-recovery window.
         """
         if not wap_id.startswith(BRANCH_NS) and wap_id in self.committed_metadata(
             "published_wap"
@@ -962,6 +1026,16 @@ class SnapshotStore:
                 partitions = {
                     k: list(v) for k, v in head["partitions"].items()
                 }
+                # sequence number of the replayed delete: the commit
+                # point (WAL-claim head + 1) for claimed transactions,
+                # the publish version otherwise -- either way it masks
+                # the data existing at the moment the delete logically
+                # happened, never rows appended after it
+                restamp = (
+                    delete_restamp_to + 1
+                    if delete_restamp_to is not None
+                    else new_v
+                )
                 merged = {
                     "partitions": partitions,
                     "dir_stats": dict(head.get("dir_stats", {})),
@@ -973,7 +1047,7 @@ class SnapshotStore:
                     "dir_rows": dict(head.get("dir_rows", {})),
                     "delete_sets": _prune_delete_sets(
                         list(head.get("delete_sets", []))
-                        + [{**d, "version": new_v} for d in own],
+                        + [{**d, "version": restamp} for d in own],
                         partitions,
                     ),
                     "dir_specs": _filled_dir_specs(head),
@@ -1011,6 +1085,28 @@ class SnapshotStore:
                         for p, vds in st["partitions"].items()
                         if any(vd in st_vdirs for vd in vds)
                     } | (set(base_parts) - set(st["partitions"]))
+                    if not force_overwrite_replay:
+                        # A delete committed after the stage never moves
+                        # partition pointers, but its sequence number
+                        # outranks the replayed v{sv} dirs and would
+                        # mask the replacement rows -- refuse like any
+                        # other conflicting concurrent change (the
+                        # transaction coordinator performs this same
+                        # check pre-claim and publishes with force).
+                        for dentry in head.get("delete_sets", []):
+                            if int(dentry["version"]) <= sv:
+                                continue
+                            why = self._delete_may_target(
+                                dentry, touched, head["partition_by"]
+                            )
+                            if why is not None:
+                                raise SnapshotConflict(
+                                    f"cannot publish staged overwrite "
+                                    f"v{sv}: delete_keys (sequence "
+                                    f"{dentry['version']}) landed after "
+                                    f"the stage and {why} -- it would "
+                                    "mask the replayed replacement rows"
+                                )
                     for p in touched:
                         if (
                             not force_overwrite_replay
@@ -1508,6 +1604,24 @@ class SnapshotStore:
                 # grows from its own unpublished head: a later staged
                 # commit sees and builds on the earlier ones with the
                 # same id, not on the published head it forked from.
+                for pv in sorted(prior):
+                    if self._read_manifest_raw(pv)["mode"] == "delete_keys":
+                        # A staged delete must be the LAST data-affecting
+                        # commit of its chain: publishing onto a moved
+                        # head re-stamps the delete PAST the chain's
+                        # later commits, so a delete-then-append chain
+                        # would mask its own append's rows on replay but
+                        # keep them on fast-forward -- nondeterministic
+                        # under unrelated concurrent traffic.  Append
+                        # first, delete last (append-then-delete chains
+                        # are order-consistent both ways).
+                        raise ValueError(
+                            f"wap chain {staged!r} already holds a staged "
+                            f"delete (v{pv}); staged deletes must be the "
+                            "last commit of their chain -- stage data "
+                            "commits before the delete, or use a "
+                            "separate wap id"
+                        )
                 parent_v = max(prior)
         parent = self._read_manifest(parent_v) if parent_v is not None else None
         pby = list(partition_by or [])

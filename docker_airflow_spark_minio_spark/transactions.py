@@ -31,8 +31,9 @@ Contract, stated honestly:
   keep the writes permanently.  This holds BECAUSE a claimed
   transaction's publish can never refuse: appends replay cleanly onto
   any moved head, staged MoR deletes replay refusal-free (their entry
-  is re-stamped to the publish version -- the delete happens at commit
-  time; see :meth:`MultiTableTransaction.delete_keys`), and
+  is re-stamped to the WAL-claim-time head -- the delete happens at
+  commit time, even across a crash-delayed roll-forward; see
+  :meth:`MultiTableTransaction.delete_keys`), and
   ``overwrite_partitions`` stages record a CLAIMED
   PARTITION SET validated immediately before the WAL claim (conflicts
   -- including interleaved direct deletes that could mask the
@@ -64,9 +65,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .fsmeta import _fs_and_path, delete_prefix, hive_partition_dir, read_bytes
+from .fsmeta import _fs_and_path, delete_prefix, read_bytes
 from .snapshots import (
-    DATA_DIR,
     SnapshotConflict,
     SnapshotStore,
     _vdir_version,
@@ -145,6 +145,7 @@ class MultiTableTransaction:
         self._modes: dict[str, str] = {}
         self._staged_v: dict[str, int] = {}
         self._claims: dict[str, list[str]] = {}
+        self._del_heads: dict[str, int] = {}
         self._done = False
 
     # -- staging -----------------------------------------------------------
@@ -220,10 +221,13 @@ class MultiTableTransaction:
         """Stage a MERGE-ON-READ equality delete on ``store`` under this
         transaction (round 9; ``SnapshotStore.delete_keys`` kwargs
         except ``staged``).  The key set is written durably NOW but
-        invisible until :meth:`commit`; at publish the delete-set entry
-        is re-stamped to the publish version, so it masks exactly the
-        data existing at COMMIT time -- the same rows a direct delete
-        issued at that moment would remove.  Publish is refusal-free
+        invisible until :meth:`commit`; at publish the delete-set
+        entry's sequence number is re-stamped to the table head
+        recorded at WAL-CLAIM time (the commit point), so it masks
+        exactly the data existing at commit -- the same rows a direct
+        delete issued at that moment would remove, even when a crash
+        delays the roll-forward past later appends.  Publish is
+        refusal-free
         (no partition-claim surface), so the post-claim roll-forward
         contract holds; counts as this table's one write."""
         if self._done:
@@ -256,6 +260,13 @@ class MultiTableTransaction:
             # last-writer-wins decision force_overwrite_replay makes
             "overwrite_claims": {
                 r: ps for r, ps in sorted(self._claims.items())
+            },
+            # table head at WAL-claim time for each delete table: the
+            # roll-forward re-stamps the delete to this + 1, so a
+            # crash-delayed recover() masks exactly the data existing
+            # at the commit point, never rows appended since
+            "delete_claim_heads": {
+                r: v for r, v in sorted(self._del_heads.items())
             },
             "state": state,
             "ts_ms": int(time.time() * 1000),
@@ -310,46 +321,25 @@ class MultiTableTransaction:
             # Interleaved MoR deletes (advisor r8, medium): a
             # delete_keys commit landing between stage and claim never
             # changes the partitions map -- the pointer check above
-            # passes -- but its delete set carries a version NEWER than
-            # the staged vdirs (named v{sv}), so after the claimed
-            # publish (force_overwrite_replay) it would MASK the
-            # overwrite's replacement rows, rows a DIRECT overwrite
+            # passes -- but its delete set carries a sequence number
+            # NEWER than the staged vdirs (named v{sv}), so after the
+            # claimed publish (force_overwrite_replay) it would MASK
+            # the overwrite's replacement rows, rows a DIRECT overwrite
             # (whose dirs outrank the delete) would keep.  Any
             # post-stage delete that can target a claimed partition is
             # therefore a conflict, raised here pre-claim where abort /
-            # re-stage is still possible.  When the delete keys carry
-            # the partition columns, "can target" is decided exactly
-            # from the keys (O(deleted keys)); otherwise conservatively.
+            # re-stage is still possible.  Targeting is decided exactly
+            # from the delete-set KEYS when they carry the partition
+            # columns (bounded probe), conservatively otherwise
+            # (SnapshotStore._delete_may_target).
             pby = st["partition_by"]
             for entry in head.get("delete_sets", []):
                 dv = int(entry["version"])
                 if dv <= sv:
                     continue  # predates the stage: never masks v{sv} dirs
-                if pby and all(c in entry["key_cols"] for c in pby):
-                    key_dirs = {
-                        hive_partition_dir(
-                            self.spark, pby, tuple(r[c] for c in pby)
-                        )
-                        for r in self.spark.read.parquet(
-                            f"{store.root.rstrip('/')}/{DATA_DIR}/"
-                            f"{entry['dir']}"
-                        )
-                        .select(*pby)
-                        .distinct()
-                        .collect()
-                    }
-                    hit = sorted(key_dirs & set(claims[root]))
-                    if not hit:
-                        continue
-                    why = f"keys target claimed partitions {hit}"
-                elif not pby:
-                    why = "the table is unpartitioned"
-                else:
-                    why = (
-                        f"its key_cols {entry['key_cols']} do not carry "
-                        f"the partition columns {pby}, so targeting "
-                        "cannot be ruled out"
-                    )
+                why = store._delete_may_target(entry, claims[root], pby)
+                if why is None:
+                    continue
                 raise SnapshotConflict(
                     f"txn {self.txn_id}: delete_keys v{dv} of {root} "
                     f"landed after the overwrite stage (v{sv}) and {why}; "
@@ -357,6 +347,46 @@ class MultiTableTransaction:
                     "rows.  Abort or re-stage and retry (no WAL claim was "
                     "made -- the table is untouched)"
                 )
+            # The SAME hazard from a not-yet-published delete staged by
+            # a CLAIMED concurrent transaction (round-9 review): it is
+            # invisible in head delete_sets, but its roll-forward is
+            # unstoppable and its re-stamped sequence number can outrank
+            # our staged dirs.  Conservative conflict whenever such a
+            # stage may target a claimed partition.  (Only transactions
+            # sharing this coordinator are visible -- the same
+            # single-coordinator assumption consistent_read documents.)
+            committing_waps = {
+                r["wap"]
+                for r in _list_txns(self.spark, self.root)
+                if r["state"] == "committing"
+            }
+            if committing_waps:
+                for ov, owap in sorted(store.staged_versions().items()):
+                    if owap == self.wap or owap not in committing_waps:
+                        continue
+                    oraw = store._read_manifest_raw(ov)
+                    if oraw["mode"] != "delete_keys":
+                        continue
+                    own = [
+                        d
+                        for d in store._read_manifest(ov).get(
+                            "delete_sets", []
+                        )
+                        if int(d["version"]) == ov
+                    ]
+                    for entry in own:
+                        why = store._delete_may_target(
+                            entry, claims[root], pby
+                        )
+                        if why is None:
+                            continue
+                        raise SnapshotConflict(
+                            f"txn {self.txn_id}: a CLAIMED concurrent "
+                            f"transaction ({owap}) holds a staged delete "
+                            f"(v{ov}) on {root} whose roll-forward cannot "
+                            f"refuse, and {why}; abort or wait for its "
+                            "publish and re-stage (no WAL claim was made)"
+                        )
         return claims
 
     def commit(self) -> None:
@@ -371,6 +401,11 @@ class MultiTableTransaction:
         if not self._stores:
             raise ValueError("nothing staged in this transaction")
         self._claims = self._validate_overwrites()
+        self._del_heads = {
+            root: int(self._stores[root].current_version())
+            for root, mode in self._modes.items()
+            if mode == "delete_keys"
+        }
         path = _txn_path(self.root, self.txn_id)
         write_atomic_claim(
             self.spark,
@@ -379,7 +414,9 @@ class MultiTableTransaction:
             _txn_tmp(self.root, self.txn_id),
             what=f"txn {self.txn_id}",
         )
-        _publish_all(self.spark, sorted(self._stores), self.wap)
+        _publish_all(
+            self.spark, sorted(self._stores), self.wap, self._del_heads
+        )
         write_atomic_replace(
             self.spark,
             path,
@@ -435,7 +472,10 @@ class MultiTableTransaction:
 
 
 def _publish_all(
-    spark: SparkSession, roots: list[str], wap: str
+    spark: SparkSession,
+    roots: list[str],
+    wap: str,
+    delete_claim_heads: dict | None = None,
 ) -> None:
     """Publish ``wap`` on every table, skipping tables where it already
     published (idempotent roll-forward).  Always runs with
@@ -443,7 +483,12 @@ def _publish_all(
     claim (commit() or recover()), past the point of no return --
     overwrite conflicts were validated before the claim, and anything
     that landed inside the validate-to-claim window loses
-    last-writer-wins to the claim holder."""
+    last-writer-wins to the claim holder.  ``delete_claim_heads``
+    (root -> head version recorded at WAL-claim time) pins each staged
+    delete's replay sequence number to the commit point, so a
+    crash-delayed roll-forward never masks rows appended after the
+    claim."""
+    heads = delete_claim_heads or {}
     for root in roots:
         store = SnapshotStore(spark, root)
         if wap in store.committed_metadata("published_wap"):
@@ -453,7 +498,11 @@ def _publish_all(
                 f"txn wap {wap!r} neither staged nor published on "
                 f"{root}: stage was lost (abandoned out-of-band?)"
             )
-        store.publish_staged(wap, force_overwrite_replay=True)
+        store.publish_staged(
+            wap,
+            force_overwrite_replay=True,
+            delete_restamp_to=heads.get(root.rstrip("/")),
+        )
 
 
 def _list_txns(spark: SparkSession, coordinator_root: str) -> list[dict]:
@@ -483,7 +532,12 @@ def recover(spark: SparkSession, coordinator_root: str) -> dict:
             terminal += 1
             continue
         try:
-            _publish_all(spark, list(rec["table_roots"]), rec["wap"])
+            _publish_all(
+                spark,
+                list(rec["table_roots"]),
+                rec["wap"],
+                rec.get("delete_claim_heads"),
+            )
         except SnapshotConflict as exc:
             stuck[rec["txn_id"]] = str(exc)
             continue

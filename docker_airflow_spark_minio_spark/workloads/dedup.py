@@ -1746,6 +1746,36 @@ def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _merge_islands(iv: DataFrame) -> DataFrame:
+    """Merge overlapping [s, e] token intervals per doc_id
+    (gaps-and-islands: an interval starting past the running max of
+    prior ends opens a new island).  One window pass ordered by
+    (s, e); output one row per merged island.  Shared by the excision
+    entries so the merge semantics (and their DuckDB oracle twins)
+    cannot drift apart."""
+    w_ord = Window.partitionBy("doc_id").orderBy("s", "e")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        iv.select("doc_id", "s", "e", F.max("e").over(w_prev).alias("pmax"))
+        .select(
+            "doc_id",
+            "s",
+            "e",
+            F.sum(
+                F.when(
+                    F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
+                ).otherwise(0)
+            )
+            .over(w_run)
+            .alias("isl"),
+        )
+        .groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+
+
+
 @register(
     "dedup_substring_excise",
     oracle=f"""{_SUBSTR_M_CTES}, runs AS (
@@ -1841,26 +1871,7 @@ def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"), "s", "e")
         .distinct()
     )
-    w_ord = Window.partitionBy("doc_id").orderBy("s", "e")
-    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
-    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
-    islands = (
-        iv.select("doc_id", "s", "e", F.max("e").over(w_prev).alias("pmax"))
-        .select(
-            "doc_id",
-            "s",
-            "e",
-            F.sum(
-                F.when(
-                    F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
-                ).otherwise(0)
-            )
-            .over(w_run)
-            .alias("isl"),
-        )
-        .groupBy("doc_id", "isl")
-        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
-    )
+    islands = _merge_islands(iv)
     removed = islands.groupBy("doc_id").agg(
         F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("removed_tokens")
     )
@@ -1964,10 +1975,13 @@ def dedup_decontaminate_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands pass as ``dedup_substring_excise``, so chained
     spans never double-count a token.
 
-    Split parity: the benchmark subset (doc_id % 97 == 0) matches the
-    shingle-overlap FLAGGING entry ``text_contamination_check``
-    (corpus_extra.py) -- that one asks "which docs look contaminated",
-    this one performs the removal with exact token accounting."""
+    Companion entry: ``text_contamination_check`` (corpus_extra.py)
+    asks "which docs look contaminated" via 2-shared-shingle flagging
+    on a doc_id % 97 split; this entry performs the removal with exact
+    token accounting on a denser doc_id % {DECONTAM_MOD} split --
+    verbatim window overlap is much rarer than shingle overlap, and
+    the denser split keeps the sf0.01 gate result non-vacuous (see the
+    DECONTAM_MOD note)."""
     W = SUBSTR_WINDOW
     gp = _window_hashes(spark, sf_dir)
     is_bench = F.col("doc_id") % DECONTAM_MOD == 0
@@ -1982,26 +1996,7 @@ def dedup_decontaminate_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos") + (W - 1)).alias("e"),
         )
     )
-    w_ord = Window.partitionBy("doc_id").orderBy("s", "e")
-    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
-    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
-    islands = (
-        hit.select("doc_id", "s", "e", F.max("e").over(w_prev).alias("pmax"))
-        .select(
-            "doc_id",
-            "s",
-            "e",
-            F.sum(
-                F.when(
-                    F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
-                ).otherwise(0)
-            )
-            .over(w_run)
-            .alias("isl"),
-        )
-        .groupBy("doc_id", "isl")
-        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
-    )
+    islands = _merge_islands(hit)
     rem = islands.groupBy("doc_id").agg(
         F.sum(F.col("e") - F.col("s") + 1)
         .cast("bigint")

@@ -76,7 +76,7 @@ def test_crash_mid_publish_rolls_forward(spark, roots, monkeypatch):
 
     real = tx._publish_all
 
-    def _crash_after_first(spark_, roots_, wap):
+    def _crash_after_first(spark_, roots_, wap, heads=None):
         real(spark_, roots_[:1], wap)
         raise RuntimeError("simulated coordinator crash")
 
@@ -104,7 +104,7 @@ def test_abort_refuses_after_claim(spark, roots, monkeypatch):
 
     real = tx._publish_all
 
-    def _boom(spark_, roots_, wap):
+    def _boom(spark_, roots_, wap, heads=None):
         raise RuntimeError("crash before any publish")
 
     monkeypatch.setattr(tx, "_publish_all", _boom)
@@ -141,7 +141,7 @@ def test_orphan_sweep_spares_claimed_txns(spark, roots, monkeypatch):
 
     real = tx._publish_all
 
-    def _boom(spark_, roots_, wap):
+    def _boom(spark_, roots_, wap, heads=None):
         raise RuntimeError("crash")
 
     monkeypatch.setattr(tx, "_publish_all", _boom)
@@ -171,7 +171,7 @@ def test_consistent_read_pins_and_blocks(spark, roots, monkeypatch):
 
     real = tx._publish_all
 
-    def _boom(spark_, roots_, wap):
+    def _boom(spark_, roots_, wap, heads=None):
         raise RuntimeError("crash")
 
     monkeypatch.setattr(tx, "_publish_all", _boom)
@@ -199,7 +199,7 @@ def test_expire_txns_keeps_committing(spark, roots, monkeypatch):
     t2 = tx.MultiTableTransaction(spark, roots[0])
     t2.write(silver, _df(spark, [(3, "d3", 30)]), mode="append", partition_by=["day"])
 
-    def _boom(spark_, roots_, wap):
+    def _boom(spark_, roots_, wap, heads=None):
         raise RuntimeError("crash")
 
     monkeypatch.setattr(tx, "_publish_all", _boom)
@@ -252,7 +252,7 @@ def test_orphan_sweep_spares_torn_wal_records(spark, roots, monkeypatch):
 
     real = tx._publish_all
 
-    def _boom(spark_, roots_, wap):
+    def _boom(spark_, roots_, wap, heads=None):
         raise RuntimeError("crash")
 
     monkeypatch.setattr(tx, "_publish_all", _boom)
@@ -345,7 +345,7 @@ def test_overwrite_txn_crash_windows_roll_forward(spark, roots, monkeypatch):
 
     real = tx._publish_all
 
-    def _crash_after_claim(spark_, roots_, wap):
+    def _crash_after_claim(spark_, roots_, wap, heads=None):
         # simulates the racer landing after validation (which already
         # ran) and the coordinator dying before ANY publish
         SnapshotStore(spark_, roots[1]).write(
@@ -435,7 +435,7 @@ def test_expire_snapshots_txn_safe_shields_claimed_stage(spark, roots, monkeypat
 
     real = tx._publish_all
 
-    def _crash_after_first(spark_, roots_, wap):
+    def _crash_after_first(spark_, roots_, wap, heads=None):
         real(spark_, roots_[:1], wap)
         raise RuntimeError("simulated coordinator crash")
 
@@ -787,7 +787,7 @@ def test_delete_txn_crash_matrix_rolls_forward(spark, roots, monkeypatch):
         gold, _df(spark, [(200, "d2", 2)]), mode="append", partition_by=["day"]
     )
 
-    def _crash_before_any(spark_, roots_, wap):
+    def _crash_before_any(spark_, roots_, wap, heads=None):
         raise RuntimeError("simulated crash before any publish")
 
     monkeypatch.setattr(tx, "_publish_all", _crash_before_any)
@@ -811,7 +811,7 @@ def test_delete_txn_crash_matrix_rolls_forward(spark, roots, monkeypatch):
     )
     gold.write(_df(spark, [(200, "d2", 9)]), mode="append", partition_by=["day"])
 
-    def _crash_after_first(spark_, roots_, wap):
+    def _crash_after_first(spark_, roots_, wap, heads=None):
         real(spark_, roots_[:1], wap)
         raise RuntimeError("simulated crash mid-publish")
 
@@ -825,3 +825,172 @@ def test_delete_txn_crash_matrix_rolls_forward(spark, roots, monkeypatch):
     assert _ids(silver) == []
     out3 = tx.recover(spark, roots[0])
     assert out3["rolled_forward"] == []
+
+
+# -- round-9 review hardening ------------------------------------------------
+
+
+def test_staged_delete_must_be_chain_terminal(spark, roots):
+    """A wap chain may not stage data commits AFTER a staged delete:
+    replay re-stamps the delete past the chain's later commits, which
+    would mask the chain's own rows on a moved head but keep them on
+    fast-forward.  Append-then-delete chains stay allowed."""
+    silver, _ = _seed(spark, roots)
+    silver.delete_keys(
+        spark.createDataFrame([(1, "d1")], "id INT, day STRING"),
+        key_cols=["id", "day"],
+        staged="chain-a",
+    )
+    with pytest.raises(ValueError, match="last commit of their chain"):
+        silver.write(
+            _df(spark, [(5, "d5", 50)]),
+            mode="append",
+            partition_by=["day"],
+            staged="chain-a",
+        )
+    silver.abandon_staged("chain-a")
+    # the consistent order: append first, delete last
+    silver.write(
+        _df(spark, [(5, "d5", 50)]),
+        mode="append",
+        partition_by=["day"],
+        staged="chain-b",
+    )
+    silver.delete_keys(
+        spark.createDataFrame([(1, "d1")], "id INT, day STRING"),
+        key_cols=["id", "day"],
+        staged="chain-b",
+    )
+    silver.publish_staged("chain-b")
+    assert _ids(silver) == [5]
+
+
+def test_plain_wap_overwrite_refuses_interleaved_delete(spark, roots):
+    """Non-txn WAP publish: an overwrite replay must refuse when a
+    delete committed after the stage could target a touched partition
+    (the replayed dirs would be masked); a delete provably targeting
+    only other partitions does not block."""
+    silver, _ = _seed(spark, roots)
+    silver.write(
+        _df(spark, [(2, "d2", 20)]), mode="append", partition_by=["day"]
+    )
+    silver.write(
+        _df(spark, [(9, "d1", 90)]),
+        mode="overwrite_partitions",
+        partition_by=["day"],
+        staged="audit-ow-del",
+    )
+    # interleaved delete on the UNclaimed d2: publish must succeed
+    silver.delete_keys(
+        spark.createDataFrame([(2, "d2")], "id INT, day STRING"),
+        key_cols=["id", "day"],
+    )
+    silver.publish_staged("audit-ow-del")
+    assert _ids(silver) == [9]
+    # now the conflicting case: new stage, delete targets claimed d1
+    silver.write(
+        _df(spark, [(7, "d1", 70)]),
+        mode="overwrite_partitions",
+        partition_by=["day"],
+        staged="audit-ow-del2",
+    )
+    silver.delete_keys(
+        spark.createDataFrame([(9, "d1")], "id INT, day STRING"),
+        key_cols=["id", "day"],
+    )
+    with pytest.raises(SnapshotConflict, match="would mask the replayed"):
+        silver.publish_staged("audit-ow-del2")
+    silver.abandon_staged("audit-ow-del2")
+
+
+def test_overwrite_txn_conflicts_with_claimed_staged_delete(
+    spark, roots, monkeypatch
+):
+    """A delete staged by a CLAIMED concurrent transaction is invisible
+    in head delete_sets, but its roll-forward is unstoppable -- the
+    overwrite validation must treat it as a conflict; after the delete
+    publishes, a re-staged overwrite goes through."""
+    silver, gold = _seed(spark, roots)
+    # hazard ordering: the overwrite stages FIRST, a published commit
+    # then moves the head past its stage version, and only THEN does
+    # the deleting transaction claim -- its claim-head restamp now
+    # outranks the staged overwrite dirs, so validation must refuse
+    t2 = tx.MultiTableTransaction(spark, roots[0])
+    t2.write(
+        silver,
+        _df(spark, [(7, "d1", 70)]),
+        mode="overwrite_partitions",
+        partition_by=["day"],
+    )
+    silver.write(
+        _df(spark, [(2, "d2", 20)]), mode="append", partition_by=["day"]
+    )
+    t1 = tx.MultiTableTransaction(spark, roots[0])
+    t1.delete_keys(
+        silver,
+        spark.createDataFrame([(1, "d1")], "id INT, day STRING"),
+        key_cols=["id", "day"],
+    )
+    real = tx._publish_all
+
+    def _crash(spark_, roots_, wap, heads=None):
+        raise RuntimeError("claimed, publish pending")
+
+    monkeypatch.setattr(tx, "_publish_all", _crash)
+    with pytest.raises(RuntimeError):
+        t1.commit()
+    monkeypatch.setattr(tx, "_publish_all", real)
+    # t1 is claimed-but-unpublished and targets the claimed d1
+    with pytest.raises(SnapshotConflict, match="CLAIMED concurrent"):
+        t2.commit()
+    t2.abort()
+    # roll t1 forward, then the overwrite re-stages cleanly
+    out = tx.recover(spark, roots[0])
+    assert out["rolled_forward"] == [t1.txn_id]
+    assert _ids(silver) == [2]
+    t3 = tx.MultiTableTransaction(spark, roots[0])
+    t3.write(
+        silver,
+        _df(spark, [(7, "d1", 70)]),
+        mode="overwrite_partitions",
+        partition_by=["day"],
+    )
+    t3.commit()
+    assert _ids(silver) == [2, 7]
+
+
+def test_recovered_delete_does_not_mask_post_claim_appends(
+    spark, roots, monkeypatch
+):
+    """The delete happens at the WAL claim: rows appended AFTER the
+    claim but before a crash-delayed recover() must survive the
+    roll-forward (the delete's sequence number is pinned to the
+    claim-time head recorded in the WAL)."""
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.delete_keys(
+        silver,
+        spark.createDataFrame([(1, "d1")], "id INT, day STRING"),
+        key_cols=["id", "day"],
+    )
+    t.write(
+        gold, _df(spark, [(200, "d2", 2)]), mode="append", partition_by=["day"]
+    )
+    real = tx._publish_all
+
+    def _crash(spark_, roots_, wap, heads=None):
+        raise RuntimeError("crash after claim")
+
+    monkeypatch.setattr(tx, "_publish_all", _crash)
+    with pytest.raises(RuntimeError):
+        t.commit()
+    monkeypatch.setattr(tx, "_publish_all", real)
+    # hours later: a producer re-inserts the key with a corrected row
+    silver.write(
+        _df(spark, [(1, "d1", 11)]), mode="append", partition_by=["day"]
+    )
+    out = tx.recover(spark, roots[0])
+    assert out["rolled_forward"] == [t.txn_id] and out["stuck"] == {}
+    rows = {(r["id"], r["amt"]) for r in silver.read().collect()}
+    # the pre-claim copy (amt 10) is gone; the post-claim copy survives
+    assert rows == {(1, 11)}
