@@ -1026,16 +1026,28 @@ class SnapshotStore:
                 partitions = {
                     k: list(v) for k, v in head["partitions"].items()
                 }
-                # sequence number of the replayed delete: the commit
+                # Sequence number of the replayed delete: the commit
                 # point (WAL-claim head + 1) for claimed transactions,
-                # the publish version otherwise -- either way it masks
-                # the data existing at the moment the delete logically
-                # happened, never rows appended after it
-                restamp = (
-                    delete_restamp_to + 1
-                    if delete_restamp_to is not None
-                    else new_v
-                )
+                # the publish version otherwise.  The claim-time stamp
+                # is only sound when every commit between the claim and
+                # this publish is an append/delete (those rows are
+                # logically NEW and must stay visible); a REPLACE in
+                # the window (compaction, overwrite, rollback, another
+                # publish) rewrites pre-claim rows into newer dirs, and
+                # a claim-time stamp would let the deleted data
+                # RESURRECT -- so such windows conservatively fall back
+                # to the publish version (masks interleaved appends of
+                # the same keys: over-deletion, never resurrection).
+                restamp = new_v
+                if delete_restamp_to is not None:
+                    modes = self.commit_modes(
+                        int(delete_restamp_to), as_of=head_v
+                    )
+                    if all(
+                        m in ("append", "delete_keys")
+                        for m in modes.values()
+                    ):
+                        restamp = int(delete_restamp_to) + 1
                 merged = {
                     "partitions": partitions,
                     "dir_stats": dict(head.get("dir_stats", {})),

@@ -994,3 +994,41 @@ def test_recovered_delete_does_not_mask_post_claim_appends(
     rows = {(r["id"], r["amt"]) for r in silver.read().collect()}
     # the pre-claim copy (amt 10) is gone; the post-claim copy survives
     assert rows == {(1, 11)}
+
+
+def test_recovered_delete_survives_interleaved_compaction(
+    spark, roots, monkeypatch
+):
+    """A compaction between the WAL claim and a crash-delayed recover()
+    rewrites the to-be-deleted rows into dirs NEWER than the claim
+    head; the roll-forward must fall back to publish-version stamping
+    so the deleted key cannot resurrect (resurrection is worse than
+    the conservative over-masking of post-claim appends)."""
+    silver, gold = _seed(spark, roots)
+    silver.write(
+        _df(spark, [(2, "d1", 20)]), mode="append", partition_by=["day"]
+    )
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.delete_keys(
+        silver,
+        spark.createDataFrame([(1, "d1")], "id INT, day STRING"),
+        key_cols=["id", "day"],
+    )
+    t.write(
+        gold, _df(spark, [(200, "d2", 2)]), mode="append", partition_by=["day"]
+    )
+    real = tx._publish_all
+
+    def _crash(spark_, roots_, wap, heads=None):
+        raise RuntimeError("crash after claim")
+
+    monkeypatch.setattr(tx, "_publish_all", _crash)
+    with pytest.raises(RuntimeError):
+        t.commit()
+    monkeypatch.setattr(tx, "_publish_all", real)
+    # routine maintenance rewrites d1 (both rows) into a newer dir
+    assert silver.compact() is not None
+    out = tx.recover(spark, roots[0])
+    assert out["rolled_forward"] == [t.txn_id] and out["stuck"] == {}
+    # the deleted key must NOT resurrect from the compacted copies
+    assert _ids(silver) == [2]
