@@ -34,6 +34,7 @@ def interval_join(
     left_watermark: str = "2 hours",
     right_watermark: str = "2 hours",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
     """Rows of ``left`` paired with every ``right`` row of the same keys
     whose timestamp falls in ``[left_ts - lookback, left_ts]``.
@@ -41,7 +42,15 @@ def interval_join(
     Right-side non-key columns come back ``right_prefix``-renamed so the
     output schema is unambiguous.  Watermarks are applied only to
     streaming inputs; batch inputs run the identical logical join.
+
+    ``how``: ``inner`` (default) or ``left_outer`` -- the outer form
+    emits a NULL-padded row for every left event with no in-range
+    partner, once the watermark proves no partner can still arrive
+    (Spark buffers the left row until its join window falls behind the
+    right watermark; on batch inputs the outer join is immediate).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"interval_join supports inner/left_outer, got {how!r}")
     l_df = left
     r_df = right.select(
         *[F.col(k).alias(f"{right_prefix}{k}") for k in keys],
@@ -63,6 +72,6 @@ def interval_join(
     )
     for k in keys:
         cond = cond & (F.col(k) == F.col(f"{right_prefix}{k}"))
-    return l_df.join(r_df, cond, "inner").drop(
+    return l_df.join(r_df, cond, how).drop(
         *[f"{right_prefix}{k}" for k in keys]
     )

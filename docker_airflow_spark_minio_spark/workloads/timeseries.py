@@ -1198,3 +1198,90 @@ def streaming_watermark_lateness_profile(
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "streaming_outer_interval_join_live",
+    oracle="""
+    SELECT CAST(p.ts AS DATE) AS purchase_date,
+           CAST(SUM(CASE WHEN c.ts IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN c.ts IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmatched,
+           CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    GROUP BY 1 ORDER BY 1
+    """,
+    category="streaming",
+    description="stream-STREAM LEFT OUTER interval join executed LIVE: "
+    "purchases left-outer-joined to clicks within a 1-hour lookback -- "
+    "a purchase with NO in-range click emits a NULL-padded row once the "
+    "watermark proves no partner can still arrive (the semantics the "
+    "inner interval join cannot give: per-day matched AND unmatched "
+    "purchase accounting); the chained day-window aggregate rides the "
+    "same query and the batch finish hash-matches the LEFT JOIN oracle",
+)
+def streaming_outer_interval_join_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale notes: identical state shape to the inner entry -- both
+    streams shuffle on user_id once per micro-batch, per-key state is
+    bounded by (lookback + watermark) x rate -- plus the outer-specific
+    behavior: a left row is retained until the RIGHT watermark passes
+    its join window, then emitted null-padded and evicted, so the
+    unmatched path adds no unbounded state.  The far-future flush
+    sentinels advance both watermarks exactly as continuous production
+    time would, which is what releases the final null-padded rows and
+    closes the last day windows in a bounded replay (no-data
+    micro-batches then drain the expired state).  Chained
+    outer-join -> windowed aggregate is the Spark 3.5+ multi-stateful
+    pipeline; only the COUNT(DISTINCT) finish runs in batch, over the
+    metadata-sized (day x user) sink."""
+    from ..streaming.joins import interval_join
+
+    load_tables(spark, sf_dir)  # pins session tz + nanosAsLong conf
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src_dir = _events_dir_with_flush(spark, sf_dir, "oij")
+
+    s = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    if dict(s.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) generation
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+    purchases = s.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    clicks = s.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = interval_join(
+        purchases, clicks, lookback="1 hour", how="left_outer"
+    )
+    on_stream = joined.groupBy(
+        F.window("ts", "1 day").alias("w"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("r_ts").isNotNull().cast("long")).alias("n_matched"),
+    )
+    per_user = _run_stream_to_memory(
+        spark, on_stream, "streaming_outer_interval_join_live_sink", "append"
+    )
+    return (
+        per_user.where(~F.col("user_id").isin(*FLUSH_USER_IDS))
+        .groupBy(F.to_date(F.col("w.start")).alias("purchase_date"))
+        .agg(
+            F.sum("n_matched").cast("long").alias("n_pairs"),
+            F.sum(F.col("n_rows") - F.col("n_matched"))
+            .cast("long")
+            .alias("n_unmatched"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("purchase_date")
+    )
