@@ -207,3 +207,77 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_resize_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _with_payload(load_tables(spark, sf_dir)["documents"])
     return resize_block_downsample(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact payload dedup (keep-first by content digest)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_payload_dedup",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, source,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text)                  AS digest
+        FROM documents
+    ), r AS (
+        SELECT source, n_bytes,
+               ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+        FROM b
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                      AS n_payloads,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                         AS n_kept,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                         AS n_dupes,
+           CAST(SUM(CASE WHEN rn > 1 THEN n_bytes ELSE 0 END) AS BIGINT)
+                                                         AS reclaimed_bytes
+    FROM r GROUP BY source ORDER BY source
+    """,
+    category="multimodal",
+    description="exact payload dedup (the image/audio-pipeline step): "
+    "keep the first copy per content digest (md5 of the binary payload, "
+    "min doc_id), account dropped duplicates and RECLAIMED BYTES per "
+    "source -- the storage-savings number a media-dedup pass reports; "
+    "one hash shuffle on the 16-byte digest, payload bytes never travel",
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the only shuffle keys on the md5 digest (16 bytes +
+    small metadata per row -- payloads stay in the scan); keep-first is
+    one row_number window per digest group, and the per-source rollup
+    is a second metadata-sized aggregate.  At 100 TB of media this is
+    the standard first dedup pass (byte-identical copies dominate crawl
+    duplicates) run before any perceptual/near-dup method; the near-dup
+    analogs live in the dedup family (SimHash/MinHash/embedding)."""
+    from pyspark.sql import Window
+
+    docs = _with_payload(load_tables(spark, sf_dir)["documents"])
+    b = docs.select(
+        "doc_id",
+        "source",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("digest"),
+    )
+    r = b.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("digest").orderBy("doc_id")),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dupes"),
+            F.sum(F.when(F.col("rn") > 1, F.col("n_bytes")).otherwise(0))
+            .cast("long")
+            .alias("reclaimed_bytes"),
+        )
+        .orderBy("source")
+    )

@@ -1340,3 +1340,96 @@ def embedding_norm_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination audit (cross-set brute-force ranking)
+# ---------------------------------------------------------------------------
+
+#: held-out benchmark split for the semantic audit (vec_id % MOD == 0);
+#: the companion of the EXACT n-gram decontamination pair
+#: (dedup_decontaminate_excise): verbatim overlap is excised, semantic
+#: proximity is AUDITED -- embeddings flag paraphrase-level leakage no
+#: token method can see.
+SEMDECONTAM_MOD = 23
+SEMDECONTAM_TOP = 20
+
+
+@register(
+    "semantic_decontam_audit",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % {SEMDECONTAM_MOD} = 0
+    ), t AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % {SEMDECONTAM_MOD} <> 0
+    ), s AS (
+        SELECT t.vec_id AS train_id, b.vec_id AS bench_id,
+               {_cos_sql('t.v', 'b.v')} AS cos_sim
+        FROM t, b
+    ), r AS (
+        SELECT train_id, bench_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                    ORDER BY cos_sim DESC, train_id, bench_id)
+                    AS BIGINT) AS rank
+        FROM s
+    )
+    SELECT rank, train_id, bench_id, cos_sim
+    FROM r WHERE rank <= {SEMDECONTAM_TOP} ORDER BY rank
+    """,
+    category="similarity",
+    description=f"semantic decontamination AUDIT: the {SEMDECONTAM_TOP} "
+    "highest train-to-benchmark embedding cosines (global ranking, "
+    "deterministic id tie-breaks) -- the review artifact an eval-leakage "
+    "audit produces regardless of threshold, catching paraphrase-level "
+    "proximity the exact n-gram excision entry cannot see; benchmark "
+    "side broadcast, scoring map-only, two-phase salted global top-k",
+)
+def semantic_decontam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the benchmark side is eval-suite-sized and
+    broadcasts; scoring is a map-only pass over the train scan (the
+    same posture as the brute-force ANN baseline, which is the
+    recall=1 reference here too -- at corpus scale the IVF/LSH entries
+    are the pre-filter and this exact pass runs on their candidates).
+    The global top-k avoids a single-reducer sort the same way the
+    per-query entries do: salted partial top-k per partition slice,
+    then one final top-k over SALTS x k survivors."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    is_bench = F.col("vec_id") % SEMDECONTAM_MOD == 0
+    bench = v.where(is_bench).select(
+        F.col("vec_id").alias("bench_id"), F.col("v").alias("bv")
+    )
+    train = v.where(~is_bench).select(
+        F.col("vec_id").alias("train_id"), "v"
+    )
+    scored = train.crossJoin(F.broadcast(bench)).select(
+        "train_id",
+        "bench_id",
+        F.round(cosine_similarity(F.col("v"), F.col("bv")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    order = [
+        F.col("cos_sim").desc(),
+        F.col("train_id").asc(),
+        F.col("bench_id").asc(),
+    ]
+    salt = F.pmod(F.col("train_id"), F.lit(TOPK_SALTS))
+    w1 = Window.partitionBy("salt").orderBy(*order)
+    partial = (
+        scored.withColumn("salt", salt)
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= SEMDECONTAM_TOP)
+        .drop("salt", "rn")
+    )
+    w2 = Window.partitionBy().orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= SEMDECONTAM_TOP)
+        .select("rank", "train_id", "bench_id", "cos_sim")
+        .orderBy("rank")
+    )

@@ -41,6 +41,9 @@ def test_no_cartesian_anywhere_in_the_registry(spark):
     # model attach (IVF + k-means)
     allowed = {
         "ann_cosine_topk_bruteforce",
+        # eval-suite-sized benchmark side broadcast against the train
+        # scan (the brute-force-baseline pattern, cross-set)
+        "semantic_decontam_audit",
         "timeseries_gapfill_hourly",
         "sketch_hll_merge_bound",
         "sketch_mg_heavy_hitters",
