@@ -823,6 +823,37 @@ class SnapshotStore:
     #: decide targeting; past it the answer is conservative.
     _DELETE_PROBE_MAX = 65536
 
+    def _window_append_only(self, since: int, head_v: int | None) -> bool:
+        """Whether every published commit in ``(since, head_v]`` only
+        ADDED rows (append / delete_keys) -- the condition under which
+        a recovered transactional delete may keep its claim-time
+        sequence stamp (a replace in the window rewrites pre-claim rows
+        into newer dirs, where a claim stamp would let deleted data
+        resurrect).  ``wap_publish`` commits are classified by their
+        SOURCE stage's mode (a published append transaction is
+        append-only; retention-expired sources read conservatively as
+        replaces), so concurrent committed transactions do not force
+        the over-masking fallback."""
+        for v, m in self.commit_modes(since, as_of=head_v).items():
+            if m in ("append", "delete_keys"):
+                continue
+            if m == "wap_publish":
+                pf = (
+                    self._read_manifest_raw(v).get("metadata") or {}
+                ).get("published_from")
+                try:
+                    src_mode = (
+                        self._read_manifest_raw(int(pf))["mode"]
+                        if pf is not None
+                        else None
+                    )
+                except Exception:  # noqa: BLE001 -- expired source stage
+                    src_mode = None
+                if src_mode in ("append", "delete_keys"):
+                    continue
+            return False
+        return True
+
     def _delete_may_target(
         self, entry: dict, parts: set, pby: list[str]
     ) -> str | None:
@@ -1039,15 +1070,12 @@ class SnapshotStore:
                 # to the publish version (masks interleaved appends of
                 # the same keys: over-deletion, never resurrection).
                 restamp = new_v
-                if delete_restamp_to is not None:
-                    modes = self.commit_modes(
-                        int(delete_restamp_to), as_of=head_v
+                if delete_restamp_to is not None and (
+                    self._window_append_only(
+                        int(delete_restamp_to), head_v
                     )
-                    if all(
-                        m in ("append", "delete_keys")
-                        for m in modes.values()
-                    ):
-                        restamp = int(delete_restamp_to) + 1
+                ):
+                    restamp = int(delete_restamp_to) + 1
                 merged = {
                     "partitions": partitions,
                     "dir_stats": dict(head.get("dir_stats", {})),

@@ -62,24 +62,44 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-def _two_phase_topk(scored: DataFrame) -> DataFrame:
-    """Top-k per query_id without a whole-corpus reducer: salted partial
-    top-k, then final top-k over Q*S*k survivors."""
-    order = [F.col("cos_sim").desc(), F.col("vec_id").asc()]
-    salt = F.pmod(F.col("vec_id"), F.lit(TOPK_SALTS))
-    w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
+def _salted_topk(
+    scored: DataFrame,
+    order: list,
+    k: int,
+    partition_cols: tuple[str, ...],
+    salt_col: str,
+) -> DataFrame:
+    """Top-k (per ``partition_cols`` group, or globally when empty)
+    without a single-reducer sort: salted partial top-k, then a final
+    top-k over SALTS*k survivors per group.  Any group-top-k row is by
+    construction within its salt slice's top-k, so the two phases are
+    exact.  Adds a ``rank`` column; callers project/sort."""
+    salt = F.pmod(F.col(salt_col), F.lit(TOPK_SALTS))
+    w1 = Window.partitionBy(*partition_cols, "salt").orderBy(*order)
     partial = (
         scored.withColumn("salt", salt)
         .withColumn("rn", F.row_number().over(w1))
-        .where(F.col("rn") <= TOP_K)
+        .where(F.col("rn") <= k)
         .drop("salt", "rn")
     )
-    w2 = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        partial.withColumn("rank", F.row_number().over(w2).cast("long"))
-        .where(F.col("rank") <= TOP_K)
-        .select("query_id", "vec_id", "rank", "cos_sim")
-        .orderBy("query_id", "rank")
+    w2 = Window.partitionBy(*partition_cols).orderBy(*order)
+    return partial.withColumn(
+        "rank", F.row_number().over(w2).cast("long")
+    ).where(F.col("rank") <= k)
+
+
+def _two_phase_topk(scored: DataFrame) -> DataFrame:
+    """Top-k per query_id without a whole-corpus reducer (see
+    :func:`_salted_topk`)."""
+    ranked = _salted_topk(
+        scored,
+        [F.col("cos_sim").desc(), F.col("vec_id").asc()],
+        TOP_K,
+        ("query_id",),
+        "vec_id",
+    )
+    return ranked.select("query_id", "vec_id", "rank", "cos_sim").orderBy(
+        "query_id", "rank"
     )
 
 
@@ -1413,23 +1433,17 @@ def semantic_decontam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim"
         ),
     )
-    order = [
-        F.col("cos_sim").desc(),
-        F.col("train_id").asc(),
-        F.col("bench_id").asc(),
-    ]
-    salt = F.pmod(F.col("train_id"), F.lit(TOPK_SALTS))
-    w1 = Window.partitionBy("salt").orderBy(*order)
-    partial = (
-        scored.withColumn("salt", salt)
-        .withColumn("rn", F.row_number().over(w1))
-        .where(F.col("rn") <= SEMDECONTAM_TOP)
-        .drop("salt", "rn")
+    ranked = _salted_topk(
+        scored,
+        [
+            F.col("cos_sim").desc(),
+            F.col("train_id").asc(),
+            F.col("bench_id").asc(),
+        ],
+        SEMDECONTAM_TOP,
+        (),
+        "train_id",
     )
-    w2 = Window.partitionBy().orderBy(*order)
-    return (
-        partial.withColumn("rank", F.row_number().over(w2).cast("long"))
-        .where(F.col("rank") <= SEMDECONTAM_TOP)
-        .select("rank", "train_id", "bench_id", "cos_sim")
-        .orderBy("rank")
+    return ranked.select("rank", "train_id", "bench_id", "cos_sim").orderBy(
+        "rank"
     )

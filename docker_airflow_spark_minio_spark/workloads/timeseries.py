@@ -500,6 +500,22 @@ def stream_partitions(spark: SparkSession, n: int = STREAM_STATE_PARTITIONS):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def _normalize_stream_ts(df: DataFrame, ntz: bool = False) -> DataFrame:
+    """Normalize ``ts`` across the two parquet generations of the
+    events table (TIMESTAMP(NANOS)-as-bigint vs native micros) -- the
+    one place the if/else lives instead of a copy per streaming entry.
+    Plain TIMESTAMP by default (``withWatermark`` requires it; the
+    session timezone is pinned UTC, so wall-clock values match the
+    oracle's naive timestamps); ``ntz=True`` where the consumer
+    compares against batch TIMESTAMP_NTZ frames."""
+    target = "timestamp_ntz" if ntz else "timestamp"
+    if dict(df.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) generation
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast(target)
+        )
+    return df.withColumn("ts", F.col("ts").cast(target))
+
+
 def _run_stream_to_memory(
     spark: SparkSession,
     agg: DataFrame,
@@ -656,12 +672,7 @@ def streaming_tumbling_hourly_live(spark: SparkSession, sf_dir: str) -> DataFram
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    if dict(src.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) generation
-        src = src.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
-    else:
-        src = src.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    src = _normalize_stream_ts(src, ntz=True)
     agg = (
         src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -752,12 +763,7 @@ def streaming_session_windows_live(spark: SparkSession, sf_dir: str) -> DataFram
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    if dict(src.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) generation
-        src = src.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
-    else:
-        src = src.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    src = _normalize_stream_ts(src, ntz=True)
     agg = (
         src.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
@@ -883,10 +889,7 @@ def streaming_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plain TIMESTAMP (not NTZ): withWatermark requires it, and the
     # session timezone is pinned UTC so wall-clock values match the
     # oracle's naive timestamps exactly
-    if dict(s.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) generation
-        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+    s = _normalize_stream_ts(s)
     purchases = s.where(F.col("event_type") == "purchase").select("user_id", "ts")
     clicks = s.where(F.col("event_type") == "click").select("user_id", "ts")
     joined = interval_join(purchases, clicks, lookback="1 hour")
@@ -986,10 +989,7 @@ def streaming_dedup_within_watermark_live(
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    if dict(src.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) generation
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = _normalize_stream_ts(src)
     deduped = (
         src.select("user_id", "event_type", "ts")
         .withWatermark("ts", "60 days")
@@ -1253,10 +1253,7 @@ def streaming_outer_interval_join_live(
         .option("recursiveFileLookup", "true")
         .parquet(src_dir)
     )
-    if dict(s.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) generation
-        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+    s = _normalize_stream_ts(s)
     purchases = s.where(F.col("event_type") == "purchase").select(
         "user_id", "ts"
     )

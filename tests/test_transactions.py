@@ -1032,3 +1032,40 @@ def test_recovered_delete_survives_interleaved_compaction(
     assert out["rolled_forward"] == [t.txn_id] and out["stuck"] == {}
     # the deleted key must NOT resurrect from the compacted copies
     assert _ids(silver) == [2]
+
+
+def test_recovered_delete_spares_concurrent_append_txn_rows(
+    spark, roots, monkeypatch
+):
+    """A concurrent APPEND transaction committing (mode 'wap_publish')
+    inside the delete's crash-recovery window is append-only: the
+    roll-forward must keep the claim-time stamp and spare its rows,
+    not fall back to over-masking."""
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.delete_keys(
+        silver,
+        spark.createDataFrame([(1, "d1")], "id INT, day STRING"),
+        key_cols=["id", "day"],
+    )
+    real = tx._publish_all
+
+    def _crash(spark_, roots_, wap, heads=None):
+        raise RuntimeError("crash after claim")
+
+    monkeypatch.setattr(tx, "_publish_all", _crash)
+    with pytest.raises(RuntimeError):
+        t.commit()
+    monkeypatch.setattr(tx, "_publish_all", real)
+    # a concurrent append TRANSACTION re-inserts the key and commits
+    # (its publish lands as a 'wap_publish' commit in the window)
+    t2 = tx.MultiTableTransaction(spark, roots[0])
+    t2.write(
+        silver, _df(spark, [(1, "d1", 11)]), mode="append", partition_by=["day"]
+    )
+    t2.commit()
+    out = tx.recover(spark, roots[0])
+    assert out["rolled_forward"] == [t.txn_id] and out["stuck"] == {}
+    rows = {(r["id"], r["amt"]) for r in silver.read().collect()}
+    # pre-claim copy (amt 10) deleted; the committed txn's copy survives
+    assert rows == {(1, 11)}
