@@ -841,14 +841,20 @@ class SnapshotStore:
                 pf = (
                     self._read_manifest_raw(v).get("metadata") or {}
                 ).get("published_from")
-                try:
-                    src_mode = (
-                        self._read_manifest_raw(int(pf))["mode"]
-                        if pf is not None
-                        else None
+                src_mode = None
+                if pf is not None:
+                    # Only a retention-EXPIRED source stage (manifest
+                    # file gone) reads conservatively as a replace; any
+                    # other IO failure must surface -- swallowing it
+                    # would silently switch delete semantics to the
+                    # over-masking publish-version fallback.
+                    fs, p = _fs_and_path(
+                        self.spark, self._manifest_path(int(pf))
                     )
-                except Exception:  # noqa: BLE001 -- expired source stage
-                    src_mode = None
+                    if fs.exists(p):
+                        src_mode = self._read_manifest_raw(int(pf))[
+                            "mode"
+                        ]
                 if src_mode in ("append", "delete_keys"):
                     continue
             return False

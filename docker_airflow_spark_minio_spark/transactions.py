@@ -229,7 +229,18 @@ class MultiTableTransaction:
         delays the roll-forward past later appends.  Publish is
         refusal-free
         (no partition-claim surface), so the post-claim roll-forward
-        contract holds; counts as this table's one write."""
+        contract holds; counts as this table's one write.
+
+        Read-to-claim race (the delete analog of the overwrite
+        validate-to-claim note on :meth:`commit`): the head is read
+        immediately before the WAL claim is written, and an append
+        whose commit lands inside that window receives a version above
+        the recorded head, so the strict ``>`` masking rule leaves it
+        untouched.  This is the defined serialization, not a defect --
+        an append not yet visible at the head read orders AFTER the
+        delete, exactly as a racing overwrite resolves last-writer-wins
+        by claim order.  Callers needing appends quiesced before a
+        delete must sequence them externally."""
         if self._done:
             raise ValueError(f"txn {self.txn_id} already finished")
         if "staged" in kw:
@@ -401,6 +412,9 @@ class MultiTableTransaction:
         if not self._stores:
             raise ValueError("nothing staged in this transaction")
         self._claims = self._validate_overwrites()
+        # Head read deliberately LAST before the claim write: an append
+        # committing inside this narrowest-possible window orders after
+        # the delete by contract (see delete_keys docstring).
         self._del_heads = {
             root: int(self._stores[root].current_version())
             for root, mode in self._modes.items()

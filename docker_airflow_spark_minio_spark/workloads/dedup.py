@@ -1615,11 +1615,25 @@ def _alignments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sort_array(F.collect_list("pos")), 1, SUBSTR_OCC_CAP
             ).alias("ps")
         )
-        occ = per_doc.groupBy("h").agg(
-            F.collect_list(F.struct("doc_id", "ps")).alias("e")
+        # df gate FIRST, as a count (cheap, partial-aggregated), so the
+        # collect_list below never materializes an O(distinct docs)
+        # per-hash array for an ultra-hot boilerplate window only to
+        # discard it -- the aggregation buffer itself is now bounded at
+        # SUBSTR_DF_CAP entries x SUBSTR_OCC_CAP positions.  Costs a
+        # second map pass over the window hashes (the build is one-shot
+        # behind the PersistCache); bounded executor memory wins at
+        # corpus scale.
+        elig_h = (
+            per_doc.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df").between(2, SUBSTR_DF_CAP))
+            .select("h")
         )
-        # entries are one-per-doc now, so the df cap is just size(e)
-        elig = occ.where(F.size("e").between(2, SUBSTR_DF_CAP))
+        elig = (
+            per_doc.join(elig_h, "h", "left_semi")
+            .groupBy("h")
+            .agg(F.collect_list(F.struct("doc_id", "ps")).alias("e"))
+        )
         # oriented cross-doc occurrence pairs, generated map-side from
         # the capped per-hash arrays: i < j over doc entries, cross
         # product of the two (<= CAP-long) position lists
