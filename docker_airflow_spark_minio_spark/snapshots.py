@@ -384,6 +384,35 @@ def _filled_dir_specs(manifest: dict) -> dict[str, list[str]]:
 # deltas back to a checkpoint -- bounded driver-side JSON reads.
 CHECKPOINT_EVERY = 8
 
+#: Partition-map size above which a full checkpoint is written SHARDED:
+#: the root manifest keeps only a shard INDEX -- per shard its file
+#: name, [min, max] partition-key range and aggregate column bounds --
+#: and the partition-keyed maps (partitions / dir_stats / dir_rows /
+#: per-file stats+blooms) move to range-clustered shard files under
+#: ``_manifests/shards/``.  This is Iceberg's manifest-list analog: a
+#: read pruned by ``partitions=`` or ``range_filter`` resolves against
+#: O(matching shards) manifest bytes instead of parsing the full
+#: O(table-directories) map driver-side (at 10^6 partitions the
+#: difference between one ~100 KB shard and a ~100 MB checkpoint).
+#: Below the threshold the inline form is cheaper (one file, no extra
+#: round-trips) and nothing changes.
+SHARD_PARTITIONS_THRESHOLD = 4096
+#: Partitions per shard file once sharding engages -- sized so a shard
+#: parses in single-digit milliseconds and a pruned point read touches
+#: a few hundred KB however large the table grows.
+SHARD_SIZE = 2048
+#: Subdirectory of MANIFEST_DIR holding shard files.  The name must not
+#: match the ``v*.json`` version glob: :meth:`SnapshotStore.versions`
+#: scans only file names starting with ``v``.
+SHARDS_SUBDIR = "shards"
+
+
+def _dkey_part(dkey: str) -> str:
+    """The partition key of a ``dir_stats``/``dir_rows`` map key
+    (``"<vdir>/<part>"``; bare ``"<vdir>"`` is the unpartitioned slot --
+    vdir names never contain ``/``)."""
+    return dkey.split("/", 1)[1] if "/" in dkey else ""
+
 #: Namespace prefix separating BRANCH markers from plain WAP ids in the
 #: ``staged`` manifest field -- a branch is a staged chain with extra
 #: lifecycle rules (repeat fast-forwards allowed; see :meth:`SnapshotStore.branch_write`).
@@ -397,10 +426,18 @@ class SnapshotConflict(RuntimeError):
 
 @dataclass
 class SnapshotStore:
-    """Snapshot-versioned table rooted at ``root``."""
+    """Snapshot-versioned table rooted at ``root``.
+
+    ``shard_partitions_threshold`` overrides
+    :data:`SHARD_PARTITIONS_THRESHOLD` for this store (``0`` shards
+    every full checkpoint -- used by tests and by tables known to grow
+    past the default before their first checkpoint); ``shard_size``
+    overrides :data:`SHARD_SIZE` (partitions per shard file)."""
 
     spark: SparkSession
     root: str
+    shard_partitions_threshold: int | None = None
+    shard_size: int | None = None
 
     # -- manifest plumbing ------------------------------------------------
 
@@ -444,93 +481,200 @@ class SnapshotStore:
     def _read_manifest(self, version: int) -> dict:
         """The RESOLVED manifest for ``version``: a delta chain is
         folded onto its nearest full checkpoint (<= CHECKPOINT_EVERY-1
-        recursive steps), reproducing exactly the dict a full commit
-        would have written -- callers never see the delta encoding.
+        steps), a SHARDED checkpoint is inlined, reproducing exactly
+        the dict a full commit would have written -- callers never see
+        the delta or shard encodings.
 
         Stats carry-forward happens here: a parent's dir/file stats
         survive into the child iff their directory is still live in the
         child's partition map and the child did not re-stat it (same
         rule the eager full-manifest writer applies)."""
+        return self._resolve_manifest(version)
+
+    def _read_manifest_pruned(
+        self,
+        version: int,
+        partitions: list[str] | None = None,
+        range_filter: tuple | list[tuple] | None = None,
+    ) -> dict:
+        """:meth:`_read_manifest` restricted -- soundly, possibly
+        over-inclusively -- to the partition keys a selector can match:
+        against a sharded checkpoint only the shards whose key range
+        covers a requested partition (``partitions=``) or whose
+        aggregate column bounds intersect every range
+        (``range_filter=``) are read, so a pruned plan touches
+        O(matching shards + delta chain) manifest bytes, never the full
+        partition map.  The returned dict is exact for every partition
+        it contains and contains every partition the selectors can
+        match; it may carry extra partitions (the surrounding shard),
+        which :meth:`plan_dirs` filters exactly.  Unsharded manifests
+        resolve fully (already one file)."""
+        ranges = self._normalize_ranges(range_filter)
+        if partitions is None and not ranges:
+            return self._resolve_manifest(version)
+        want = sorted(set(partitions)) if partitions is not None else None
+        m = self._resolve_manifest(version, want=want, ranges=ranges)
+        if not m["partitions"]:
+            # Corner: every selected shard's partitions were removed by
+            # later deltas.  Fall back to the full resolve so read()'s
+            # empty-table vs no-matching-partitions distinction stays
+            # exact (rare; metadata-plane cost only).
+            return self._resolve_manifest(version)
+        return m
+
+    def _resolve_manifest(
+        self,
+        version: int,
+        want: list[str] | None = None,
+        ranges: list[tuple] | None = None,
+    ) -> dict:
+        """Shared resolver behind :meth:`_read_manifest` (``want`` and
+        ``ranges`` both None: full fidelity) and
+        :meth:`_read_manifest_pruned` (shard selection applies)."""
+        chain: list[dict] = []
         raw = self._read_manifest_raw(version)
-        if raw.get("manifest_kind") != "delta":
+        while raw.get("manifest_kind") == "delta":
+            chain.append(raw)
+            raw = self._read_manifest_raw(raw["parent"])
+        if not chain and "partition_shards" not in raw:
             return raw
-        parent = self._read_manifest(raw["parent"])
-        partitions = {k: list(v) for k, v in parent["partitions"].items()}
-        for p in raw["partitions_removed"]:
-            partitions.pop(p, None)
-        for k, v in raw["partitions_set"].items():
-            partitions[k] = list(v)
-        live = {
-            f"{vd}/{p}" if p else vd
-            for p, vds in partitions.items()
-            for vd in vds
-        }
-        dir_stats = {
-            k: v for k, v in parent.get("dir_stats", {}).items() if k in live
-        }
-        dir_stats.update(raw["dir_stats_added"])
-        file_stats = {
-            k: v
-            for k, v in parent.get("file_stats", {}).items()
-            if k.rsplit("/", 1)[0] in live
-        }
-        file_stats.update(raw["file_stats_added"])
-        file_blooms = {
-            k: v
-            for k, v in parent.get("file_blooms", {}).items()
-            if k.rsplit("/", 1)[0] in live
-        }
-        file_blooms.update(raw.get("file_blooms_added", {}))
-        sidecars = self._live_sidecars(
-            parent.get("file_stats_sidecars"), partitions
-        ) + list(raw.get("file_stats_sidecars_added", []))
-        delete_sets = _prune_delete_sets(
-            list(parent.get("delete_sets", []))
-            + list(raw.get("delete_sets_added", [])),
-            partitions,
+        cur = self._load_base(raw, want, ranges)
+        for d in reversed(chain):
+            partitions = {k: list(v) for k, v in cur["partitions"].items()}
+            for p in d["partitions_removed"]:
+                partitions.pop(p, None)
+            for k, v in d["partitions_set"].items():
+                partitions[k] = list(v)
+            live = {
+                f"{vd}/{p}" if p else vd
+                for p, vds in partitions.items()
+                for vd in vds
+            }
+            dir_stats = {
+                k: v for k, v in cur.get("dir_stats", {}).items() if k in live
+            }
+            dir_stats.update(d["dir_stats_added"])
+            file_stats = {
+                k: v
+                for k, v in cur.get("file_stats", {}).items()
+                if k.rsplit("/", 1)[0] in live
+            }
+            file_stats.update(d["file_stats_added"])
+            file_blooms = {
+                k: v
+                for k, v in cur.get("file_blooms", {}).items()
+                if k.rsplit("/", 1)[0] in live
+            }
+            file_blooms.update(d.get("file_blooms_added", {}))
+            sidecars = self._live_sidecars(
+                cur.get("file_stats_sidecars"), partitions
+            ) + list(d.get("file_stats_sidecars_added", []))
+            delete_sets = _prune_delete_sets(
+                list(cur.get("delete_sets", []))
+                + list(d.get("delete_sets_added", [])),
+                partitions,
+            )
+            vdir_live = {vd for vds in partitions.values() for vd in vds}
+            parent_specs = _filled_dir_specs(cur)
+            dir_specs = {
+                vd: spec
+                for vd, spec in parent_specs.items()
+                if vd in vdir_live
+            }
+            dir_specs.update(d.get("dir_specs_added", {}))
+            dir_rows = {
+                k: v for k, v in cur.get("dir_rows", {}).items() if k in live
+            }
+            dir_rows.update(d.get("dir_rows_added", {}))
+            cur = {
+                "version": d["version"],
+                "parent": d["parent"],
+                "mode": d["mode"],
+                "partition_by": d["partition_by"],
+                "partitions": partitions,
+                "dir_stats": dir_stats,
+                "file_stats": file_stats,
+                "file_blooms": file_blooms,
+                "file_stats_sidecars": sidecars,
+                "delete_sets": delete_sets,
+                "dir_specs": dir_specs,
+                "dir_rows": dir_rows,
+                "table_stats": (
+                    d.get("table_stats")
+                    if d.get("table_stats") is not None
+                    else cur.get("table_stats")
+                ),
+                "committed_at_ms": d["committed_at_ms"],
+                "metadata": d["metadata"],
+                "schema": d["schema"],
+                "watermarks": {
+                    **(cur.get("watermarks") or {}),
+                    **(d.get("watermarks") or {}),
+                },
+                "manifest_kind": "delta",
+                **(
+                    {"staged": d["staged"]}
+                    if d.get("staged") is not None
+                    else {}
+                ),
+            }
+        return cur
+
+    def _shard_path(self, name: str) -> str:
+        return (
+            f"{self.root.rstrip('/')}/{MANIFEST_DIR}/{SHARDS_SUBDIR}/{name}"
         )
-        vdir_live = {vd for vds in partitions.values() for vd in vds}
-        parent_specs = _filled_dir_specs(parent)
-        dir_specs = {
-            vd: spec for vd, spec in parent_specs.items() if vd in vdir_live
-        }
-        dir_specs.update(raw.get("dir_specs_added", {}))
-        dir_rows = {
-            k: v for k, v in parent.get("dir_rows", {}).items() if k in live
-        }
-        dir_rows.update(raw.get("dir_rows_added", {}))
-        return {
-            "version": raw["version"],
-            "parent": raw["parent"],
-            "mode": raw["mode"],
-            "partition_by": raw["partition_by"],
-            "partitions": partitions,
-            "dir_stats": dir_stats,
-            "file_stats": file_stats,
-            "file_blooms": file_blooms,
-            "file_stats_sidecars": sidecars,
-            "delete_sets": delete_sets,
-            "dir_specs": dir_specs,
-            "dir_rows": dir_rows,
-            "table_stats": (
-                raw.get("table_stats")
-                if raw.get("table_stats") is not None
-                else parent.get("table_stats")
-            ),
-            "committed_at_ms": raw["committed_at_ms"],
-            "metadata": raw["metadata"],
-            "schema": raw["schema"],
-            "watermarks": {
-                **(parent.get("watermarks") or {}),
-                **(raw.get("watermarks") or {}),
-            },
-            "manifest_kind": "delta",
-            **(
-                {"staged": raw["staged"]}
-                if raw.get("staged") is not None
-                else {}
-            ),
-        }
+
+    def _read_shard(self, name: str) -> dict:
+        return json.loads(
+            read_bytes(self.spark, self._shard_path(name)).decode("utf-8")
+        )
+
+    def _load_base(
+        self,
+        raw: dict,
+        want: list[str] | None,
+        ranges: list[tuple] | None,
+    ) -> dict:
+        """A full-checkpoint root manifest with its shard content
+        merged back in -- all shards for a full resolve, only the
+        selector-matching ones (plus one fallback shard, keeping
+        read()'s empty-result paths intact) for a pruned one."""
+        shards = raw.get("partition_shards")
+        if not shards:
+            return raw
+        if want is None and not ranges:
+            selected = list(shards)
+        else:
+            selected = [
+                s
+                for s in shards
+                if (
+                    want is None
+                    or any(s["min"] <= k <= s["max"] for k in want)
+                )
+                and not (
+                    ranges
+                    and self._provably_disjoint(s.get("stats", {}), ranges)
+                )
+            ]
+            if not selected:
+                selected = shards[:1]
+        out = {k: v for k, v in raw.items() if k != "partition_shards"}
+        out["partitions"] = dict(raw.get("partitions", {}))
+        for key in ("dir_stats", "file_stats", "file_blooms", "dir_rows"):
+            out[key] = dict(raw.get(key, {}))
+        for s in selected:
+            sh = self._read_shard(s["file"])
+            out["partitions"].update(sh["partitions"])
+            for key in (
+                "dir_stats",
+                "file_stats",
+                "file_blooms",
+                "dir_rows",
+            ):
+                out[key].update(sh.get(key, {}))
+        return out
 
     def _commit_manifest(self, version: int, manifest: dict) -> None:
         """Single-winner commit point, per store semantics.
@@ -554,13 +698,22 @@ class SnapshotStore:
           HDFS-semantics stores (rename fails on an existing
           destination).
         """
-        write_atomic_claim(
-            self.spark,
-            self._manifest_path(version),
-            json.dumps(manifest).encode("utf-8"),
-            f"{self.root.rstrip('/')}/{MANIFEST_DIR}/.v{version}.json.tmp",
-            what=f"version {version}",
-        )
+        manifest, shard_paths = self._externalize_manifest(version, manifest)
+        try:
+            write_atomic_claim(
+                self.spark,
+                self._manifest_path(version),
+                json.dumps(manifest).encode("utf-8"),
+                f"{self.root.rstrip('/')}/{MANIFEST_DIR}/.v{version}.json.tmp",
+                what=f"version {version}",
+            )
+        except SnapshotConflict:
+            # Loser's shard files are invisible (only a committed root
+            # references its shards); reclaim them eagerly like the
+            # orphaned data dir.
+            for sp in shard_paths:
+                delete_prefix(self.spark, sp)
+            raise
 
     def _replace_manifest(self, version: int, manifest: dict) -> None:
         """Maintenance-only overwrite of an EXISTING manifest with a
@@ -570,13 +723,155 @@ class SnapshotStore:
         are safe; on ``file://`` the swap is an atomic REPLACE_EXISTING
         move, elsewhere a create-overwrite (readers racing the
         maintenance window may retry, the same contract expire already
-        carries for data-dir reclamation)."""
+        carries for data-dir reclamation).  A replaced SHARDED root's
+        new shards are written (attempt-unique names) before the root
+        swap; the old shards become orphans, reclaimed by expire's
+        age-gated shard sweep so a reader holding the old root can
+        still finish."""
+        manifest, _ = self._externalize_manifest(version, manifest)
         write_atomic_replace(
             self.spark,
             self._manifest_path(version),
             json.dumps(manifest).encode("utf-8"),
             f"{self.root.rstrip('/')}/{MANIFEST_DIR}/.v{version}.json.mat.tmp",
         )
+
+    def _externalize_manifest(
+        self, version: int, manifest: dict
+    ) -> tuple[dict, list[str]]:
+        """Split a large full checkpoint into range-clustered shard
+        files (written here, before the root claim -- a visible root
+        always has its shards) and return ``(root manifest, shard
+        paths)``.  Small checkpoints, deltas, and already-externalized
+        dicts pass through unchanged.  Shard names embed an attempt
+        token, so racing committers of one version never share files.
+
+        Per shard the root records its partition-key range and, for
+        range-filter skipping, aggregate column bounds -- present for a
+        column only when EVERY directory in the shard carries non-null
+        bounds for it (the lifted form of plan_dirs' "missing stats are
+        inconclusive" rule, so skipping a whole shard is exactly as
+        sound as skipping each of its directories)."""
+        thresh = (
+            self.shard_partitions_threshold
+            if self.shard_partitions_threshold is not None
+            else SHARD_PARTITIONS_THRESHOLD
+        )
+        parts = manifest.get("partitions")
+        if (
+            manifest.get("manifest_kind") != "full"
+            or "partition_shards" in manifest
+            or parts is None
+            or len(parts) <= thresh
+        ):
+            return manifest, []
+        shard_size = self.shard_size if self.shard_size else SHARD_SIZE
+        keys = sorted(parts)
+        shard_of = {
+            k: i // shard_size for i, k in enumerate(keys)
+        }
+        n_shards = shard_of[keys[-1]] + 1
+        payloads: list[dict] = [
+            {
+                "partitions": {},
+                "dir_stats": {},
+                "file_stats": {},
+                "file_blooms": {},
+                "dir_rows": {},
+            }
+            for _ in range(n_shards)
+        ]
+        for k, v in parts.items():
+            payloads[shard_of[k]]["partitions"][k] = v
+        leftovers: dict[str, dict] = {
+            "dir_stats": {},
+            "file_stats": {},
+            "file_blooms": {},
+            "dir_rows": {},
+        }
+        for key in ("dir_stats", "dir_rows"):
+            for dk, v in manifest.get(key, {}).items():
+                j = shard_of.get(_dkey_part(dk))
+                (payloads[j][key] if j is not None else leftovers[key])[
+                    dk
+                ] = v
+        for key in ("file_stats", "file_blooms"):
+            for fk, v in manifest.get(key, {}).items():
+                j = shard_of.get(_dkey_part(fk.rsplit("/", 1)[0]))
+                (payloads[j][key] if j is not None else leftovers[key])[
+                    fk
+                ] = v
+        token = uuid.uuid4().hex[:8]
+        metas: list[dict] = []
+        paths: list[str] = []
+        for j, payload in enumerate(payloads):
+            skeys = sorted(payload["partitions"])
+            name = f"v{version}-{token}-{j}.json"
+            path = self._shard_path(name)
+            write_atomic_replace(
+                self.spark,
+                path,
+                json.dumps(payload).encode("utf-8"),
+                f"{self.root.rstrip('/')}/{MANIFEST_DIR}/{SHARDS_SUBDIR}"
+                f"/.{name}.tmp",
+            )
+            metas.append(
+                {
+                    "file": name,
+                    "min": skeys[0],
+                    "max": skeys[-1],
+                    "n": len(skeys),
+                    "stats": self._shard_agg_stats(payload),
+                }
+            )
+            paths.append(path)
+        root = {
+            k: v
+            for k, v in manifest.items()
+            if k
+            not in ("partitions", "dir_stats", "file_stats", "file_blooms",
+                    "dir_rows")
+        }
+        root["partitions"] = {}
+        root.update(leftovers)
+        root["partition_shards"] = metas
+        return root, paths
+
+    @staticmethod
+    def _shard_agg_stats(payload: dict) -> dict:
+        """Aggregate [min, max] per column over a shard's directory
+        zone maps -- a column appears only when every directory in the
+        shard carries usable bounds for it (and they compare cleanly),
+        so a shard-level disjointness proof implies per-directory
+        disjointness for every member."""
+        agg: dict | None = None
+        for p, vds in payload["partitions"].items():
+            for vd in vds:
+                dk = f"{vd}/{p}" if p else vd
+                ds = payload["dir_stats"].get(dk) or {}
+                usable = {
+                    c: b
+                    for c, b in ds.items()
+                    if b[0] is not None and b[1] is not None
+                }
+                if agg is None:
+                    agg = {c: list(b) for c, b in usable.items()}
+                    continue
+                for c in list(agg):
+                    b = usable.get(c)
+                    if b is None:
+                        agg.pop(c)
+                        continue
+                    try:
+                        if b[0] < agg[c][0]:
+                            agg[c][0] = b[0]
+                        if b[1] > agg[c][1]:
+                            agg[c][1] = b[1]
+                    except TypeError:
+                        agg.pop(c)
+                if not agg:
+                    return {}
+        return agg or {}
 
     def history(self) -> list[dict]:
         """Commit metadata per version, ascending (the ``.history``
@@ -2169,7 +2464,13 @@ class SnapshotStore:
         version = self.current_version() if as_of is None else as_of
         if version is None:
             raise ValueError(f"no snapshots committed under {self.root}")
-        manifest = self._read_manifest(version)
+        # Pruned resolution: against a sharded checkpoint only the
+        # selector-matching shards are read -- O(matching dirs) manifest
+        # bytes; the exact filters below re-apply on the (possibly
+        # over-inclusive) result.
+        manifest = self._read_manifest_pruned(
+            version, partitions=partitions, range_filter=range_filter
+        )
         stats = manifest.get("dir_stats", {})
         ranges = self._normalize_ranges(range_filter)
 
@@ -2513,7 +2814,7 @@ class SnapshotStore:
         version = self.current_version() if as_of is None else as_of
         if version is None:
             raise ValueError(f"no snapshots committed under {self.root}")
-        manifest = self._read_manifest(version)
+        manifest = self._read_manifest_pruned(version, partitions=partitions)
         if manifest.get("delete_sets"):
             return None
         if partitions is not None:
@@ -2955,6 +3256,38 @@ class SnapshotStore:
                 aged = now_ms - st.getModificationTime() > orphan_grace_ms
                 if st.getPath().getName().endswith(".tmp") and aged:
                     fs.delete(st.getPath(), False)
+        # Shard files: live iff a KEPT root references them (recomputed
+        # AFTER delta materialization, which may have written fresh
+        # shards).  Expired versions' shards reclaim with their root;
+        # anything unreferenced (a replaced root's old shards, a crashed
+        # commit's) is age-gated like an orphan data dir -- a reader
+        # holding a pre-replace root can still finish inside the grace.
+        live_shards = {
+            s["file"]
+            for v in keep
+            for s in self._read_manifest_raw(v).get("partition_shards", [])
+        }
+        dropped_shards = 0
+        fs, shdir = _fs_and_path(
+            self.spark,
+            f"{self.root.rstrip('/')}/{MANIFEST_DIR}/{SHARDS_SUBDIR}",
+        )
+        if fs.exists(shdir):
+            for st in fs.listStatus(shdir):
+                name = st.getPath().getName()
+                if name in live_shards:
+                    continue
+                aged = now_ms - st.getModificationTime() > orphan_grace_ms
+                try:
+                    owner = int(name[1:].split("-", 1)[0])
+                except ValueError:
+                    owner = None
+                expired_owner = (
+                    owner is not None and owner in vs and owner not in keep
+                )
+                if expired_owner or aged:
+                    fs.delete(st.getPath(), False)
+                    dropped_shards += 1
         dropped_data = 0
         droot = f"{self.root.rstrip('/')}/{DATA_DIR}"
         fs, dp = _fs_and_path(self.spark, droot)
@@ -2991,6 +3324,7 @@ class SnapshotStore:
             "dropped_manifests": dropped_manifests,
             "dropped_data_dirs": dropped_data,
             "dropped_stats_sidecars": dropped_sidecars,
+            "dropped_manifest_shards": dropped_shards,
         }
 
 
