@@ -66,6 +66,7 @@ behavior, executed.
 from __future__ import annotations
 
 import json
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -418,6 +419,80 @@ def _dkey_part(dkey: str) -> str:
 #: lifecycle rules (repeat fast-forwards allowed; see :meth:`SnapshotStore.branch_write`).
 BRANCH_NS = "branch."
 
+#: Type widenings :meth:`SnapshotStore.evolve_schema` accepts -- the
+#: Iceberg-spec promotion set (int -> long, float -> double, decimal
+#: precision growth handled separately): every value representable in
+#: the source type is exactly representable in the target, so old data
+#: files read through a cast lose nothing.
+_TYPE_WIDENINGS = {
+    "tinyint": {"smallint", "int", "bigint"},
+    "smallint": {"int", "bigint"},
+    "int": {"bigint"},
+    "float": {"double"},
+}
+
+_DECIMAL_RE = re.compile(r"^decimal\((\d+),(\d+)\)$")
+
+#: Spark spells scalar types two ways -- schema JSON ("integer",
+#: "long", "short", "byte") vs DDL/simpleString ("int", "bigint",
+#: "smallint", "tinyint").  Evolution metadata normalizes to DDL (what
+#: ``cast()`` and ``dataType.simpleString()`` speak); manifest schema
+#: JSON keeps the JSON spelling (what ``StructType.fromJson`` expects).
+_JSON_TO_DDL = {"byte": "tinyint", "short": "smallint", "integer": "int", "long": "bigint"}
+_DDL_TO_JSON = {v: k for k, v in _JSON_TO_DDL.items()}
+
+
+def _ddl_type(t):
+    """Either spelling (or a nested-type dict) -> DDL form for strings."""
+    return _JSON_TO_DDL.get(t, t) if isinstance(t, str) else t
+
+
+def _json_type(t):
+    """Either spelling (or a nested-type dict) -> schema-JSON form."""
+    return _DDL_TO_JSON.get(t, t) if isinstance(t, str) else t
+
+
+def _is_widening(frm, to) -> bool:
+    """True iff ``frm -> to`` is a lossless type promotion (Iceberg's
+    schema-evolution rule: int->long, float->double, decimal(p,s) ->
+    decimal(p',s) with p' >= p).  Accepts either type spelling."""
+    frm, to = _ddl_type(frm), _ddl_type(to)
+    if not isinstance(frm, str) or not isinstance(to, str):
+        return False
+    if to in _TYPE_WIDENINGS.get(frm, ()):
+        return True
+    mf, mt = _DECIMAL_RE.match(frm), _DECIMAL_RE.match(to)
+    if mf and mt:
+        return int(mt.group(1)) >= int(mf.group(1)) and mt.group(2) == mf.group(2)
+    return False
+
+
+def _epoch_fields(schema_log: list, w: int) -> dict[int, str]:
+    """Field-id -> STORED column name for a data directory written at
+    version ``w``: the newest schema-log entry at or before ``w``, plus
+    RETROACTIVE registrations from later entries' ``synced`` maps.
+
+    ``synced`` records fields first registered at an evolve commit from
+    columns that already existed in the table (added by ordinary writes,
+    which never rename): such a column carried the same name across all
+    earlier versions, so mapping it back in time is exact -- EXCEPT when
+    the name already belongs to a field in the base epoch (a dropped
+    field's name later reused): the base field owns the stored column
+    for directories of that epoch, so the synced id is skipped there."""
+    base: dict[int, str] = {}
+    names: set[str] = set()
+    for e in schema_log:
+        if e["version"] <= w:
+            base = {int(f["id"]): f["name"] for f in e["fields"]}
+            names = set(base.values())
+        else:
+            for fid_s, nm in (e.get("synced") or {}).items():
+                fid = int(fid_s)
+                if fid not in base and nm not in names:
+                    base[fid] = nm
+                    names.add(nm)
+    return base
+
 
 class SnapshotConflict(RuntimeError):
     """Another committer claimed this version first (optimistic-commit
@@ -607,6 +682,17 @@ class SnapshotStore:
                 "committed_at_ms": d["committed_at_ms"],
                 "metadata": d["metadata"],
                 "schema": d["schema"],
+                **(
+                    {
+                        "schema_log": (
+                            d["schema_log"]
+                            if d.get("schema_log")
+                            else cur.get("schema_log")
+                        )
+                    }
+                    if d.get("schema_log") or cur.get("schema_log")
+                    else {}
+                ),
                 "watermarks": {
                     **(cur.get("watermarks") or {}),
                     **(d.get("watermarks") or {}),
@@ -1074,6 +1160,14 @@ class SnapshotStore:
             "committed_at_ms": int(time.time() * 1000),
             "metadata": {"rollback_to": version},
             "schema": target["schema"],
+            # the TARGET's log, not the head's: rolling back across an
+            # evolve restores that epoch's names/types, and every live
+            # dir after the rollback predates the trimmed entries
+            **(
+                {"schema_log": target["schema_log"]}
+                if target.get("schema_log")
+                else {}
+            ),
             "watermarks": {
                 **(head_man.get("watermarks") or {}),
                 **(watermarks or {}),
@@ -1130,7 +1224,9 @@ class SnapshotStore:
         replaces), so concurrent committed transactions do not force
         the over-masking fallback."""
         for v, m in self.commit_modes(since, as_of=head_v).items():
-            if m in ("append", "delete_keys"):
+            # evolve_schema is metadata-only: no rows added or rewritten,
+            # so it can never let a claim-stamped delete resurrect data
+            if m in ("append", "delete_keys", "evolve_schema"):
                 continue
             if m == "wap_publish":
                 pf = (
@@ -1165,6 +1261,25 @@ class SnapshotStore:
         partition columns -- else a human-readable reason (conservative
         on unpartitioned tables, partition-blind keys, or key sets
         spanning more distinct values than the probe bound)."""
+        if entry.get("kind") == "positional":
+            # Positions name EXPLICIT files, all under the vdir
+            # prefixes recorded at delete time; the rows this check
+            # protects live in still-staged dirs (the replay/claim
+            # targets), so the delete can mask them only if one of its
+            # recorded vdirs IS a staged dir -- i.e. someone read a
+            # staged snapshot with positions and deleted from it.
+            # Decided from metadata alone, no data read.
+            if "vdirs" not in entry:
+                return "it is a positional delete without recorded dirs"
+            staged = set(self.staged_versions())
+            hit = sorted(
+                vd
+                for vd in entry["vdirs"]
+                if _vdir_version(vd) in staged
+            )
+            if hit:
+                return f"positions reference staged dirs {hit[:8]}"
+            return None
         if not pby:
             return "the table is unpartitioned"
         if any(c not in entry["key_cols"] for c in pby):
@@ -1349,6 +1464,8 @@ class SnapshotStore:
                             "table schema"
                         )
                     for d0 in head.get("delete_sets", []):
+                        if d0.get("kind") == "positional":
+                            continue
                         if list(d0["key_cols"]) != list(d["key_cols"]):
                             raise SnapshotConflict(
                                 f"cannot publish staged delete v{sv}: "
@@ -1525,11 +1642,20 @@ class SnapshotStore:
                     if base is None or st["schema"] != base["schema"]
                     else head["schema"]
                 )
+            # Schema log: stages never evolve, so the stage's log and
+            # the head's are prefixes of one another (linear history);
+            # carry the longer -- the head's when an evolve landed
+            # while the snapshot was staged, in which case the replayed
+            # dirs epoch-map by their stage-time versions on read.
+            st_log = st.get("schema_log") or []
+            head_log = (head or {}).get("schema_log") or []
+            pub_log = st_log if len(st_log) >= len(head_log) else head_log
             manifest = {
                 "version": new_v,
                 "parent": head_v,
                 "mode": "wap_publish",
                 "manifest_kind": "full",
+                **({"schema_log": pub_log} if pub_log else {}),
                 "partition_by": merged["partition_by"],
                 "partitions": merged["partitions"],
                 "dir_stats": merged.get("dir_stats", {}),
@@ -1783,6 +1909,8 @@ class SnapshotStore:
                 f"{sorted(table_cols)}"
             )
         for d in parent.get("delete_sets", []):
+            if d.get("kind") == "positional":
+                continue  # positional sets have no key columns
             if list(d["key_cols"]) != list(key_cols):
                 raise ValueError(
                     f"delete key_cols {key_cols} != existing {d['key_cols']}"
@@ -1793,7 +1921,16 @@ class SnapshotStore:
         keys_df.select(*key_cols).dropDuplicates(key_cols).write.format(
             "parquet"
         ).mode("overwrite").save(del_path)
-        entry = {"dir": vdir, "key_cols": list(key_cols), "version": version}
+        # frame_version pins the schema EPOCH the delete parquet was
+        # written under: a WAP publish re-stamps ``version`` (sequence
+        # number) but the physical column names stay stage-time, so
+        # read-side epoch mapping must key on this, not the re-stamp.
+        entry = {
+            "dir": vdir,
+            "key_cols": list(key_cols),
+            "version": version,
+            "frame_version": version,
+        }
         common = {
             "version": version,
             "parent": parent_v,
@@ -1803,6 +1940,11 @@ class SnapshotStore:
             "metadata": dict(metadata or {}),
             "table_stats": parent.get("table_stats"),
             "schema": parent["schema"],
+            **(
+                {"schema_log": parent["schema_log"]}
+                if parent.get("schema_log")
+                else {}
+            ),
             **({"staged": staged} if staged is not None else {}),
         }
         if version % CHECKPOINT_EVERY == 0:
@@ -1840,6 +1982,340 @@ class SnapshotStore:
         except SnapshotConflict:
             delete_prefix(self.spark, del_path)
             raise
+        return version
+
+    def delete_positions(self, pos_df: DataFrame, metadata: dict | None = None) -> int:
+        """MERGE-ON-READ positional delete (Iceberg v2's second delete
+        kind, ``file_path``/``pos`` delete files): remove rows
+        identified by WHERE THEY ARE -- (data file, row index) -- not by
+        key values, committing the positions as a small parquet set with
+        no data rewrite.  The natural sink for operators that emit
+        row-level verdicts with no natural key, e.g. applying
+        :func:`~.workloads.dedup.dedup_substring_excise` output back to
+        the stored documents.
+
+        ``pos_df`` must carry ``_file`` (data-root-relative file path,
+        exactly as :meth:`read` ``with_positions=True`` returns it) and
+        ``_pos`` (the file-local row index from parquet's generated
+        ``_metadata.row_index``); other columns are ignored.
+
+        Sequence-number semantics are SHARED with :meth:`delete_keys`:
+        the delete masks only data directories OLDER than its commit
+        (``_vdir_version``), time travel before it is unaffected, and
+        after :meth:`compact` rewrites the referenced partitions the set
+        stops matching any live dir and :func:`_prune_delete_sets` drops
+        it from descendant manifests.  Positions are matched per
+        directory with the delete frame pre-filtered to that dir's
+        ``_file`` prefix, so the read-side cost is one broadcast-sized
+        anti join per affected dir, like equality deletes.
+
+        Unlike :meth:`delete_keys` there is no ``staged=`` form:
+        positions name explicit committed files, so the WAP re-stamp
+        rules (which exist to make key-based deletes land at publish
+        time) have nothing to re-interpret -- commit directly.
+
+        Reference parity note: the reference's Iceberg 1.3 tables
+        (/root/reference/spark/Dockerfile:12-13) are v2-format, where
+        positional delete files are core spec; the reference's own jobs
+        only ever overwrite (job_silver.py:174-178), so this is
+        extension surface."""
+        need = {"_file", "_pos"}
+        missing = sorted(need - set(pos_df.columns))
+        if missing:
+            raise ValueError(
+                f"pos_df must carry {sorted(need)} (read with "
+                f"with_positions=True); missing {missing}"
+            )
+        parent_v = self.current_version()
+        if parent_v is None:
+            raise ValueError(f"no snapshots committed under {self.root}")
+        parent = self._read_manifest(parent_v)
+        version = self.latest_version() + 1
+        vdir = f"v{version}-{uuid.uuid4().hex[:8]}-posdel"
+        del_path = f"{self.root.rstrip('/')}/{DATA_DIR}/{vdir}"
+        from pyspark.sql import functions as F
+
+        dedup = (
+            pos_df.select(
+                F.col("_file").cast("string").alias("_file"),
+                F.col("_pos").cast("bigint").alias("_pos"),
+            )
+            .dropDuplicates(["_file", "_pos"])
+        )
+        dedup.write.format("parquet").mode("overwrite").save(del_path)
+        # The touched vdir prefixes, recorded in the manifest entry:
+        # lets publish_staged's overwrite-replay conflict check prove
+        # disjointness from staged dirs without reading the delete set
+        # (positions can only ever name files that were LIVE when the
+        # positions were read, so the list is small and exact).
+        touched = sorted(
+            r["vd"]
+            for r in dedup.select(
+                F.substring_index("_file", "/", 1).alias("vd")
+            )
+            .distinct()
+            .collect()
+        )
+        entry = {
+            "dir": vdir,
+            "kind": "positional",
+            "vdirs": touched,
+            "version": version,
+        }
+        common = {
+            "version": version,
+            "parent": parent_v,
+            "mode": "delete_keys",
+            "partition_by": parent["partition_by"],
+            "committed_at_ms": int(time.time() * 1000),
+            "metadata": dict(metadata or {}),
+            "table_stats": parent.get("table_stats"),
+            "schema": parent["schema"],
+            **(
+                {"schema_log": parent["schema_log"]}
+                if parent.get("schema_log")
+                else {}
+            ),
+        }
+        if version % CHECKPOINT_EVERY == 0:
+            manifest = {
+                **common,
+                "manifest_kind": "full",
+                "partitions": parent["partitions"],
+                "dir_stats": parent.get("dir_stats", {}),
+                "file_stats": parent.get("file_stats", {}),
+                "file_blooms": parent.get("file_blooms", {}),
+                "file_stats_sidecars": parent.get("file_stats_sidecars", []),
+                "delete_sets": _prune_delete_sets(
+                    list(parent.get("delete_sets", [])) + [entry],
+                    parent["partitions"],
+                ),
+                "dir_specs": _filled_dir_specs(parent),
+                "dir_rows": parent.get("dir_rows", {}),
+                "watermarks": dict(parent.get("watermarks") or {}),
+            }
+        else:
+            manifest = {
+                **common,
+                "manifest_kind": "delta",
+                "partitions_set": {},
+                "partitions_removed": [],
+                "dir_stats_added": {},
+                "file_stats_added": {},
+                "file_blooms_added": {},
+                "file_stats_sidecars_added": [],
+                "delete_sets_added": [entry],
+                "watermarks": {},
+            }
+        try:
+            self._commit_manifest(version, manifest)
+        except SnapshotConflict:
+            delete_prefix(self.spark, del_path)
+            raise
+        return version
+
+    def evolve_schema(
+        self,
+        renames: dict[str, str] | None = None,
+        drops: list[str] | None = None,
+        widens: dict[str, str] | None = None,
+        metadata: dict | None = None,
+    ) -> int:
+        """Full schema evolution BY FIELD ID -- rename, drop and
+        type-widen columns as a METADATA-ONLY commit, no data rewritten
+        (Iceberg's core schema-evolution semantics: columns are tracked
+        by numeric field id, names are labels; the reference's tables
+        are Iceberg-1.3 format where this is spec behavior).
+
+        * ``renames``: ``{old_name: new_name}`` -- the field keeps its
+          id; every existing data file keeps the old physical column
+          and :meth:`read` maps it per directory (the directory's
+          commit version selects its schema epoch from the manifest's
+          ``schema_log``).
+        * ``drops``: the field's id leaves the current schema; old
+          files' physical column is projected OUT at read so a later
+          column reusing the name can never surface the dead data.
+        * ``widens``: ``{name: new_type}`` -- lossless promotions only
+          (int->bigint family, float->double, decimal precision
+          growth); old files are CAST at read, new writes may land
+          either width (reads reconcile against the evolved type).
+          Names in ``widens`` refer to the PRE-evolve schema (a field
+          may be renamed and widened in one call).
+
+        All three compose in one commit.  Time travel to versions
+        before the evolve returns that epoch's names and types (each
+        manifest carries its own ``schema_log``); merge-on-read
+        equality deletes keyed on a renamed column keep masking (the
+        live delete-set entries are re-keyed to the new names here,
+        and delete FRAMES are epoch-mapped at read like data dirs).
+
+        Partition columns cannot be renamed/dropped/widened: the
+        physical layout and the manifest's partition map key on their
+        names (Iceberg allows it via field-id partition specs; this
+        store's hive-style dirs do not).
+
+        Concurrency: the commit goes through the same atomic manifest
+        claim as any write; a racing committer raises
+        :class:`SnapshotConflict` and the table is unchanged."""
+        renames = dict(renames or {})
+        drops = list(drops or [])
+        widens = dict(widens or {})
+        if not (renames or drops or widens):
+            raise ValueError("nothing to evolve: pass renames/drops/widens")
+        parent_v = self.current_version()
+        if parent_v is None:
+            raise ValueError(f"no snapshots committed under {self.root}")
+        parent = self._read_manifest(parent_v)
+        cur_fields = json.loads(parent["schema"])["fields"]
+        cur_names = [f["name"] for f in cur_fields]
+        pby = set(parent["partition_by"])
+        touched = set(renames) | set(drops) | set(widens)
+        unknown = sorted(touched - set(cur_names))
+        if unknown:
+            raise ValueError(f"no such columns in table schema: {unknown}")
+        part_hit = sorted(touched & pby)
+        if part_hit:
+            raise ValueError(
+                f"cannot evolve partition columns {part_hit}: the data "
+                "layout and partition map key on their names"
+            )
+        overlap = sorted(set(renames) & set(drops))
+        if overlap:
+            raise ValueError(f"columns both renamed and dropped: {overlap}")
+        # -- sync the log head with the current schema: assign ids to
+        # columns added by ordinary writes since the last evolve (or
+        # ever, on first evolve), and retire stale entries for columns
+        # a snapshot-mode rewrite removed.  Synced ids are recorded so
+        # epoch resolution can map them RETROACTIVELY (writes never
+        # rename, so the name held across all earlier versions).
+        log = list(parent.get("schema_log") or [])
+        prev = (
+            {int(f["id"]): dict(f) for f in log[-1]["fields"]} if log else {}
+        )
+        used_ids = {
+            int(f["id"])
+            for e in log
+            for f in e["fields"]
+        } | {int(i) for e in log for i in (e.get("synced") or {})}
+        next_id = max(used_ids, default=0) + 1
+        by_name: dict[str, dict] = {}
+        synced: dict[str, str] = {}
+        prev_by_name = {f["name"]: f for f in prev.values()}
+        for f in cur_fields:
+            nm = f["name"]
+            if nm in prev_by_name:
+                ent = dict(prev_by_name[nm])
+                ent["type"] = f["type"]  # trust the live schema's type
+                by_name[nm] = ent
+            else:
+                by_name[nm] = {"id": next_id, "name": nm, "type": f["type"]}
+                synced[str(next_id)] = nm
+                next_id += 1
+        # -- validate widens against the pre-evolve types
+        for nm, to in widens.items():
+            frm = by_name[nm]["type"]
+            if not _is_widening(frm, to):
+                raise ValueError(
+                    f"widen {nm!r}: {frm} -> {to} is not a lossless "
+                    "promotion (allowed: int family upward, "
+                    "float->double, decimal precision growth)"
+                )
+        # -- apply, preserving column order (types kept in schema-JSON
+        # spelling here; the log entry below normalizes to DDL)
+        new_fields: list[dict] = []
+        for f in cur_fields:
+            nm = f["name"]
+            if nm in drops:
+                continue
+            ent = dict(by_name[nm])
+            if nm in widens:
+                ent["type"] = _json_type(_ddl_type(widens[nm]))
+            if nm in renames:
+                ent["name"] = renames[nm]
+            new_fields.append(ent)
+        final_names = [f["name"] for f in new_fields]
+        dupes = sorted({n for n in final_names if final_names.count(n) > 1})
+        if dupes:
+            raise ValueError(f"evolution produces duplicate columns: {dupes}")
+        new_schema = {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": f["name"],
+                    "type": f["type"],
+                    "nullable": True,
+                    "metadata": {},
+                }
+                for f in new_fields
+            ],
+        }
+        version = self.latest_version() + 1
+        entry = {
+            "version": version,
+            "fields": [
+                {"id": int(f["id"]), "name": f["name"], "type": _ddl_type(f["type"])}
+                for f in new_fields
+            ],
+            "synced": synced,
+        }
+        # Re-key live equality-delete entries to the new names (the
+        # delete FILES keep old physical columns -- read maps them by
+        # epoch like any data dir); requires a FULL manifest since
+        # delta resolution can only append delete sets, not amend them.
+        def _rekey(cols: list[str]) -> list[str]:
+            return [renames.get(c, c) for c in cols]
+
+        delete_sets = [
+            (
+                d
+                if d.get("kind") == "positional"
+                else {**d, "key_cols": _rekey(list(d["key_cols"]))}
+            )
+            for d in parent.get("delete_sets", [])
+        ]
+        dropped_keys = sorted(
+            {
+                c
+                for d in delete_sets
+                if d.get("kind") != "positional"
+                for c in d["key_cols"]
+            }
+            & set(drops)
+        )
+        if dropped_keys:
+            raise ValueError(
+                f"cannot drop {dropped_keys}: live merge-on-read delete "
+                "sets key on them; compact() first to fold the deletes in"
+            )
+        manifest = {
+            "version": version,
+            "parent": parent_v,
+            "mode": "evolve_schema",
+            "manifest_kind": "full",
+            "partition_by": parent["partition_by"],
+            "partitions": parent["partitions"],
+            "dir_stats": parent.get("dir_stats", {}),
+            "file_stats": parent.get("file_stats", {}),
+            "file_blooms": parent.get("file_blooms", {}),
+            "file_stats_sidecars": parent.get("file_stats_sidecars", []),
+            "delete_sets": delete_sets,
+            "dir_specs": _filled_dir_specs(parent),
+            "dir_rows": parent.get("dir_rows", {}),
+            "table_stats": parent.get("table_stats"),
+            "committed_at_ms": int(time.time() * 1000),
+            "metadata": {
+                **(metadata or {}),
+                "evolve": {
+                    "renames": renames,
+                    "drops": drops,
+                    "widens": widens,
+                },
+            },
+            "schema": json.dumps(new_schema),
+            "schema_log": log + [entry],
+            "watermarks": dict(parent.get("watermarks") or {}),
+        }
+        self._commit_manifest(version, manifest)
         return version
 
     def write(
@@ -1995,6 +2471,45 @@ class SnapshotStore:
                     "is unsafe until a snapshot-mode rewrite normalizes "
                     "the layout"
                 )
+        # Field-id schema evolution bookkeeping (:meth:`evolve_schema`).
+        # A non-replacing write records the EVOLVED table schema (parent
+        # columns at their evolved types, plus any additive df-only
+        # columns) -- recording the raw frame schema would let one
+        # narrow append silently un-widen the table.  And a frame
+        # carrying a RENAMED-AWAY name is refused: it is a stale
+        # producer writing under the old schema, and by-name union
+        # would misfile its values as a brand-new column.
+        slog = (parent or {}).get("schema_log")
+        if slog and mode != "snapshot":
+            live_ids = {int(f["id"]) for f in slog[-1]["fields"]}
+            cur_names = {f["name"] for f in slog[-1]["fields"]}
+            renamed_away = set()
+            for e in slog:
+                for f in e["fields"]:
+                    if int(f["id"]) in live_ids and f["name"] not in cur_names:
+                        renamed_away.add(f["name"])
+                for fid_s, nm in (e.get("synced") or {}).items():
+                    if int(fid_s) in live_ids and nm not in cur_names:
+                        renamed_away.add(nm)
+            stale = sorted(renamed_away & set(df.columns))
+            if stale:
+                raise ValueError(
+                    f"columns {stale} were renamed by evolve_schema; "
+                    "write with the current names (see the manifest's "
+                    "schema_log)"
+                )
+            pfields = json.loads(parent["schema"])["fields"]
+            known = {f["name"] for f in pfields}
+            extra = [
+                f
+                for f in json.loads(df.schema.json())["fields"]
+                if f["name"] not in known
+            ]
+            schema_json = json.dumps(
+                {"type": "struct", "fields": pfields + extra}
+            )
+        else:
+            schema_json = df.schema.json()
         latest = self.latest_version()
         version = 0 if latest is None else latest + 1
         # Attempt-UNIQUE data directory (the Iceberg convention): two
@@ -2022,7 +2537,14 @@ class SnapshotStore:
             for vals in claimed_partitions or []:
                 # Claimed-but-absent-from-output partitions are dropped;
                 # claimed-and-present ones are re-pointed just below.
-                claimed = _hive_partition_dir(self.spark, pby, vals)
+                # A claim may be a value TUPLE or an already-formatted
+                # hive dir name (compact claims by manifest dir name --
+                # exact, no unescape round-trip).
+                claimed = (
+                    vals
+                    if isinstance(vals, str)
+                    else _hive_partition_dir(self.spark, pby, vals)
+                )
                 partitions.pop(claimed, None)
                 if claimed not in new_parts:
                     removed_parts.append(claimed)
@@ -2231,11 +2753,12 @@ class SnapshotStore:
             "metadata": dict(metadata or {}),
             "table_stats": table_stats,
             **({"staged": staged} if staged is not None else {}),
-            # Written-frame schema: lets read() serve a committed-but-
-            # EMPTY snapshot (e.g. a CDC batch whose deletes emptied
-            # every partition) as an empty typed frame instead of
-            # crashing the consumer.
-            "schema": df.schema.json(),
+            # Table schema (evolved-merged above): lets read() serve a
+            # committed-but-EMPTY snapshot (e.g. a CDC batch whose
+            # deletes emptied every partition) as an empty typed frame
+            # instead of crashing the consumer.
+            "schema": schema_json,
+            **({"schema_log": slog} if slog and mode != "snapshot" else {}),
         }
         if is_full:
             manifest = {
@@ -2724,11 +3247,25 @@ class SnapshotStore:
         range_filter: tuple | list[tuple] | None = None,
         point_filter: dict | None = None,
         ref: str | None = None,
+        with_positions: bool = False,
     ) -> DataFrame:
         """Scan one snapshot (latest, time-travel to ``as_of``, or a
         named tag via ``ref`` -- mutually exclusive with ``as_of``);
         ``partitions`` restricts to the given relative partition dirs
         (manifest-level pruning -- the scan never lists the others).
+
+        ``with_positions``: additionally expose ``_file`` (data-root-
+        relative file path) and ``_pos`` (file-local row index, from
+        parquet's generated ``_metadata`` column) -- the row handles
+        :meth:`delete_positions` consumes.  Zero extra scan cost
+        (metadata columns are generated, not read).
+
+        Schema evolution (:meth:`evolve_schema`) is resolved here: every
+        directory's frame is mapped to the snapshot's epoch by FIELD ID
+        -- renamed columns read under their current name, dropped
+        columns never surface, widened columns are cast -- and time
+        travel to an older ``as_of`` returns THAT epoch's names/types
+        (each manifest carries its own schema log).
 
         ``range_filter`` -- one ``(col, lo, hi)`` tuple or a LIST of
         them (conjunctive) -- additionally SKIPS every data directory
@@ -2769,10 +3306,19 @@ class SnapshotStore:
             # manifest via claimed_partitions).  Serve the persisted
             # schema as an empty frame -- raising here would wedge the
             # CDC stream's next merge permanently.
+            from pyspark.sql import functions as F
             from pyspark.sql import types as T
 
             schema = T.StructType.fromJson(json.loads(manifest["schema"]))
-            return self.spark.createDataFrame([], schema)
+            empty = self.spark.createDataFrame([], schema)
+            if with_positions:
+                empty = empty.withColumns(
+                    {
+                        "_file": F.lit(None).cast("string"),
+                        "_pos": F.lit(None).cast("bigint"),
+                    }
+                )
+            return empty
         ranges = self._normalize_ranges(range_filter)
         if not by_vdir:
             if (ranges or points) and manifest["partitions"]:
@@ -2783,14 +3329,23 @@ class SnapshotStore:
                 by_vdir = {first_vdirs[0]: {first_part: None}}
                 from pyspark.sql import functions as F
 
-                df = self._scan(by_vdir)
+                df = self._scan(
+                    by_vdir,
+                    schema_log=manifest.get("schema_log"),
+                    with_positions=with_positions,
+                )
                 return self._retype_void_columns(
                     df.where(F.lit(False)), manifest
                 )
             raise ValueError(
                 f"no matching partitions in snapshot v{version} under {self.root}"
             )
-        df = self._scan(by_vdir, delete_sets=manifest.get("delete_sets"))
+        df = self._scan(
+            by_vdir,
+            delete_sets=manifest.get("delete_sets"),
+            schema_log=manifest.get("schema_log"),
+            with_positions=with_positions,
+        )
         if ranges or points:
             from pyspark.sql import functions as F
 
@@ -2906,7 +3461,11 @@ class SnapshotStore:
                 # the mode on the publish commit, which IS in-window
                 continue
             mode = raw["mode"]
-            if mode not in ("append", "delete_keys"):
+            # evolve_schema is metadata-only (no rows added, none
+            # rewritten), so it never causes re-delivery -- windows may
+            # cross it; the appended rows come back in the HEAD epoch's
+            # shape (the scan below maps by field id).
+            if mode not in ("append", "delete_keys", "evolve_schema"):
                 raise ValueError(
                     f"incremental read window crosses a '{mode}' commit "
                     f"(v{v}); consume via snapshot_diff or restart from "
@@ -2924,7 +3483,11 @@ class SnapshotStore:
             schema = T.StructType.fromJson(json.loads(manifest["schema"]))
             return self.spark.createDataFrame([], schema)
         return self._retype_void_columns(
-            self._scan(by_vdir, delete_sets=manifest.get("delete_sets")),
+            self._scan(
+                by_vdir,
+                delete_sets=manifest.get("delete_sets"),
+                schema_log=manifest.get("schema_log"),
+            ),
             manifest,
         )
 
@@ -2955,43 +3518,117 @@ class SnapshotStore:
             ]
         )
 
+    @staticmethod
+    def _field_xform(df: DataFrame, schema_log: list | None, w: int) -> DataFrame:
+        """Map a frame read from a directory written at version ``w``
+        to the CURRENT schema epoch by field id: project out dropped
+        fields' physical columns (so a reused name never surfaces dead
+        data), rename stored names to current names, and cast any
+        log-tracked column whose physical type is a lossless promotion
+        away from the evolved type (pre-widen files, or narrower frames
+        appended after a widen).  Tables that never evolved
+        (``schema_log`` empty) pass through untouched -- today's
+        by-name union semantics."""
+        if not schema_log:
+            return df
+        from pyspark.sql import functions as F
+
+        cur = {int(f["id"]): f for f in schema_log[-1]["fields"]}
+        epoch = _epoch_fields(schema_log, w)
+        cols = set(df.columns)
+        dead = [nm for fid, nm in epoch.items() if fid not in cur and nm in cols]
+        if dead:
+            df = df.drop(*dead)
+            cols -= set(dead)
+        ren = {
+            epoch[fid]: f["name"]
+            for fid, f in cur.items()
+            if fid in epoch and epoch[fid] != f["name"] and epoch[fid] in cols
+        }
+        if ren:
+            df = df.withColumnsRenamed(ren)
+        casts = {}
+        for f in cur.values():
+            nm, tp = f["name"], f["type"]
+            if nm in df.columns and isinstance(tp, str):
+                have = df.schema[nm].dataType.simpleString()
+                if have != tp and _is_widening(have, tp):
+                    casts[nm] = F.col(nm).cast(tp)
+        if casts:
+            df = df.withColumns(casts)
+        return df
+
     def _scan(
         self,
         by_vdir: dict[str, dict[str, list[str] | None]],
         delete_sets: list | None = None,
+        schema_log: list | None = None,
+        with_positions: bool = False,
     ) -> DataFrame:
         """``by_vdir`` maps data dir -> {partition: files}; ``files``
         None scans the whole partition dir, an explicit list scans only
         those files (per-file zone-map pruning).  basePath anchoring
         keeps partition-column derivation identical either way.
 
-        ``delete_sets`` (merge-on-read equality deletes): each data
+        ``delete_sets`` (merge-on-read deletes, both kinds): each data
         dir is anti-joined against the union of the delete sets NEWER
-        than it (sequence-number rule, see :meth:`delete_keys`) --
-        applied per dir, so data appended after a delete is never
-        masked by it."""
+        than it (sequence-number rule, see :meth:`delete_keys` /
+        :meth:`delete_positions`) -- applied per dir, so data appended
+        after a delete is never masked by it.  Equality sets join on
+        key columns (epoch-mapped, so deletes keyed on a since-renamed
+        column keep masking); positional sets join on the generated
+        ``_metadata`` file path + row index, pre-filtered to the dir's
+        own files.
+
+        ``schema_log`` (field-id schema evolution): every dir's frame
+        is mapped to the current epoch via :meth:`_field_xform` BEFORE
+        deletes and the union, so renames/drops/widens are invisible to
+        callers.
+
+        ``with_positions``: expose ``_file`` (data-root-relative path)
+        and ``_pos`` (file-local row index) on the result -- the
+        handles :meth:`delete_positions` consumes."""
+        from pyspark.sql import functions as F
+
         base_root = f"{self.root.rstrip('/')}/{DATA_DIR}"
         dsets = sorted(delete_sets or [], key=lambda d: int(d["version"]))
+        eq_sets = [d for d in dsets if d.get("kind") != "positional"]
+        pos_sets = [d for d in dsets if d.get("kind") == "positional"]
         # One frame per applicability CLASS (dirs older than delete i
         # share the suffix dsets[i:]), built lazily and reused.
         del_union_cache: dict[int, DataFrame] = {}
+        pos_union_cache: dict[int, DataFrame] = {}
 
-        def _deletes_for(vd: str) -> DataFrame | None:
-            w = _vdir_version(vd)
+        def _newer_union(sets: list, cache: dict, w: int, xform) -> DataFrame | None:
             first = next(
-                (i for i, d in enumerate(dsets) if int(d["version"]) > w), None
+                (i for i, d in enumerate(sets) if int(d["version"]) > w), None
             )
             if first is None:
                 return None
-            if first not in del_union_cache:
+            if first not in cache:
                 frames = [
-                    self.spark.read.parquet(f"{base_root}/{d['dir']}")
-                    for d in dsets[first:]
+                    xform(
+                        self.spark.read.parquet(f"{base_root}/{d['dir']}"),
+                        int(d.get("frame_version", d["version"])),
+                    )
+                    for d in sets[first:]
                 ]
-                del_union_cache[first] = reduce(
+                cache[first] = reduce(
                     lambda a, b: a.unionByName(b), frames
                 ).dropDuplicates()
-            return del_union_cache[first]
+            return cache[first]
+
+        def _pos_cols(scan: DataFrame) -> DataFrame:
+            # data-root-relative file path: stable across store moves
+            # and scheme qualification, matches delete_positions frames
+            return scan.withColumns(
+                {
+                    "_file": F.substring_index(
+                        F.col("_metadata.file_path"), f"/{DATA_DIR}/", -1
+                    ),
+                    "_pos": F.col("_metadata.row_index"),
+                }
+            )
 
         scans = []
         for vd, parts in sorted(by_vdir.items()):
@@ -3005,10 +3642,31 @@ class SnapshotStore:
                 else:
                     paths.extend(f"{dirp}/{f}" for f in sorted(files))
             scan = self.spark.read.option("basePath", base).parquet(*paths)
-            dels = _deletes_for(vd) if dsets else None
+            w = _vdir_version(vd)
+            pdels = (
+                _newer_union(pos_sets, pos_union_cache, w, lambda df, _v: df)
+                if pos_sets
+                else None
+            )
+            need_pos = with_positions or pdels is not None
+            if need_pos:
+                scan = _pos_cols(scan)
+            scan = self._field_xform(scan, schema_log, w)
+            if pdels is not None:
+                # positions name explicit files; restrict the broadcast
+                # side to this dir's prefix so the join stays tiny
+                mine = pdels.where(F.col("_file").startswith(f"{vd}/"))
+                scan = scan.join(
+                    F.broadcast(mine), on=["_file", "_pos"], how="left_anti"
+                )
+            if not with_positions and need_pos:
+                scan = scan.drop("_file", "_pos")
+            dels = (
+                _newer_union(eq_sets, del_union_cache, w, self._xform_delete(schema_log))
+                if eq_sets
+                else None
+            )
             if dels is not None:
-                from pyspark.sql import functions as F
-
                 for f in dels.schema.fields:
                     if f.name not in scan.columns:
                         # delete keyed on a column ADDED by schema
@@ -3034,6 +3692,17 @@ class SnapshotStore:
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), scans
         )
+
+    @classmethod
+    def _xform_delete(cls, schema_log: list | None):
+        """Epoch-map an equality-delete FRAME like a data dir: a delete
+        committed before a later rename/widen stores old names/types,
+        and must keep masking under the current ones."""
+
+        def xf(df: DataFrame, version: int) -> DataFrame:
+            return cls._field_xform(df, schema_log, version)
+
+        return xf
 
     # -- maintenance ------------------------------------------------------
 
@@ -3132,6 +3801,11 @@ class SnapshotStore:
             df,
             mode="overwrite_partitions",
             partition_by=pby,
+            # CLAIM every rewritten partition: one whose rows were all
+            # masked by merge-on-read deletes writes back EMPTY and must
+            # be dropped from the map, not left pointing at the old dir
+            # -- otherwise the folded-in delete sets can never prune.
+            claimed_partitions=list(targets),
             metadata={"compaction": True, "compacted": sorted(targets)},
             stats_cols=ts.get("stats_cols") or None,
             bloom_cols=ts.get("bloom_cols") or None,
@@ -3382,6 +4056,12 @@ class SnapshotTableManager:
         self, table: str, keys_df: DataFrame, key_cols: list[str], **kw
     ) -> int:
         return self.store(table).delete_keys(keys_df, key_cols, **kw)
+
+    def evolve_schema(self, table: str, **kw) -> int:
+        return self.store(table).evolve_schema(**kw)
+
+    def delete_positions(self, table: str, pos_df: DataFrame, **kw) -> int:
+        return self.store(table).delete_positions(pos_df, **kw)
 
     def read_appends(self, table: str, since_version: int) -> DataFrame:
         return self.store(table).read_appends(since_version)

@@ -2612,3 +2612,244 @@ def snapshot_sharded_manifest_read(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Field-id schema evolution (rename / widen / drop) under the gate
+# ---------------------------------------------------------------------------
+
+# Rows whose token count seeds the equality-delete key set in
+# snapshot_field_evolution_read: every doc sharing one of these counts is
+# masked (equality-delete semantics), keyed on the RENAMED column.
+FIELD_EVOLVE_DEL_MOD = 11
+
+
+@register(
+    "snapshot_field_evolution_read",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang, CAST(n_chars AS INT) AS toks, source
+        FROM documents
+    ),
+    delkeys AS (
+        SELECT DISTINCT toks FROM base WHERE doc_id % {FIELD_EVOLVE_DEL_MOD} = 0
+    ),
+    head AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(toks AS BIGINT)) AS BIGINT) AS sum_tokens
+        FROM base
+        WHERE toks NOT IN (SELECT toks FROM delkeys)
+        GROUP BY lang
+    ),
+    v1 AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(toks AS BIGINT)) AS BIGINT) AS sum_tokens
+        FROM base WHERE doc_id % 3 IN (0, 1)
+        GROUP BY lang
+    )
+    SELECT 'epoch_v1' AS phase, lang, n_docs, sum_tokens FROM v1
+    UNION ALL
+    SELECT 'head' AS phase, lang, n_docs, sum_tokens FROM head
+    ORDER BY phase, lang
+    """,
+    category="etl",
+    description="FULL schema evolution by FIELD ID (snapshots."
+    "evolve_schema -- Iceberg-1.3 core semantics the reference's table "
+    "format carries): a rename+widen+drop history over three data "
+    "generations, read coherently at head (renamed column under its new "
+    "name, old files cast to the widened type, dropped column projected "
+    "out of files that still physically hold it), a merge-on-read "
+    "equality delete KEYED ON THE RENAMED column masking all three "
+    "generations, and time travel to the pre-evolve epoch returning THAT "
+    "epoch's names -- runtime-asserted -- with the per-epoch aggregate "
+    "hash-matched",
+)
+def snapshot_field_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    root = (
+        f"{tempfile.gettempdir()}/snapshot_fieldevo_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(spark, root)
+    old_shape = docs.select(
+        F.col("doc_id").cast("int").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("int").alias("toks"),
+        "source",
+    )
+    # v0/v1: two generations written under the ORIGINAL schema
+    store.write(
+        old_shape.where(F.col("doc_id") % 3 == 0),
+        mode="snapshot",
+        partition_by=["lang"],
+    )
+    store.write(
+        old_shape.where(F.col("doc_id") % 3 == 1),
+        mode="append",
+        partition_by=["lang"],
+    )
+    # v2: metadata-only evolve -- rename toks, widen doc_id
+    store.evolve_schema(
+        renames={"toks": "token_count"}, widens={"doc_id": "bigint"}
+    )
+    # v3: a generation written under the NEW names (doc_id now bigint)
+    store.write(
+        docs.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "lang",
+            F.col("n_chars").cast("int").alias("token_count"),
+            "source",
+        ).where(F.col("doc_id") % 3 == 2),
+        mode="append",
+        partition_by=["lang"],
+    )
+    # v4: equality delete keyed on the RENAMED column -- masks matching
+    # rows in ALL three generations (every data dir is older)
+    store.delete_keys(
+        old_shape.where(F.col("doc_id") % FIELD_EVOLVE_DEL_MOD == 0)
+        .select(F.col("toks").alias("token_count"))
+        .distinct(),
+        key_cols=["token_count"],
+    )
+    # v5: drop a column old files still physically hold
+    store.evolve_schema(drops=["source"])
+    head = store.read()
+    if set(head.columns) != {"doc_id", "lang", "token_count"}:
+        raise AssertionError(f"head epoch shape wrong: {head.columns}")
+    if dict(head.dtypes)["doc_id"] != "bigint":
+        raise AssertionError(f"doc_id not widened: {head.dtypes}")
+    tt = store.read(as_of=1)
+    if set(tt.columns) != {"doc_id", "lang", "toks", "source"}:
+        raise AssertionError(f"time-travel epoch shape wrong: {tt.columns}")
+    if dict(tt.dtypes)["doc_id"] != "int":
+        raise AssertionError(f"time travel un-widened type lost: {tt.dtypes}")
+
+    def agg(df: DataFrame, tok_col: str, phase: str) -> DataFrame:
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col(tok_col).cast("bigint")).alias("sum_tokens"),
+            )
+            .select(F.lit(phase).alias("phase"), "lang", "n_docs", "sum_tokens")
+        )
+
+    return (
+        agg(tt, "toks", "epoch_v1")
+        .unionAll(agg(head, "token_count", "head"))
+        .orderBy("phase", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional delete files (Iceberg v2's second delete kind) under the gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_positional_delete_read",
+    oracle="""
+    WITH vis AS (
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id % 5 <> 0 AND n_chars % 7 <> 0
+        UNION ALL
+        -- re-inserted AFTER both deletes: visible again (sequence rule)
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id % 5 = 0 AND doc_id % 2 = 0
+    ),
+    agg AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM vis GROUP BY lang
+    )
+    SELECT 'compacted' AS phase, lang, n_docs, sum_chars FROM agg
+    UNION ALL
+    SELECT 'head' AS phase, lang, n_docs, sum_chars FROM agg
+    ORDER BY phase, lang
+    """,
+    category="etl",
+    description="POSITIONAL delete files (snapshots.delete_positions -- "
+    "Iceberg v2's second delete kind) MIXED with equality deletes on one "
+    "table: rows picked by (file, row-index) handles from read("
+    "with_positions=True) are masked merge-on-read with the same "
+    "sequence-number rule as equality deletes (a later re-insert of "
+    "deleted keys is visible again, untouched by BOTH older delete "
+    "kinds), and compact() folds both kinds in -- the manifest's "
+    "delete_sets runtime-asserted EMPTY after the rewrite with the "
+    "re-read hash-matched against the pre-compaction state",
+)
+def snapshot_positional_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = (
+        f"{tempfile.gettempdir()}/snapshot_posdel_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(spark, root)
+    store.write(
+        docs.where(F.col("doc_id") % 2 == 0),
+        mode="snapshot",
+        partition_by=["lang"],
+    )
+    store.write(
+        docs.where(F.col("doc_id") % 2 == 1),
+        mode="append",
+        partition_by=["lang"],
+    )
+    # v2: equality delete by key
+    store.delete_keys(
+        docs.where(F.col("doc_id") % 5 == 0).select("doc_id"),
+        key_cols=["doc_id"],
+    )
+    # v3: positional delete -- row handles from the positioned read
+    # (which already excludes the equality-masked rows)
+    store.delete_positions(
+        store.read(with_positions=True)
+        .where(F.col("n_chars") % 7 == 0)
+        .select("_file", "_pos")
+    )
+    # v4: re-insert keys hit by BOTH deletes; appended after, so visible
+    store.write(
+        docs.where((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 2 == 0)),
+        mode="append",
+        partition_by=["lang"],
+    )
+
+    def agg(df: DataFrame, phase: str) -> DataFrame:
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .select(F.lit(phase).alias("phase"), "lang", "n_docs", "sum_chars")
+        )
+
+    head = agg(store.read(), "head")
+    store.compact(all_partitions=True)
+    left = store._read_manifest(store.current_version())["delete_sets"]
+    if left:
+        raise AssertionError(
+            f"compaction left live delete sets: {[d['dir'] for d in left]}"
+        )
+    return (
+        agg(store.read(), "compacted").unionAll(head).orderBy("phase", "lang")
+    )
