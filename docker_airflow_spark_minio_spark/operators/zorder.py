@@ -45,6 +45,27 @@ def zorder_value(x: Column, y: Column, bits: int = ZORDER_BITS) -> Column:
     return z
 
 
+def zorder_value_n(cols: list[Column], bits: int = ZORDER_BITS) -> Column:
+    """Morton code of N non-negative integer columns (low ``bits`` of
+    each, interleaved round-robin -- column i owns output bit
+    ``j*N + i`` for its input bit j).  ``N * bits`` must stay below 63
+    so the code fits a signed long.  With N=2 this equals
+    :func:`zorder_value`'s bit layout."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs at least 2 columns")
+    if n * bits > 62:
+        raise ValueError(f"{n} columns x {bits} bits overflow a long")
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        for j in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(c.cast("long"), j).bitwiseAND(F.lit(1)),
+                j * n + i,
+            )
+    return z
+
+
 def zorder_sql(x: str, y: str, bits: int = ZORDER_BITS) -> str:
     """ANSI-SQL twin of :func:`zorder_value` for oracle strings."""
     terms = []

@@ -3706,10 +3706,100 @@ class SnapshotStore:
 
     # -- maintenance ------------------------------------------------------
 
+    _ZORDER_NUMERIC = frozenset(
+        ["tinyint", "smallint", "int", "bigint", "float", "double"]
+    )
+
+    def _zorder_layout(
+        self,
+        df: DataFrame,
+        pby: list[str],
+        cluster_by: list[str],
+        target_rows_per_file: int | None,
+    ) -> DataFrame:
+        """Arrange a compaction rewrite on the Morton key of
+        ``cluster_by``: linear min-max normalization of each dimension
+        into the key's bit budget (ONE metadata-sized aggregate over the
+        rewrite input -- order-preserving, so the layout key never
+        affects what the re-recorded zone maps CLAIM, only which rows
+        share a file), then one range shuffle + in-partition sort by
+        (partition cols, z).  Skew concentrates rows on few z values in
+        the worst case -- range partitioning still splits them by count,
+        so file sizing holds; only pruning selectivity degrades."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from .operators.zorder import zorder_value_n
+
+        if len(cluster_by) < 2:
+            raise ValueError(
+                "cluster_by needs >= 2 columns; one-dimension clustering "
+                "is a plain sort (pass it via a snapshot-mode rewrite)"
+            )
+        missing = [c for c in cluster_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"cluster_by columns not in table: {missing}")
+
+        def _num(c: str):
+            s = df.schema[c].dataType.simpleString()
+            if s in self._ZORDER_NUMERIC or s.startswith("decimal"):
+                return F.col(c).cast("double")
+            if s in ("timestamp", "timestamp_ntz"):
+                return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+            if s == "date":
+                return F.datediff(F.col(c), F.to_date(F.lit("1970-01-01"))).cast(
+                    "double"
+                )
+            raise ValueError(
+                f"cluster_by column {c!r} has non-orderable-numeric type {s}"
+            )
+
+        bits = min(16, 62 // len(cluster_by))
+        top = (1 << bits) - 1
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cluster_by:
+            aggs += [
+                F.min(_num(c)).alias(f"__mn_{c}"),
+                F.max(_num(c)).alias(f"__mx_{c}"),
+            ]
+        row = df.agg(*aggs).collect()[0]  # single row: bounds + count
+        n = int(row["__n"] or 0)
+        if n == 0:
+            return df
+        dims = []
+        for c in cluster_by:
+            mn, mx = row[f"__mn_{c}"], row[f"__mx_{c}"]
+            if mn is None or mx is None or mx <= mn:
+                dims.append(F.lit(0).cast("long"))
+                continue
+            dims.append(
+                F.coalesce(
+                    F.least(
+                        F.lit(top).cast("long"),
+                        F.floor(
+                            (_num(c) - F.lit(float(mn)))
+                            / F.lit(float(mx) - float(mn))
+                            * F.lit(float(top + 1))
+                        ),
+                    ),
+                    F.lit(0).cast("long"),  # NULL dims cluster low
+                )
+            )
+        df = df.withColumn("__z", zorder_value_n(dims, bits))
+        keys = [F.col(c) for c in pby] + [F.col("__z")]
+        if target_rows_per_file is not None and target_rows_per_file > 0:
+            nparts = max(1, math.ceil(n / target_rows_per_file))
+            df = df.repartitionByRange(nparts, *keys)
+        else:
+            df = df.repartitionByRange(*keys)  # session shuffle partitions
+        return df.sortWithinPartitions(*keys).drop("__z")
+
     def compact(
         self,
         all_partitions: bool = False,
         target_rows_per_file: int | None = None,
+        cluster_by: list[str] | None = None,
     ) -> int | None:
         """Rewrite fragmented partitions into single data directories --
         the OPTIMIZE/rewrite-data-files maintenance a table accumulating
@@ -3734,6 +3824,19 @@ class SnapshotStore:
         by a hash salt, so the rewrite stays one shuffle.  Hash
         collisions can merge a pair of sub-target files, so the target
         bounds expected -- not worst-case -- rows per file.
+
+        ``cluster_by`` (Delta/Iceberg ``ZORDER BY``): rewrite each
+        partition Z-ORDERED on 2+ numeric columns -- their bits are
+        interleaved into one Morton key (:mod:`..operators.zorder`),
+        the rewrite range-partitions and sorts by it, and the re-recorded
+        per-file zone maps then prune range scans on EVERY clustered
+        dimension, not just a lead sort column.  Normalization is linear
+        min-max into the key's per-dimension bit budget: one
+        metadata-sized aggregate over the rewrite input, order-preserving
+        (so zone-map pruning soundness is untouched -- stats are recorded
+        from the actual data, the key only drives LAYOUT).  Still one
+        shuffle: the range partitioning replaces the hash salt, and
+        ``target_rows_per_file`` sizes the number of ranges.
         """
         head = self.current_version()
         if head is None:
@@ -3755,7 +3858,9 @@ class SnapshotStore:
             return None
         pby = manifest["partition_by"]
         df = self.read(partitions=targets)
-        if target_rows_per_file is not None and target_rows_per_file > 0:
+        if cluster_by:
+            df = self._zorder_layout(df, pby, cluster_by, target_rows_per_file)
+        elif target_rows_per_file is not None and target_rows_per_file > 0:
             from pyspark.sql import functions as F
 
             cols = [F.col(c) for c in df.columns]

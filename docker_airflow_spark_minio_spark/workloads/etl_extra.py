@@ -2853,3 +2853,137 @@ def snapshot_positional_delete_read(spark: SparkSession, sf_dir: str) -> DataFra
     return (
         agg(store.read(), "compacted").unionAll(head).orderBy("phase", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-ordered compaction (multi-dimensional clustering) under the gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_zorder_compaction_read",
+    oracle="""
+    WITH b AS (
+        SELECT MIN(doc_id) AS dlo0, MAX(doc_id) AS dhi0,
+               MIN(n_chars) AS clo0, MAX(n_chars) AS chi0
+        FROM documents
+    ),
+    bounds AS (
+        SELECT dlo0 + 0.10 * (dhi0 - dlo0) AS dlo,
+               dlo0 + 0.20 * (dhi0 - dlo0) AS dhi,
+               clo0 + 0.80 * (chi0 - clo0) AS clo,
+               clo0 + 0.90 * (chi0 - clo0) AS chi
+        FROM b
+    ),
+    probe_doc AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents, bounds
+        WHERE doc_id >= dlo AND doc_id <= dhi
+    ),
+    probe_chars AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents, bounds
+        WHERE n_chars >= clo AND n_chars <= chi
+    )
+    SELECT 'post_chars' AS phase, n_rows, sum_chars FROM probe_chars
+    UNION ALL SELECT 'post_doc', n_rows, sum_chars FROM probe_doc
+    UNION ALL SELECT 'pre_chars', n_rows, sum_chars FROM probe_chars
+    UNION ALL SELECT 'pre_doc', n_rows, sum_chars FROM probe_doc
+    ORDER BY phase
+    """,
+    category="etl",
+    description="Z-ORDERED compaction (compact(cluster_by=...) -- the "
+    "Delta/Iceberg ZORDER BY rewrite): a table laid out by a single-"
+    "column sort answers range probes on the SECOND dimension by "
+    "opening every file; the Morton-key rewrite re-records the same "
+    "zone maps over a multi-dimensionally clustered layout, and the "
+    "entry RUNTIME-ASSERTS (via plan_files' skipped/total file counts) "
+    "that the off-axis probe opens strictly fewer files after the "
+    "rewrite and the two probes' combined footprint shrinks -- while "
+    "both probes' query RESULTS are byte-identical pre/post "
+    "(hash-matched against the oracle twice)",
+)
+def snapshot_zorder_compaction_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import math
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = (
+        f"{tempfile.gettempdir()}/snapshot_zorder_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(spark, root)
+    # the classic pre-ZORDER layout: range-sorted on doc_id ONLY, so
+    # per-file zone maps are tight on doc_id and useless on n_chars
+    store.write(
+        docs.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id"),
+        mode="snapshot",
+        stats_cols=["doc_id", "n_chars"],
+    )
+    b = docs.agg(
+        F.min("doc_id").alias("dlo0"),
+        F.max("doc_id").alias("dhi0"),
+        F.min("n_chars").alias("clo0"),
+        F.max("n_chars").alias("chi0"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    dlo = b["dlo0"] + 0.10 * (b["dhi0"] - b["dlo0"])
+    dhi = b["dlo0"] + 0.20 * (b["dhi0"] - b["dlo0"])
+    clo = b["clo0"] + 0.80 * (b["chi0"] - b["clo0"])
+    chi = b["clo0"] + 0.90 * (b["chi0"] - b["clo0"])
+    probes = {
+        "doc": ("doc_id", dlo, dhi),
+        "chars": ("n_chars", clo, chi),
+    }
+
+    def opened(tag: str) -> int:
+        _, _, skipped, total = store.plan_files(range_filter=probes[tag])
+        return total - skipped
+
+    pre = {tag: opened(tag) for tag in probes}
+    store.compact(
+        all_partitions=True,
+        cluster_by=["doc_id", "n_chars"],
+        target_rows_per_file=math.ceil(b["n"] / 8),
+    )
+    post = {tag: opened(tag) for tag in probes}
+    if not post["chars"] < pre["chars"]:
+        raise AssertionError(
+            f"z-order did not improve the off-axis probe: "
+            f"n_chars files {pre['chars']} -> {post['chars']}"
+        )
+    if not post["doc"] + post["chars"] < pre["doc"] + pre["chars"]:
+        raise AssertionError(
+            f"z-order grew the combined probe footprint: "
+            f"{pre} -> {post}"
+        )
+
+    # pre-phase results read via time travel to the pre-compaction
+    # snapshot: identical values prove the rewrite moved rows, not data
+    pre_v = store.current_version() - 1
+    out = None
+    for phase, as_of in (("pre", pre_v), ("post", None)):
+        for tag in probes:
+            part = (
+                store.read(as_of=as_of, range_filter=probes[tag])
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("n_chars").alias("sum_chars"),
+                )
+                .select(
+                    F.lit(f"{phase}_{tag}").alias("phase"),
+                    "n_rows",
+                    "sum_chars",
+                )
+            )
+            out = part if out is None else out.unionAll(part)
+    return out.orderBy("phase")

@@ -319,3 +319,97 @@ def test_positions_roundtrip_through_manager(spark, root):
     assert [r["id"] for r in mgr.read("t").collect()] == [2]
     mgr.evolve_schema("t", renames={"id": "key"})
     assert [r["key"] for r in mgr.read("t").collect()] == [2]
+
+
+# ---------------------------------------------------------------------------
+# z-ordered compaction
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_value_n_matches_2d(spark):
+    from docker_airflow_spark_minio_spark.operators.zorder import (
+        zorder_value,
+        zorder_value_n,
+    )
+
+    df = spark.range(64).select(
+        F.col("id").alias("x"),
+        F.pmod(F.col("id") * 7 + 3, F.lit(64)).alias("y"),
+    )
+    rows = df.select(
+        zorder_value(F.col("x"), F.col("y"), bits=6).alias("z2"),
+        zorder_value_n([F.col("x"), F.col("y")], bits=6).alias("zn"),
+    ).collect()
+    assert all(r["z2"] == r["zn"] for r in rows)
+
+    # 3-D: distinct inputs map to distinct codes within the bit budget
+    rows3 = spark.range(27).select(
+        zorder_value_n(
+            [
+                F.pmod(F.col("id"), F.lit(3)),
+                F.pmod(F.col("id") / 3, F.lit(3)).cast("long"),
+                F.pmod(F.col("id") / 9, F.lit(3)).cast("long"),
+            ],
+            bits=2,
+        ).alias("z")
+    ).collect()
+    assert len({r["z"] for r in rows3}) == 27
+
+    with pytest.raises(ValueError, match="overflow"):
+        zorder_value_n([F.lit(1), F.lit(1), F.lit(1), F.lit(1)], bits=16)
+    with pytest.raises(ValueError, match="at least 2"):
+        zorder_value_n([F.lit(1)])
+
+
+def test_zorder_compaction_improves_offaxis_pruning(spark, root):
+    import math
+
+    st = SnapshotStore(spark, root)
+    n = 4096
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").cast("bigint").alias("x"),
+            # y decorrelated from x, deterministic
+            F.pmod(F.col("id") * 2654435761, F.lit(n)).cast("bigint").alias("y"),
+        )
+    )
+    st.write(
+        df.repartitionByRange(8, "x").sortWithinPartitions("x"),
+        mode="snapshot",
+        stats_cols=["x", "y"],
+    )
+
+    probe = ("y", 100, 500)
+
+    def opened():
+        _, _, skipped, total = st.plan_files(range_filter=probe)
+        return total - skipped
+
+    before = opened()
+    st.compact(
+        all_partitions=True,
+        cluster_by=["x", "y"],
+        target_rows_per_file=math.ceil(n / 8),
+    )
+    after = opened()
+    assert after < before, (before, after)
+    # rows unchanged, exact filter still correct
+    got = sorted(
+        r["x"] for r in st.read(range_filter=probe).collect()
+    )
+    want = sorted(
+        r["x"]
+        for r in df.where((F.col("y") >= 100) & (F.col("y") <= 500)).collect()
+    )
+    assert got == want
+
+
+def test_zorder_cluster_by_validation(spark, root):
+    st = _base_store(spark, root)
+    with pytest.raises(ValueError, match="at least 2|>= 2"):
+        st.compact(all_partitions=True, cluster_by=["id"])
+    with pytest.raises(ValueError, match="not in table"):
+        st.compact(all_partitions=True, cluster_by=["id", "nope"])
+    with pytest.raises(ValueError, match="non-orderable-numeric"):
+        st.compact(all_partitions=True, cluster_by=["id", "name"])
