@@ -281,3 +281,177 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-duplicate detection (dHash + Hamming bands)
+# ---------------------------------------------------------------------------
+
+# dHash geometry (operators.media.dhash_payloads): 61 grid cells of 4
+# bytes -> 60 gradient bits; payloads below the grid have no stable
+# signature and are excluded IDENTICALLY in both engines.
+PDHASH_MIN_BYTES = (60 + 1) * 4
+# banding: 4 bands x 15 bits -- same construction as the text SimHash
+# banding (dedup.py): docs sharing ANY band key become candidates, so
+# candidate cost ~ sum of band-bucket^2, never all-pairs.
+PDHASH_BANDS = 4
+PDHASH_BAND_BITS = 15
+PDHASH_HAM_MAX = 4  # verified Hamming radius (of 60 bits)
+# planted byte-distinct visually-identical variants: same leading
+# bytes (the whole dHash grid), different trailer -- the appended-
+# metadata / EXIF-trailer case; md5 differs, dHash is equal.
+PDHASH_PLANT_MOD = 5
+PDHASH_PLANT_OFFSET = 10_000_000
+PDHASH_TRAILER = " [exif-stripped duplicate trailer]"
+
+
+def _pdhash_band_key_sql(k: int) -> str:
+    return (
+        f"CAST({k} * {1 << PDHASH_BAND_BITS} + "
+        f"((dhash >> {k * PDHASH_BAND_BITS}) & {(1 << PDHASH_BAND_BITS) - 1}) AS BIGINT)"
+    )
+
+
+@register(
+    "multimodal_perceptual_dedup",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text AS t FROM documents
+        WHERE length(text) >= {PDHASH_MIN_BYTES}
+        UNION ALL
+        SELECT doc_id + {PDHASH_PLANT_OFFSET},
+               text || '{PDHASH_TRAILER}'
+        FROM documents
+        WHERE length(text) >= {PDHASH_MIN_BYTES}
+          AND doc_id % {PDHASH_PLANT_MOD} = 0
+    ),
+    grids AS (
+        SELECT doc_id, md5(t) AS digest,
+               list_transform(range(0, 61), j ->
+                   list_sum(list_transform(range(1, 5), i ->
+                       CAST(ord(substr(t, j * 4 + i, 1)) AS BIGINT)))
+               ) AS g
+        FROM corpus
+    ),
+    hashes AS (
+        SELECT doc_id, digest,
+               list_sum(list_transform(range(1, 61), j ->
+                   CASE WHEN g[j + 1] > g[j]
+                        THEN (CAST(1 AS BIGINT) << (j - 1))
+                        ELSE CAST(0 AS BIGINT) END)) AS dhash
+        FROM grids
+    ),
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, digest, dhash, {_pdhash_band_key_sql(k)} AS bkey FROM hashes"
+            for k in range(PDHASH_BANDS)
+        )}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming,
+               CAST(CASE WHEN a.digest = b.digest THEN 1 ELSE 0 END AS BIGINT)
+                   AS byte_identical
+        FROM bands a JOIN bands b
+          ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming, byte_identical
+    FROM pairs WHERE hamming <= {PDHASH_HAM_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+    category="multimodal",
+    description=f"perceptual media near-dup (dHash + Hamming bands): "
+    f"{PDHASH_BANDS * PDHASH_BAND_BITS}-bit difference hash over the "
+    "box-filter downsample grid (operators.media.dhash_payloads -- the "
+    "image dHash computed on the byte signal; a real pipeline swaps in "
+    "the decoded luminance grid), banded "
+    f"{PDHASH_BANDS}x{PDHASH_BAND_BITS} bits for candidates (never "
+    f"all-pairs), verified at Hamming <= {PDHASH_HAM_MAX}; planted "
+    "byte-DISTINCT visually-identical variants (same grid bytes, "
+    "different trailer -- md5 differs) are runtime-asserted found and "
+    "flagged; only 8-byte hashes + band keys ever shuffle",
+)
+def multimodal_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.media import dhash_payloads
+
+    docs = load_tables(spark, sf_dir)["documents"].where(
+        F.length("text") >= PDHASH_MIN_BYTES
+    )
+    corpus = docs.select("doc_id", F.col("text").alias("t")).unionAll(
+        docs.where(F.col("doc_id") % PDHASH_PLANT_MOD == 0).select(
+            (F.col("doc_id") + PDHASH_PLANT_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(PDHASH_TRAILER)).alias("t"),
+        )
+    )
+    payloads = corpus.select(
+        "doc_id",
+        F.md5(F.encode("t", "utf-8")).alias("digest"),
+        F.encode("t", "utf-8").alias("payload"),
+    )
+    hashes = dhash_payloads(payloads, id_col="doc_id").join(
+        payloads.select("doc_id", "digest"), "doc_id"
+    )
+    mask = (1 << PDHASH_BAND_BITS) - 1
+    bands = hashes.select(
+        "doc_id",
+        "digest",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.lit(k * (1 << PDHASH_BAND_BITS))
+                        + F.shiftright("dhash", k * PDHASH_BAND_BITS).bitwiseAND(
+                            F.lit(mask)
+                        )
+                    ).cast("long")
+                    for k in range(PDHASH_BANDS)
+                ]
+            )
+        ).alias("bkey"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+            )
+            .cast("long")
+            .alias("hamming"),
+            F.when(F.col("a.digest") == F.col("b.digest"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("byte_identical"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= PDHASH_HAM_MAX)
+    )
+    out = pairs.orderBy("doc_a", "doc_b")
+    # runtime gate: every planted variant is FOUND (hamming 0, same
+    # band keys by construction) and flagged byte-DISTINCT
+    planted = out.where(
+        (F.col("doc_b") - F.col("doc_a") == PDHASH_PLANT_OFFSET)
+        & (F.col("doc_a") % PDHASH_PLANT_MOD == 0)
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0)).alias("exact"),
+        F.sum("byte_identical").alias("byteid"),
+    ).collect()[0]
+    expected = docs.where(F.col("doc_id") % PDHASH_PLANT_MOD == 0).count()
+    if planted["n"] < expected or planted["exact"] < expected:
+        raise AssertionError(
+            f"planted near-dups missed: found {planted['n']}/{expected} "
+            f"({planted['exact']} at hamming 0)"
+        )
+    if planted["byteid"] != 0:
+        raise AssertionError(
+            "planted variants must be byte-DISTINCT (md5 differs)"
+        )
+    return out

@@ -95,3 +95,43 @@ def test_resize_block_downsample_edges(spark):
     assert got[1]["first_block_sum"] == 8 * ord("A")
     assert got[2]["n_blocks"] == 0 and got[2]["max_block_sum"] == -1
     assert got[3]["n_blocks"] == 0 and got[3]["block_checksum"] == 0
+
+
+# ---------------------------------------------------------------------------
+# perceptual dHash
+# ---------------------------------------------------------------------------
+
+
+def _dhash_of(spark, payloads: dict[int, bytes]) -> dict[int, int]:
+    from docker_airflow_spark_minio_spark.operators.media import dhash_payloads
+
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "doc_id long, payload binary",
+    )
+    return {r["doc_id"]: r["dhash"] for r in dhash_payloads(df).collect()}
+
+
+def test_dhash_invariances(spark):
+    import random
+
+    rng = random.Random(7)
+    base = bytes(rng.randrange(256) for _ in range(400))
+    trailer = base + b" extra metadata trailer beyond the grid"
+    bright = bytes(min(b + 3, 255) for b in base)  # constant shift
+    noisy = bytearray(base)
+    noisy[5] ^= 1  # one-bit byte noise inside the grid
+    different = bytes(rng.randrange(256) for _ in range(400))
+    hs = _dhash_of(
+        spark,
+        {1: base, 2: trailer, 3: bright, 4: bytes(noisy), 5: different},
+    )
+    assert hs[1] == hs[2]  # appended trailer: identical hash
+    assert hs[1] == hs[3]  # uniform brightness shift: identical hash
+    assert bin(hs[1] ^ hs[4]).count("1") <= 2  # tiny noise: hamming-close
+    assert bin(hs[1] ^ hs[5]).count("1") > 10  # unrelated payload: far
+
+
+def test_dhash_skips_short_payloads(spark):
+    hs = _dhash_of(spark, {1: b"x" * 100, 2: b"y" * 300})
+    assert set(hs) == {2}  # below the 244-byte grid -> no signature
