@@ -1447,3 +1447,327 @@ def semantic_decontam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("rank", "train_id", "bench_id", "cos_sim").orderBy(
         "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index as snapshot tables (build once, query committed state)
+# ---------------------------------------------------------------------------
+
+# The index lifecycle a production vector store needs (VERDICT r9 #6):
+# the IVF quantizer + inverted lists are TABLE STATE, not per-session
+# cache -- build commits them once, every query session reads the
+# committed tables (no rebuild), and new corpus batches arrive as
+# APPEND commits routed by the frozen committed quantizer (O(new x
+# nlist)).  The inverted lists are PARTITIONED BY list id, so a probe
+# reads O(nprobe) partitions via manifest pruning -- at 100 TB the
+# read cost is nprobe/nlist of the corpus with no file listing of the
+# rest.  The incremental batch is vec_id % 10 == 0, held out of
+# training (the realistic arrival order: quantizer frozen first).
+IVF_BATCH_MOD = 10
+
+
+@register(
+    "ann_ivf_persisted_index",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+    ),
+    base AS (
+        SELECT * FROM e
+        WHERE vec_id >= {N_QUERIES} AND vec_id % {IVF_BATCH_MOD} <> 0
+    ),
+    batch AS (
+        SELECT * FROM e
+        WHERE vec_id >= {N_QUERIES} AND vec_id % {IVF_BATCH_MOD} = 0
+    ),
+    dims AS ({_avg_dims_sql('base')}),
+    cent AS (
+        SELECT label AS list_id, list(m ORDER BY i) AS cv FROM dims GROUP BY label
+    ),
+    allv AS (
+        SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM batch
+    ),
+    assigned AS (
+        SELECT vec_id, v, list_id FROM (
+            SELECT allv.vec_id, allv.v, cent.list_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY allv.vec_id
+                       ORDER BY {_cos_sql('allv.v', 'cent.cv')} DESC,
+                                cent.list_id) AS rn
+            FROM allv CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, list_id FROM (
+            SELECT q.query_id, cent.list_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_cos_sql('q.qv', 'cent.cv')} DESC,
+                                cent.list_id) AS rn
+            FROM q CROSS JOIN cent
+        ) WHERE rn <= {IVF_NPROBE}
+    ),
+    rerank AS (
+        SELECT q.query_id, a.vec_id, {_cos_sql('q.qv', 'a.v')} AS cos_sim
+        FROM q JOIN probes p ON p.query_id = q.query_id
+               JOIN assigned a ON a.list_id = p.list_id
+    ),
+    r AS (
+        SELECT query_id, vec_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+        FROM rerank
+    )
+    SELECT query_id, vec_id, rank, cos_sim
+    FROM r WHERE rank <= {TOP_K} ORDER BY query_id, rank
+    """,
+    category="similarity",
+    description="PERSISTED IVF index as snapshot tables: quantizer + "
+    "list-partitioned inverted lists committed once, an incremental "
+    "batch routed by the COMMITTED (frozen) quantizer lands as an "
+    "append commit, and the query path -- fresh store handles, no "
+    "session cache -- reads only committed state with the probed "
+    "lists' partitions manifest-pruned; runtime-asserts the query "
+    "committed nothing (head versions unchanged = no rebuild)",
+)
+def ann_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    vd = F.col("embedding").cast("array<double>")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), vd.alias("qv")
+    )
+    base = emb.where(
+        (F.col("vec_id") >= N_QUERIES)
+        & (F.pmod("vec_id", F.lit(IVF_BATCH_MOD)) != 0)
+    ).select("vec_id", "label", vd.alias("v"))
+    batch = emb.where(
+        (F.col("vec_id") >= N_QUERIES)
+        & (F.pmod("vec_id", F.lit(IVF_BATCH_MOD)) == 0)
+    ).select("vec_id", vd.alias("v"))
+    root = (
+        f"{tempfile.gettempdir()}/ann_ivf_index_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    def _scored_cents(vec_col: str):
+        return F.transform(
+            "cents",
+            lambda c: F.struct(
+                F.round(cosine_similarity(F.col(vec_col), c["cv"]), 6).alias(
+                    "cos"
+                ),
+                (-c["list_id"]).alias("neg_list"),
+            ),
+        )
+
+    # ---- BUILD SESSION: train on base, commit quantizer + lists -------
+    cent = base.groupBy(F.col("label").alias("list_id")).agg(
+        F.expr(
+            "array("
+            + ", ".join(f"round(avg(v[{i}]), 6)" for i in range(EMB_DIM))
+            + ")"
+        ).alias("cv")
+    )
+    cent_store = SnapshotStore(spark, f"{root}/centroids")
+    cent_store.write(cent, mode="snapshot")
+    cents1 = (
+        cent_store.read()
+        .agg(
+            F.sort_array(F.collect_list(F.struct("list_id", "cv"))).alias(
+                "cents"
+            )
+        )
+    )
+    assigned = base.crossJoin(F.broadcast(cents1)).select(
+        "vec_id",
+        "v",
+        (-F.array_max(_scored_cents("v"))["neg_list"]).alias("list_id"),
+    )
+    asg_store = SnapshotStore(spark, f"{root}/assignments")
+    asg_store.write(assigned, mode="snapshot", partition_by=["list_id"])
+    # incremental arrival: routed by the COMMITTED quantizer (frozen --
+    # read back from the table, never the in-memory training frame)
+    asg_store.write(
+        batch.crossJoin(F.broadcast(cents1)).select(
+            "vec_id",
+            "v",
+            (-F.array_max(_scored_cents("v"))["neg_list"]).alias("list_id"),
+        ),
+        mode="append",
+        partition_by=["list_id"],
+    )
+    built = (cent_store.current_version(), asg_store.current_version())
+
+    # ---- QUERY SESSION: fresh handles, committed state only -----------
+    cstore = SnapshotStore(spark, f"{root}/centroids")
+    astore = SnapshotStore(spark, f"{root}/assignments")
+    cents2 = cstore.read().agg(
+        F.sort_array(F.collect_list(F.struct("list_id", "cv"))).alias("cents")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents2))
+        .select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.slice(
+                    F.sort_array(_scored_cents("qv"), asc=False), 1, IVF_NPROBE
+                )
+            ).alias("p"),
+        )
+        .select("query_id", "qv", (-F.col("p")["neg_list"]).alias("list_id"))
+    )
+    # manifest-level pruning: read ONLY the probed lists' partitions
+    probed = sorted(
+        {int(r["list_id"]) for r in probes.select("list_id").distinct().collect()}
+    )
+    lists = astore.read(partitions=[f"list_id={l}" for l in probed])
+    scored = lists.join(F.broadcast(probes), "list_id").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    out = _two_phase_topk(scored)
+    n = out.count()  # materialize the query before the no-rebuild gate
+    if n == 0:
+        raise AssertionError("persisted-index query returned no rows")
+    after = (cstore.current_version(), astore.current_version())
+    if after != built:
+        raise AssertionError(
+            f"query path mutated the index (versions {built} -> {after}); "
+            "reads must never rebuild"
+        )
+    return out
+
+
+# Drift monitor for the persisted index: when the incremental batch's
+# fit to the FROZEN quantizer degrades versus the training corpus, the
+# index needs re-training -- the signal the append path should check
+# before blindly routing forever.  Fit = cosine of each vector to its
+# assigned centroid; continuous-valued, so a coarse-rounded mean is a
+# safe cross-engine aggregate (base.py checklist).
+DRIFT_COS_DROP = 0.05
+
+
+@register(
+    "ann_ivf_drift_monitor",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    base AS (
+        SELECT * FROM e
+        WHERE vec_id >= {N_QUERIES} AND vec_id % {IVF_BATCH_MOD} <> 0
+    ),
+    batch AS (
+        SELECT vec_id, v FROM e
+        WHERE vec_id >= {N_QUERIES} AND vec_id % {IVF_BATCH_MOD} = 0
+    ),
+    dims AS ({_avg_dims_sql('base')}),
+    cent AS (
+        SELECT label AS list_id, list(m ORDER BY i) AS cv FROM dims GROUP BY label
+    ),
+    allv AS (
+        SELECT vec_id, v, 0 AS is_batch FROM base
+        UNION ALL SELECT vec_id, v, 1 FROM batch
+    ),
+    assigned AS (
+        SELECT vec_id, is_batch, list_id, fit FROM (
+            SELECT allv.vec_id, allv.is_batch, cent.list_id,
+                   {_cos_sql('allv.v', 'cent.cv')} AS fit,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY allv.vec_id
+                       ORDER BY {_cos_sql('allv.v', 'cent.cv')} DESC,
+                                cent.list_id) AS rn
+            FROM allv CROSS JOIN cent
+        ) WHERE rn = 1
+    )
+    SELECT list_id,
+           CAST(SUM(1 - is_batch) AS BIGINT)        AS n_base,
+           CAST(SUM(is_batch) AS BIGINT)            AS n_batch,
+           ROUND(AVG(CASE WHEN is_batch = 0 THEN fit END), 4) AS base_fit,
+           ROUND(AVG(CASE WHEN is_batch = 1 THEN fit END), 4) AS batch_fit,
+           CAST(CASE WHEN SUM(is_batch) > 0
+                      AND AVG(CASE WHEN is_batch = 1 THEN fit END)
+                          < AVG(CASE WHEN is_batch = 0 THEN fit END)
+                            - {DRIFT_COS_DROP}
+                     THEN 1 ELSE 0 END AS BIGINT)   AS retrain
+    FROM assigned GROUP BY list_id ORDER BY list_id
+    """,
+    category="similarity",
+    description="IVF index DRIFT monitor: per-list assignment-fit "
+    "(cosine to the frozen centroid) of the incremental batch vs the "
+    "training corpus -- a per-list retrain flag fires when the batch's "
+    f"mean fit drops more than {DRIFT_COS_DROP} below the training "
+    "fit, the signal that gates re-training the persisted index "
+    "instead of routing new data into a stale quantizer forever",
+)
+def ann_ivf_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    vd = F.col("embedding").cast("array<double>")
+    base = emb.where(
+        (F.col("vec_id") >= N_QUERIES)
+        & (F.pmod("vec_id", F.lit(IVF_BATCH_MOD)) != 0)
+    ).select("vec_id", "label", vd.alias("v"))
+    batch = emb.where(
+        (F.col("vec_id") >= N_QUERIES)
+        & (F.pmod("vec_id", F.lit(IVF_BATCH_MOD)) == 0)
+    ).select("vec_id", vd.alias("v"))
+    cent = base.groupBy(F.col("label").alias("list_id")).agg(
+        F.expr(
+            "array("
+            + ", ".join(f"round(avg(v[{i}]), 6)" for i in range(EMB_DIM))
+            + ")"
+        ).alias("cv")
+    )
+    cents = cent.agg(
+        F.sort_array(F.collect_list(F.struct("list_id", "cv"))).alias("cents")
+    )
+    allv = base.select("vec_id", "v", F.lit(0).alias("is_batch")).unionAll(
+        batch.select("vec_id", "v", F.lit(1).alias("is_batch"))
+    )
+    best = F.array_max(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                F.round(cosine_similarity(F.col("v"), c["cv"]), 6).alias("cos"),
+                (-c["list_id"]).alias("neg_list"),
+            ),
+        )
+    )
+    assigned = allv.crossJoin(F.broadcast(cents)).select(
+        "is_batch",
+        (-best["neg_list"]).alias("list_id"),
+        best["cos"].alias("fit"),
+    )
+    base_fit = F.avg(F.when(F.col("is_batch") == 0, F.col("fit")))
+    batch_fit = F.avg(F.when(F.col("is_batch") == 1, F.col("fit")))
+    return (
+        assigned.groupBy("list_id")
+        .agg(
+            F.sum(1 - F.col("is_batch")).cast("long").alias("n_base"),
+            F.sum("is_batch").cast("long").alias("n_batch"),
+            F.round(base_fit, 4).alias("base_fit"),
+            F.round(batch_fit, 4).alias("batch_fit"),
+            F.when(
+                (F.sum("is_batch") > 0)
+                & (batch_fit < base_fit - DRIFT_COS_DROP),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("retrain"),
+        )
+        .orderBy("list_id")
+    )
