@@ -161,3 +161,98 @@ def test_append_chained_matview_replay_is_idempotent(spark, tmp_path):
     assert modes == ["incremental"]
     got = sorted((r["day"], r["n"], r["s"]) for r in mv.read().collect())
     assert got == [("d1", 2, 15), ("d2", 1, 20)]
+
+
+DOC_SCHEMA = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+#: passes all five corpus-adapted Gopher rules (>=20 tokens, 2 stopwords,
+#: all-alpha tokens, no symbol runs, 3-10 chars/token)
+_PASS_TEXT = "data row " + " ".join(["alpha"] * 20)
+
+
+def _doc(doc_id: int, lang: str, text: str) -> dict:
+    return {
+        "doc_id": doc_id,
+        "text": text,
+        "lang": lang,
+        "source": "t",
+        "n_chars": len(text),
+    }
+
+
+def test_streaming_curation_clean_stage_kill_replay(spark, tmp_path):
+    """Worst window for the chained clean stage: raw sink committed AND
+    clean refreshed, checkpoint not advanced.  The replay must see a
+    skipped raw append + a noop clean refresh (watermark already at the
+    raw head) -- no double-append into clean -- and the chain must keep
+    flowing for genuinely new batches afterwards."""
+    from docker_airflow_spark_minio_spark.workloads.curation_pipeline import (
+        _gopher_clean,
+        refresh_clean_stage,
+    )
+
+    feed = str(tmp_path / "feed")
+    _write_feed(
+        feed,
+        "b0.json",
+        [
+            _doc(1, "en", _PASS_TEXT),
+            _doc(2, "fr", _PASS_TEXT + " beta"),
+            _doc(3, "en", "tiny doc"),  # fails the 20-token floor
+        ],
+    )
+    raw = SnapshotStore(spark, str(tmp_path / "raw"))
+    clean = SnapshotStore(spark, str(tmp_path / "clean"))
+
+    def run(hook):
+        return run_append_stream(
+            spark,
+            feed,
+            DOC_SCHEMA,
+            str(tmp_path / "raw"),
+            partition_by=["lang"],
+            checkpoint=str(tmp_path / "ckpt"),
+            on_batch_commit=hook,
+        )
+
+    class Kill(Exception):
+        pass
+
+    def refresh_then_die(batch_id: int, version) -> None:
+        refresh_clean_stage(raw, clean)
+        raise Kill("killed after clean refresh, before checkpoint advance")
+
+    with pytest.raises(Exception):  # StreamingQueryException wrapping Kill
+        run(refresh_then_die)
+    assert raw.versions() == [0]
+    assert clean.versions() == [0]
+
+    # restart with the same checkpoint: batch 0 replays -> raw append
+    # skipped, clean refresh noop
+    modes: list[str] = []
+    run(lambda b, v: modes.append(refresh_clean_stage(raw, clean)))
+    assert modes == ["noop"]
+    assert raw.versions() == [0]
+    assert clean.versions() == [0]  # no double-append
+    got = sorted(r["doc_id"] for r in clean.read().collect())
+    assert got == [1, 2]  # survivors only, exactly once
+    want = _gopher_clean(raw.read()).count()
+    assert clean.read().count() == want
+
+    # the opposite window -- crash BEFORE the refresh (raw committed,
+    # clean stale): the replayed hook must still refresh, because the
+    # mode keys on watermark-vs-head, not on this firing's sink commit
+    _write_feed(feed, "b1.json", [_doc(4, "en", _PASS_TEXT + " gamma")])
+
+    def die_before_refresh(batch_id: int, version) -> None:
+        raise Kill("killed before the clean refresh")
+
+    with pytest.raises(Exception):
+        run(die_before_refresh)
+    assert raw.versions() == [0, 1]
+    assert clean.watermark("curation_src_version") == 0  # stale
+
+    modes.clear()
+    run(lambda b, v: modes.append(refresh_clean_stage(raw, clean)))
+    assert modes == ["incremental"]  # replayed batch, live refresh
+    got = sorted(r["doc_id"] for r in clean.read().collect())
+    assert got == [1, 2, 4]
