@@ -3491,6 +3491,289 @@ class SnapshotStore:
             manifest,
         )
 
+    def read_changes(
+        self, since_version: int, as_of: int | None = None
+    ) -> DataFrame:
+        """CHANGELOG read (Iceberg ``create_changelog_view`` / Delta
+        change-data-feed parity): every row-level change committed in
+        the published window ``(since_version, as_of]``, as table rows
+        plus ``_change_type`` (``'insert'`` | ``'delete'``) and
+        ``_commit_version``.  ``since_version=-1`` starts from the
+        table's first commit.  Updates surface as delete+insert pairs
+        (Iceberg's default changelog semantics without identifier-field
+        pairing); staged (WAP/branch) commits are not table state and
+        emit nothing until their publish commit, where exactly the
+        published effect surfaces.
+
+        Changes are computed from MANIFEST DIFFS, never a state diff:
+
+         * directories added by a commit -> their rows as inserts
+           (same-commit merge-on-read deletes already applied); a WAP
+           publish replays its staged chain as one published commit per
+           staged commit, and each emits its own effect at its own
+           publish version -- exactly the states time travel sees;
+         * directories dropped -> their v-1-VISIBLE rows as deletes;
+         * merge-on-read delete sets added -> the masked pre-image rows
+           as deletes (equality sets: pre-image join pruned to the
+           keys' partitions when the key columns carry the partition
+           spec, the :meth:`_delete_may_target` probe rule; positional
+           sets: only the recorded target dirs are scanned);
+         * delete sets REMOVED while their target dirs survive (a
+           rollback across a delete) -> the reappearing rows as
+           inserts;
+         * compaction commits emit nothing (data-identical by
+           construction -- same as OPTIMIZE under Delta CDF).
+
+        Cost: O(commit delta) for appends and merge-on-read deletes,
+        O(touched partitions) for partition overwrites, O(table) only
+        across full-replace commits (``snapshot`` mode) -- inherent,
+        the changes ARE the table.  Windows crossing an
+        ``evolve_schema`` commit are refused (pre-images before the
+        evolution carry that epoch's shape; consume each epoch as its
+        own window).  Retention holes refuse exactly like
+        :meth:`read_appends`."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        head = self.current_version() if as_of is None else as_of
+        if head is None:
+            raise ValueError(f"no snapshots committed under {self.root}")
+        if since_version > head:
+            raise ValueError(f"since_version {since_version} > head {head}")
+        committed = set(self.versions())
+        window: list[int] = []
+        for v in range(since_version + 1, head + 1):
+            if v not in committed:
+                raise ValueError(
+                    f"changelog window lost v{v} to retention; consume "
+                    "via snapshot_diff or restart from a full read"
+                )
+            raw = self._read_manifest_raw(v)
+            if raw.get("staged") is not None:
+                continue
+            if raw["mode"] == "evolve_schema":
+                raise ValueError(
+                    f"changelog window crosses an 'evolve_schema' commit "
+                    f"(v{v}); pre-images before it carry that epoch's "
+                    "shape -- read each epoch as its own window"
+                )
+            window.append(v)
+
+        head_manifest = self._read_manifest(head)
+        cols = [
+            f["name"]
+            for f in json.loads(head_manifest["schema"])["fields"]
+        ]
+        base_root = f"{self.root.rstrip('/')}/{DATA_DIR}"
+
+        def _mark(df: DataFrame, kind: str, v: int) -> DataFrame:
+            return df.select(*cols).withColumns(
+                {
+                    "_change_type": F.lit(kind),
+                    "_commit_version": F.lit(v).cast("bigint"),
+                }
+            )
+
+        def _pairs(manifest: dict) -> set:
+            return {
+                (vd, part)
+                for part, vds in manifest["partitions"].items()
+                for vd in vds
+            }
+
+        def _by_vdir(pairs: set) -> dict:
+            out: dict[str, dict[str, None]] = {}
+            for vd, part in pairs:
+                out.setdefault(vd, {})[part] = None
+            return out
+
+        def _eq_preimage(
+            entry: dict,
+            state_v: int,
+            m_state: dict,
+            m_of: dict,
+            pairs: set | None = None,
+        ) -> DataFrame | None:
+            """Rows VISIBLE at ``state_v`` (manifest ``m_state``) that an
+            equality set masks/unmasks, pruned to the keys' partitions
+            when provable.  ``m_of`` is the manifest whose schema log
+            epoch-maps the key frame.  ``pairs`` restricts the state
+            scan to explicit (vdir, partition) pairs (the rollback
+            reappearance arm: only dirs OLDER than the dropped set can
+            hold reappearing rows)."""
+            keys = self._xform_delete(m_of.get("schema_log"))(
+                self.spark.read.parquet(f"{base_root}/{entry['dir']}"),
+                int(entry.get("frame_version", entry["version"])),
+            )
+            key_cols = list(keys.columns)
+            if pairs is not None:
+                state = self._scan(
+                    _by_vdir(pairs),
+                    delete_sets=m_state.get("delete_sets"),
+                    schema_log=m_state.get("schema_log"),
+                )
+            else:
+                pby = m_state["partition_by"]
+                parts = None
+                if pby and all(c in key_cols for c in pby):
+                    vals = (
+                        keys.select(*pby)
+                        .distinct()
+                        .limit(self._DELETE_PROBE_MAX + 1)
+                        .collect()
+                    )
+                    if len(vals) <= self._DELETE_PROBE_MAX:
+                        dirs = {
+                            _hive_partition_dir(
+                                self.spark, pby, tuple(r[c] for c in pby)
+                            )
+                            for r in vals
+                        } & set(m_state["partitions"])
+                        if not dirs:
+                            return None
+                        parts = sorted(dirs)
+                state = self.read(as_of=state_v, partitions=parts)
+            return state.join(
+                F.broadcast(keys.dropDuplicates()),
+                on=key_cols,
+                how="left_semi",
+            )
+
+        def _pos_image(
+            entry: dict, state_v: int, m_state: dict
+        ) -> DataFrame | None:
+            """Rows VISIBLE at ``state_v`` that a positional set names:
+            only the recorded target dirs are scanned."""
+            live = _pairs(m_state)
+            pairs = {
+                (vd, part)
+                for vd, part in live
+                if vd in set(entry.get("vdirs", []))
+            }
+            if not pairs:
+                return None
+            pos = self.spark.read.parquet(f"{base_root}/{entry['dir']}")
+            img = self._scan(
+                _by_vdir(pairs),
+                delete_sets=m_state.get("delete_sets"),
+                schema_log=m_state.get("schema_log"),
+                with_positions=True,
+            )
+            return img.join(
+                F.broadcast(pos.dropDuplicates()),
+                on=["_file", "_pos"],
+                how="left_semi",
+            ).drop("_file", "_pos")
+
+        # The previous STATE of each window commit is the nearest older
+        # PUBLISHED version -- staged (WAP/branch) manifests are not
+        # table state and must never serve as the diff base (a publish
+        # commit diffs against the pre-stage head, not the stage chain).
+        def _prev_published(before: int) -> int | None:
+            for p in range(before - 1, -1, -1):
+                if p not in committed:
+                    raise ValueError(
+                        f"changelog window lost v{p} to retention; "
+                        "consume via snapshot_diff or restart from a "
+                        "full read"
+                    )
+                if self._read_manifest_raw(p).get("staged") is None:
+                    return p
+            return None
+
+        out: list[DataFrame] = []
+        prev_v = _prev_published(window[0]) if window else None
+        for v in window:
+            m_v = self._read_manifest(v)
+            base_v = prev_v  # published predecessor of THIS commit
+            if base_v is None:
+                m_prev: dict = {
+                    "partitions": {},
+                    "partition_by": m_v["partition_by"],
+                    "delete_sets": [],
+                }
+            else:
+                m_prev = self._read_manifest(base_v)
+            prev_v = v
+            if m_v.get("metadata", {}).get("compaction"):
+                continue  # data-identical rewrite: net-zero changes
+            pairs_v, pairs_prev = _pairs(m_v), _pairs(m_prev)
+            added, removed = pairs_v - pairs_prev, pairs_prev - pairs_v
+            sets_v = {
+                d["dir"]: d for d in (m_v.get("delete_sets") or [])
+            }
+            sets_prev = {
+                d["dir"]: d for d in (m_prev.get("delete_sets") or [])
+            }
+            if added:
+                out.append(
+                    _mark(
+                        self._scan(
+                            _by_vdir(added),
+                            delete_sets=m_v.get("delete_sets"),
+                            schema_log=m_v.get("schema_log"),
+                        ),
+                        "insert",
+                        v,
+                    )
+                )
+            if removed:
+                out.append(
+                    _mark(
+                        self._scan(
+                            _by_vdir(removed),
+                            delete_sets=m_prev.get("delete_sets"),
+                            schema_log=m_prev.get("schema_log"),
+                        ),
+                        "delete",
+                        v,
+                    )
+                )
+            for dkey, entry in sets_v.items():
+                if dkey in sets_prev or base_v is None:
+                    continue
+                img = (
+                    _pos_image(entry, base_v, m_prev)
+                    if entry.get("kind") == "positional"
+                    else _eq_preimage(entry, base_v, m_prev, m_v)
+                )
+                if img is not None:
+                    out.append(_mark(img, "delete", v))
+            for dkey, entry in sets_prev.items():
+                if dkey in sets_v:
+                    continue
+                # set dropped while (some) target dirs survive: only a
+                # rollback across the delete -- masked rows reappear.
+                # Restrict to dirs the set could mask (older than it).
+                survivors = {
+                    (vd, part)
+                    for vd, part in pairs_v
+                    if _vdir_version(vd) < int(entry["version"])
+                }
+                if not survivors:
+                    continue
+                if entry.get("kind") == "positional":
+                    img = _pos_image(entry, v, m_v)
+                else:
+                    img = _eq_preimage(
+                        entry, v, m_v, m_prev, pairs=survivors
+                    )
+                if img is not None:
+                    out.append(_mark(img, "insert", v))
+
+        if not out:
+            schema = T.StructType.fromJson(
+                json.loads(head_manifest["schema"])
+            )
+            empty = self.spark.createDataFrame([], schema)
+            return _mark(empty.where(F.lit(False)), "insert", 0).where(
+                F.lit(False)
+            )
+        res = out[0]
+        for df in out[1:]:
+            res = res.unionByName(df)
+        return res
+
     def _retype_void_columns(self, df: DataFrame, manifest: dict) -> DataFrame:
         """Subset scans covering ONLY the Hive default (NULL) partition
         dir make Spark infer the partition column as VOID -- there is no

@@ -79,6 +79,11 @@ def test_no_cartesian_anywhere_in_the_registry(spark):
         # round 7: composes the brute-force baseline (allowed above) and
         # its own broadcast fixed query set for the truncated side
         "ann_matryoshka_truncation_recall",
+        # round 10: the same single-row frozen-quantizer model attach as
+        # ann_ivf_topk / ann_ivf_incremental_assign, read back from the
+        # committed snapshot table (broadcast 1x1, never data x data)
+        "ann_ivf_persisted_index",
+        "ann_ivf_drift_monitor",
     }
     for name, wl in REGISTRY.items():
         if name in allowed:
