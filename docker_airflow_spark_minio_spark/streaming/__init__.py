@@ -14,3 +14,4 @@ from .silver import run_gold_stream, run_silver_stream  # noqa: F401
 from .stateful import running_totals  # noqa: F401
 from .windows import hopping_counts, session_stats, tumbling_counts  # noqa: F401
 from .source import stream_bronze  # noqa: F401
+from .table_source import SnapshotTableStreamSource  # noqa: F401

@@ -1,0 +1,151 @@
+"""Snapshot tables as a Structured Streaming source
+(``streaming/table_source.py``): version-offset delivery, append-only
+refusals, staged-commit skipping, and deterministic kill-replay.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docker_airflow_spark_minio_spark.snapshots import SnapshotStore
+from docker_airflow_spark_minio_spark.streaming.table_source import (
+    SnapshotTableStreamSource,
+)
+
+SCHEMA = "id INT, day STRING, amt INT"
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(SnapshotTableStreamSource)
+    return spark
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _run(spark, root, ckpt, sink):
+    q = (
+        spark.readStream.format("snapshot_table")
+        .load(root)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_table_source_delivers_deltas_by_version_offset(
+    registered, tmp_path
+):
+    spark = registered
+    root, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    s = SnapshotStore(spark, root)
+    s.write(_df(spark, [(1, "d1", 10), (2, "d2", 20)]),
+            mode="snapshot", partition_by=["day"])
+    s.write(_df(spark, [(3, "d1", 30)]), mode="append",
+            partition_by=["day"])
+
+    got: list[list] = []
+    sink = lambda b, i: got.append(  # noqa: E731
+        sorted((r["id"], r["day"], r["amt"]) for r in b.collect())
+    )
+    _run(spark, root, ckpt, sink)
+    assert got == [[(1, "d1", 10), (2, "d2", 20), (3, "d1", 30)]]
+
+    got.clear()
+    _run(spark, root, ckpt, sink)  # nothing new
+    assert got == []
+
+    s.write(_df(spark, [(4, "d2", 40)]), mode="append",
+            partition_by=["day"])
+    got.clear()
+    _run(spark, root, ckpt, sink)  # only the delta
+    assert got == [[(4, "d2", 40)]]
+    # schema carried the table's own types (partition col re-typed)
+    df = spark.readStream.format("snapshot_table").load(root)
+    assert [f.simpleString() for f in df.schema.fields] == [
+        "id:int", "day:string", "amt:int",
+    ]
+
+
+def test_table_source_kill_replay_is_deterministic(registered, tmp_path):
+    """A crash between sink work and checkpoint advance replays the
+    SAME version window (offsets are table versions; partitions() is a
+    pure function of the window), so an idempotent sink gets
+    exactly-once end-to-end."""
+    spark = registered
+    root, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    s = SnapshotStore(spark, root)
+    s.write(_df(spark, [(1, "d1", 10)]), mode="snapshot",
+            partition_by=["day"])
+
+    class Kill(Exception):
+        pass
+
+    def die(batch, bid):
+        batch.collect()
+        raise Kill("killed between sink and checkpoint advance")
+
+    with pytest.raises(Exception):
+        _run(spark, root, ckpt, die)
+
+    got: list[tuple] = []
+    _run(spark, root, ckpt,
+         lambda b, i: got.append((i, sorted(r["id"] for r in b.collect()))))
+    assert got == [(0, [1])]  # same window, once
+
+    got.clear()
+    _run(spark, root, ckpt, lambda b, i: got.append(i))
+    assert got == []  # and it is not re-delivered after commit
+
+
+def test_table_source_refuses_non_append_windows(registered, tmp_path):
+    spark = registered
+    root, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    s = SnapshotStore(spark, root)
+    s.write(_df(spark, [(1, "d1", 10)]), mode="snapshot",
+            partition_by=["day"])
+    s.write(_df(spark, [(2, "d1", 20)]),
+            mode="overwrite_partitions", partition_by=["day"])
+    with pytest.raises(Exception, match="overwrite_partitions"):
+        _run(spark, root, ckpt, lambda b, i: None)
+
+
+def test_table_source_skips_staged_commits(registered, tmp_path):
+    spark = registered
+    root, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    s = SnapshotStore(spark, root)
+    s.write(_df(spark, [(1, "d1", 10)]), mode="snapshot",
+            partition_by=["day"])
+    s.write(_df(spark, [(9, "d1", 90)]), mode="append",
+            partition_by=["day"], staged="w")
+    s.write(_df(spark, [(2, "d2", 20)]), mode="append",
+            partition_by=["day"])
+    got: list[tuple] = []
+    _run(spark, root, ckpt,
+         lambda b, i: got.append(sorted(r["id"] for r in b.collect())))
+    # the staged row is not table state; published rows all arrive
+    assert got == [[1, 2]]
+
+
+def test_table_source_unpartitioned_and_scheme_refusal(
+    registered, tmp_path
+):
+    spark = registered
+    root, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    s = SnapshotStore(spark, root)
+    s.write(_df(spark, [(1, "d1", 10), (2, "d2", 20)]), mode="snapshot")
+    got: list[list] = []
+    _run(spark, root, ckpt,
+         lambda b, i: got.append(sorted(r["id"] for r in b.collect())))
+    assert got == [[1, 2]]
+    with pytest.raises(Exception, match="local table roots"):
+        (spark.readStream.format("snapshot_table")
+         .load("mockfs://bucket/t").writeStream
+         .foreachBatch(lambda b, i: None)
+         .option("checkpointLocation", str(tmp_path / "c2"))
+         .trigger(availableNow=True).start().awaitTermination())
