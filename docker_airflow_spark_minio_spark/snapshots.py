@@ -3240,6 +3240,31 @@ class SnapshotStore:
                 out[r["dkey"]] = (int(r["__total"]), sorted(acc[r["dkey"]]))
         return out
 
+    def resolve_as_of_ts(self, ts_ms: int) -> int:
+        """``TIMESTAMP AS OF`` resolution (Iceberg/Delta parity): the
+        newest PUBLISHED version whose commit time is <= ``ts_ms``
+        (epoch millis).  Staged (WAP/branch) snapshots are not table
+        state and never resolve.  Raises when ``ts_ms`` predates the
+        oldest retained commit -- ambiguous after retention, same
+        refusal Iceberg gives.  O(retained versions) manifest-header
+        reads, no data touched."""
+        best: int | None = None
+        for v in self.versions():
+            raw = self._read_manifest_raw(v)
+            if raw.get("staged") is not None:
+                continue
+            if int(raw["committed_at_ms"]) <= ts_ms and (
+                best is None or v > best
+            ):
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no published snapshot at or before ts {ts_ms} under "
+                f"{self.root} (oldest retained commit is newer, or the "
+                "table is empty)"
+            )
+        return best
+
     def read(
         self,
         as_of: int | None = None,
@@ -3248,9 +3273,11 @@ class SnapshotStore:
         point_filter: dict | None = None,
         ref: str | None = None,
         with_positions: bool = False,
+        as_of_ts: int | None = None,
     ) -> DataFrame:
-        """Scan one snapshot (latest, time-travel to ``as_of``, or a
-        named tag via ``ref`` -- mutually exclusive with ``as_of``);
+        """Scan one snapshot (latest, time-travel to ``as_of``, a
+        commit-time instant via ``as_of_ts`` epoch-millis, or a named
+        tag via ``ref`` -- the three selectors are mutually exclusive);
         ``partitions`` restricts to the given relative partition dirs
         (manifest-level pruning -- the scan never lists the others).
 
@@ -3279,10 +3306,12 @@ class SnapshotStore:
         write time; see :meth:`plan_files`) and applies the exact
         equality on top, so bloom false positives never reach the
         result."""
+        if sum(x is not None for x in (as_of, ref, as_of_ts)) > 1:
+            raise ValueError("pass at most one of as_of / ref / as_of_ts")
         if ref is not None:
-            if as_of is not None:
-                raise ValueError("pass as_of or ref, not both")
             as_of = self.resolve_ref(ref)
+        elif as_of_ts is not None:
+            as_of = self.resolve_as_of_ts(as_of_ts)
         version = self.current_version() if as_of is None else as_of
         if version is None:
             raise ValueError(f"no snapshots committed under {self.root}")

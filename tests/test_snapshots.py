@@ -1383,3 +1383,42 @@ def test_wap_stats_ride_publish(spark, root):
     man = store._read_manifest(pv)
     staged_dirs = [d for d in man["dir_stats"] if "p1" in d]
     assert any(man["dir_stats"][d]["k"] == [100, 100] for d in staged_dirs)
+
+
+def test_timestamp_as_of_resolution(spark, tmp_path):
+    """TIMESTAMP AS OF parity: resolve the newest published commit at
+    or before an instant; staged commits never resolve; instants before
+    the oldest retained commit refuse."""
+    import time as _time
+
+    import pytest
+    from docker_airflow_spark_minio_spark.snapshots import SnapshotStore
+
+    s = SnapshotStore(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, "d1", 10)], "id INT, day STRING, amt INT")
+    s.write(df, mode="snapshot", partition_by=["day"])
+    t0 = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    s.write(
+        spark.createDataFrame([(2, "d2", 20)], "id INT, day STRING, amt INT"),
+        mode="append",
+        partition_by=["day"],
+    )
+    s.write(
+        spark.createDataFrame([(9, "d1", 90)], "id INT, day STRING, amt INT"),
+        mode="append",
+        partition_by=["day"],
+        staged="w",
+    )
+    assert s.resolve_as_of_ts(t0) == 0
+    assert s.resolve_as_of_ts(int(_time.time() * 1000) + 1000) == 1
+    assert sorted(r["id"] for r in s.read(as_of_ts=t0).collect()) == [1]
+    got = sorted(
+        r["id"]
+        for r in s.read(as_of_ts=int(_time.time() * 1000)).collect()
+    )
+    assert got == [1, 2]  # staged row 9 never resolves
+    with pytest.raises(ValueError, match="at or before"):
+        s.resolve_as_of_ts(t0 - 10_000_000)
+    with pytest.raises(ValueError, match="at most one"):
+        s.read(as_of=0, as_of_ts=t0)
