@@ -742,7 +742,7 @@ def test_tags_named_refs(spark, root):
     with pytest.raises(ValueError, match="already exists"):
         store.tag("release-1", version=1)
     assert store.tag("release-1", version=1, replace=True) == 1
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         store.read(as_of=0, ref="head")
     store.delete_tag("head")
     with pytest.raises(ValueError, match="unknown ref"):
