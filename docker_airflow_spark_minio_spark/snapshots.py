@@ -72,7 +72,7 @@ import uuid
 from dataclasses import dataclass
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from .fsmeta import _fs_and_path, delete_prefix, read_bytes
 from .fsmeta import hive_partition_dir as _hive_partition_dir
@@ -2113,6 +2113,172 @@ class SnapshotStore:
             delete_prefix(self.spark, del_path)
             raise
         return version
+
+    def _touched_partition_dirs(self, condition) -> tuple[list, list] | None:
+        """(claimed value tuples, partition rel-dirs) holding rows where
+        ``condition`` IS TRUE, or None when nothing matches / the table
+        is unpartitioned.  One filtered scan projecting only the
+        partition columns (parquet pushes the predicate's columns;
+        nothing else is read)."""
+        from pyspark.sql import functions as F
+
+        head = self.current_version()
+        if head is None:
+            raise ValueError(f"no snapshots committed under {self.root}")
+        pby = self._read_manifest(head)["partition_by"]
+        if not pby:
+            return None
+        rows = (
+            self.read()
+            .where(F.coalesce(condition, F.lit(False)))
+            .select(*pby)
+            .distinct()
+            .collect()
+        )
+        if not rows:
+            return ([], [])
+        tuples = [tuple(r[c] for c in pby) for r in rows]
+        dirs = [
+            _hive_partition_dir(self.spark, pby, t) for t in tuples
+        ]
+        return (tuples, dirs)
+
+    def delete_where(
+        self,
+        condition,
+        approach: str = "mor",
+        metadata: dict | None = None,
+    ) -> int | None:
+        """Row-level ``DELETE WHERE`` (rows where ``condition`` IS
+        TRUE; NULL evaluations keep the row, the SQL contract).
+        Returns the committed version, or None when nothing matched
+        (no commit).
+
+        ``approach='mor'`` (default): commit the matching rows'
+        positions as an Iceberg-v2 positional delete file -- O(matching
+        rows) written, NO data rewrite; cost amortizes into the next
+        :meth:`compact`.  ``approach='cow'``: copy-on-write -- rewrite
+        only the TOUCHED partitions in one atomic
+        ``overwrite_partitions`` commit (``claimed_partitions`` so a
+        fully-deleted partition drops from the table); unpartitioned
+        tables rewrite fully (inherent to COW).  The MoR/COW pair is
+        exactly Iceberg's ``write.delete.mode`` choice."""
+        from pyspark.sql import functions as F
+
+        if approach not in ("mor", "cow"):
+            raise ValueError(f"unknown delete approach: {approach}")
+        cond_true = F.coalesce(condition, F.lit(False))
+        if approach == "mor":
+            pos = (
+                self.read(with_positions=True)
+                .where(cond_true)
+                .select("_file", "_pos")
+            )
+            if pos.isEmpty():
+                return None
+            return self.delete_positions(pos, metadata=metadata)
+        touched = self._touched_partition_dirs(condition)
+        if touched is None:
+            head = self.current_version()
+            pby = self._read_manifest(head)["partition_by"]
+            remaining = self.read().where(~cond_true)
+            return self.write(
+                remaining, mode="snapshot", partition_by=pby,
+                metadata=metadata,
+            )
+        tuples, dirs = touched
+        if not tuples:
+            return None
+        head = self.current_version()
+        pby = self._read_manifest(head)["partition_by"]
+        remaining = self.read(partitions=dirs).where(~cond_true)
+        return self.write(
+            remaining.repartition(*pby),
+            mode="overwrite_partitions",
+            partition_by=pby,
+            claimed_partitions=tuples,
+            metadata=metadata,
+        )
+
+    def update_where(
+        self,
+        condition,
+        assignments: dict,
+        metadata: dict | None = None,
+    ) -> int | None:
+        """Row-level ``UPDATE ... SET ... WHERE`` (copy-on-write, the
+        Iceberg ``write.update.mode=copy-on-write`` semantics): rewrite
+        ONLY the touched partitions in one atomic
+        ``overwrite_partitions`` commit -- readers see either no update
+        or the whole update.  Rows where ``condition`` IS TRUE take the
+        assigned values (Column expressions or literals, cast back to
+        the column's existing type); all other rows in the touched
+        partitions rewrite byte-identical.  Returns the committed
+        version, or None when nothing matched (no commit, no empty
+        snapshot).
+
+        Partition columns cannot be assigned: a row changing partition
+        under ``overwrite_partitions`` would land among rows this
+        commit never read and silently drop them -- refused loudly
+        (move rows with delete + append instead).  Unpartitioned
+        tables rewrite fully (inherent to COW; use
+        :meth:`delete_keys`/append MoR composition when rewrite cost
+        matters there)."""
+        from pyspark.sql import functions as F
+
+        if not assignments:
+            raise ValueError("assignments must be non-empty")
+        head = self.current_version()
+        if head is None:
+            raise ValueError(f"no snapshots committed under {self.root}")
+        pby = self._read_manifest(head)["partition_by"]
+        bad = sorted(set(assignments) & set(pby))
+        if bad:
+            raise ValueError(
+                f"cannot assign partition columns {bad}: moved rows "
+                "would land in partitions this commit never read; "
+                "delete + append instead"
+            )
+        cond_true = F.coalesce(condition, F.lit(False))
+
+        def _apply(df: DataFrame) -> DataFrame:
+            missing = sorted(set(assignments) - set(df.columns))
+            if missing:
+                raise ValueError(
+                    f"assigned columns {missing} not in table schema"
+                )
+            types = {f.name: f.dataType for f in df.schema.fields}
+            def _val(c: str) -> Column:
+                a = assignments[c]
+                return (a if isinstance(a, Column) else F.lit(a)).cast(
+                    types[c]
+                )
+
+            cols = [
+                F.when(cond_true, _val(c)).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in df.columns
+            ]
+            return df.select(*cols)
+
+        touched = self._touched_partition_dirs(condition)
+        if touched is None:
+            return self.write(
+                _apply(self.read()), mode="snapshot", partition_by=pby,
+                metadata=metadata,
+            )
+        tuples, dirs = touched
+        if not tuples:
+            return None
+        updated = _apply(self.read(partitions=dirs))
+        return self.write(
+            updated.repartition(*pby),
+            mode="overwrite_partitions",
+            partition_by=pby,
+            claimed_partitions=tuples,
+            metadata=metadata,
+        )
 
     def evolve_schema(
         self,
