@@ -3550,6 +3550,113 @@ class SnapshotStore:
                 df = df.where(F.col(col) == value)
         return self._retype_void_columns(df, manifest)
 
+    def metadata_table(
+        self, kind: str, as_of: int | None = None
+    ) -> DataFrame:
+        """Inspection tables (Iceberg's ``db.table.snapshots`` /
+        ``.partitions`` / ``.files`` metadata-table surface) as
+        DataFrames, answered from manifests -- no data scan.
+
+         * ``snapshots``: one row per RETAINED version -- version,
+           parent, mode, committed_at_ms, staged (WAP id or null),
+           is_published.
+         * ``partitions``: live partitions of the resolved snapshot --
+           partition, n_dirs, n_rows.  ``n_rows`` is exact when
+           provable from metadata (every live dir carries a recorded
+           row count and no merge-on-read delete set is live -- the
+           :meth:`count_rows` rule) and NULL otherwise, never a guess.
+         * ``files``: one row per live data file -- partition, vdir,
+           file.  File names come from recorded per-file stats where
+           present (zero IO) and a directory listing otherwise.
+
+        Driver-side cost: O(retained versions) manifest headers for
+        ``snapshots``; one resolved manifest (+ listings for
+        stats-less dirs in ``files``) for the rest -- the inspection
+        path never grows with table data."""
+        from pyspark.sql import functions as F  # noqa: F401
+        from pyspark.sql import types as T
+
+        if kind == "snapshots":
+            rows = []
+            for v in self.versions():
+                raw = self._read_manifest_raw(v)
+                rows.append(
+                    (
+                        v,
+                        raw.get("parent"),
+                        raw["mode"],
+                        int(raw["committed_at_ms"]),
+                        raw.get("staged"),
+                        raw.get("staged") is None,
+                    )
+                )
+            return self.spark.createDataFrame(
+                rows,
+                "version BIGINT, parent BIGINT, mode STRING, "
+                "committed_at_ms BIGINT, staged STRING, "
+                "is_published BOOLEAN",
+            )
+
+        version = self.current_version() if as_of is None else as_of
+        if version is None:
+            raise ValueError(f"no snapshots committed under {self.root}")
+        manifest = self._read_manifest(version)
+
+        if kind == "partitions":
+            deletes_live = bool(manifest.get("delete_sets"))
+            dir_rows = manifest.get("dir_rows", {})
+            rows = []
+            for part, vdirs in sorted(manifest["partitions"].items()):
+                counts = [
+                    dir_rows.get(f"{vd}/{part}" if part else vd)
+                    for vd in vdirs
+                ]
+                n = (
+                    None
+                    if deletes_live or any(c is None for c in counts)
+                    else sum(counts)
+                )
+                rows.append((part, len(vdirs), n))
+            return self.spark.createDataFrame(
+                rows, "partition STRING, n_dirs INT, n_rows BIGINT"
+            )
+
+        if kind == "files":
+            fstats = manifest.get("file_stats", {})
+            by_dkey: dict[str, list[str]] = {}
+            for fkey in fstats:
+                d, _, fname = fkey.rpartition("/")
+                by_dkey.setdefault(d, []).append(fname)
+            rows = []
+            base = f"{self.root.rstrip('/')}/{DATA_DIR}"
+            for part, vdirs in sorted(manifest["partitions"].items()):
+                for vd in vdirs:
+                    dkey = f"{vd}/{part}" if part else vd
+                    names = by_dkey.get(dkey)
+                    if names is None:
+                        fs, path = _fs_and_path(
+                            self.spark, f"{base}/{dkey}"
+                        )
+                        names = [
+                            st.getPath().getName()
+                            for st in fs.listStatus(path)
+                            if st.getPath().getName().endswith(".parquet")
+                        ]
+                    rows.extend((part, vd, n) for n in sorted(names))
+            schema = T.StructType(
+                [
+                    T.StructField("partition", T.StringType()),
+                    T.StructField("vdir", T.StringType()),
+                    T.StructField("file", T.StringType()),
+                ]
+            )
+            return self.spark.createDataFrame(rows, schema)
+
+        raise ValueError(
+            f"unknown metadata table {kind!r}: pick from "
+            "'snapshots', 'partitions', 'files'"
+        )
+
     def count_rows(
         self, as_of: int | None = None, partitions: list[str] | None = None
     ) -> int | None:

@@ -3344,3 +3344,86 @@ def snapshot_update_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in phases[1:]:
         out = out.unionByName(p)
     return out.orderBy("phase", "lang")
+
+
+@register(
+    "snapshot_metadata_partitions_read",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang FROM documents),
+    s AS (
+        SELECT 0 AS phase, lang, COUNT(*) AS n FROM d
+        WHERE doc_id % 2 = 0 GROUP BY lang
+        UNION ALL
+        SELECT 1, lang, COUNT(*) FROM d GROUP BY lang
+    )
+    SELECT CAST(phase AS INT) AS phase, lang,
+           CAST(n AS BIGINT) AS n_rows
+    FROM s ORDER BY phase, lang
+    """,
+    category="etl",
+    description="Partitions metadata table (Iceberg db.table.partitions "
+    "parity, SnapshotStore.metadata_table('partitions')): per-partition "
+    "row counts answered from MANIFEST metadata with zero data scan "
+    "(dir_rows recorded by the write-time stats pass), exact-or-NULL "
+    "semantics; two commits, both states time-traveled, counts "
+    "hash-matched against DuckDB recomputing them from the source "
+    "table.  Runtime-asserts the snapshots metadata table sees both "
+    "commits as published appends",
+)
+def snapshot_metadata_partitions_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale notes: the inspection path reads one resolved manifest --
+    O(live partitions) driver-side, independent of data volume; row
+    counts come from commit-time bookkeeping, so answering "how big is
+    every partition" on a 100 TB table touches no parquet at all (the
+    Iceberg metadata-table design).  NULL-over-guess rule: a live MoR
+    delete set or a stats-less dir nulls the count rather than lying
+    (pinned in tests/test_metadata_tables.py)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang")
+    root = (
+        f"{tempfile.gettempdir()}/snap_metaparts_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    s = SnapshotStore(spark, root)
+    s.write(
+        docs.where(F.col("doc_id") % 2 == 0).repartition("lang"),
+        mode="snapshot",
+        partition_by=["lang"],
+        stats_cols=["doc_id"],
+    )
+    s.write(
+        docs.where(F.col("doc_id") % 2 == 1).repartition("lang"),
+        mode="append",
+        partition_by=["lang"],
+        stats_cols=["doc_id"],
+    )
+    snaps = s.metadata_table("snapshots").collect()
+    if [(r["version"], r["mode"], r["is_published"]) for r in snaps] != [
+        (0, "snapshot", True),
+        (1, "append", True),
+    ]:
+        raise AssertionError(f"unexpected snapshots metadata: {snaps}")
+
+    def _phase(v: int) -> DataFrame:
+        parts = s.metadata_table("partitions", as_of=v)
+        if parts.where(F.col("n_rows").isNull()).count() > 0:
+            raise AssertionError(
+                f"v{v}: expected exact metadata counts, got NULLs"
+            )
+        return parts.select(
+            F.lit(v).cast("int").alias("phase"),
+            F.replace(
+                F.col("partition"), F.lit("lang="), F.lit("")
+            ).alias("lang"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+        )
+
+    return _phase(0).unionByName(_phase(1)).orderBy("phase", "lang")

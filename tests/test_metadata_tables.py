@@ -1,0 +1,87 @@
+"""Metadata inspection tables (``SnapshotStore.metadata_table``):
+snapshots / partitions / files, answered from manifests.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docker_airflow_spark_minio_spark.snapshots import SnapshotStore
+
+SCHEMA = "id INT, day STRING, amt INT"
+
+
+def test_metadata_snapshots_lists_retained_history(spark, tmp_path):
+    s = SnapshotStore(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, "d1", 10)], SCHEMA)
+    s.write(df, mode="snapshot", partition_by=["day"])
+    s.write(df, mode="append", partition_by=["day"], staged="w")
+    s.delete_keys(df.select("id"), key_cols=["id"])
+    got = [
+        (r["version"], r["mode"], r["staged"], r["is_published"])
+        for r in s.metadata_table("snapshots").orderBy("version").collect()
+    ]
+    assert got == [
+        (0, "snapshot", None, True),
+        (1, "append", "w", False),
+        (2, "delete_keys", None, True),
+    ]
+
+
+def test_metadata_partitions_rows_exact_or_null(spark, tmp_path):
+    s = SnapshotStore(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "d1", 10), (2, "d1", 20), (3, "d2", 30)], SCHEMA
+    )
+    # stats write records dir_rows -> exact counts, no scan
+    s.write(df, mode="snapshot", partition_by=["day"], stats_cols=["amt"])
+    got = {
+        r["partition"]: (r["n_dirs"], r["n_rows"])
+        for r in s.metadata_table("partitions").collect()
+    }
+    assert got == {"day=d1": (1, 2), "day=d2": (1, 1)}
+    # a live MoR delete set makes counts unprovable -> NULL, never a guess
+    s.delete_keys(df.where(F.col("id") == 1).select("id"), key_cols=["id"])
+    got = {
+        r["partition"]: r["n_rows"]
+        for r in s.metadata_table("partitions").collect()
+    }
+    assert got == {"day=d1": None, "day=d2": None}
+    # time travel back to the clean snapshot restores exactness
+    got = {
+        r["partition"]: r["n_rows"]
+        for r in s.metadata_table("partitions", as_of=0).collect()
+    }
+    assert got == {"day=d1": 2, "day=d2": 1}
+
+
+def test_metadata_files_inventory(spark, tmp_path):
+    s = SnapshotStore(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, "d1", 10), (2, "d2", 20)], SCHEMA)
+    s.write(df, mode="snapshot", partition_by=["day"], stats_cols=["amt"])
+    # second commit WITHOUT stats: files come from a directory listing
+    s.write(
+        spark.createDataFrame([(3, "d1", 30)], SCHEMA),
+        mode="append",
+        partition_by=["day"],
+    )
+    files = s.metadata_table("files").collect()
+    assert all(r["file"].endswith(".parquet") for r in files)
+    by_part = {}
+    for r in files:
+        by_part.setdefault(r["partition"], set()).add(r["vdir"])
+    assert {vd[:3] for vd in by_part["day=d1"]} == {"v0-", "v1-"}
+    assert {vd[:3] for vd in by_part["day=d2"]} == {"v0-"}
+    # the inventory covers exactly the table's row count
+    import pyarrow.parquet as pq
+
+    n = sum(
+        pq.read_metadata(
+            f"{tmp_path}/t/data/{r['vdir']}/{r['partition']}/{r['file']}"
+        ).num_rows
+        for r in files
+    )
+    assert n == s.read().count() == 3
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        s.metadata_table("nope")
