@@ -414,6 +414,85 @@ def _dkey_part(dkey: str) -> str:
     vdir names never contain ``/``)."""
     return dkey.split("/", 1)[1] if "/" in dkey else ""
 
+
+#: Hidden-partitioning transform syntax accepted in ``partition_by``
+#: (the Iceberg partition-transform set): ``bucket(N, col)``,
+#: ``truncate(W, col)``, ``years(col)``, ``months(col)``, ``days(col)``,
+#: ``hours(col)``.  Time transforms produce the Iceberg-spec integer
+#: encodings (years/months/days/hours since the 1970 epoch).
+_TRANSFORM_RE = re.compile(
+    r"^(?:(bucket|truncate)\(\s*(\d+)\s*,\s*(\w+)\s*\)"
+    r"|(years|months|days|hours)\(\s*(\w+)\s*\))$"
+)
+
+
+def _parse_partition_spec(pby: list[str]) -> tuple[list[str], dict]:
+    """Split a ``partition_by`` list into (physical column names,
+    transform specs keyed by derived column name).  Identity columns
+    pass through; ``bucket(8, doc_id)`` becomes the derived physical
+    column ``doc_id_bucket_8`` with spec ``{kind, src, arg}``."""
+    physical: list[str] = []
+    transforms: dict[str, dict] = {}
+    for item in pby:
+        if "(" not in item:
+            physical.append(item)
+            continue
+        m = _TRANSFORM_RE.match(item.strip())
+        if m is None:
+            raise ValueError(
+                f"unparseable partition transform {item!r}: expected "
+                "bucket(N, col) / truncate(W, col) / "
+                "years|months|days|hours(col)"
+            )
+        if m.group(1):
+            kind, src = m.group(1), m.group(3)
+            spec = {"kind": kind, "src": src, "arg": int(m.group(2))}
+            name = f"{src}_{kind}_{m.group(2)}"
+        else:
+            kind, src = m.group(4), m.group(5)
+            spec = {"kind": kind, "src": src}
+            name = f"{src}_{kind}"
+        transforms[name] = spec
+        physical.append(name)
+    return physical, transforms
+
+
+def _apply_transforms(df: DataFrame, transforms: dict) -> DataFrame:
+    """Materialize the derived partition columns on ``df`` (recomputed
+    unconditionally -- the transform, not the caller, is the source of
+    truth for routing).  All expressions are deterministic built-ins,
+    so write-side routing and plan-side point evaluation cannot
+    drift."""
+    from pyspark.sql import functions as F
+
+    for name, spec in transforms.items():
+        src, kind = F.col(spec["src"]), spec["kind"]
+        if kind == "bucket":
+            expr = F.pmod(F.xxhash64(src), F.lit(spec["arg"])).cast("int")
+        elif kind == "truncate":
+            dt = df.schema[spec["src"]].dataType.simpleString()
+            expr = (
+                F.substring(src, 1, spec["arg"])
+                if dt == "string"
+                else src - F.pmod(src, F.lit(spec["arg"]))
+            )
+        elif kind == "years":
+            expr = (F.year(src) - 1970).cast("int")
+        elif kind == "months":
+            expr = ((F.year(src) - 1970) * 12 + F.month(src) - 1).cast("int")
+        elif kind == "days":
+            expr = F.datediff(src.cast("date"), F.lit("1970-01-01")).cast(
+                "int"
+            )
+        elif kind == "hours":
+            expr = F.floor(
+                src.cast("timestamp").cast("double") / 3600
+            ).cast("int")
+        else:  # pragma: no cover - parse() only emits the kinds above
+            raise ValueError(f"unknown transform kind {kind!r}")
+        df = df.withColumn(name, expr)
+    return df
+
 #: Namespace prefix separating BRANCH markers from plain WAP ids in the
 #: ``staged`` manifest field -- a branch is a staged chain with extra
 #: lifecycle rules (repeat fast-forwards allowed; see :meth:`SnapshotStore.branch_write`).
@@ -691,6 +770,17 @@ class SnapshotStore:
                         )
                     }
                     if d.get("schema_log") or cur.get("schema_log")
+                    else {}
+                ),
+                **(
+                    {
+                        "partition_transforms": (
+                            d.get("partition_transforms")
+                            or cur.get("partition_transforms")
+                        )
+                    }
+                    if d.get("partition_transforms")
+                    or cur.get("partition_transforms")
                     else {}
                 ),
                 "watermarks": {
@@ -1142,6 +1232,11 @@ class SnapshotStore:
             "parent": head,
             "mode": "rollback",
             "partition_by": target["partition_by"],
+            **(
+                {"partition_transforms": target["partition_transforms"]}
+                if target.get("partition_transforms")
+                else {}
+            ),
             "manifest_kind": "full",
             "partitions": target["partitions"],
             "dir_stats": target.get("dir_stats", {}),
@@ -1656,6 +1751,11 @@ class SnapshotStore:
                 "mode": "wap_publish",
                 "manifest_kind": "full",
                 **({"schema_log": pub_log} if pub_log else {}),
+                **(
+                    {"partition_transforms": merged["partition_transforms"]}
+                    if merged.get("partition_transforms")
+                    else {}
+                ),
                 "partition_by": merged["partition_by"],
                 "partitions": merged["partitions"],
                 "dir_stats": merged.get("dir_stats", {}),
@@ -1945,6 +2045,11 @@ class SnapshotStore:
                 if parent.get("schema_log")
                 else {}
             ),
+            **(
+                {"partition_transforms": parent["partition_transforms"]}
+                if parent.get("partition_transforms")
+                else {}
+            ),
             **({"staged": staged} if staged is not None else {}),
         }
         if version % CHECKPOINT_EVERY == 0:
@@ -2076,6 +2181,11 @@ class SnapshotStore:
                 if parent.get("schema_log")
                 else {}
             ),
+            **(
+                {"partition_transforms": parent["partition_transforms"]}
+                if parent.get("partition_transforms")
+                else {}
+            ),
         }
         if version % CHECKPOINT_EVERY == 0:
             manifest = {
@@ -2125,16 +2235,17 @@ class SnapshotStore:
         head = self.current_version()
         if head is None:
             raise ValueError(f"no snapshots committed under {self.root}")
-        pby = self._read_manifest(head)["partition_by"]
+        m = self._read_manifest(head)
+        pby = m["partition_by"]
         if not pby:
             return None
-        rows = (
-            self.read()
-            .where(F.coalesce(condition, F.lit(False)))
-            .select(*pby)
-            .distinct()
-            .collect()
-        )
+        matching = self.read().where(F.coalesce(condition, F.lit(False)))
+        # hidden partitioning: recompute derived routing columns so the
+        # physical spec is selectable (read() hides them by design)
+        trans = m.get("partition_transforms") or {}
+        if trans:
+            matching = _apply_transforms(matching, trans)
+        rows = matching.select(*pby).distinct().collect()
         if not rows:
             return ([], [])
         tuples = [tuple(r[c] for c in pby) for r in rows]
@@ -2192,8 +2303,11 @@ class SnapshotStore:
         head = self.current_version()
         pby = self._read_manifest(head)["partition_by"]
         remaining = self.read(partitions=dirs).where(~cond_true)
+        ident = [c for c in pby if c in remaining.columns]
+        if ident:
+            remaining = remaining.repartition(*ident)
         return self.write(
-            remaining.repartition(*pby),
+            remaining,
             mode="overwrite_partitions",
             partition_by=pby,
             claimed_partitions=tuples,
@@ -2272,8 +2386,11 @@ class SnapshotStore:
         if not tuples:
             return None
         updated = _apply(self.read(partitions=dirs))
+        ident = [c for c in pby if c in updated.columns]
+        if ident:
+            updated = updated.repartition(*ident)
         return self.write(
-            updated.repartition(*pby),
+            updated,
             mode="overwrite_partitions",
             partition_by=pby,
             claimed_partitions=tuples,
@@ -2459,6 +2576,11 @@ class SnapshotStore:
             "mode": "evolve_schema",
             "manifest_kind": "full",
             "partition_by": parent["partition_by"],
+            **(
+                {"partition_transforms": parent["partition_transforms"]}
+                if parent.get("partition_transforms")
+                else {}
+            ),
             "partitions": parent["partitions"],
             "dir_stats": parent.get("dir_stats", {}),
             "file_stats": parent.get("file_stats", {}),
@@ -2513,6 +2635,17 @@ class SnapshotStore:
         never becomes table state, yet is validated exactly as written.
 
         mode: 'snapshot' | 'append' | 'overwrite_partitions'
+        ``partition_by`` entries are identity column names or HIDDEN
+        PARTITIONING transforms (the Iceberg transform set):
+        ``bucket(N, col)``, ``truncate(W, col)``, ``years(col)``,
+        ``months(col)``, ``days(col)``, ``hours(col)``.  A transform
+        derives a physical routing column (``doc_id_bucket_8``),
+        recorded in the manifest as ``partition_transforms``: writers
+        never materialize it (recomputed here, unconditionally), read
+        paths never surface it, appends may restate the spec or pass
+        the physical names (the table remembers), and a ``point_filter``
+        on the SOURCE column prunes to the matching transform
+        directories at plan time (:meth:`plan_dirs`).
         ``partition_by`` must be stable across the table's lifetime
         (checked against the parent manifest) UNLESS
         ``evolve_partitioning=True`` (Iceberg partition-spec evolution):
@@ -2607,7 +2740,31 @@ class SnapshotStore:
                         )
                 parent_v = max(prior)
         parent = self._read_manifest(parent_v) if parent_v is not None else None
-        pby = list(partition_by or [])
+        pby, transforms = _parse_partition_spec(list(partition_by or []))
+        if parent is not None:
+            ptrans = parent.get("partition_transforms") or {}
+            if not transforms and ptrans and pby == parent["partition_by"]:
+                # caller addressed the spec by its physical names (the
+                # compaction/COW rewrite path): the TABLE remembers its
+                # transforms -- hidden partitioning means never having
+                # to restate them
+                transforms = ptrans
+            elif (
+                transforms != ptrans
+                and pby == parent["partition_by"]
+                and not evolve_partitioning
+            ):
+                raise ValueError(
+                    f"partition transforms {transforms} != table's "
+                    f"{ptrans} (pass evolve_partitioning=True to change "
+                    "the spec)"
+                )
+        if transforms:
+            # Recompute derived routing columns UNCONDITIONALLY (a
+            # caller-supplied column under a derived name is replaced):
+            # the transform, not the writer, is the source of truth, so
+            # mis-routed rows are impossible by construction.
+            df = _apply_transforms(df, transforms)
         if parent is not None and parent["partition_by"] != pby:
             if not evolve_partitioning:
                 raise ValueError(
@@ -2676,6 +2833,15 @@ class SnapshotStore:
             )
         else:
             schema_json = df.schema.json()
+        if transforms:
+            # Derived transform columns are ROUTING, not table schema
+            # (hidden partitioning): they live in directory names only
+            # and never surface from read paths.
+            sj = json.loads(schema_json)
+            sj["fields"] = [
+                f for f in sj["fields"] if f["name"] not in transforms
+            ]
+            schema_json = json.dumps(sj)
         latest = self.latest_version()
         version = 0 if latest is None else latest + 1
         # Attempt-UNIQUE data directory (the Iceberg convention): two
@@ -2925,6 +3091,9 @@ class SnapshotStore:
             # instead of crashing the consumer.
             "schema": schema_json,
             **({"schema_log": slog} if slog and mode != "snapshot" else {}),
+            **(
+                {"partition_transforms": transforms} if transforms else {}
+            ),
         }
         if is_full:
             manifest = {
@@ -3136,11 +3305,55 @@ class SnapshotStore:
                 continue
         return False
 
+    def _eval_transform(self, spec: dict, value, manifest: dict):
+        """Evaluate a partition transform for one literal at PLAN time
+        through the very same Spark expression the write path routed
+        with (a 1-row job: metadata-sized, and immune to any
+        Python-vs-Catalyst semantic drift, e.g. xxhash64)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        field = next(
+            f
+            for f in T.StructType.fromJson(json.loads(manifest["schema"]))
+            if f.name == spec["src"]
+        )
+        one = self.spark.range(1).select(
+            F.lit(value).cast(field.dataType).alias(spec["src"])
+        )
+        return _apply_transforms(one, {"__t": spec}).collect()[0]["__t"]
+
+    def _segment_requirements(
+        self, manifest: dict, points: dict
+    ) -> dict[str, str]:
+        """Hive path segments a dir must carry to possibly hold rows
+        matching the point predicates: identity partition columns match
+        their literal; a transform's SOURCE column maps through the
+        transform to the derived segment (hidden partitioning's prune
+        path).  Only provable requirements are emitted -- other
+        predicate columns prune via blooms/zone maps downstream."""
+        trans = manifest.get("partition_transforms") or {}
+        pby = manifest["partition_by"]
+        req: dict[str, str] = {}
+        for col, v in points.items():
+            if col in pby and col not in trans:
+                req[col] = _hive_partition_dir(
+                    self.spark, [col], (v,)
+                ).split("=", 1)[1]
+            for name, spec in trans.items():
+                if spec["src"] == col:
+                    dv = self._eval_transform(spec, v, manifest)
+                    req[name] = _hive_partition_dir(
+                        self.spark, [name], (dv,)
+                    ).split("=", 1)[1]
+        return req
+
     def plan_dirs(
         self,
         as_of: int | None = None,
         partitions: list[str] | None = None,
         range_filter: tuple | list[tuple] | None = None,
+        point_filter: dict | None = None,
     ) -> tuple[dict, dict[str, list[str]], int, int]:
         """Manifest-level scan planning: returns ``(manifest, by_vdir,
         n_skipped, n_total)`` where ``by_vdir`` maps each data directory
@@ -3148,8 +3361,14 @@ class SnapshotStore:
         when ANY range filter is provably disjoint from its recorded
         zone map (conjunctive semantics, like a WHERE of ANDed ranges);
         directories without stats for a filtered column are kept
-        (sound).  Exposed separately from :meth:`read` so tests and
-        observability can assert pruning decisions without scanning."""
+        (sound).  ``point_filter`` equality predicates additionally
+        prune by PARTITION-PATH SEGMENTS: identity partition columns
+        directly, and hidden-partitioning transform sources through
+        their recorded transform (``bucket(8, doc_id)`` turns a
+        ``doc_id = K`` lookup into one bucket directory) -- dirs whose
+        spec lacks the segment are kept (sound across spec evolution).
+        Exposed separately from :meth:`read` so tests and observability
+        can assert pruning decisions without scanning."""
         version = self.current_version() if as_of is None else as_of
         if version is None:
             raise ValueError(f"no snapshots committed under {self.root}")
@@ -3162,8 +3381,26 @@ class SnapshotStore:
         )
         stats = manifest.get("dir_stats", {})
         ranges = self._normalize_ranges(range_filter)
+        seg_req = (
+            self._segment_requirements(manifest, point_filter)
+            if point_filter
+            else {}
+        )
+
+        def _seg_skipped(part: str) -> bool:
+            if not seg_req or not part:
+                return False
+            segs = dict(
+                s.split("=", 1) for s in part.split("/") if "=" in s
+            )
+            return any(
+                name in segs and segs[name] != want
+                for name, want in seg_req.items()
+            )
 
         def _skipped(vd: str, part: str) -> bool:
+            if _seg_skipped(part):
+                return True
             dstats = stats.get(f"{vd}/{part}" if part else vd, {})
             return self._provably_disjoint(dstats, ranges)
 
@@ -3213,7 +3450,10 @@ class SnapshotStore:
         point-lookup pruning zone maps cannot provide when key values
         are hash-scattered across files."""
         manifest, by_vdir, _, _ = self.plan_dirs(
-            as_of=as_of, partitions=partitions, range_filter=range_filter
+            as_of=as_of,
+            partitions=partitions,
+            range_filter=range_filter,
+            point_filter=point_filter,
         )
         ranges = self._normalize_ranges(range_filter)
         points = dict(point_filter or {})
@@ -4077,13 +4317,25 @@ class SnapshotStore:
         return res
 
     def _retype_void_columns(self, df: DataFrame, manifest: dict) -> DataFrame:
-        """Subset scans covering ONLY the Hive default (NULL) partition
-        dir make Spark infer the partition column as VOID -- there is no
-        value to infer a type from.  Re-type such columns from the
-        manifest's recorded table schema (a cast of all-NULL values:
-        lossless by construction).  Columns with a REAL inferred type
-        are left alone, so incompatible type changes still fail loudly
-        at analysis rather than being papered over."""
+        """Manifest-aware output normalization, applied by every read
+        path.  (1) HIDDEN PARTITIONING: derived transform columns
+        (``partition_transforms``) are routing, not table schema --
+        they surface from the path-based partition derivation and are
+        dropped here, so readers never see them.  (2) Subset scans
+        covering ONLY the Hive default (NULL) partition dir make Spark
+        infer the partition column as VOID -- there is no value to
+        infer a type from.  Re-type such columns from the manifest's
+        recorded table schema (a cast of all-NULL values: lossless by
+        construction).  Columns with a REAL inferred type are left
+        alone, so incompatible type changes still fail loudly at
+        analysis rather than being papered over."""
+        hidden = [
+            c
+            for c in (manifest.get("partition_transforms") or {})
+            if c in df.columns
+        ]
+        if hidden:
+            df = df.drop(*hidden)
         void_cols = {f.name for f in df.schema.fields if f.dataType.typeName() == "void"}
         if not void_cols or not manifest.get("schema"):
             return df
@@ -4443,6 +4695,11 @@ class SnapshotStore:
             return None
         pby = manifest["partition_by"]
         df = self.read(partitions=targets)
+        # hidden partitioning: re-materialize derived routing columns so
+        # the layout/repartition below can address the physical spec
+        trans = manifest.get("partition_transforms") or {}
+        if trans:
+            df = _apply_transforms(df, trans)
         if cluster_by:
             df = self._zorder_layout(df, pby, cluster_by, target_rows_per_file)
         elif target_rows_per_file is not None and target_rows_per_file > 0:

@@ -1,0 +1,134 @@
+"""Hidden partitioning (Iceberg transform specs): bucket / truncate /
+time transforms derive physical routing columns that writers never
+materialize and readers never see, while point predicates on the SOURCE
+column prune to the matching transform directories at plan time.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from docker_airflow_spark_minio_spark.snapshots import SnapshotStore
+
+SCHEMA = "id BIGINT, day STRING, amt INT"
+
+
+def _store(spark, path, rows, spec):
+    s = SnapshotStore(spark, str(path))
+    s.write(spark.createDataFrame(rows, SCHEMA), mode="snapshot",
+            partition_by=spec)
+    return s
+
+
+def test_bucket_transform_hides_routing_and_prunes_points(spark, tmp_path):
+    rows = [(i, f"d{i % 3}", i * 10) for i in range(40)]
+    s = _store(spark, tmp_path / "t", rows, ["bucket(8, id)"])
+    # derived column is routing, not schema: hidden from reads,
+    # absent from the recorded schema
+    assert s.read().columns == ["id", "day", "amt"]
+    assert "id_bucket_8" not in s.read().columns
+    m = s._read_manifest(0)
+    assert m["partition_transforms"] == {
+        "id_bucket_8": {"kind": "bucket", "src": "id", "arg": 8}
+    }
+    assert all(p.startswith("id_bucket_8=") for p in m["partitions"])
+    # a point lookup on the SOURCE column prunes to one bucket dir
+    _, by_vdir, n_skipped, n_total = s.plan_dirs(point_filter={"id": 7})
+    assert n_total == len(m["partitions"])
+    assert n_skipped == n_total - 1
+    got = s.read(point_filter={"id": 7}).collect()
+    assert [(r["id"], r["amt"]) for r in got] == [(7, 70)]
+    # appends route consistently whether the spec is restated or the
+    # physical name is passed (the table remembers its transforms)
+    s.write(spark.createDataFrame([(100, "d1", 5)], SCHEMA),
+            mode="append", partition_by=["bucket(8, id)"])
+    s.write(spark.createDataFrame([(101, "d2", 6)], SCHEMA),
+            mode="append", partition_by=["id_bucket_8"])
+    assert s.read().count() == 42
+    assert [r["id"] for r in s.read(point_filter={"id": 101}).collect()] == [101]
+    # a conflicting spec refuses (different arg -> different derived
+    # physical name -> the partition_by stability check fires)
+    with pytest.raises(ValueError, match="partition_by|transforms"):
+        s.write(spark.createDataFrame([(1, "d1", 1)], SCHEMA),
+                mode="append", partition_by=["bucket(4, id)"])
+
+
+def test_mixed_identity_and_transform_spec(spark, tmp_path):
+    rows = [(i, f"d{i % 2}", i) for i in range(20)]
+    s = _store(spark, tmp_path / "t", rows, ["day", "bucket(4, id)"])
+    m = s._read_manifest(0)
+    assert all(
+        p.startswith("day=") and "/id_bucket_4=" in p
+        for p in m["partitions"]
+    )
+    # identity point + transform-source point prune together
+    _, _, n_skipped, n_total = s.plan_dirs(
+        point_filter={"day": "d1", "id": 3}
+    )
+    assert n_skipped == n_total - 1
+    assert [r["id"] for r in
+            s.read(point_filter={"day": "d1", "id": 3}).collect()] == [3]
+
+
+def test_truncate_and_days_transforms(spark, tmp_path):
+    rows = [(i, f"2024-01-{(i % 9) + 1:02d}", i) for i in range(30)]
+    df = spark.createDataFrame(rows, SCHEMA).withColumn(
+        "ts", F.to_timestamp("day")
+    )
+    s = SnapshotStore(spark, str(tmp_path / "t"))
+    s.write(df, mode="snapshot",
+            partition_by=["truncate(10, id)", "days(ts)"])
+    m = s._read_manifest(0)
+    # Iceberg integer encodings: truncate floors to the width multiple,
+    # days counts from the 1970 epoch
+    day3 = (datetime.date(2024, 1, 3) - datetime.date(1970, 1, 1)).days
+    assert f"id_truncate_10=20/ts_days={day3}" in m["partitions"]
+    _, _, n_skipped, n_total = s.plan_dirs(
+        point_filter={"id": 22, "ts": datetime.datetime(2024, 1, 5, 12)}
+    )
+    assert n_skipped == n_total - 1
+    got = s.read(
+        point_filter={"id": 22}
+    ).collect()
+    assert [(r["id"], r["day"]) for r in got] == [(22, "2024-01-05")]
+
+
+def test_row_level_ops_and_compaction_on_transform_tables(spark, tmp_path):
+    rows = [(i, f"d{i % 3}", i * 10) for i in range(30)]
+    s = _store(spark, tmp_path / "t", rows, ["bucket(4, id)"])
+    s.write(spark.createDataFrame([(i, "dx", i) for i in range(30, 40)],
+                                  SCHEMA),
+            mode="append", partition_by=["bucket(4, id)"])
+    # COW update touches only the matching buckets and keeps routing
+    s.update_where(F.col("id") == 7, {"amt": F.lit(777)})
+    assert [r["amt"] for r in
+            s.read(point_filter={"id": 7}).collect()] == [777]
+    # MoR delete then compaction: routing and hiding survive rewrite
+    s.delete_where(F.col("id") % 10 == 9)
+    cv = s.compact(all_partitions=True)
+    assert cv is not None
+    assert s.read().columns == ["id", "day", "amt"]
+    assert s.read().count() == 40 - 4
+    assert s._read_manifest(cv)["partition_transforms"] == {
+        "id_bucket_4": {"kind": "bucket", "src": "id", "arg": 4}
+    }
+    # point lookups still prune after compaction
+    _, _, n_skipped, n_total = s.plan_dirs(point_filter={"id": 7})
+    assert n_total > 1 and n_skipped == n_total - 1
+
+
+def test_changelog_and_appends_hide_transform_columns(spark, tmp_path):
+    rows = [(i, f"d{i % 2}", i) for i in range(10)]
+    s = _store(spark, tmp_path / "t", rows, ["bucket(4, id)"])
+    s.write(spark.createDataFrame([(50, "d1", 50)], SCHEMA),
+            mode="append", partition_by=["bucket(4, id)"])
+    inc = s.read_appends(0)
+    assert inc.columns == ["id", "day", "amt"]
+    assert [r["id"] for r in inc.collect()] == [50]
+    ch = s.read_changes(-1)
+    assert set(ch.columns) == {"id", "day", "amt",
+                               "_change_type", "_commit_version"}
+    assert ch.count() == 11
