@@ -3309,10 +3309,18 @@ class SnapshotStore:
         """Evaluate a partition transform for one literal at PLAN time
         through the very same Spark expression the write path routed
         with (a 1-row job: metadata-sized, and immune to any
-        Python-vs-Catalyst semantic drift, e.g. xxhash64)."""
+        Python-vs-Catalyst semantic drift, e.g. xxhash64).  Memoized
+        per store handle -- transforms are pure functions of (spec,
+        value), so repeated point lookups pay the job once."""
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
+        key = (json.dumps(spec, sort_keys=True), repr(value))
+        cache = getattr(self, "_transform_eval_cache", None)
+        if cache is None:
+            cache = self._transform_eval_cache = {}
+        if key in cache:
+            return cache[key]
         field = next(
             f
             for f in T.StructType.fromJson(json.loads(manifest["schema"]))
@@ -3321,7 +3329,9 @@ class SnapshotStore:
         one = self.spark.range(1).select(
             F.lit(value).cast(field.dataType).alias(spec["src"])
         )
-        return _apply_transforms(one, {"__t": spec}).collect()[0]["__t"]
+        out = _apply_transforms(one, {"__t": spec}).collect()[0]["__t"]
+        cache[key] = out
+        return out
 
     def _segment_requirements(
         self, manifest: dict, points: dict

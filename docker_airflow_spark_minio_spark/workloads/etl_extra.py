@@ -3476,13 +3476,22 @@ def snapshot_hidden_partitioning_read(
     shutil.rmtree(root, ignore_errors=True)
     s = SnapshotStore(spark, root)
     spec = ["lang", "bucket(8, doc_id)"]
+    # pre-cluster each batch by the same routing expression the table
+    # derives, so every (lang, bucket) dir is written by ONE task
+    # instead of every task writing a sliver into all ~40 dirs (the
+    # small-file storm a naive partitioned write produces at scale)
+    route = F.pmod(F.xxhash64("doc_id"), F.lit(8))
     s.write(
-        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 0).repartition(
+            F.col("lang"), route
+        ),
         mode="snapshot",
         partition_by=spec,
     )
     s.write(
-        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 1).repartition(
+            F.col("lang"), route
+        ),
         mode="append",
         partition_by=spec,
     )
