@@ -3333,6 +3333,19 @@ class SnapshotStore:
         cache[key] = out
         return out
 
+    #: Transforms that are provably NON-DECREASING in their source
+    #: value, so a source range [lo, hi] maps to the derived interval
+    #: [f(lo), f(hi)] (integer encodings).  ``bucket`` is deliberately
+    #: absent (hash-scattered); string ``truncate`` is excluded in v1
+    #: (lexicographic compare on escaped path segments is a footgun).
+    _MONOTONIC_TRANSFORMS = (
+        "truncate",
+        "years",
+        "months",
+        "days",
+        "hours",
+    )
+
     def _segment_requirements(
         self, manifest: dict, points: dict
     ) -> dict[str, str]:
@@ -3356,6 +3369,50 @@ class SnapshotStore:
                     req[name] = _hive_partition_dir(
                         self.spark, [name], (dv,)
                     ).split("=", 1)[1]
+        return req
+
+    def _segment_ranges(
+        self, manifest: dict, ranges: list[tuple]
+    ) -> dict[str, tuple[int, int]]:
+        """Derived-segment INTERVALS implied by range predicates on
+        transform SOURCE columns: a non-decreasing transform maps
+        ``src in [lo, hi]`` to ``derived in [f(lo), f(hi)]``
+        (Iceberg's transform-monotonicity prune; integer-encoded, so
+        the path-segment compare is a plain int compare).  Bucket and
+        string-truncate segments never constrain ranges (not
+        monotonic / not emitted) -- sound by omission."""
+        trans = manifest.get("partition_transforms") or {}
+        req: dict[str, tuple[int, int]] = {}
+        for col, lo, hi in ranges:
+            for name, spec in trans.items():
+                if spec["src"] != col:
+                    continue
+                if spec["kind"] not in self._MONOTONIC_TRANSFORMS:
+                    continue
+                if spec["kind"] == "truncate":
+                    field_type = next(
+                        (
+                            f["type"]
+                            for f in json.loads(manifest["schema"])[
+                                "fields"
+                            ]
+                            if f["name"] == col
+                        ),
+                        None,
+                    )
+                    if field_type == "string":
+                        continue
+                dlo = self._eval_transform(spec, lo, manifest)
+                dhi = self._eval_transform(spec, hi, manifest)
+                if dlo is None or dhi is None:
+                    continue
+                prev = req.get(name)
+                cur = (int(dlo), int(dhi))
+                req[name] = (
+                    cur
+                    if prev is None
+                    else (max(prev[0], cur[0]), min(prev[1], cur[1]))
+                )
         return req
 
     def plan_dirs(
@@ -3396,17 +3453,30 @@ class SnapshotStore:
             if point_filter
             else {}
         )
+        seg_ranges = self._segment_ranges(manifest, ranges) if ranges else {}
 
         def _seg_skipped(part: str) -> bool:
-            if not seg_req or not part:
+            if not (seg_req or seg_ranges) or not part:
                 return False
             segs = dict(
                 s.split("=", 1) for s in part.split("/") if "=" in s
             )
-            return any(
+            if any(
                 name in segs and segs[name] != want
                 for name, want in seg_req.items()
-            )
+            ):
+                return True
+            for name, (lo, hi) in seg_ranges.items():
+                raw = segs.get(name)
+                if raw is None:
+                    continue
+                try:
+                    v = int(raw)
+                except ValueError:
+                    continue  # foreign/evolved segment encoding: keep
+                if v < lo or v > hi:
+                    return True
+            return False
 
         def _skipped(vd: str, part: str) -> bool:
             if _seg_skipped(part):

@@ -3517,3 +3517,104 @@ def snapshot_hidden_partitioning_read(
             raise AssertionError("routing column leaked into the read")
         out = hit if out is None else out.unionByName(hit)
     return out.orderBy("doc_id")
+
+
+@register(
+    "snapshot_time_transform_prune_read",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)  AS y,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m,
+           CAST(COUNT(*) AS BIGINT)                     AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT)                              AS sum_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+    GROUP BY y, m ORDER BY y, m
+    """,
+    category="etl",
+    description="Time-transform range pruning (hidden partitioning's "
+    "monotonicity prune -- THE canonical lakehouse time-slice scan): "
+    "orders partitioned by months(o_orderdate); a one-year range on "
+    "the raw timestamp maps through the transform to a 12-month "
+    "derived interval at plan time.  Runtime-asserts every surviving "
+    "dir's month segment falls inside the interval and that dirs "
+    "outside the year were pruned; monthly revenue accounting "
+    "hash-matched against DuckDB",
+)
+def snapshot_time_transform_prune_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale notes: the scan touches O(months in range) directories of
+    the manifest and data regardless of table history length -- the
+    pruning decision is a per-dir integer interval compare on the path
+    segment, no stats required and no data opened.  The derived month
+    encoding is Iceberg's ((year-1970)*12 + month-1), evaluated at
+    plan time through the same Catalyst expression that routed the
+    writes (memoized 1-row job).  The write pre-clusters by the
+    routing expression (one task per month dir).  Reference parity:
+    the reference's silver tables partition by a derived load-date
+    column maintained BY HAND in every job (job_silver.py:87,174);
+    hidden partitioning derives and prunes it from the data column
+    with no author-side bookkeeping."""
+    import datetime
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    root = (
+        f"{tempfile.gettempdir()}/snap_timeprune_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    s = SnapshotStore(spark, root)
+    route = (F.year("o_orderdate") - 1970) * 12 + F.month("o_orderdate") - 1
+    s.write(
+        orders.repartition(route),
+        mode="snapshot",
+        partition_by=["months(o_orderdate)"],
+    )
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 12, 31, 23, 59, 59)
+    m_lo, m_hi = (1996 - 1970) * 12, (1996 - 1970) * 12 + 11
+    _, by_vdir, n_skipped, n_total = s.plan_dirs(
+        range_filter=("o_orderdate", lo, hi)
+    )
+    if n_skipped == 0 or n_total - n_skipped > 12:
+        raise AssertionError(
+            f"expected <=12 surviving month dirs of {n_total}, got "
+            f"{n_total - n_skipped}"
+        )
+    for parts_ in by_vdir.values():
+        for part in parts_:
+            seg = int(part.split("=", 1)[1])
+            if not (m_lo <= seg <= m_hi):
+                raise AssertionError(
+                    f"unpruned dir {part} outside months "
+                    f"[{m_lo}, {m_hi}]"
+                )
+
+    return (
+        s.read(range_filter=("o_orderdate", lo, hi))
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.month("o_orderdate").cast("int").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.expr(
+                    "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .orderBy("y", "m")
+    )

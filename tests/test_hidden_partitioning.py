@@ -132,3 +132,59 @@ def test_changelog_and_appends_hide_transform_columns(spark, tmp_path):
     assert set(ch.columns) == {"id", "day", "amt",
                                "_change_type", "_commit_version"}
     assert ch.count() == 11
+
+
+def test_range_prunes_through_monotonic_transforms(spark, tmp_path):
+    """A source-column RANGE maps through a non-decreasing transform to
+    a derived-segment interval (Iceberg transform monotonicity): a
+    days(ts)-partitioned table scans only the matching day dirs, and a
+    truncate(int)-partitioned table only the matching width buckets.
+    Bucket segments never constrain ranges (not monotonic)."""
+    rows = [(i, f"2024-02-{(i % 20) + 1:02d}", i) for i in range(40)]
+    df = spark.createDataFrame(rows, SCHEMA).withColumn(
+        "ts", F.to_timestamp("day")
+    )
+    s = SnapshotStore(spark, str(tmp_path / "t"))
+    s.write(df, mode="snapshot", partition_by=["days(ts)"])
+    m, by_vdir, n_skipped, n_total = s.plan_dirs(
+        range_filter=(
+            "ts",
+            datetime.datetime(2024, 2, 3),
+            datetime.datetime(2024, 2, 5, 23, 0),
+        )
+    )
+    assert n_total == 20 and n_skipped == 17  # 3 day dirs survive
+    lo = (datetime.date(2024, 2, 3) - datetime.date(1970, 1, 1)).days
+    for parts_ in by_vdir.values():
+        for part in parts_:
+            assert lo <= int(part.split("=")[1]) <= lo + 2
+    got = s.read(
+        range_filter=(
+            "ts",
+            datetime.datetime(2024, 2, 3),
+            datetime.datetime(2024, 2, 5, 23, 0),
+        )
+    )
+    assert sorted(r["day"] for r in got.collect()) == sorted(
+        d for (_i, d, _a) in rows if "2024-02-03" <= d <= "2024-02-05"
+    )
+
+    s2 = SnapshotStore(spark, str(tmp_path / "t2"))
+    s2.write(spark.createDataFrame(rows, SCHEMA), mode="snapshot",
+             partition_by=["truncate(10, id)"])
+    _, _, n_skipped, n_total = s2.plan_dirs(range_filter=("id", 12, 27))
+    assert n_total == 4 and n_skipped == 2  # buckets 10 and 20 survive
+    got = sorted(
+        r["id"] for r in s2.read(range_filter=("id", 12, 27)).collect()
+    )
+    assert got == list(range(12, 28))
+
+    # bucket transform: a range must NOT prune (hash-scattered)
+    s3 = SnapshotStore(spark, str(tmp_path / "t3"))
+    s3.write(spark.createDataFrame(rows, SCHEMA), mode="snapshot",
+             partition_by=["bucket(4, id)"])
+    _, _, n_skipped, n_total = s3.plan_dirs(range_filter=("id", 0, 5))
+    assert n_skipped == 0
+    assert sorted(
+        r["id"] for r in s3.read(range_filter=("id", 0, 5)).collect()
+    ) == [0, 1, 2, 3, 4, 5]
