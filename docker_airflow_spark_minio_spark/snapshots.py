@@ -316,19 +316,31 @@ _BLOOM_KEY_TYPES = frozenset(
 )
 
 
+def _point_values(value) -> list:
+    """A point predicate's value set: a scalar is a 1-element set, a
+    list/tuple/set is an IN-list (empty = provably no rows)."""
+    if isinstance(value, (list, tuple, set, frozenset)):
+        return list(value)
+    return [value]
+
+
 def _bloom_excludes(file_blooms: dict, points: dict) -> bool:
-    """True when ANY point predicate's key is PROVABLY absent from the
-    file (some probe bit unset).  Columns without a bloom are
-    inconclusive (kept: sound -- blooms have no false negatives)."""
+    """True when ANY point predicate is PROVABLY unsatisfiable in the
+    file: for a scalar, some probe bit unset; for an IN-list, EVERY
+    member provably absent.  Columns without a bloom are inconclusive
+    (kept: sound -- blooms have no false negatives)."""
     for col, value in points.items():
         entry = file_blooms.get(col)
         if not entry:
             continue
         bits, hexmap = entry
         bm = int(hexmap, 16)
-        if any(
-            not (bm >> pos) & 1
-            for pos in _bloom_probe_positions(value, bits)
+        if all(
+            any(
+                not (bm >> pos) & 1
+                for pos in _bloom_probe_positions(v, bits)
+            )
+            for v in _point_values(value)
         ):
             return True
     return False
@@ -3357,18 +3369,26 @@ class SnapshotStore:
         predicate columns prune via blooms/zone maps downstream."""
         trans = manifest.get("partition_transforms") or {}
         pby = manifest["partition_by"]
-        req: dict[str, str] = {}
-        for col, v in points.items():
+        req: dict[str, set[str]] = {}
+        for col, value in points.items():
+            vals = _point_values(value)
             if col in pby and col not in trans:
-                req[col] = _hive_partition_dir(
-                    self.spark, [col], (v,)
-                ).split("=", 1)[1]
+                req[col] = {
+                    _hive_partition_dir(self.spark, [col], (v,)).split(
+                        "=", 1
+                    )[1]
+                    for v in vals
+                }
             for name, spec in trans.items():
                 if spec["src"] == col:
-                    dv = self._eval_transform(spec, v, manifest)
-                    req[name] = _hive_partition_dir(
-                        self.spark, [name], (dv,)
-                    ).split("=", 1)[1]
+                    req[name] = {
+                        _hive_partition_dir(
+                            self.spark,
+                            [name],
+                            (self._eval_transform(spec, v, manifest),),
+                        ).split("=", 1)[1]
+                        for v in vals
+                    }
         return req
 
     def _segment_ranges(
@@ -3462,7 +3482,7 @@ class SnapshotStore:
                 s.split("=", 1) for s in part.split("/") if "=" in s
             )
             if any(
-                name in segs and segs[name] != want
+                name in segs and segs[name] not in want
                 for name, want in seg_req.items()
             ):
                 return True
@@ -3541,7 +3561,11 @@ class SnapshotStore:
         # prune through per-file zone maps too when the column carries
         # stats but no bloom (sound either way; read() re-applies the
         # exact equality on top).
-        file_ranges = ranges + [(c, v, v) for c, v in points.items()]
+        file_ranges = ranges + [
+            (c, min(vs), max(vs))
+            for c, v in points.items()
+            if (vs := _point_values(v))
+        ]
         fstats = manifest.get("file_stats", {})
         fblooms = manifest.get("file_blooms", {})
         files_by_dir: dict[str, list[str]] = {}
@@ -3693,11 +3717,14 @@ class SnapshotStore:
             for col, value in points.items():
                 if f"bl_{col}" not in dtypes:
                     continue
-                present = F.lit(True)
-                for pos in _bloom_probe_positions(value, g_bits):
-                    present = present & F.array_contains(
-                        F.col(f"bl_{col}"), pos
-                    )
+                present = F.lit(False)
+                for v in _point_values(value):
+                    member = F.lit(True)
+                    for pos in _bloom_probe_positions(v, g_bits):
+                        member = member & F.array_contains(
+                            F.col(f"bl_{col}"), pos
+                        )
+                    present = present | member
                 keep = keep & present
             # Two bounded fetches instead of one collect of per-dkey
             # name ARRAYS: a single ultra-wide directory (10^5+
@@ -3787,11 +3814,15 @@ class SnapshotStore:
         the ranges -- directories/files without stats are read (sound)
         -- and applies the exact ANDed filter on top.
 
-        ``point_filter`` -- ``{col: value}`` equality predicates --
-        skips files via the per-file bloom filters (``bloom_cols`` at
-        write time; see :meth:`plan_files`) and applies the exact
-        equality on top, so bloom false positives never reach the
-        result."""
+        ``point_filter`` -- ``{col: value}`` equality predicates; a
+        LIST/tuple/set value is an IN-list (one pruned read for a batch
+        of keys: partition segments keep any member's dir, blooms skip
+        a file only when EVERY member is provably absent, and the exact
+        ``isin`` applies on top; an empty list is provably no rows).
+        Scalars skip files via the per-file bloom filters
+        (``bloom_cols`` at write time; see :meth:`plan_files`) with
+        the exact equality applied on top, so bloom false positives
+        never reach the result."""
         if sum(x is not None for x in (as_of, ref, as_of_ts)) > 1:
             raise ValueError("pass at most one of as_of / ref / as_of_ts")
         if ref is not None:
@@ -3867,7 +3898,13 @@ class SnapshotStore:
             for col, lo, hi in ranges:
                 df = df.where((F.col(col) >= lo) & (F.col(col) <= hi))
             for col, value in points.items():
-                df = df.where(F.col(col) == value)
+                if isinstance(value, (list, tuple, set, frozenset)):
+                    vs = list(value)
+                    df = df.where(
+                        F.col(col).isin(*vs) if vs else F.lit(False)
+                    )
+                else:
+                    df = df.where(F.col(col) == value)
         return self._retype_void_columns(df, manifest)
 
     def metadata_table(

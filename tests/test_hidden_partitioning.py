@@ -188,3 +188,77 @@ def test_range_prunes_through_monotonic_transforms(spark, tmp_path):
     assert sorted(
         r["id"] for r in s3.read(range_filter=("id", 0, 5)).collect()
     ) == [0, 1, 2, 3, 4, 5]
+
+
+def test_in_list_point_filters(spark, tmp_path):
+    """IN-list point predicates: one pruned read for a batch of keys --
+    segment pruning keeps any member's dir, blooms skip a file only
+    when every member is provably absent, the exact isin applies on
+    top; an empty list is provably no rows."""
+    rows = [(i, f"d{i % 3}", i * 10) for i in range(64)]
+    s = _store(spark, tmp_path / "t", rows, ["bucket(8, id)"])
+    m = s._read_manifest(0)
+    # segment pruning: survivors = union of the members' buckets
+    want = {
+        s._segment_requirements(m, {"id": k})["id_bucket_8"].pop()
+        for k in (3, 17)
+    }
+    _, by_vdir, n_skipped, n_total = s.plan_dirs(
+        point_filter={"id": [3, 17]}
+    )
+    assert n_total - n_skipped == len(want)
+    got = sorted(
+        r["id"] for r in s.read(point_filter={"id": [3, 17]}).collect()
+    )
+    assert got == [3, 17]
+    # empty IN-list: provably no rows, schema intact
+    empty = s.read(point_filter={"id": []})
+    assert empty.count() == 0 and empty.columns == ["id", "day", "amt"]
+
+    # bloom-backed IN-list on an identity-partitioned table
+    s2 = SnapshotStore(spark, str(tmp_path / "b"))
+    s2.write(
+        spark.createDataFrame(rows, SCHEMA),
+        mode="snapshot",
+        partition_by=["day"],
+        bloom_cols=["id"],
+        stats_sidecar_threshold=10**9,  # keep stats inline
+    )
+    _, units, nfs, nft = s2.plan_files(point_filter={"id": [5, 40]})
+    assert nfs > 0  # some files provably hold neither key
+    got = sorted(
+        r["id"] for r in s2.read(point_filter={"id": [5, 40]}).collect()
+    )
+    assert got == [5, 40]
+
+
+def test_in_list_sidecar_inline_parity(spark, tmp_path):
+    """The sidecar (executor-side) and inline bloom IN-list decisions
+    must prune the identical file set."""
+    rows = [(i, f"d{i % 2}", i) for i in range(64)]
+
+    def plan(threshold):
+        s = SnapshotStore(spark, str(tmp_path / f"t{threshold}"))
+        s.write(
+            spark.createDataFrame(rows, SCHEMA),
+            mode="snapshot",
+            partition_by=["day"],
+            bloom_cols=["id"],
+            stats_sidecar_threshold=threshold,
+        )
+        _, units, nfs, nft = s.plan_files(point_filter={"id": [7, 33]})
+        surviving = {
+            (vd, part, tuple(fs) if fs is not None else None)
+            for vd, parts in units.items()
+            for part, fs in parts.items()
+        }
+        # normalize vdir uuids away: keep (partition, file count/names)
+        return {
+            (part, None if fs is None else len(fs))
+            for _vd, part, fs in surviving
+        }, nfs, nft
+
+    inline, nfs_i, nft_i = plan(10**9)
+    sidecar, nfs_s, nft_s = plan(0)
+    assert (nfs_i, nft_i) == (nfs_s, nft_s)
+    assert inline == sidecar
