@@ -3504,7 +3504,9 @@ def snapshot_hidden_partitioning_read(
             raise AssertionError(f"doc_id={k}: no dirs pruned")
         # the exact pruning invariant: every SURVIVING dir carries this
         # lookup's bucket segment -- nothing outside the bucket is read
-        want = s._segment_requirements(m, {"doc_id": k})["doc_id_bucket_8"]
+        (want,) = s._segment_requirements(m, {"doc_id": k})[
+            "doc_id_bucket_8"
+        ]
         for parts_ in by_vdir.values():
             for part in parts_:
                 if f"doc_id_bucket_8={want}" not in part:
