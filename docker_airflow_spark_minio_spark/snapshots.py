@@ -3345,6 +3345,39 @@ class SnapshotStore:
         cache[key] = out
         return out
 
+    def _eval_transform_many(
+        self, spec: dict, values: list, manifest: dict
+    ) -> list:
+        """Batch form of :meth:`_eval_transform`: ALL uncached values
+        evaluate in ONE metadata-sized job (an IN-list of K keys costs
+        one job, not K), results memoized individually."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        cache = getattr(self, "_transform_eval_cache", None)
+        if cache is None:
+            cache = self._transform_eval_cache = {}
+        skey = json.dumps(spec, sort_keys=True)
+        missing = [v for v in values if (skey, repr(v)) not in cache]
+        if missing:
+            field = next(
+                f
+                for f in T.StructType.fromJson(
+                    json.loads(manifest["schema"])
+                )
+                if f.name == spec["src"]
+            )
+            src = T.StructType(
+                [T.StructField(spec["src"], field.dataType)]
+            )
+            frame = self.spark.createDataFrame(
+                [(v,) for v in missing], src
+            )
+            out = _apply_transforms(frame, {"__t": spec}).collect()
+            for v, row in zip(missing, out):
+                cache[(skey, repr(v))] = row["__t"]
+        return [cache[(skey, repr(v))] for v in values]
+
     #: Transforms that are provably NON-DECREASING in their source
     #: value, so a source range [lo, hi] maps to the derived interval
     #: [f(lo), f(hi)] (integer encodings).  ``bucket`` is deliberately
@@ -3383,11 +3416,11 @@ class SnapshotStore:
                 if spec["src"] == col:
                     req[name] = {
                         _hive_partition_dir(
-                            self.spark,
-                            [name],
-                            (self._eval_transform(spec, v, manifest),),
+                            self.spark, [name], (dv,)
                         ).split("=", 1)[1]
-                        for v in vals
+                        for dv in self._eval_transform_many(
+                            spec, vals, manifest
+                        )
                     }
         return req
 

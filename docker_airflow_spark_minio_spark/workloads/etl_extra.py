@@ -3620,3 +3620,73 @@ def snapshot_time_transform_prune_read(
         )
         .orderBy("y", "m")
     )
+
+
+@register(
+    "snapshot_in_list_lookup_read",
+    oracle="""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 97 = 11
+    ORDER BY doc_id
+    """,
+    category="etl",
+    description="Batch key lookup as ONE IN-list pruned read (the "
+    "serving-path pattern at scale): a bucket(8, doc_id)-partitioned, "
+    "bloom-indexed table answers a multi-key fetch in a single read -- "
+    "partition segments keep only the union of the keys' buckets "
+    "(runtime-asserted), per-file blooms drop files provably holding "
+    "none of the keys, and the exact isin applies on top.  Results "
+    "hash-matched against DuckDB",
+)
+def snapshot_in_list_lookup_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale notes: K point fetches collapse into ONE job -- manifest
+    cost is O(dirs in the keys' buckets), file cost is bloom-pruned,
+    and no per-key driver loop exists (contrast the sibling
+    snapshot_hidden_partitioning_read entry, which deliberately drives
+    K sequential point reads to pin per-lookup pruning).  The IN-list
+    semantics are layered soundly: segments keep any member's dir,
+    blooms exclude only when EVERY member is provably absent, the
+    isin is exact.  At 10^6 directories a 100-key fetch touches
+    ~100 bucket slices of manifest metadata, never the table."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    root = (
+        f"{tempfile.gettempdir()}/snap_inlist_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    s = SnapshotStore(spark, root)
+    route = F.pmod(F.xxhash64("doc_id"), F.lit(8))
+    s.write(
+        docs.repartition(route),
+        mode="snapshot",
+        partition_by=["bucket(8, doc_id)"],
+        bloom_cols=["doc_id"],
+    )
+    keys = [r["doc_id"] for r in docs.where(
+        F.col("doc_id") % 97 == 11
+    ).select("doc_id").collect()]
+    if not keys:
+        raise AssertionError("empty key set; adjust the modulus")
+
+    m, by_vdir, n_skipped, n_total = s.plan_dirs(
+        point_filter={"doc_id": keys}
+    )
+    allowed = s._segment_requirements(m, {"doc_id": keys})["doc_id_bucket_8"]
+    for parts_ in by_vdir.values():
+        for part in parts_:
+            seg = part.split("=", 1)[1]
+            if seg not in allowed:
+                raise AssertionError(
+                    f"unpruned dir {part} outside the keys' buckets"
+                )
+    return s.read(point_filter={"doc_id": keys}).orderBy("doc_id")
