@@ -787,12 +787,13 @@ class SnapshotStore:
                 **(
                     {
                         "partition_transforms": (
-                            d.get("partition_transforms")
-                            or cur.get("partition_transforms")
+                            d["partition_transforms"]
+                            if "partition_transforms" in d
+                            else cur.get("partition_transforms")
                         )
                     }
-                    if d.get("partition_transforms")
-                    or cur.get("partition_transforms")
+                    if "partition_transforms" in d
+                    or cur.get("partition_transforms") is not None
                     else {}
                 ),
                 "watermarks": {
@@ -2296,10 +2297,16 @@ class SnapshotStore:
                 self.read(with_positions=True)
                 .where(cond_true)
                 .select("_file", "_pos")
+                .persist()
             )
-            if pos.isEmpty():
-                return None
-            return self.delete_positions(pos, metadata=metadata)
+            try:
+                if pos.isEmpty():
+                    return None
+                # delete_positions' dedup/write + vdir collect reuse the
+                # cached scan instead of re-running it (2-3x otherwise)
+                return self.delete_positions(pos, metadata=metadata)
+            finally:
+                pos.unpersist()
         touched = self._touched_partition_dirs(condition)
         if touched is None:
             head = self.current_version()
@@ -2357,11 +2364,17 @@ class SnapshotStore:
         head = self.current_version()
         if head is None:
             raise ValueError(f"no snapshots committed under {self.root}")
-        pby = self._read_manifest(head)["partition_by"]
-        bad = sorted(set(assignments) & set(pby))
+        m_head = self._read_manifest(head)
+        pby = m_head["partition_by"]
+        routing = set(pby) | {
+            spec["src"]
+            for spec in (m_head.get("partition_transforms") or {}).values()
+        }
+        bad = sorted(set(assignments) & routing)
         if bad:
             raise ValueError(
-                f"cannot assign partition columns {bad}: moved rows "
+                f"cannot assign partition columns (or hidden-"
+                f"partitioning transform sources) {bad}: moved rows "
                 "would land in partitions this commit never read; "
                 "delete + append instead"
             )
@@ -2463,7 +2476,10 @@ class SnapshotStore:
         parent = self._read_manifest(parent_v)
         cur_fields = json.loads(parent["schema"])["fields"]
         cur_names = [f["name"] for f in cur_fields]
-        pby = set(parent["partition_by"])
+        pby = set(parent["partition_by"]) | {
+            spec["src"]
+            for spec in (parent.get("partition_transforms") or {}).values()
+        }
         touched = set(renames) | set(drops) | set(widens)
         unknown = sorted(touched - set(cur_names))
         if unknown:
@@ -2471,7 +2487,8 @@ class SnapshotStore:
         part_hit = sorted(touched & pby)
         if part_hit:
             raise ValueError(
-                f"cannot evolve partition columns {part_hit}: the data "
+                f"cannot evolve partition columns (or hidden-"
+                f"partitioning transform sources) {part_hit}: the data "
                 "layout and partition map key on their names"
             )
         overlap = sorted(set(renames) & set(drops))
@@ -3103,9 +3120,10 @@ class SnapshotStore:
             # instead of crashing the consumer.
             "schema": schema_json,
             **({"schema_log": slog} if slog and mode != "snapshot" else {}),
-            **(
-                {"partition_transforms": transforms} if transforms else {}
-            ),
+            # recorded even when EMPTY: the delta fold must distinguish
+            # "spec evolution removed the transforms" ({}) from "this
+            # commit kind never records them" (absent -> inherit)
+            "partition_transforms": transforms,
         }
         if is_full:
             manifest = {
@@ -3370,12 +3388,21 @@ class SnapshotStore:
             src = T.StructType(
                 [T.StructField(spec["src"], field.dataType)]
             )
-            frame = self.spark.createDataFrame(
-                [(v,) for v in missing], src
-            )
-            out = _apply_transforms(frame, {"__t": spec}).collect()
-            for v, row in zip(missing, out):
-                cache[(skey, repr(v))] = row["__t"]
+            try:
+                frame = self.spark.createDataFrame(
+                    [(v,) for v in missing], src
+                )
+                out = _apply_transforms(frame, {"__t": spec}).collect()
+                for v, row in zip(missing, out):
+                    cache[(skey, repr(v))] = row["__t"]
+            except TypeError:
+                # literals needing coercion (e.g. an ISO string for a
+                # date/timestamp source): the scalar path's
+                # lit().cast() handles them, one memoized job each
+                for v in missing:
+                    cache[(skey, repr(v))] = self._eval_transform(
+                        spec, v, manifest
+                    )
         return [cache[(skey, repr(v))] for v in values]
 
     #: Transforms that are provably NON-DECREASING in their source
@@ -4258,7 +4285,22 @@ class SnapshotStore:
         ]
         base_root = f"{self.root.rstrip('/')}/{DATA_DIR}"
 
+        head_types = {
+            f.name: f.dataType
+            for f in T.StructType.fromJson(
+                json.loads(head_manifest["schema"])
+            )
+        }
+
         def _mark(df: DataFrame, kind: str, v: int) -> DataFrame:
+            # columns added by a later additive append null-fill for
+            # directories written before them (read()'s
+            # allowMissingColumns semantics, applied per emission)
+            for c in cols:
+                if c not in df.columns:
+                    df = df.withColumn(
+                        c, F.lit(None).cast(head_types[c])
+                    )
             return df.select(*cols).withColumns(
                 {
                     "_change_type": F.lit(kind),

@@ -107,11 +107,17 @@ def _head_published(root: str) -> int | None:
     return None
 
 
-def _added_vdirs(m: dict, v: int) -> set[str]:
+def _added_vdirs(root: str, m: dict, v: int) -> set[str]:
     """Data dirs this commit wrote: vdir names carry their commit
     version (``v<N>-<uuid>``), and both manifest kinds list the touched
-    partitions' full vdir lists."""
-    pmap = m.get("partitions") or m.get("partitions_set") or {}
+    partitions' full vdir lists.  A SHARDED full checkpoint keeps its
+    partition map in shard files under ``_manifests/shards/`` -- merge
+    them (the commit's own dirs can live in any shard)."""
+    pmap = dict(m.get("partitions") or m.get("partitions_set") or {})
+    for s in m.get("partition_shards") or []:
+        path = f"{root}/{MANIFEST_DIR}/shards/{s['file']}"
+        with open(path, encoding="utf-8") as fh:
+            pmap.update(json.load(fh).get("partitions", {}))
     return {
         vd
         for vds in pmap.values()
@@ -164,7 +170,7 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
                     "replace/delete commits via read_changes or restart "
                     "from a full read"
                 )
-            for vd in sorted(_added_vdirs(m, v)):
+            for vd in sorted(_added_vdirs(self.root, m, v)):
                 base = f"{self.root}/{DATA_DIR}/{vd}"
                 for dirpath, _dirs, files in os.walk(base):
                     rel = os.path.relpath(dirpath, base)
@@ -196,14 +202,24 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         n = tab.num_rows
         fields = json.loads(partition.schema_json)["fields"]
         pvals = dict(partition.part_values)
+
+        def _target(typ):
+            if typ == "timestamp":
+                return pa.timestamp("us", tz="UTC")
+            return getattr(pa, _ARROW_TYPES.get(typ, "string"))()
+
         cols = []
         for f in fields:
             name, typ = f["name"], f["type"]
             if name in pvals:
-                target = getattr(pa, _ARROW_TYPES.get(typ, "string"))()
-                cols.append(pa.array([pvals[name]] * n).cast(target))
-            else:
+                cols.append(pa.array([pvals[name]] * n).cast(_target(typ)))
+            elif name in tab.column_names:
                 cols.append(tab.column(name))
+            else:
+                # column added by a later additive append: files written
+                # before it null-fill (read()'s allowMissingColumns
+                # semantics)
+                cols.append(pa.nulls(n, type=_target(typ)))
         yield from pa.table(
             cols, names=[f["name"] for f in fields]
         ).to_batches()

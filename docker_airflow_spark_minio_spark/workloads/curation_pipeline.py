@@ -89,8 +89,14 @@ def refresh_clean_stage(raw, clean) -> str:
     last = clean.watermark(CURATION_WM_KEY)
     if last is not None and int(last) >= head:
         return "noop"
+    # both arms pin as_of=head: a concurrent append landing between the
+    # head read and this scan must NOT be ingested now while the
+    # watermark records the earlier head (it would re-deliver and
+    # double-count on the next refresh)
     delta = (
-        raw.read() if last is None else raw.read_appends(int(last), as_of=head)
+        raw.read(as_of=head)
+        if last is None
+        else raw.read_appends(int(last), as_of=head)
     )
     clean.write(
         _gopher_clean(delta),

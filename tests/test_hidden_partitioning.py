@@ -262,3 +262,78 @@ def test_in_list_sidecar_inline_parity(spark, tmp_path):
     sidecar, nfs_s, nft_s = plan(0)
     assert (nfs_i, nft_i) == (nfs_s, nft_s)
     assert inline == sidecar
+
+
+def test_guards_protect_transform_sources(spark, tmp_path):
+    """Transform SOURCE columns are routing inputs: update_where must
+    refuse assigning them (moved rows would silently drop unread
+    neighbors) and evolve_schema must refuse renaming/dropping them
+    (every later write would crash deriving the routing column)."""
+    rows = [(i, f"d{i % 2}", i) for i in range(10)]
+    s = _store(spark, tmp_path / "t", rows, ["bucket(4, id)"])
+    with pytest.raises(ValueError, match="transform sources"):
+        s.update_where(F.col("amt") == 1, {"id": F.lit(99)})
+    with pytest.raises(ValueError, match="transform sources"):
+        s.evolve_schema(renames={"id": "ident"})
+    with pytest.raises(ValueError, match="transform sources"):
+        s.evolve_schema(drops=["id"])
+
+
+def test_spec_evolution_away_from_transforms_sticks(spark, tmp_path):
+    """Evolving the spec from a transform to identity columns must not
+    have the old transforms resurrected by later delta resolves: the
+    write records partition_transforms explicitly (empty included) so
+    the fold can represent removal."""
+    rows = [(i, f"d{i % 2}", i) for i in range(10)]
+    s = _store(spark, tmp_path / "t", rows, ["bucket(4, id)"])
+    s.write(
+        spark.createDataFrame([(50, "d1", 50)], SCHEMA),
+        mode="append",
+        partition_by=["day"],
+        evolve_partitioning=True,
+    )
+    m = s._read_manifest(s.current_version())
+    assert m.get("partition_transforms") in ({}, None)
+    # later identity appends must not re-derive the dropped transform
+    s.write(
+        spark.createDataFrame([(51, "d0", 51)], SCHEMA),
+        mode="append",
+        partition_by=["day"],
+    )
+    m = s._read_manifest(s.current_version())
+    assert m.get("partition_transforms") in ({}, None)
+    assert any(p == "day=d0" for p in m["partitions"])
+    assert s.read().count() == 12
+
+
+def test_point_filter_string_literal_for_time_source(spark, tmp_path):
+    """ISO string literals for date/timestamp transform sources coerce
+    through the scalar lit().cast() fallback instead of crashing the
+    batched plan-side evaluation."""
+    rows = [(i, f"2024-03-{(i % 5) + 1:02d}", i) for i in range(10)]
+    df = spark.createDataFrame(rows, SCHEMA).withColumn(
+        "ts", F.to_timestamp("day")
+    )
+    s = SnapshotStore(spark, str(tmp_path / "t"))
+    s.write(df, mode="snapshot", partition_by=["days(ts)"])
+    got = s.read(point_filter={"ts": ["2024-03-02 00:00:00"]})
+    # segment pruning happened (no crash) and the exact isin applies
+    _, _, n_skipped, n_total = s.plan_dirs(
+        point_filter={"ts": ["2024-03-02 00:00:00"]}
+    )
+    assert n_total == 5 and n_skipped == 4
+
+
+def test_changelog_null_fills_additive_columns(spark, tmp_path):
+    """read_changes serves directories written before a later additive
+    append with the new column null-filled (read()'s
+    allowMissingColumns semantics), never an unresolved-column crash."""
+    s = SnapshotStore(spark, str(tmp_path / "t"))
+    s.write(spark.createDataFrame([(1, "d1")], "id INT, day STRING"),
+            mode="snapshot", partition_by=["day"])
+    s.write(
+        spark.createDataFrame([(2, "d2", 20)], SCHEMA.replace("BIGINT", "INT")),
+        mode="append", partition_by=["day"],
+    )
+    ch = s.read_changes(-1).orderBy("_commit_version").collect()
+    assert [(r["id"], r["amt"]) for r in ch] == [(1, None), (2, 20)]

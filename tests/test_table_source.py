@@ -149,3 +149,37 @@ def test_table_source_unpartitioned_and_scheme_refusal(
          .foreachBatch(lambda b, i: None)
          .option("checkpointLocation", str(tmp_path / "c2"))
          .trigger(availableNow=True).start().awaitTermination())
+
+
+def test_table_source_reads_sharded_checkpoints(registered, tmp_path):
+    """A full checkpoint written SHARDED (root manifest holds only the
+    shard index) must still deliver its rows -- the source merges the
+    shard partition maps instead of silently planning zero files."""
+    spark = registered
+    root, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    s = SnapshotStore(spark, root, shard_partitions_threshold=0)
+    s.write(_df(spark, [(1, "d1", 10), (2, "d2", 20)]),
+            mode="snapshot", partition_by=["day"])
+    assert s._read_manifest_raw(0).get("partition_shards")  # sharded
+    got: list[list] = []
+    _run(spark, root, ckpt,
+         lambda b, i: got.append(sorted(r["id"] for r in b.collect())))
+    assert got == [[1, 2]]
+
+
+def test_table_source_null_fills_additive_columns(registered, tmp_path):
+    """Files written before a later additive-column append null-fill
+    the new column (read()'s allowMissingColumns semantics) instead of
+    failing the micro-batch."""
+    spark = registered
+    root, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    s = SnapshotStore(spark, root)
+    s.write(spark.createDataFrame([(1, "d1")], "id INT, day STRING"),
+            mode="snapshot", partition_by=["day"])
+    s.write(_df(spark, [(2, "d2", 20)]), mode="append",
+            partition_by=["day"])
+    got: list[list] = []
+    _run(spark, root, ckpt,
+         lambda b, i: got.append(
+             sorted((r["id"], r["amt"]) for r in b.collect())))
+    assert got == [[(1, None), (2, 20)]]
