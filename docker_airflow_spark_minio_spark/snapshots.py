@@ -2309,6 +2309,13 @@ class SnapshotStore:
                 pos.unpersist()
         touched = self._touched_partition_dirs(condition)
         if touched is None:
+            # Unpartitioned: COW is inherently a full rewrite, but a
+            # no-op predicate must not commit a spurious version -- probe
+            # for one match first (limit(1) short-circuits the scan), the
+            # same "None when nothing matched" contract the partitioned
+            # arm keeps via its empty touched set.
+            if self.read().where(cond_true).limit(1).isEmpty():
+                return None
             head = self.current_version()
             pby = self._read_manifest(head)["partition_by"]
             remaining = self.read().where(~cond_true)
@@ -2403,6 +2410,11 @@ class SnapshotStore:
 
         touched = self._touched_partition_dirs(condition)
         if touched is None:
+            # Same no-match probe as delete_where's unpartitioned arm:
+            # honor "None when nothing matched (no commit)" instead of
+            # committing a full-rewrite no-op version.
+            if self.read().where(cond_true).limit(1).isEmpty():
+                return None
             return self.write(
                 _apply(self.read()), mode="snapshot", partition_by=pby,
                 metadata=metadata,
@@ -3386,15 +3398,24 @@ class SnapshotStore:
                 if f.name == spec["src"]
             )
             src = T.StructType(
-                [T.StructField(spec["src"], field.dataType)]
+                [
+                    T.StructField("__i", T.IntegerType()),
+                    T.StructField(spec["src"], field.dataType),
+                ]
             )
             try:
+                # Results map back by an EXPLICIT index column, never by
+                # collect order: correctness must not depend on
+                # createDataFrame().collect() preserving row order
+                # should _apply_transforms ever grow a shuffle.
                 frame = self.spark.createDataFrame(
-                    [(v,) for v in missing], src
+                    [(i, v) for i, v in enumerate(missing)], src
                 )
-                out = _apply_transforms(frame, {"__t": spec}).collect()
-                for v, row in zip(missing, out):
-                    cache[(skey, repr(v))] = row["__t"]
+                out = _apply_transforms(frame, {"__t": spec}).select(
+                    "__i", "__t"
+                ).collect()
+                for row in out:
+                    cache[(skey, repr(missing[row["__i"]]))] = row["__t"]
             except TypeError:
                 # literals needing coercion (e.g. an ISO string for a
                 # date/timestamp source): the scalar path's

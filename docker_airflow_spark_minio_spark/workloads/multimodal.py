@@ -297,12 +297,57 @@ PDHASH_MIN_BYTES = (60 + 1) * 4
 PDHASH_BANDS = 4
 PDHASH_BAND_BITS = 15
 PDHASH_HAM_MAX = 4  # verified Hamming radius (of 60 bits)
+# Hot-bucket cap (family parity with the text candidate generators --
+# JACCARD_DF_CAP / SUBSTR_DF_CAP in dedup.py): a band bucket holding
+# more than this many members is dropped from pair generation, so a
+# degenerate corpus where thousands of payloads share one downsample
+# grid can never make a quadratic band bucket (worst case per bucket is
+# CAP^2 comparisons, a bounded task).  The documented recall trade: a
+# genuinely hot visual motif loses ONE band's candidates but keeps the
+# other bands' (a pair is found via ANY shared band).
+PDHASH_BUCKET_CAP = 256
 # planted byte-distinct visually-identical variants: same leading
 # bytes (the whole dHash grid), different trailer -- the appended-
 # metadata / EXIF-trailer case; md5 differs, dHash is equal.
 PDHASH_PLANT_MOD = 5
 PDHASH_PLANT_OFFSET = 10_000_000
 PDHASH_TRAILER = " [exif-stripped duplicate trailer]"
+
+
+def _capped_band_pairs(bands: DataFrame, cap: int) -> DataFrame:
+    """Band-equality candidate pairs with the HOT-BUCKET CAP applied
+    before the self-join: band keys held by more than ``cap`` members
+    are dropped from pair generation entirely (left-semi against the
+    small-bucket key set -- evaluated map-side on the same bkey shuffle
+    the self-join needs), so per-bucket work is bounded by ``cap**2``
+    regardless of corpus degeneracy.  Input needs columns
+    ``doc_id, digest, dhash, bkey``; output is distinct
+    ``(doc_a, doc_b, hamming, byte_identical)`` candidate pairs (the
+    caller applies the Hamming radius)."""
+    sizes = bands.groupBy("bkey").agg(F.count(F.lit(1)).alias("bsz"))
+    kept = bands.join(
+        sizes.where(F.col("bsz") <= cap).select("bkey"), "bkey", "left_semi"
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
+            .cast("long")
+            .alias("hamming"),
+            F.when(F.col("a.digest") == F.col("b.digest"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("byte_identical"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
 
 
 def _pdhash_band_key_sql(k: int) -> str:
@@ -347,12 +392,18 @@ def _pdhash_band_key_sql(k: int) -> str:
             for k in range(PDHASH_BANDS)
         )}
     ),
+    kept AS (
+        SELECT * FROM bands WHERE bkey IN (
+            SELECT bkey FROM bands
+            GROUP BY bkey HAVING COUNT(*) <= {PDHASH_BUCKET_CAP}
+        )
+    ),
     pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming,
                CAST(CASE WHEN a.digest = b.digest THEN 1 ELSE 0 END AS BIGINT)
                    AS byte_identical
-        FROM bands a JOIN bands b
+        FROM kept a JOIN kept b
           ON a.bkey = b.bkey AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, hamming, byte_identical
@@ -369,7 +420,10 @@ def _pdhash_band_key_sql(k: int) -> str:
     f"all-pairs), verified at Hamming <= {PDHASH_HAM_MAX}; planted "
     "byte-DISTINCT visually-identical variants (same grid bytes, "
     "different trailer -- md5 differs) are runtime-asserted found and "
-    "flagged; only 8-byte hashes + band keys ever shuffle",
+    "flagged; only 8-byte hashes + band keys ever shuffle; band buckets "
+    f"holding > {PDHASH_BUCKET_CAP} members are dropped pre-join "
+    "(hot-bucket cap, family parity with JACCARD_DF_CAP/SUBSTR_DF_CAP) "
+    "so a degenerate corpus can never make a quadratic bucket",
 )
 def multimodal_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.media import dhash_payloads
@@ -410,28 +464,8 @@ def multimodal_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bkey"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
-            )
-            .cast("long")
-            .alias("hamming"),
-            F.when(F.col("a.digest") == F.col("b.digest"), 1)
-            .otherwise(0)
-            .cast("long")
-            .alias("byte_identical"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-        .where(F.col("hamming") <= PDHASH_HAM_MAX)
+    pairs = _capped_band_pairs(bands, PDHASH_BUCKET_CAP).where(
+        F.col("hamming") <= PDHASH_HAM_MAX
     )
     out = pairs.orderBy("doc_a", "doc_b")
     # runtime gate: every planted variant is FOUND (hamming 0, same

@@ -135,3 +135,25 @@ def test_dhash_invariances(spark):
 def test_dhash_skips_short_payloads(spark):
     hs = _dhash_of(spark, {1: b"x" * 100, 2: b"y" * 300})
     assert set(hs) == {2}  # below the 244-byte grid -> no signature
+
+
+def test_perceptual_hot_bucket_cap(spark):
+    """A degenerate corpus (every member shares one band bucket) must
+    not generate a quadratic candidate set: buckets over the cap are
+    dropped entirely, small buckets keep emitting pairs."""
+    from pyspark.sql import functions as F
+
+    from docker_airflow_spark_minio_spark.workloads.multimodal import (
+        _capped_band_pairs,
+    )
+
+    rows = [(i, "dg", 0, 7) for i in range(30)]  # hot: 30 members, bkey 7
+    rows += [(100, "dg", 0, 9), (101, "dg", 1, 9)]  # cold: 2 members
+    bands = spark.createDataFrame(
+        rows, "doc_id long, digest string, dhash long, bkey long"
+    )
+    capped = _capped_band_pairs(bands, cap=10).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(100, 101)}
+    assert capped[0]["hamming"] == 1 and capped[0]["byte_identical"] == 1
+    uncapped = _capped_band_pairs(bands, cap=1000)
+    assert uncapped.count() == 30 * 29 // 2 + 1
