@@ -2272,6 +2272,7 @@ class SnapshotStore:
         condition,
         approach: str = "mor",
         metadata: dict | None = None,
+        staged: str | None = None,
     ) -> int | None:
         """Row-level ``DELETE WHERE`` (rows where ``condition`` IS
         TRUE; NULL evaluations keep the row, the SQL contract).
@@ -2286,11 +2287,34 @@ class SnapshotStore:
         ``overwrite_partitions`` commit (``claimed_partitions`` so a
         fully-deleted partition drops from the table); unpartitioned
         tables rewrite fully (inherent to COW).  The MoR/COW pair is
-        exactly Iceberg's ``write.delete.mode`` choice."""
+        exactly Iceberg's ``write.delete.mode`` choice.
+
+        ``staged``: write-audit-publish id for the COW arm on a
+        PARTITIONED table only -- the rewrite stages invisibly and is
+        claimable by :class:`~..transactions.MultiTableTransaction`
+        (which validates the touched-partition claim pre-WAL-claim, so
+        publish can never refuse).  Matching rows and touched
+        partitions are computed from the PUBLISHED head at stage time;
+        a concurrent change to a touched partition surfaces as a claim
+        conflict at commit, not a lost update.  Refused for
+        ``approach='mor'`` (a staged positional delete could be
+        silently unmasked by a compaction landing in the
+        stage-to-publish window -- the named files vanish and the
+        positions match nothing; equality ``delete_keys`` is the staged
+        MoR form, its re-stamp rules exist for exactly this) and for
+        unpartitioned tables (a full rewrite has no claimable partition
+        surface -- the same reason transactions ban full replaces)."""
         from pyspark.sql import functions as F
 
         if approach not in ("mor", "cow"):
             raise ValueError(f"unknown delete approach: {approach}")
+        if staged is not None and approach != "cow":
+            raise ValueError(
+                "staged delete_where supports approach='cow' only; for "
+                "staged MoR deletes use delete_keys(staged=...) (its "
+                "publish re-stamp keeps the delete at commit time; "
+                "positional sets have no such arm by design)"
+            )
         cond_true = F.coalesce(condition, F.lit(False))
         if approach == "mor":
             pos = (
@@ -2309,6 +2333,12 @@ class SnapshotStore:
                 pos.unpersist()
         touched = self._touched_partition_dirs(condition)
         if touched is None:
+            if staged is not None:
+                raise ValueError(
+                    "staged delete_where requires a partitioned table: "
+                    "an unpartitioned COW delete is a full replace, "
+                    "which has no claimable partition surface"
+                )
             # Unpartitioned: COW is inherently a full rewrite, but a
             # no-op predicate must not commit a spurious version -- probe
             # for one match first (limit(1) short-circuits the scan), the
@@ -2338,6 +2368,7 @@ class SnapshotStore:
             partition_by=pby,
             claimed_partitions=tuples,
             metadata=metadata,
+            staged=staged,
         )
 
     def update_where(
@@ -2345,6 +2376,7 @@ class SnapshotStore:
         condition,
         assignments: dict,
         metadata: dict | None = None,
+        staged: str | None = None,
     ) -> int | None:
         """Row-level ``UPDATE ... SET ... WHERE`` (copy-on-write, the
         Iceberg ``write.update.mode=copy-on-write`` semantics): rewrite
@@ -2363,7 +2395,15 @@ class SnapshotStore:
         (move rows with delete + append instead).  Unpartitioned
         tables rewrite fully (inherent to COW; use
         :meth:`delete_keys`/append MoR composition when rewrite cost
-        matters there)."""
+        matters there).
+
+        ``staged``: write-audit-publish id, PARTITIONED tables only --
+        the rewrite stages invisibly for
+        :class:`~..transactions.MultiTableTransaction` (same contract
+        as ``delete_where(staged=, approach='cow')``: matching rows
+        computed from the PUBLISHED head at stage time, the touched
+        partitions claimed and validated pre-WAL-claim, so the
+        roll-forward can never refuse)."""
         from pyspark.sql import functions as F
 
         if not assignments:
@@ -2410,6 +2450,12 @@ class SnapshotStore:
 
         touched = self._touched_partition_dirs(condition)
         if touched is None:
+            if staged is not None:
+                raise ValueError(
+                    "staged update_where requires a partitioned table: "
+                    "an unpartitioned COW update is a full replace, "
+                    "which has no claimable partition surface"
+                )
             # Same no-match probe as delete_where's unpartitioned arm:
             # honor "None when nothing matched (no commit)" instead of
             # committing a full-rewrite no-op version.
@@ -2432,6 +2478,7 @@ class SnapshotStore:
             partition_by=pby,
             claimed_partitions=tuples,
             metadata=metadata,
+            staged=staged,
         )
 
     def evolve_schema(
@@ -3334,18 +3381,45 @@ class SnapshotStore:
         """True when ANY of the conjunctive ranges is provably disjoint
         from the recorded [min, max] -- missing/degenerate stats for a
         column are inconclusive (kept: sound), as are type mismatches
-        from string-serialized date/timestamp bounds."""
+        from string-serialized date/timestamp bounds.  A ``None`` bound
+        means UNBOUNDED on that side (one-sided ranges, the shape SQL
+        ``col > v`` predicates push down), which can never prove
+        disjointness by itself."""
         for col, lo, hi in ranges:
             s = col_stats.get(col)
             if not s or s[0] is None or s[1] is None:
                 continue
             mn, mx = s
             try:
-                if mx < lo or mn > hi:
+                if (lo is not None and mx < lo) or (
+                    hi is not None and mn > hi
+                ):
                     return True
             except TypeError:
                 continue
         return False
+
+    def _hive_dir(self, cols: list[str], vals: tuple) -> str:
+        """Planner hook: relative Hive partition dir for literal values.
+        The Spark-backed base routes through the JVM's
+        ``ExternalCatalogUtils.escapePathName`` (the write path's own
+        escaping); the Spark-less local planner overrides with the
+        pinned pure-Python twin."""
+        return _hive_partition_dir(self.spark, cols, vals)
+
+    def _try_eval_transform(self, spec: dict, value, manifest: dict):
+        """Planner hook behind :meth:`_segment_ranges`: the derived
+        value, or None when THIS planner cannot evaluate the transform
+        for the value (callers skip pruning on it -- sound by
+        omission).  The Spark-backed base can always evaluate."""
+        return self._eval_transform(spec, value, manifest)
+
+    def _try_eval_transform_many(
+        self, spec: dict, values: list, manifest: dict
+    ) -> list | None:
+        """Batch planner hook behind :meth:`_segment_requirements`;
+        None means "cannot evaluate" (no pruning on this transform)."""
+        return self._eval_transform_many(spec, values, manifest)
 
     def _eval_transform(self, spec: dict, value, manifest: dict):
         """Evaluate a partition transform for one literal at PLAN time
@@ -3455,20 +3529,19 @@ class SnapshotStore:
             vals = _point_values(value)
             if col in pby and col not in trans:
                 req[col] = {
-                    _hive_partition_dir(self.spark, [col], (v,)).split(
-                        "=", 1
-                    )[1]
+                    self._hive_dir([col], (v,)).split("=", 1)[1]
                     for v in vals
                 }
             for name, spec in trans.items():
                 if spec["src"] == col:
+                    dvs = self._try_eval_transform_many(
+                        spec, vals, manifest
+                    )
+                    if dvs is None:
+                        continue  # planner can't evaluate: no pruning
                     req[name] = {
-                        _hive_partition_dir(
-                            self.spark, [name], (dv,)
-                        ).split("=", 1)[1]
-                        for dv in self._eval_transform_many(
-                            spec, vals, manifest
-                        )
+                        self._hive_dir([name], (dv,)).split("=", 1)[1]
+                        for dv in dvs
                     }
         return req
 
@@ -3503,17 +3576,35 @@ class SnapshotStore:
                     )
                     if field_type == "string":
                         continue
-                dlo = self._eval_transform(spec, lo, manifest)
-                dhi = self._eval_transform(spec, hi, manifest)
-                if dlo is None or dhi is None:
+                # None bounds (one-sided ranges) map to an unbounded
+                # derived side; an unevaluable transform likewise leaves
+                # that side unbounded (sound by omission).
+                dlo = (
+                    None
+                    if lo is None
+                    else self._try_eval_transform(spec, lo, manifest)
+                )
+                dhi = (
+                    None
+                    if hi is None
+                    else self._try_eval_transform(spec, hi, manifest)
+                )
+                if dlo is None and dhi is None:
                     continue
                 prev = req.get(name)
-                cur = (int(dlo), int(dhi))
-                req[name] = (
-                    cur
-                    if prev is None
-                    else (max(prev[0], cur[0]), min(prev[1], cur[1]))
+                cur = (
+                    None if dlo is None else int(dlo),
+                    None if dhi is None else int(dhi),
                 )
+                if prev is None:
+                    req[name] = cur
+                else:
+                    los = [b for b in (prev[0], cur[0]) if b is not None]
+                    his = [b for b in (prev[1], cur[1]) if b is not None]
+                    req[name] = (
+                        max(los) if los else None,
+                        min(his) if his else None,
+                    )
         return req
 
     def plan_dirs(
@@ -3575,7 +3666,9 @@ class SnapshotStore:
                     v = int(raw)
                 except ValueError:
                     continue  # foreign/evolved segment encoding: keep
-                if v < lo or v > hi:
+                if (lo is not None and v < lo) or (
+                    hi is not None and v > hi
+                ):
                     return True
             return False
 
@@ -3780,17 +3873,24 @@ class SnapshotStore:
                 if f"mn_{col}" not in dtypes:
                     continue
                 dt = dtypes[f"mn_{col}"]
-                lo_ok = dt in self._SIDECAR_COMPAT.get(type(lo), frozenset())
-                hi_ok = dt in self._SIDECAR_COMPAT.get(type(hi), frozenset())
-                if not lo_ok:
+                lo_ok = lo is not None and dt in self._SIDECAR_COMPAT.get(
+                    type(lo), frozenset()
+                )
+                hi_ok = hi is not None and dt in self._SIDECAR_COMPAT.get(
+                    type(hi), frozenset()
+                )
+                if lo is not None and not lo_ok:
                     # the inline path evaluates `mx < lo` FIRST; an
                     # incomparable lo raises there -> whole range
                     # inconclusive regardless of hi
                     continue
                 mn, mx = F.col(f"mn_{col}"), F.col(f"mx_{col}")
-                term = mx < F.lit(lo)
+                term = mx < F.lit(lo) if lo_ok else None
                 if hi_ok:
-                    term = term | (mn > F.lit(hi))
+                    hterm = mn > F.lit(hi)
+                    term = hterm if term is None else (term | hterm)
+                if term is None:
+                    continue  # both sides unbounded or incomparable
                 disjoint = F.when(
                     mn.isNull() | mx.isNull(), F.lit(False)
                 ).otherwise(term)
@@ -3977,7 +4077,10 @@ class SnapshotStore:
             from pyspark.sql import functions as F
 
             for col, lo, hi in ranges:
-                df = df.where((F.col(col) >= lo) & (F.col(col) <= hi))
+                if lo is not None:
+                    df = df.where(F.col(col) >= lo)
+                if hi is not None:
+                    df = df.where(F.col(col) <= hi)
             for col, value in points.items():
                 if isinstance(value, (list, tuple, set, frozenset)):
                     vs = list(value)

@@ -258,6 +258,80 @@ class MultiTableTransaction:
         self._staged_v[root] = v
         return v
 
+    def update_where(
+        self, store: SnapshotStore, condition, assignments: dict, **kw
+    ) -> int | None:
+        """Stage a row-level COW ``UPDATE ... SET ... WHERE`` on
+        ``store`` under this transaction (round 11;
+        ``SnapshotStore.update_where`` kwargs except ``staged``).  The
+        rewrite of the touched partitions stages invisibly and rides
+        the transaction's overwrite-claim machinery: matching rows are
+        computed from the published head at STAGE time, the touched
+        partition set is validated unchanged immediately before the WAL
+        claim (a concurrent writer surfaces as SnapshotConflict there,
+        while abort is still possible -- snapshot-isolation semantics,
+        never a lost update), and the post-claim roll-forward publishes
+        refusal-free.  PARTITIONED tables only (an unpartitioned COW
+        update is a full replace, banned for the same
+        whole-table-conflict-surface reason as staged full replaces).
+        Returns the staged version, or None when nothing matched --
+        then NOTHING was staged and the table is not enrolled in the
+        transaction (a no-op update must not claim partitions)."""
+        if self._done:
+            raise ValueError(f"txn {self.txn_id} already finished")
+        if "staged" in kw:
+            raise ValueError("txn updates stage implicitly; drop staged=")
+        root = store.root.rstrip("/")
+        if root in self._stores:
+            raise ValueError(
+                f"table {root} already written in txn "
+                f"{self.txn_id}: one write per table per transaction"
+            )
+        v = store.update_where(condition, assignments, staged=self.wap, **kw)
+        if v is None:
+            return None
+        self._stores[root] = store
+        self._modes[root] = "overwrite_partitions"
+        self._staged_v[root] = v
+        return v
+
+    def delete_where(self, store: SnapshotStore, condition, **kw) -> int | None:
+        """Stage a row-level COW ``DELETE WHERE`` on ``store`` under
+        this transaction (round 11) -- the predicate analog of
+        :meth:`delete_keys` for rows with no natural key, implemented
+        as a claimed partition rewrite exactly like :meth:`update_where`
+        (same conflict window, same refusal-free roll-forward, same
+        partitioned-only restriction; fully-deleted partitions drop via
+        the claimed set).  ``approach`` is pinned to ``'cow'``: a
+        staged positional delete could be silently unmasked by a
+        compaction landing before publish, and ``delete_keys`` already
+        IS the transactional MoR form.  Returns the staged version or
+        None when nothing matched (nothing staged)."""
+        if self._done:
+            raise ValueError(f"txn {self.txn_id} already finished")
+        if "staged" in kw:
+            raise ValueError("txn deletes stage implicitly; drop staged=")
+        if kw.pop("approach", "cow") != "cow":
+            raise ValueError(
+                "transactional delete_where is COW-only; use "
+                "txn.delete_keys for the MoR (equality) form"
+            )
+        root = store.root.rstrip("/")
+        if root in self._stores:
+            raise ValueError(
+                f"table {root} already written in txn "
+                f"{self.txn_id}: one write per table per transaction"
+            )
+        v = store.delete_where(
+            condition, approach="cow", staged=self.wap, **kw
+        )
+        if v is None:
+            return None
+        self._stores[root] = store
+        self._modes[root] = "overwrite_partitions"
+        self._staged_v[root] = v
+        return v
+
     # -- decision ----------------------------------------------------------
 
     def _wal(self, state: str) -> dict:

@@ -21,6 +21,7 @@ from . import multimodal  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
 from . import corpus_extra  # noqa: F401,E402
 from . import etl_extra  # noqa: F401,E402
+from . import sql_surface  # noqa: F401,E402
 from . import curation  # noqa: F401,E402
 from . import lm_quality  # noqa: F401,E402
 from . import curation_pipeline  # noqa: F401,E402

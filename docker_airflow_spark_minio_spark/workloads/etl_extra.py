@@ -2543,6 +2543,123 @@ def snapshot_txn_upsert_delete_read(
 
 
 @register(
+    "snapshot_txn_update_where_read",
+    oracle="""
+    WITH e0 AS (SELECT * FROM events WHERE event_id % 2 = 0),
+    s AS (
+        SELECT 0 AS phase, 'silver' AS tbl, lang AS grp,
+               COUNT(*) AS n_rows, SUM(n_chars) AS sum_val
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT 0, 'gold', event_type, COUNT(*), SUM(event_id)
+        FROM e0 GROUP BY event_type
+        UNION ALL
+        SELECT 1, 'silver', lang, COUNT(*),
+               SUM(CASE WHEN doc_id % 10 = 3 THEN 0 ELSE n_chars END)
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT 1, 'gold', event_type, COUNT(*), SUM(event_id)
+        FROM events GROUP BY event_type
+    )
+    SELECT CAST(phase AS INT) AS phase, tbl, grp,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(sum_val AS BIGINT) AS sum_val
+    FROM s ORDER BY phase, tbl, grp
+    """,
+    category="etl",
+    description="transactional PREDICATE UPDATE under the gate (round "
+    "11): ONE atomic transaction appends a batch into the gold (events) "
+    "table AND applies a row-level COW `UPDATE ... SET n_chars = 0 "
+    "WHERE doc_id % 10 = 3` to the silver (documents) table via "
+    "txn.update_where -- the touched-partition rewrite stages "
+    "invisibly, its partition claim is validated immediately before the "
+    "WAL claim (concurrent-writer conflicts surface pre-claim where "
+    "abort is still possible), and the roll-forward publishes "
+    "refusal-free.  Phase 0 aggregates both heads while staged (update "
+    "invisible on silver, append invisible on gold), phase 1 after "
+    "commit; a post-commit recover() must be a no-op.  Kill-replay at "
+    "both 2PC phases is pinned in "
+    "tests/test_transactions.py::test_update_where_txn_crash_matrix_rolls_forward",
+)
+def snapshot_txn_update_where_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale notes: the update rewrites ONLY the touched partitions
+    (O(matching partitions' data), the Iceberg copy-on-write update
+    mode); commit adds one WAL record + one metadata-only publish per
+    table.  Reference parity: the reference has no row-level update at
+    all (job_silver.py overwrites whole partitions) and no cross-table
+    atomicity; this is the GDPR-style in-place correction a lakehouse
+    catalog transaction gives (transactions.py:update_where)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..snapshots import SnapshotStore
+    from ..transactions import MultiTableTransaction, recover
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "lang", "n_chars")
+    events = t["events"].select("event_id", "event_type", "user_id")
+    base = (
+        f"{tempfile.gettempdir()}/snapshot_txn_uw_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    silver = SnapshotStore(spark, f"{base}/silver")
+    gold = SnapshotStore(spark, f"{base}/gold")
+    silver.write(docs.repartition("lang"), mode="snapshot", partition_by=["lang"])
+    gold.write(
+        events.where(F.col("event_id") % 2 == 0).repartition("event_type"),
+        mode="snapshot",
+        partition_by=["event_type"],
+    )
+
+    txn = MultiTableTransaction(spark, f"{base}/txlog")
+    txn.write(
+        gold,
+        events.where(F.col("event_id") % 2 == 1).repartition("event_type"),
+        mode="append",
+        partition_by=["event_type"],
+    )
+    staged_v = txn.update_where(
+        silver, F.col("doc_id") % 10 == 3, {"n_chars": F.lit(0)}
+    )
+    if staged_v is None:
+        raise AssertionError("update matched no rows -- entry broken")
+
+    def _agg(df: DataFrame, phase: int, tbl: str, grp: str, val: str) -> DataFrame:
+        return (
+            df.groupBy(F.col(grp).alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(val).alias("sum_val"),
+            )
+            .select(
+                F.lit(phase).cast("int").alias("phase"),
+                F.lit(tbl).alias("tbl"),
+                "grp",
+                "n_rows",
+                "sum_val",
+            )
+        )
+
+    # phase 0 resolves partition maps NOW: the staged UPDATE must be
+    # invisible on silver and the staged append invisible on gold
+    p0 = _agg(silver.read(), 0, "silver", "lang", "n_chars").unionByName(
+        _agg(gold.read(), 0, "gold", "event_type", "event_id")
+    )
+    txn.commit()
+    rec = recover(spark, f"{base}/txlog")
+    if rec["rolled_forward"] or rec["stuck"]:
+        raise AssertionError(f"post-commit recover not a no-op: {rec}")
+    p1 = _agg(silver.read(), 1, "silver", "lang", "n_chars").unionByName(
+        _agg(gold.read(), 1, "gold", "event_type", "event_id")
+    )
+    return p0.unionByName(p1).orderBy("phase", "tbl", "grp")
+
+
+@register(
     "snapshot_sharded_manifest_read",
     oracle="""
     SELECT CAST(doc_id % 64 AS BIGINT)  AS bucket,

@@ -1,0 +1,190 @@
+"""SQL-queryable snapshot tables under the correctness gate.
+
+The reference's primary table-consumption pattern is SQL over a named
+catalog table (its gold job: ``spark.sql("SELECT ... FROM
+db.silver_table WHERE ...")``, /root/reference/spark/jobs/job_gold.py:71-88).
+These entries exercise that pattern against the SNAPSHOT store through
+the ``snapshot_table`` Python DataSource batch reader
+(:mod:`..sources.snapshot_batch`):
+
+ * :func:`snapshot_sql_pushdown_join` -- one SQL statement joining two
+   snapshot-table views with the WHERE clause PUSHED into the manifest
+   planner (``snapshot_sql``: fresh single-statement relations), the
+   hidden-partitioning bucket pruning runtime-asserted through the SQL
+   path's scan report;
+ * :func:`snapshot_sql_view_pruned` -- the long-lived-view shape: a
+   registered view with EXPLICIT option-level pruning (safe under the
+   upstream one-slot readInfo cache; see snapshot_batch docstring),
+   scanned twice to pin that repeated queries of the same view stay
+   correct.
+
+Scale notes (100 TB posture): planning is manifest-metadata only
+(O(matching shards + surviving files), same as the API path); the scan
+is one task per SURVIVING file.  A point lookup on the bucket transform
+plans O(files of one bucket), never a listing of the table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import load_tables, register
+
+#: IN-list for the pushdown join: four customer keys -> at most four of
+#: the eight o_custkey hash buckets, so >= 4 bucket dirs MUST prune at
+#: plan time (the runtime assert).
+SQL_PUSH_KEYS = [7, 118, 223, 350]
+SQL_PUSH_BUCKETS = 8
+
+# integer cents per row (deterministic across engines; see base.py's
+# new-aggregate checklist -- double SUM order flakes at boundaries)
+_CENTS = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+
+def _scratch(prefix: str, sf_dir: str) -> str:
+    root = (
+        f"{tempfile.gettempdir()}/{prefix}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+@register(
+    "snapshot_sql_pushdown_join",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({_CENTS}) AS BIGINT) AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_custkey IN ({", ".join(str(k) for k in SQL_PUSH_KEYS)})
+    GROUP BY segment ORDER BY segment
+    """,
+    category="etl",
+    description="snapshot tables consumed as SQL (the reference's gold-"
+    "job pattern): orders land as a hidden-partitioned snapshot table "
+    f"(bucket({SQL_PUSH_BUCKETS}, o_custkey) + blooms), customer as a "
+    "second table; ONE spark.sql statement joins the two views with the "
+    "IN-list WHERE pushed through the Python DataSource filter-pushdown "
+    "API into the manifest planner -- bucket-segment dir pruning is "
+    "runtime-asserted from the SQL path's scan report (>= 4 of 8 bucket "
+    "dirs skipped), and the aggregate must hash-match a direct join of "
+    "the raw sources",
+)
+def snapshot_sql_pushdown_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..snapshots import SnapshotStore
+    from ..streaming.table_source import snapshot_sql
+
+    t = load_tables(spark, sf_dir)
+    root_o = _scratch("snapsql_orders", sf_dir)
+    root_c = _scratch("snapsql_cust", sf_dir)
+    SnapshotStore(spark, root_o).write(
+        t["orders"].select(
+            "o_orderkey", "o_custkey", F.expr(_CENTS).alias("cents")
+        ),
+        mode="snapshot",
+        partition_by=[f"bucket({SQL_PUSH_BUCKETS}, o_custkey)"],
+        bloom_cols=["o_custkey"],
+    )
+    SnapshotStore(spark, root_c).write(
+        t["customer"].select("c_custkey", "c_mktsegment"), mode="snapshot"
+    )
+    rep = f"{root_o}.report.json"
+    out = snapshot_sql(
+        spark,
+        f"""
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS n_orders,
+               SUM(o.cents) AS revenue_cents
+        FROM snap_orders o JOIN snap_customer c
+          ON o.o_custkey = c.c_custkey
+        WHERE o.o_custkey IN ({", ".join(str(k) for k in SQL_PUSH_KEYS)})
+        GROUP BY segment ORDER BY segment
+        """,
+        {"snap_orders": root_o, "snap_customer": root_c},
+        report_paths={"snap_orders": rep},
+    )
+    rows = out.collect()  # plan + scan now, so the report exists
+    report = json.load(open(rep))
+    # the pruning claim IS the entry: the IN-list hits at most
+    # len(keys) of the bucket dirs, the rest must be plan-time skipped
+    min_skipped = SQL_PUSH_BUCKETS - len(SQL_PUSH_KEYS)
+    if report["n_dirs_skipped"] < min_skipped:
+        raise AssertionError(
+            "bucket pruning missing through the SQL path: "
+            f"{report['n_dirs_skipped']} dirs skipped of "
+            f"{report['n_dirs_total']} (expected >= {min_skipped}); "
+            f"report={report}"
+        )
+    if sorted(report["pushed_points"]) != ["o_custkey"]:
+        raise AssertionError(f"IN-list not pushed: {report}")
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "snapshot_sql_view_pruned",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderkey >= 1000 AND o_orderkey <= 4999
+    GROUP BY status ORDER BY status
+    """,
+    category="etl",
+    description="the long-lived-VIEW consumption shape: a snapshot "
+    "table registered once as a temp view with an EXPLICIT option-level "
+    "range filter (the safe pruning path under the upstream one-slot "
+    "readInfo cache -- identical for every scan of the relation, "
+    "applied row-exactly by the tasks), range-clustered files so the "
+    "planner skips non-intersecting files (runtime-asserted from the "
+    "scan report), and the SAME view scanned twice with identical "
+    "results (the repeatability claim pushdown relations cannot make)",
+)
+def snapshot_sql_view_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..snapshots import SnapshotStore
+    from ..streaming.table_source import register_snapshot_view
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus"
+    )
+    root = _scratch("snapsql_view", sf_dir)
+    SnapshotStore(spark, root).write(
+        orders.repartitionByRange(8, "o_orderkey"),
+        mode="snapshot",
+        stats_cols=["o_orderkey"],
+    )
+    rep = f"{root}.report.json"
+    register_snapshot_view(
+        spark,
+        root,
+        "snap_view_orders",
+        range_filter=[("o_orderkey", 1000, 4999)],
+        report_path=rep,
+    )
+    sql = """
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n_orders,
+               MIN(o_orderkey) AS min_key,
+               MAX(o_orderkey) AS max_key
+        FROM snap_view_orders GROUP BY status ORDER BY status
+    """
+    first = [tuple(r) for r in spark.sql(sql).collect()]
+    report = json.load(open(rep))
+    if not (0 < report["n_files_skipped"] < report["n_files_total"]):
+        raise AssertionError(
+            f"expected partial file pruning through the view: {report}"
+        )
+    second = spark.sql(sql)
+    if [tuple(r) for r in second.collect()] != first:
+        raise AssertionError(
+            "repeated scans of the option-pruned view diverged"
+        )
+    return second

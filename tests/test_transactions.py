@@ -1069,3 +1069,125 @@ def test_recovered_delete_spares_concurrent_append_txn_rows(
     rows = {(r["id"], r["amt"]) for r in silver.read().collect()}
     # pre-claim copy (amt 10) deleted; the committed txn's copy survives
     assert rows == {(1, 11)}
+
+
+def test_update_where_txn_cross_table(spark, roots):
+    """Round-11 gated-entry shape: one txn appends to gold and applies a
+    predicate COW update to silver, atomically."""
+    from pyspark.sql import functions as F
+
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    v = t.update_where(silver, F.col("id") == 1, {"amt": 99})
+    assert v is not None
+    t.write(
+        gold, _df(spark, [(200, "d2", 2)]), mode="append", partition_by=["day"]
+    )
+    # staged: update invisible, append invisible
+    assert [r["amt"] for r in silver.read().collect()] == [10]
+    assert _ids(gold) == [100]
+    t.commit()
+    assert [r["amt"] for r in silver.read().collect()] == [99]
+    assert _ids(gold) == [100, 200]
+
+
+def test_update_where_txn_no_match_stages_nothing(spark, roots):
+    from pyspark.sql import functions as F
+
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    assert t.update_where(silver, F.col("id") == 777, {"amt": 0}) is None
+    assert silver.staged_versions() == {}
+    # the table is NOT enrolled: a real write on it still allowed
+    t.write(
+        silver, _df(spark, [(2, "d2", 20)]), mode="append", partition_by=["day"]
+    )
+    t.commit()
+    assert _ids(silver) == [1, 2]
+
+
+def test_delete_where_txn_cow_only_and_partitioned_only(spark, roots, tmp_path):
+    from pyspark.sql import functions as F
+
+    silver, _gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    with pytest.raises(ValueError, match="COW-only"):
+        t.delete_where(silver, F.col("id") == 1, approach="mor")
+    # staged MoR refused at the store level too
+    with pytest.raises(ValueError, match="cow"):
+        silver.delete_where(F.col("id") == 1, approach="mor", staged="w1")
+    flat = SnapshotStore(spark, str(tmp_path / "flat"))
+    flat.write(_df(spark, [(1, "d1", 10)]), mode="snapshot")
+    with pytest.raises(ValueError, match="partitioned"):
+        t.update_where(flat, F.col("id") == 1, {"amt": 0})
+    t.abort()
+
+
+def test_update_where_txn_conflict_detected_before_claim(spark, roots):
+    """A concurrent commit into a claimed partition between stage and
+    commit surfaces as SnapshotConflict BEFORE the WAL claim."""
+    from pyspark.sql import functions as F
+
+    silver, gold = _seed(spark, roots)
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.update_where(silver, F.col("id") == 1, {"amt": 99})
+    # interloper appends into the claimed partition d1
+    silver.write(
+        _df(spark, [(7, "d1", 70)]), mode="append", partition_by=["day"]
+    )
+    with pytest.raises(SnapshotConflict, match="changed since the stage"):
+        t.commit()
+    # no WAL claim was made: abort still possible, table untouched
+    t.abort()
+    assert sorted(_ids(silver)) == [1, 7]
+    assert [r["amt"] for r in silver.read().where("id = 1").collect()] == [10]
+
+
+def test_update_where_txn_crash_matrix_rolls_forward(spark, roots, monkeypatch):
+    """Both 2PC crash windows for an update-bearing txn: (a) after the
+    WAL claim before ANY publish, (b) between the two tables'
+    publishes; recover() rolls forward in both."""
+    from pyspark.sql import functions as F
+
+    silver, gold = _seed(spark, roots)
+    real = tx._publish_all
+
+    # (a) crash before any publish
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.update_where(silver, F.col("id") == 1, {"amt": 99})
+    t.write(
+        gold, _df(spark, [(200, "d2", 2)]), mode="append", partition_by=["day"]
+    )
+
+    def _crash_before_any(spark_, roots_, wap, heads=None):
+        raise RuntimeError("simulated crash before any publish")
+
+    monkeypatch.setattr(tx, "_publish_all", _crash_before_any)
+    with pytest.raises(RuntimeError, match="simulated"):
+        t.commit()
+    monkeypatch.setattr(tx, "_publish_all", real)
+    assert [r["amt"] for r in silver.read().where("id = 1").collect()] == [10]
+    out = tx.recover(spark, roots[0])
+    assert out["rolled_forward"] == [t.txn_id] and out["stuck"] == {}
+    assert [r["amt"] for r in silver.read().where("id = 1").collect()] == [99]
+    assert _ids(gold) == [100, 200]
+
+    # (b) crash between the two publishes
+    t2 = tx.MultiTableTransaction(spark, roots[0])
+    t2.update_where(silver, F.col("id") == 1, {"amt": 55})
+    t2.write(
+        gold, _df(spark, [(300, "d3", 3)]), mode="append", partition_by=["day"]
+    )
+
+    def _crash_after_first(spark_, roots_, wap, heads=None):
+        real(spark_, roots_[:1], wap)
+        raise RuntimeError("simulated crash mid-publish")
+
+    monkeypatch.setattr(tx, "_publish_all", _crash_after_first)
+    with pytest.raises(RuntimeError, match="simulated"):
+        t2.commit()
+    monkeypatch.setattr(tx, "_publish_all", real)
+    out2 = tx.recover(spark, roots[0])
+    assert out2["rolled_forward"] == [t2.txn_id] and out2["stuck"] == {}
+    assert [r["amt"] for r in silver.read().where("id = 1").collect()] == [55]
+    assert 300 in _ids(gold)
