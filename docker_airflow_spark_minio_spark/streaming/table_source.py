@@ -23,6 +23,37 @@ silently skip rows.  Staged (WAP/branch) commits are not table state
 and are skipped; the initial ``snapshot`` commit (v0) streams as the
 table's first batch.
 
+``maxversionspertrigger`` (round 11; Iceberg's
+``max-files-per-micro-batch`` rate-limit analog at commit granularity):
+cap how many table VERSIONS one micro-batch may cover, so a long
+backlog arrives as several bounded batches instead of one giant one.
+The Python stream API has no admission control (``latestOffset()``
+never sees the checkpointed start), so the throttle cursor is
+source-owned: it starts at ``startingversion`` and advances through
+``partitions()``/``commit()`` -- including the ``commit(restored
+offset)`` callback the engine issues when restarting from a
+checkpoint (observed against the shipped runner; pinned by the restart
+leg of the rate-limit test), so restarts resume mid-backlog correctly
+throttled.  Because an offset BELOW the checkpoint would silently
+regress the offset log and re-deliver, ``partitions()`` additionally
+REFUSES loudly if a throttled end ever lands behind the engine's
+checkpointed start (unreachable under the observed protocol; the guard
+turns any future protocol change into a loud error, never duplicates).
+
+``mode=changelog`` (round 11; Iceberg streaming's
+``streaming-skip-overwrite-snapshots=false`` direction, shaped like
+:meth:`~..snapshots.SnapshotStore.read_changes`): instead of refusing
+non-append windows, emit row-level changes with ``_change_type``
+(``'insert'``/``'delete'``) and ``_commit_version`` columns.  Changes
+come from MANIFEST DIR-DIFFS per published commit (added dirs ->
+inserts, dropped dirs -> their rows as deletes), which uniformly covers
+append / partition overwrite / full replace / rollback / WAP publish;
+compaction commits emit nothing (data-identical, marked
+``metadata.compaction``).  Windows touching MoR delete commits or live
+delete sets still refuse (a masked pre-image needs data-side key
+matching -- consume those via ``read_changes`` batch-side), as do
+schema-evolution commits (pre-images carry the old epoch's shape).
+
 The source reads manifests and data files directly (no JVM round-trip
 from executors), so it serves LOCAL/POSIX table roots; scheme-qualified
 stores (s3a://, mockfs://) refuse at construction -- batch-incremental
@@ -117,11 +148,13 @@ class _FilePartition(InputPartition):
         part_values: list,
         schema_json: str,
         session_tz: str = "UTC",
+        change: tuple | None = None,  # (kind, commit_version) | None
     ):
         self.path = path
         self.part_values = part_values  # [(col, raw_string_or_None)]
         self.schema_json = schema_json
         self.session_tz = session_tz
+        self.change = change
 
 
 class SnapshotTableStreamReader(DataSourceStreamReader):
@@ -129,10 +162,28 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         self.root = _check_local_root(root)
         self.start = int(options.get("startingversion", -1))
         self.session_tz = options.get("session_tz", "UTC")
+        self.mode = options.get("mode", "append")
+        if self.mode not in ("append", "changelog"):
+            raise ValueError(
+                f"unknown snapshot_table stream mode {self.mode!r}: "
+                "expected 'append' or 'changelog'"
+            )
+        raw_max = options.get("maxversionspertrigger")
+        self.max_versions = int(raw_max) if raw_max is not None else None
+        if self.max_versions is not None and self.max_versions < 1:
+            raise ValueError("maxversionspertrigger must be >= 1")
+        # monotonic throttle cursor (see module docstring): starts at
+        # startingversion, resynced by the engine's restart-time
+        # commit() callback and by every planned window
+        self._cursor = self.start
         head = _head_published(self.root)
         if head is None:
             raise ValueError(f"no snapshots committed under {self.root}")
         self.schema_json = _manifest(self.root, head)["schema"]
+
+    def _advance_cursor(self, v: int) -> None:
+        if v > self._cursor:
+            self._cursor = v
 
     # -- offset lifecycle -------------------------------------------------
     def initialOffset(self) -> dict:
@@ -140,50 +191,178 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         head = _head_published(self.root)
-        return {"version": self.start if head is None else head}
+        if head is None:
+            head = self.start
+        if self.max_versions is not None:
+            head = min(head, self._cursor + self.max_versions)
+        return {"version": head}
 
     def commit(self, end: dict) -> None:
-        pass
+        # also the restart-resync point: the engine replays the
+        # checkpointed offset through commit() when a query restarts
+        self._advance_cursor(int(end["version"]))
 
     # -- planning (driver-side, manifest JSON only) ------------------------
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
+        if hi < lo:
+            # a throttled latestOffset landed BEHIND the engine's
+            # checkpointed start: planning this window would regress the
+            # offset log and re-deliver.  Unreachable under the observed
+            # restart protocol (commit() resyncs first) -- loud guard so
+            # a protocol change can never silently double-deliver.
+            raise ValueError(
+                f"rate-limit cursor (v{hi}) is behind the checkpointed "
+                f"stream position (v{lo}); refusing to regress the "
+                "offset log -- run once without maxversionspertrigger "
+                "to resync"
+            )
+        # the engine commits `hi` for this batch: advance the cursor so
+        # rate limiting measures from here (and never regresses)
+        self._advance_cursor(hi)
         parts: list[_FilePartition] = []
         for v in range(lo + 1, hi + 1):
             m = _manifest(self.root, v)
             if m.get("staged") is not None:
                 continue  # not table state until its publish commit
             mode = m["mode"]
+            if self.mode == "changelog":
+                parts.extend(self._changelog_partitions(v, m, mode))
+                continue
             if not (mode == "append" or (mode == "snapshot" and v == 0)):
                 raise ValueError(
                     f"streaming window crosses a '{mode}' commit (v{v}); "
                     "the snapshot_table source is append-only (the "
                     "Iceberg streaming-read contract) -- consume "
-                    "replace/delete commits via read_changes or restart "
-                    "from a full read"
+                    "replace/delete commits via mode=changelog / "
+                    "read_changes or restart from a full read"
                 )
-            for vd in sorted(_added_vdirs(self.root, m, v)):
-                base = f"{self.root}/{DATA_DIR}/{vd}"
-                for dirpath, _dirs, files in os.walk(base):
-                    rel = os.path.relpath(dirpath, base)
-                    pvals = []
-                    if rel != ".":
-                        for seg in rel.split(os.sep):
-                            col, _, raw = seg.partition("=")
-                            val = unquote(raw)
-                            pvals.append(
-                                (col, None if val == HIVE_NULL else val)
+            parts.extend(
+                self._dir_partitions(
+                    sorted(_added_vdirs(self.root, m, v)), change=None
+                )
+            )
+        return parts
+
+    def _dir_partitions(
+        self, vdirs: list[str], change: tuple | None
+    ) -> list[_FilePartition]:
+        parts: list[_FilePartition] = []
+        for vd in vdirs:
+            base = f"{self.root}/{DATA_DIR}/{vd}"
+            for dirpath, _dirs, files in os.walk(base):
+                rel = os.path.relpath(dirpath, base)
+                pvals = []
+                if rel != ".":
+                    for seg in rel.split(os.sep):
+                        col, _, raw = seg.partition("=")
+                        val = unquote(raw)
+                        pvals.append(
+                            (col, None if val == HIVE_NULL else val)
+                        )
+                for f in sorted(files):
+                    if f.endswith(".parquet"):
+                        parts.append(
+                            _FilePartition(
+                                os.path.join(dirpath, f),
+                                pvals,
+                                self.schema_json,
+                                self.session_tz,
+                                change,
                             )
-                    for f in sorted(files):
-                        if f.endswith(".parquet"):
-                            parts.append(
-                                _FilePartition(
-                                    os.path.join(dirpath, f),
-                                    pvals,
-                                    self.schema_json,
-                                    self.session_tz,
-                                )
-                            )
+                        )
+        return parts
+
+    def _changelog_partitions(
+        self, v: int, m: dict, mode: str
+    ) -> list[_FilePartition]:
+        """Row-level changes of ONE published commit from its manifest
+        dir-diff vs the parent: added dirs -> inserts, dropped dirs ->
+        deletes.  Uniform across append/overwrite/replace/rollback/
+        publish; refusals mirror read_changes' contract."""
+        if mode == "delete_keys":
+            raise ValueError(
+                f"changelog stream window crosses a MoR delete commit "
+                f"(v{v}); masked pre-images need data-side key matching "
+                "-- consume it batch-side via read_changes"
+            )
+        if mode == "evolve_schema":
+            raise ValueError(
+                f"changelog stream window crosses an 'evolve_schema' "
+                f"commit (v{v}); pre-images before it carry that "
+                "epoch's shape -- read each epoch as its own stream"
+            )
+        if m.get("metadata", {}).get("compaction"):
+            return []  # data-identical rewrite: no logical change
+        planner = LocalSnapshotPlanner.for_root(self.root)
+        cur = planner._read_manifest(v)
+        if cur.get("delete_sets"):
+            raise ValueError(
+                f"changelog stream refuses v{v}: the table carries live "
+                "merge-on-read delete sets, so dropped-dir pre-images "
+                "would need mask application -- compact() first or "
+                "consume via read_changes"
+            )
+        cur_dirs = {
+            f"{vd}/{p}" if p else vd
+            for p, vds in cur["partitions"].items()
+            for vd in vds
+        }
+        parent_v = m.get("parent")
+        if parent_v is None:
+            prev_dirs: set[str] = set()
+        else:
+            prev = planner._read_manifest(parent_v)
+            prev_dirs = {
+                f"{vd}/{p}" if p else vd
+                for p, vds in prev["partitions"].items()
+                for vd in vds
+            }
+        # diff at DKEY (vdir + full partition path) granularity: an
+        # overwrite re-points only the TOUCHED partitions, so a dropped
+        # partition's old vdir may still serve untouched partitions --
+        # whole-vdir emission would fabricate deletes for them
+        return self._dkey_partitions(
+            sorted(prev_dirs - cur_dirs), change=("delete", v)
+        ) + self._dkey_partitions(
+            sorted(cur_dirs - prev_dirs), change=("insert", v)
+        )
+
+    def _dkey_partitions(
+        self, dkeys: list[str], change: tuple
+    ) -> list[_FilePartition]:
+        parts: list[_FilePartition] = []
+        for dk in dkeys:
+            vd, _, rel = dk.partition("/")
+            base = f"{self.root}/{DATA_DIR}/{vd}"
+            dirp = f"{base}/{rel}" if rel else base
+            pvals = []
+            if rel:
+                for seg in rel.split("/"):
+                    col, _, raw = seg.partition("=")
+                    val = unquote(raw)
+                    pvals.append((col, None if val == HIVE_NULL else val))
+            try:
+                files = sorted(
+                    f
+                    for f in os.listdir(dirp)
+                    if f.endswith(".parquet")
+                )
+            except FileNotFoundError:
+                raise ValueError(
+                    f"changelog stream lost data dir {dk} to retention; "
+                    "restart the stream from a full read"
+                ) from None
+            for f in files:
+                parts.append(
+                    _FilePartition(
+                        f"{dirp}/{f}",
+                        pvals,
+                        self.schema_json,
+                        self.session_tz,
+                        change,
+                    )
+                )
         return parts
 
     # -- execution (executor-side, pyarrow) --------------------------------
@@ -221,9 +400,13 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
                 # before it null-fill (read()'s allowMissingColumns
                 # semantics)
                 cols.append(pa.nulls(n, type=target))
-        yield from pa.table(
-            cols, names=[f["name"] for f in fields]
-        ).to_batches()
+        names = [f["name"] for f in fields]
+        if partition.change is not None:
+            kind, cv = partition.change
+            cols.append(pa.array([kind] * n, type=pa.string()))
+            cols.append(pa.array([cv] * n, type=pa.int64()))
+            names += ["_change_type", "_commit_version"]
+        yield from pa.table(cols, names=names).to_batches()
 
     def stop(self) -> None:
         pass
@@ -267,7 +450,16 @@ class SnapshotTableStreamSource(DataSource):
         head = _head_published(root)
         if head is None:
             raise ValueError(f"no snapshots committed under {root}")
-        return StructType.fromJson(json.loads(_manifest(root, head)["schema"]))
+        schema = StructType.fromJson(
+            json.loads(_manifest(root, head)["schema"])
+        )
+        if opts.get("mode") == "changelog":
+            from pyspark.sql.types import LongType, StringType
+
+            schema = schema.add("_change_type", StringType()).add(
+                "_commit_version", LongType()
+            )
+        return schema
 
     def streamReader(self, schema: StructType) -> SnapshotTableStreamReader:
         return SnapshotTableStreamReader(self._root(), dict(self.options))

@@ -183,3 +183,116 @@ def test_table_source_null_fills_additive_columns(registered, tmp_path):
          lambda b, i: got.append(
              sorted((r["id"], r["amt"]) for r in b.collect())))
     assert got == [[(1, None), (2, 20)]]
+
+def _run_all(spark, root, ckpt, sink, **opts):
+    reader = spark.readStream.format("snapshot_table")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(root)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_table_source_rate_limited_backlog(registered, tmp_path):
+    """maxversionspertrigger: a 5-commit backlog arrives as >= 3
+    bounded micro-batches, exactly once, in commit order."""
+    spark = registered
+    root, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    s = SnapshotStore(spark, root)
+    s.write(_df(spark, [(0, "d0", 0)]), mode="snapshot", partition_by=["day"])
+    for i in range(1, 5):
+        s.write(_df(spark, [(i, f"d{i}", i * 10)]), mode="append",
+                partition_by=["day"])
+
+    batches: list[list[int]] = []
+    _run_all(
+        spark, root, ckpt,
+        lambda b, i: batches.append(sorted(r["id"] for r in b.collect())),
+        maxversionspertrigger="2",
+    )
+    delivered = [i for b in batches for i in b]
+    assert sorted(delivered) == [0, 1, 2, 3, 4]      # exactly once
+    assert delivered == sorted(delivered)            # commit order
+    nonempty = [b for b in batches if b]
+    assert len(nonempty) >= 3                        # throttled: 2+2+1
+    assert all(len(b) <= 2 for b in nonempty)
+
+    # resume mid-backlog across query RESTARTS: the engine's
+    # restart-time commit() callback resyncs the throttle cursor, so
+    # only the new versions arrive -- still capped, never re-delivered
+    for i in range(5, 9):
+        s.write(_df(spark, [(i, f"d{i}", i * 10)]), mode="append",
+                partition_by=["day"])
+    batches.clear()
+    _run_all(
+        spark, root, ckpt,
+        lambda b, i: batches.append(sorted(r["id"] for r in b.collect())),
+        maxversionspertrigger="2",
+    )
+    assert sorted(i for b in batches for i in b) == [5, 6, 7, 8]
+    assert all(len(b) <= 2 for b in batches if b)
+    assert len([b for b in batches if b]) >= 2
+
+
+def test_table_source_changelog_mode(registered, tmp_path):
+    """mode=changelog: non-append commits emit insert/delete rows
+    (read_changes-shaped) instead of refusing."""
+    spark = registered
+    root, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    s = SnapshotStore(spark, root)
+    s.write(_df(spark, [(1, "d1", 10), (2, "d2", 20)]),
+            mode="snapshot", partition_by=["day"])                  # v0
+    s.write(_df(spark, [(3, "d1", 30)]), mode="append",
+            partition_by=["day"])                                   # v1
+    s.write(_df(spark, [(9, "d1", 90)]),
+            mode="overwrite_partitions", partition_by=["day"])      # v2
+
+    rows: list[tuple] = []
+    _run_all(
+        spark, root, ckpt,
+        lambda b, i: rows.extend(
+            (r["id"], r["day"], r["_change_type"], r["_commit_version"])
+            for r in b.collect()
+        ),
+        mode="changelog",
+    )
+    got = sorted(rows)
+    assert (1, "d1", "insert", 0) in got and (2, "d2", "insert", 0) in got
+    assert (3, "d1", "insert", 1) in got
+    # the overwrite of d1 emits deletes of BOTH prior d1 rows + insert,
+    # and must NOT touch the untouched d2 partition
+    assert (1, "d1", "delete", 2) in got and (3, "d1", "delete", 2) in got
+    assert (9, "d1", "insert", 2) in got
+    assert not any(t[1] == "d2" and t[3] == 2 for t in got)
+    assert len(got) == 6
+
+    # rollback across the overwrite: reappearing + disappearing rows
+    s.rollback(1)                                                   # v3
+    rows.clear()
+    _run_all(
+        spark, root, ckpt,
+        lambda b, i: rows.extend(
+            (r["id"], r["day"], r["_change_type"], r["_commit_version"])
+            for r in b.collect()
+        ),
+        mode="changelog",
+    )
+    got = sorted(rows)
+    assert (9, "d1", "delete", 3) in got
+    assert (1, "d1", "insert", 3) in got and (3, "d1", "insert", 3) in got
+
+
+def test_table_source_changelog_refuses_mor_windows(registered, tmp_path):
+    spark = registered
+    root, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    s = SnapshotStore(spark, root)
+    s.write(_df(spark, [(1, "d1", 10)]), mode="snapshot",
+            partition_by=["day"])
+    s.delete_keys(spark.createDataFrame([(1,)], "id INT"), ["id"])
+    with pytest.raises(Exception, match="MoR delete|read_changes"):
+        _run_all(spark, root, ckpt, lambda b, i: None, mode="changelog")
