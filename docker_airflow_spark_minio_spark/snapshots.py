@@ -2708,6 +2708,7 @@ class SnapshotStore:
         evolve_partitioning: bool = False,
         staged: str | None = None,
         stats_sidecar_threshold: int | None = None,
+        ndv_cols: list[str] | None = None,
         _mixed_spec_overwrite_ok: bool = False,
     ) -> int:
         """Commit ``df`` as a new snapshot; returns the committed version.
@@ -2781,6 +2782,19 @@ class SnapshotStore:
         per-commit ``metadata`` which retention can expire.  The CDC
         sink records its high-water batch id here so replay detection
         survives ``expire_snapshots`` and compaction commits.
+        ``ndv_cols``: record a MERGEABLE NDV SKETCH (Datasketches
+        HLL via ``hll_sketch_agg``, values hashed in string form) per
+        column in the manifest's ``table_stats.col_ndv`` -- the
+        distinct-count statistic a join planner needs WITHOUT an
+        ANALYZE scan (:mod:`..plans.join_stats` uses it together with
+        the manifest row counts to choose broadcast vs shuffle).
+        Appends UNION the batch sketch into the parent's (O(batch)
+        extra agg + one metadata-sized merge job); a full ``snapshot``
+        replace restarts from the batch.  ``overwrite_partitions`` also
+        unions, so after partition replaces the sketch is an UPPER
+        BOUND (sketches cannot subtract) -- safe for broadcast
+        decisions (overestimating NDV never under-sizes a build side);
+        a periodic full rewrite re-tightens it.
         ``stats_sidecar_threshold``: per-commit file count above which
         the per-FILE stats/bloom rows are written by the EXECUTORS as a
         parquet sidecar (``_stats/<vdir>-stats``) referenced from the
@@ -3156,14 +3170,27 @@ class SnapshotStore:
         # maps / blooms / row counts instead of silently degrading the
         # table's pruning metadata: a commit that passes stats/bloom
         # cols updates it, any other commit carries it forward.
+        prev_ts = (parent or {}).get("table_stats") or {}
         if stats_cols or bloom_cols:
             table_stats = {
                 "stats_cols": list(stats_cols or []),
                 "bloom_cols": list(bloom_cols or []),
                 "bloom_bits": bloom_bits,
             }
+            if prev_ts.get("col_ndv"):
+                # config refresh must not drop the NDV sketches
+                table_stats["col_ndv"] = prev_ts["col_ndv"]
         else:
             table_stats = (parent or {}).get("table_stats")
+        if ndv_cols:
+            table_stats = {
+                **(table_stats or {}),
+                "col_ndv": self._merged_ndv_sketches(
+                    df,
+                    list(ndv_cols),
+                    prev_ts.get("col_ndv") if mode != "snapshot" else None,
+                ),
+            }
         common = {
             "version": version,
             "parent": parent_v,
@@ -4196,6 +4223,73 @@ class SnapshotStore:
         raise ValueError(
             f"unknown metadata table {kind!r}: pick from "
             "'snapshots', 'partitions', 'files'"
+        )
+
+    def _merged_ndv_sketches(
+        self, df: DataFrame, cols: list[str], prev: dict | None
+    ) -> dict:
+        """Base64 HLL sketch per column for the batch, unioned with the
+        parent's sketches (one O(batch) agg + one 1-row merge job; the
+        merge is metadata-plane).  Values sketch in STRING form so every
+        column type hashes uniformly and append-side and planner-side
+        agree byte-for-byte."""
+        from pyspark.sql import functions as F
+
+        missing = sorted(set(cols) - set(df.columns))
+        if missing:
+            raise ValueError(f"ndv_cols {missing} not in the written frame")
+        batch = df.agg(
+            *[
+                F.base64(
+                    F.hll_sketch_agg(F.col(c).cast("string"))
+                ).alias(c)
+                for c in cols
+            ]
+        ).collect()[0]
+        out = dict(prev or {})
+        merges = []
+        for c in cols:
+            if batch[c] is None:
+                continue  # empty batch: keep the parent sketch
+            if c in out:
+                merges.append(
+                    F.base64(
+                        F.hll_union(
+                            F.unbase64(F.lit(out[c])),
+                            F.unbase64(F.lit(batch[c])),
+                        )
+                    ).alias(c)
+                )
+            else:
+                out[c] = batch[c]
+        if merges:
+            merged = self.spark.range(1).select(*merges).collect()[0]
+            for c in merged.asDict():
+                out[c] = merged[c]
+        return out
+
+    def column_ndv(self, col: str, as_of: int | None = None) -> int | None:
+        """Estimated DISTINCT COUNT of ``col`` from the manifest's HLL
+        sketch (``write(ndv_cols=...)``) -- no data scan, one 1-row
+        estimate job.  None when the table carries no sketch for the
+        column.  After partition overwrites the estimate is an upper
+        bound (see the ``ndv_cols`` doc)."""
+        from pyspark.sql import functions as F
+
+        version = self.current_version() if as_of is None else as_of
+        if version is None:
+            raise ValueError(f"no snapshots committed under {self.root}")
+        sk = (
+            (self._read_manifest(version).get("table_stats") or {})
+            .get("col_ndv", {})
+            .get(col)
+        )
+        if sk is None:
+            return None
+        return int(
+            self.spark.range(1)
+            .select(F.hll_sketch_estimate(F.unbase64(F.lit(sk))))
+            .collect()[0][0]
         )
 
     def count_rows(

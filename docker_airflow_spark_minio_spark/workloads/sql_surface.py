@@ -128,6 +128,87 @@ def snapshot_sql_pushdown_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_join_manifest_planned",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({_CENTS}) AS BIGINT) AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY segment ORDER BY segment
+    """,
+    category="etl",
+    description="ANALYZE-less join planning from MANIFEST statistics "
+    "(plans/join_stats.py): orders and customer land as snapshot "
+    "tables with exact manifest row counts plus mergeable HLL NDV "
+    "sketches on the join key (write(ndv_cols=...)); the join strategy "
+    "is chosen from table metadata alone -- Spark's own size-based "
+    "auto-broadcast is DISABLED for the run, and the entry "
+    "runtime-asserts the decision picked broadcast for the dimension "
+    "side AND that BroadcastHashJoin appears in the executed plan "
+    "(manifest stats alone flipped SMJ to broadcast); the aggregate "
+    "must hash-match a direct join of the raw sources",
+)
+def snapshot_join_manifest_planned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale notes: the decision is metadata-plane (manifest JSON + two
+    1-row sketch estimates), so a 1000-table pipeline can plan joins
+    without ANALYZE scans; a conservative miss only costs a shuffle
+    that AQE re-plans.  The NDV lower bound refuses broadcasts when
+    MoR deletes make row counts unprovable (tests/test_join_stats.py)."""
+    from ..plans import physical_plan
+    from ..plans.join_stats import join_snapshot_tables
+    from ..snapshots import SnapshotStore
+
+    t = load_tables(spark, sf_dir)
+    root_o = _scratch("snapjoin_orders", sf_dir)
+    root_c = _scratch("snapjoin_cust", sf_dir)
+    facts = SnapshotStore(spark, root_o)
+    facts.write(
+        t["orders"].select(
+            "o_orderkey", "o_custkey", F.expr(_CENTS).alias("cents")
+        ),
+        mode="snapshot",
+        stats_cols=["o_orderkey"],
+        ndv_cols=["o_custkey"],
+    )
+    dim = SnapshotStore(spark, root_c)
+    dim.write(
+        t["customer"].select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        ),
+        mode="snapshot",
+        stats_cols=["o_custkey"],
+        ndv_cols=["o_custkey"],
+    )
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        joined, decision = join_snapshot_tables(facts, dim, "o_custkey")
+        if decision.strategy != "broadcast_right":
+            raise AssertionError(
+                f"expected broadcast_right from manifest stats: {decision}"
+            )
+        if "BroadcastHashJoin" not in physical_plan(joined):
+            raise AssertionError(
+                "manifest-stats broadcast hint missing from the plan"
+            )
+        out = (
+            joined.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("revenue_cents"),
+            )
+            .orderBy("segment")
+        )
+        rows = out.collect()
+    finally:
+        spark.conf.set(key, old)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
     "snapshot_sql_view_pruned",
     oracle="""
     SELECT o_orderstatus AS status,

@@ -1,0 +1,137 @@
+"""Manifest NDV sketches + ANALYZE-less join planning
+(snapshots.write(ndv_cols=...), plans/join_stats.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docker_airflow_spark_minio_spark.plans import physical_plan
+from docker_airflow_spark_minio_spark.plans.join_stats import (
+    join_snapshot_tables,
+    plan_snapshot_join,
+)
+from docker_airflow_spark_minio_spark.snapshots import SnapshotStore
+
+
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    """Disable Spark's own size-based auto-broadcast so any broadcast
+    in the plan is attributable to OUR manifest-stats decision."""
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    yield spark
+    spark.conf.set(key, old)
+
+
+def _facts(spark, root, n=5000):
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("dim_id"),
+        (F.col("id") * 3).alias("val"),
+    )
+    s = SnapshotStore(spark, root)
+    s.write(df, mode="snapshot", stats_cols=["k"], ndv_cols=["dim_id"])
+    return s
+
+
+def _dim(spark, root, n=97):
+    df = spark.range(n).select(
+        F.col("id").alias("dim_id"),
+        F.concat(F.lit("name-"), F.col("id")).alias("name"),
+    )
+    s = SnapshotStore(spark, root)
+    s.write(df, mode="snapshot", stats_cols=["dim_id"], ndv_cols=["dim_id"])
+    return s
+
+
+def test_ndv_sketch_estimates_and_merges(spark, tmp_path):
+    root = str(tmp_path / "t")
+    s = SnapshotStore(spark, root)
+    df = spark.range(1000).select(
+        (F.col("id") % 300).alias("u"), F.col("id").alias("k")
+    )
+    s.write(df, mode="snapshot", stats_cols=["k"], ndv_cols=["u", "k"])
+    assert abs(s.column_ndv("u") - 300) <= 15  # HLL ~2% at lgK 12
+    assert abs(s.column_ndv("k") - 1000) <= 50
+    assert s.column_ndv("missing") is None
+    # append MERGES: 200 new distinct u values
+    s.write(
+        spark.range(1000, 1200).select(
+            F.col("id").alias("u"), F.col("id").alias("k")
+        ),
+        mode="append",
+        ndv_cols=["u", "k"],
+    )
+    assert abs(s.column_ndv("u") - 500) <= 25
+    # full replace RESTARTS the sketch
+    s.write(
+        spark.range(10).select(F.col("id").alias("u"), F.col("id").alias("k")),
+        mode="snapshot",
+        stats_cols=["k"],
+        ndv_cols=["u"],
+    )
+    assert s.column_ndv("u") <= 11
+    # time travel reads the old sketch
+    assert s.column_ndv("u", as_of=1) > 400
+
+
+def test_ndv_survives_stats_refresh_and_plain_commits(spark, tmp_path):
+    s = SnapshotStore(spark, str(tmp_path / "t"))
+    df = spark.range(500).select((F.col("id") % 50).alias("u"))
+    s.write(df, mode="snapshot", ndv_cols=["u"])
+    # a later commit passing only stats_cols must not drop the sketch
+    s.write(
+        spark.range(500, 510).select((F.col("id") % 50).alias("u")),
+        mode="append",
+        stats_cols=["u"],
+    )
+    assert abs(s.column_ndv("u") - 50) <= 5
+
+
+def test_join_flips_smj_to_broadcast_from_manifest_stats(
+    no_auto_broadcast, tmp_path
+):
+    spark = no_auto_broadcast
+    facts = _facts(spark, str(tmp_path / "facts"))
+    dim = _dim(spark, str(tmp_path / "dim"))
+
+    joined, decision = join_snapshot_tables(facts, dim, "dim_id")
+    assert decision.strategy == "broadcast_right", decision
+    assert decision.right.rows == 97 and decision.left.rows == 5000
+    assert "BroadcastHashJoin" in physical_plan(joined)
+    assert joined.count() == 5000
+
+    # threshold 0: the SAME tables stay on the shuffle path
+    joined2, decision2 = join_snapshot_tables(
+        facts, dim, "dim_id", broadcast_threshold_rows=0
+    )
+    assert decision2.strategy == "shuffle"
+    assert "SortMergeJoin" in physical_plan(joined2)
+    assert "BroadcastHashJoin" not in physical_plan(joined2)
+
+    # output estimate: 5000 * 97 / max(ndv) ~ 5000
+    assert decision.est_output_rows is not None
+    assert abs(decision.est_output_rows - 5000) <= 300
+
+
+def test_unknown_rows_never_broadcast(spark, tmp_path):
+    """Live MoR delete sets make row counts unprovable; NDV (a lower
+    bound) can refuse a broadcast but never approve one."""
+    s = _facts(spark, str(tmp_path / "facts"), n=3000)
+    dim = SnapshotStore(spark, str(tmp_path / "dim"))
+    dim.write(
+        spark.range(50).select(
+            F.col("id").alias("dim_id"), F.col("id").alias("x")
+        ),
+        mode="snapshot",
+        stats_cols=["dim_id"],
+        ndv_cols=["dim_id"],
+    )
+    dim.delete_keys(spark.createDataFrame([(1,)], "dim_id long"), ["dim_id"])
+    assert dim.count_rows() is None
+    # facts (3000 rows) exceed the threshold; dim rows are unknowable:
+    # NDV alone must not approve a broadcast
+    d = plan_snapshot_join(s, dim, "dim_id", broadcast_threshold_rows=1000)
+    assert d.strategy == "shuffle" and "unprovable" in d.reason
