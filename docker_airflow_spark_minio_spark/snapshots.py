@@ -2794,7 +2794,12 @@ class SnapshotStore:
         unions, so after partition replaces the sketch is an UPPER
         BOUND (sketches cannot subtract) -- safe for broadcast
         decisions (overestimating NDV never under-sizes a build side);
-        a periodic full rewrite re-tightens it.
+        a periodic full rewrite re-tightens it.  A DATA commit that
+        skips ``ndv_cols`` INVALIDATES the sketches (dropped from the
+        child manifest -- they would describe neither the replaced old
+        data nor the unhashed new rows); masking-only commits
+        (``delete_keys``/``delete_positions``) and metadata commits
+        carry them forward as upper bounds.
         ``stats_sidecar_threshold``: per-commit file count above which
         the per-FILE stats/bloom rows are written by the EXECUTORS as a
         parquet sidecar (``_stats/<vdir>-stats``) referenced from the
@@ -3177,11 +3182,28 @@ class SnapshotStore:
                 "bloom_cols": list(bloom_cols or []),
                 "bloom_bits": bloom_bits,
             }
-            if prev_ts.get("col_ndv"):
-                # config refresh must not drop the NDV sketches
-                table_stats["col_ndv"] = prev_ts["col_ndv"]
         else:
-            table_stats = (parent or {}).get("table_stats")
+            # NDV sketches do NOT survive a data commit that skipped
+            # ndv_cols: the sketch would describe neither the old data
+            # (replaced) nor the new (never hashed) -- a stale estimate
+            # is worse than none.  Maintaining a sketched table means
+            # passing ndv_cols on every data commit (same opt-in
+            # contract as stats_cols for zone maps).
+            table_stats = (
+                {k: v for k, v in prev_ts.items() if k != "col_ndv"}
+                or None
+            )
+        if (
+            not ndv_cols
+            and prev_ts.get("col_ndv")
+            and (metadata or {}).get("compaction")
+        ):
+            # compaction rewrites are data-IDENTICAL: the sketch still
+            # describes exactly the live rows -- keep it
+            table_stats = {
+                **(table_stats or {}),
+                "col_ndv": prev_ts["col_ndv"],
+            }
         if ndv_cols:
             table_stats = {
                 **(table_stats or {}),

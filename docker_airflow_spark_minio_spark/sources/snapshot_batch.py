@@ -654,6 +654,12 @@ class SnapshotTableBatchReader(DataSourceReader):
 
     def __init__(self, root: str, options: dict):
         self.root = check_local_root(root)
+        if options.get("mode") == "changelog":
+            raise ValueError(
+                "mode=changelog is a STREAMING-only option "
+                "(spark.readStream); batch consumers read changes via "
+                "SnapshotStore.read_changes"
+            )
         self.session_tz = options.get("session_tz", "UTC")
         self.report_path = options.get("report_path")
         planner = LocalSnapshotPlanner.for_root(self.root)
@@ -694,6 +700,25 @@ class SnapshotTableBatchReader(DataSourceReader):
                 else []
             )
         ]
+        if self._opt_points or self._opt_ranges:
+            # a typo'd filter column would prune nothing AND apply
+            # nothing -- the view would silently serve the whole table;
+            # validate against the resolved version's schema instead
+            schema_cols = {
+                f["name"]
+                for f in json.loads(
+                    planner._read_manifest(self.version)["schema"]
+                )["fields"]
+            }
+            bad = sorted(
+                (set(self._opt_points) | {c for c, _lo, _hi in self._opt_ranges})
+                - schema_cols
+            )
+            if bad:
+                raise ValueError(
+                    f"point_filter/range_filter columns {bad} not in "
+                    f"the table schema {sorted(schema_cols)}"
+                )
         # pushdown state, filled only on the pushdown subclass
         self._eq: dict[str, set] = {}
         self._lo: dict[str, object] = {}

@@ -74,10 +74,12 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from ..snapshots import _vdir_version
 from ..sources.snapshot_batch import (
     LocalSnapshotPlanner,
     SnapshotTableBatchReader,
     SnapshotTablePushdownReader,
+    _stored_names,
     arrow_type,
     check_local_root as _check_local_root,
     parse_partition_value,
@@ -149,12 +151,16 @@ class _FilePartition(InputPartition):
         schema_json: str,
         session_tz: str = "UTC",
         change: tuple | None = None,  # (kind, commit_version) | None
+        epoch: int = 0,  # _vdir_version of the owning data dir
+        schema_log: list | None = None,  # field-id evolution log
     ):
         self.path = path
         self.part_values = part_values  # [(col, raw_string_or_None)]
         self.schema_json = schema_json
         self.session_tz = session_tz
         self.change = change
+        self.epoch = epoch
+        self.schema_log = schema_log
 
 
 class SnapshotTableStreamReader(DataSourceStreamReader):
@@ -179,7 +185,14 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         head = _head_published(self.root)
         if head is None:
             raise ValueError(f"no snapshots committed under {self.root}")
-        self.schema_json = _manifest(self.root, head)["schema"]
+        head_m = _manifest(self.root, head)
+        self.schema_json = head_m["schema"]
+        # evolution log of the stream's schema epoch: read() maps each
+        # dir's physical columns to it by FIELD ID, so pre-window
+        # evolution (renames/drops/widens before startingversion) can
+        # never null-fill a renamed column or surface a reused dead
+        # name; IN-window evolve commits still refuse at planning.
+        self.schema_log = head_m.get("schema_log")
 
     def _advance_cursor(self, v: int) -> None:
         if v > self._cursor:
@@ -269,6 +282,8 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
                                 self.schema_json,
                                 self.session_tz,
                                 change,
+                                _vdir_version(vd),
+                                self.schema_log,
                             )
                         )
         return parts
@@ -296,28 +311,38 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
             return []  # data-identical rewrite: no logical change
         planner = LocalSnapshotPlanner.for_root(self.root)
         cur = planner._read_manifest(v)
-        if cur.get("delete_sets"):
+        parent_v = m.get("parent")
+        prev = (
+            planner._read_manifest(parent_v)
+            if parent_v is not None
+            else None
+        )
+        # BOTH sides of the diff must be delete-set-free: the current
+        # side because added rows could be same-commit-masked, the
+        # PARENT side because a replace/rollback that clears live sets
+        # would otherwise emit already-masked rows as delete pre-images
+        # (and miss read_changes' reappearing-rows-as-inserts arm).
+        if cur.get("delete_sets") or (prev or {}).get("delete_sets"):
             raise ValueError(
-                f"changelog stream refuses v{v}: the table carries live "
-                "merge-on-read delete sets, so dropped-dir pre-images "
-                "would need mask application -- compact() first or "
-                "consume via read_changes"
+                f"changelog stream refuses v{v}: the window touches "
+                "live merge-on-read delete sets, so pre-images would "
+                "need mask application -- compact() first or consume "
+                "via read_changes"
             )
         cur_dirs = {
             f"{vd}/{p}" if p else vd
             for p, vds in cur["partitions"].items()
             for vd in vds
         }
-        parent_v = m.get("parent")
-        if parent_v is None:
-            prev_dirs: set[str] = set()
-        else:
-            prev = planner._read_manifest(parent_v)
-            prev_dirs = {
+        prev_dirs: set[str] = (
+            {
                 f"{vd}/{p}" if p else vd
                 for p, vds in prev["partitions"].items()
                 for vd in vds
             }
+            if prev is not None
+            else set()
+        )
         # diff at DKEY (vdir + full partition path) granularity: an
         # overwrite re-points only the TOUCHED partitions, so a dropped
         # partition's old vdir may still serve untouched partitions --
@@ -361,6 +386,8 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
                         self.schema_json,
                         self.session_tz,
                         change,
+                        _vdir_version(vd),
+                        self.schema_log,
                     )
                 )
         return parts
@@ -375,6 +402,9 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         fields = json.loads(partition.schema_json)["fields"]
         pvals = dict(partition.part_values)
         tz = partition.session_tz
+        # field-id mapping for dirs written under an OLDER schema epoch
+        # (pre-window evolution); None = table never evolved
+        stored_of = _stored_names(partition.schema_log, partition.epoch)
 
         cols = []
         for f in fields:
@@ -385,6 +415,7 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
             # string-default + hard-coded UTC silently mis-typed or
             # shifted values).
             target = arrow_type(typ, tz)
+            stored = stored_of.get(name) if stored_of is not None else name
             if name in pvals:
                 cols.append(
                     pa.array(
@@ -392,13 +423,13 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
                         type=target,
                     )
                 )
-            elif name in tab.column_names:
-                col = tab.column(name)
+            elif stored is not None and stored in tab.column_names:
+                col = tab.column(stored)
                 cols.append(col if col.type == target else col.cast(target))
             else:
-                # column added by a later additive append: files written
-                # before it null-fill (read()'s allowMissingColumns
-                # semantics)
+                # column added by a later additive append (or this
+                # epoch never stored the field): null-fill -- read()'s
+                # allowMissingColumns semantics
                 cols.append(pa.nulls(n, type=target))
         names = [f["name"] for f in fields]
         if partition.change is not None:

@@ -150,6 +150,35 @@ class MultiTableTransaction:
 
     # -- staging -----------------------------------------------------------
 
+    def _guard_stage(self, store: SnapshotStore, kw: dict, what: str) -> str:
+        """Shared pre-stage checks for every staging method: txn still
+        open, no explicit staged=, one write per table (roll-forward
+        detects a finished table by its published wap id, recorded by
+        the FIRST cherry-pick -- a second same-table stage would read
+        as 'done' and strand half-applied).  Returns the normalized
+        table root (trailing-slash differences must not defeat the
+        guard or the WAL's table_roots comparisons)."""
+        if self._done:
+            raise ValueError(f"txn {self.txn_id} already finished")
+        if "staged" in kw:
+            raise ValueError(f"txn {what} stage implicitly; drop staged=")
+        root = store.root.rstrip("/")
+        if root in self._stores:
+            raise ValueError(
+                f"table {root} already written in txn "
+                f"{self.txn_id}: one write per table per transaction "
+                "(combine the operations into one instead)"
+            )
+        return root
+
+    def _enroll(
+        self, root: str, store: SnapshotStore, mode: str, version: int
+    ) -> int:
+        self._stores[root] = store
+        self._modes[root] = mode
+        self._staged_v[root] = version
+        return version
+
     def write(self, store: SnapshotStore, df: DataFrame, **kw) -> int:
         """Stage ``df`` into ``store`` under this transaction (the
         ``SnapshotStore.write`` kwargs except ``staged``).  Durable
@@ -177,10 +206,6 @@ class MultiTableTransaction:
           cherry-picks would read as "done" and strand the second
           stage half-applied forever.
         """
-        if self._done:
-            raise ValueError(f"txn {self.txn_id} already finished")
-        if "staged" in kw:
-            raise ValueError("txn writes stage implicitly; drop staged=")
         mode = kw.get("mode", "snapshot")
         if mode not in ("append", "overwrite_partitions"):
             raise ValueError(
@@ -194,22 +219,10 @@ class MultiTableTransaction:
                 "partition-spec evolution cannot ride a multi-table "
                 "transaction (publish would refuse under the new spec)"
             )
-        # Key by the NORMALIZED root: a trailing-slash difference between
-        # two handles to the same table must not defeat the
-        # one-write-per-table guard, and the WAL's table_roots must
-        # compare equal to what consistent_read normalizes its targets to.
-        root = store.root.rstrip("/")
-        if root in self._stores:
-            raise ValueError(
-                f"table {root} already written in txn "
-                f"{self.txn_id}: one write per table per transaction "
-                "(union the frames instead)"
-            )
-        v = store.write(df, staged=self.wap, **kw)
-        self._stores[root] = store
-        self._modes[root] = mode
-        self._staged_v[root] = v
-        return v
+        root = self._guard_stage(store, kw, "writes")
+        return self._enroll(
+            root, store, mode, store.write(df, staged=self.wap, **kw)
+        )
 
     def delete_keys(
         self,
@@ -241,22 +254,13 @@ class MultiTableTransaction:
         delete, exactly as a racing overwrite resolves last-writer-wins
         by claim order.  Callers needing appends quiesced before a
         delete must sequence them externally."""
-        if self._done:
-            raise ValueError(f"txn {self.txn_id} already finished")
-        if "staged" in kw:
-            raise ValueError("txn deletes stage implicitly; drop staged=")
-        root = store.root.rstrip("/")
-        if root in self._stores:
-            raise ValueError(
-                f"table {root} already written in txn "
-                f"{self.txn_id}: one write per table per transaction "
-                "(union the key frames instead)"
-            )
-        v = store.delete_keys(keys_df, key_cols, staged=self.wap, **kw)
-        self._stores[root] = store
-        self._modes[root] = "delete_keys"
-        self._staged_v[root] = v
-        return v
+        root = self._guard_stage(store, kw, "deletes")
+        return self._enroll(
+            root,
+            store,
+            "delete_keys",
+            store.delete_keys(keys_df, key_cols, staged=self.wap, **kw),
+        )
 
     def update_where(
         self, store: SnapshotStore, condition, assignments: dict, **kw
@@ -277,23 +281,11 @@ class MultiTableTransaction:
         Returns the staged version, or None when nothing matched --
         then NOTHING was staged and the table is not enrolled in the
         transaction (a no-op update must not claim partitions)."""
-        if self._done:
-            raise ValueError(f"txn {self.txn_id} already finished")
-        if "staged" in kw:
-            raise ValueError("txn updates stage implicitly; drop staged=")
-        root = store.root.rstrip("/")
-        if root in self._stores:
-            raise ValueError(
-                f"table {root} already written in txn "
-                f"{self.txn_id}: one write per table per transaction"
-            )
+        root = self._guard_stage(store, kw, "updates")
         v = store.update_where(condition, assignments, staged=self.wap, **kw)
         if v is None:
             return None
-        self._stores[root] = store
-        self._modes[root] = "overwrite_partitions"
-        self._staged_v[root] = v
-        return v
+        return self._enroll(root, store, "overwrite_partitions", v)
 
     def delete_where(self, store: SnapshotStore, condition, **kw) -> int | None:
         """Stage a row-level COW ``DELETE WHERE`` on ``store`` under
@@ -307,30 +299,18 @@ class MultiTableTransaction:
         compaction landing before publish, and ``delete_keys`` already
         IS the transactional MoR form.  Returns the staged version or
         None when nothing matched (nothing staged)."""
-        if self._done:
-            raise ValueError(f"txn {self.txn_id} already finished")
-        if "staged" in kw:
-            raise ValueError("txn deletes stage implicitly; drop staged=")
         if kw.pop("approach", "cow") != "cow":
             raise ValueError(
                 "transactional delete_where is COW-only; use "
                 "txn.delete_keys for the MoR (equality) form"
             )
-        root = store.root.rstrip("/")
-        if root in self._stores:
-            raise ValueError(
-                f"table {root} already written in txn "
-                f"{self.txn_id}: one write per table per transaction"
-            )
+        root = self._guard_stage(store, kw, "deletes")
         v = store.delete_where(
             condition, approach="cow", staged=self.wap, **kw
         )
         if v is None:
             return None
-        self._stores[root] = store
-        self._modes[root] = "overwrite_partitions"
-        self._staged_v[root] = v
-        return v
+        return self._enroll(root, store, "overwrite_partitions", v)
 
     # -- decision ----------------------------------------------------------
 

@@ -280,6 +280,22 @@ def register(name: str, oracle: str | None, category: str, description: str = ""
     return deco
 
 
+def scratch_root(prefix: str, sf_dir: str) -> str:
+    """Deterministic per-(entry, sf) scratch directory for snapshot-
+    table scenario entries, wiped before use -- one shared helper so
+    placement/collision policy lives in one place."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    root = (
+        f"{tempfile.gettempdir()}/{prefix}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
 TABLES = (
     "region",
     "nation",

@@ -1419,17 +1419,10 @@ def dedup_persisted_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-hashed and never compared batch x corpus.  Cites reference scope:
     the reference has no dedup surface at all (SURVEY extension
     mandate)."""
-    import hashlib
-    import shutil
-    import tempfile
-
     from ..snapshots import SnapshotStore
+    from .base import scratch_root
 
-    root = (
-        f"{tempfile.gettempdir()}/dedup_band_idx_"
-        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_root("dedup_band_idx", sf_dir)
     sh = _shingles(spark, sf_dir).where(F.size("sh") > 0)
     bands = _minhash_band_frame(spark, sf_dir)
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "source")

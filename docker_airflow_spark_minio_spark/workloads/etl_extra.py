@@ -2591,21 +2591,14 @@ def snapshot_txn_update_where_read(
     all (job_silver.py overwrites whole partitions) and no cross-table
     atomicity; this is the GDPR-style in-place correction a lakehouse
     catalog transaction gives (transactions.py:update_where)."""
-    import hashlib
-    import shutil
-    import tempfile
-
     from ..snapshots import SnapshotStore
     from ..transactions import MultiTableTransaction, recover
+    from .base import scratch_root
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"].select("doc_id", "lang", "n_chars")
     events = t["events"].select("event_id", "event_type", "user_id")
-    base = (
-        f"{tempfile.gettempdir()}/snapshot_txn_uw_"
-        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = scratch_root("snapshot_txn_uw", sf_dir)
     silver = SnapshotStore(spark, f"{base}/silver")
     gold = SnapshotStore(spark, f"{base}/gold")
     silver.write(docs.repartition("lang"), mode="snapshot", partition_by=["lang"])
@@ -3387,13 +3380,10 @@ def streaming_table_backlog_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's restart-time commit() callback resyncs the source-owned
     throttle cursor; an offset regression is structurally refused
     (streaming/table_source.py)."""
-    import hashlib
-    import shutil
-    import tempfile
-
     from ..snapshots import SnapshotStore
     from ..streaming.append import append_snapshot_batch
     from ..streaming.table_source import SnapshotTableStreamSource
+    from .base import scratch_root
     from .timeseries import stream_partitions
 
     spark.dataSource.register(SnapshotTableStreamSource)
@@ -3404,11 +3394,7 @@ def streaming_table_backlog_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_milli"
         ),
     )
-    base = (
-        f"{tempfile.gettempdir()}/stream_backlog_"
-        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = scratch_root("stream_backlog", sf_dir)
     src = SnapshotStore(spark, f"{base}/src")
     dst = SnapshotStore(spark, f"{base}/dst")
     ckpt = f"{base}/ckpt"

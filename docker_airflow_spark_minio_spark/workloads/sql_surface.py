@@ -26,15 +26,12 @@ plans O(files of one bucket), never a listing of the table.
 
 from __future__ import annotations
 
-import hashlib
 import json
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .base import load_tables, register
+from .base import load_tables, register, scratch_root
 
 #: IN-list for the pushdown join: four customer keys -> at most four of
 #: the eight o_custkey hash buckets, so >= 4 bucket dirs MUST prune at
@@ -45,15 +42,6 @@ SQL_PUSH_BUCKETS = 8
 # integer cents per row (deterministic across engines; see base.py's
 # new-aggregate checklist -- double SUM order flakes at boundaries)
 _CENTS = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
-
-
-def _scratch(prefix: str, sf_dir: str) -> str:
-    root = (
-        f"{tempfile.gettempdir()}/{prefix}_"
-        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    return root
 
 
 @register(
@@ -82,8 +70,8 @@ def snapshot_sql_pushdown_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.table_source import snapshot_sql
 
     t = load_tables(spark, sf_dir)
-    root_o = _scratch("snapsql_orders", sf_dir)
-    root_c = _scratch("snapsql_cust", sf_dir)
+    root_o = scratch_root("snapsql_orders", sf_dir)
+    root_c = scratch_root("snapsql_cust", sf_dir)
     SnapshotStore(spark, root_o).write(
         t["orders"].select(
             "o_orderkey", "o_custkey", F.expr(_CENTS).alias("cents")
@@ -161,8 +149,8 @@ def snapshot_join_manifest_planned(
     from ..snapshots import SnapshotStore
 
     t = load_tables(spark, sf_dir)
-    root_o = _scratch("snapjoin_orders", sf_dir)
-    root_c = _scratch("snapjoin_cust", sf_dir)
+    root_o = scratch_root("snapjoin_orders", sf_dir)
+    root_c = scratch_root("snapjoin_cust", sf_dir)
     facts = SnapshotStore(spark, root_o)
     facts.write(
         t["orders"].select(
@@ -236,7 +224,7 @@ def snapshot_sql_view_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir)["orders"].select(
         "o_orderkey", "o_orderstatus"
     )
-    root = _scratch("snapsql_view", sf_dir)
+    root = scratch_root("snapsql_view", sf_dir)
     SnapshotStore(spark, root).write(
         orders.repartitionByRange(8, "o_orderkey"),
         mode="snapshot",

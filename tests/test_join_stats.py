@@ -77,17 +77,35 @@ def test_ndv_sketch_estimates_and_merges(spark, tmp_path):
     assert s.column_ndv("u", as_of=1) > 400
 
 
-def test_ndv_survives_stats_refresh_and_plain_commits(spark, tmp_path):
+def test_ndv_invalidated_by_unsketched_data_commits(spark, tmp_path):
+    """A data commit that skips ndv_cols INVALIDATES the sketch (a
+    stale estimate is worse than none); masking-only deletes keep it
+    as an upper bound; compaction (data-identical) keeps it too."""
     s = SnapshotStore(spark, str(tmp_path / "t"))
-    df = spark.range(500).select((F.col("id") % 50).alias("u"))
-    s.write(df, mode="snapshot", ndv_cols=["u"])
-    # a later commit passing only stats_cols must not drop the sketch
-    s.write(
-        spark.range(500, 510).select((F.col("id") % 50).alias("u")),
-        mode="append",
-        stats_cols=["u"],
+    df = spark.range(500).select(
+        (F.col("id") % 50).alias("u"), F.col("id").alias("k")
     )
+    s.write(df, mode="snapshot", stats_cols=["k"], ndv_cols=["u"])
     assert abs(s.column_ndv("u") - 50) <= 5
+    # masking-only delete: sketch survives (upper bound)
+    s.delete_keys(spark.createDataFrame([(1,)], "k long"), ["k"])
+    assert abs(s.column_ndv("u") - 50) <= 5
+    # compaction: data-identical, sketch survives
+    s.compact(all_partitions=True)
+    assert abs(s.column_ndv("u") - 50) <= 5
+    # unsketched append: sketch dropped (would under-count the batch)
+    s.write(
+        spark.range(5000, 5400).select(
+            F.col("id").alias("u"), F.col("id").alias("k")
+        ),
+        mode="append",
+        stats_cols=["k"],
+    )
+    assert s.column_ndv("u") is None
+    # update_where rewrites values -> sketch (re-added) dropped again
+    s.write(df, mode="snapshot", stats_cols=["k"], ndv_cols=["u"])
+    s.update_where(F.col("k") == 5, {"u": F.lit(999)})
+    assert s.column_ndv("u") is None
 
 
 def test_join_flips_smj_to_broadcast_from_manifest_stats(
