@@ -104,6 +104,32 @@ def run_gold(
             else:
                 cat.overwrite_partitions(out, tbl)
             read_back = cat.read(tbl)
+        elif backend == "snapshots_sql":
+            # the reference's ACTUAL consumption shape -- the declared
+            # SQL text over a named table (job_gold.py:71-88) -- served
+            # by the SNAPSHOT store through the snapshot_table batch
+            # DataSource: the WHERE pushes into the manifest planner,
+            # so the day's partition segments prune at plan time
+            # exactly like the catalog backend's partition filter.
+            # Local table roots only (the source's documented scope).
+            from ..snapshots import SnapshotTableManager
+            from ..streaming.table_source import snapshot_sql
+
+            manager = SnapshotTableManager(spark, warehouse)
+            out = snapshot_sql(
+                spark,
+                f"""
+                SELECT sys_file_date, brewery_type, country,
+                       count(*) AS qtd
+                FROM silver_snapshot
+                WHERE sys_file_date = DATE '{sys_file_date}'
+                GROUP BY 1, 2, 3
+                """,
+                {"silver_snapshot": manager.path(silver_table)},
+            )
+            out, harvest = observe_quality(out, [])
+            manager.write(out, gold_table, partition_by=["sys_file_date"], mode=mode)
+            read_back = manager.read(gold_table)
         else:
             if backend == "snapshots":
                 from ..snapshots import SnapshotTableManager

@@ -46,10 +46,25 @@ from ..snapshots import SnapshotStore
 BROADCAST_THRESHOLD_ROWS = 100_000
 
 
+#: rows-per-distinct-key ratio above which a shuffle join is flagged
+#: skew-prone (one reducer key owns many rows): the signal to salt the
+#: key or lean on AQE's skew-join split.
+SKEW_FACTOR_HINT = 64
+
+
 @dataclass
 class JoinSideStats:
     rows: int | None  # exact manifest count; None = not provable
     ndv: int | None  # HLL estimate for the join key; None = no sketch
+
+    @property
+    def skew_factor(self) -> float | None:
+        """Average rows per distinct join-key value -- the duplicate
+        factor a shuffle partitions by.  None when either stat is
+        missing."""
+        if self.rows is None or not self.ndv:
+            return None
+        return self.rows / self.ndv
 
 
 @dataclass
@@ -59,6 +74,7 @@ class JoinDecision:
     right: JoinSideStats
     est_output_rows: int | None
     reason: str
+    skew_hint: str | None = None  # set on skew-prone shuffle decisions
 
 
 def side_stats(store: SnapshotStore, key: str) -> JoinSideStats:
@@ -110,7 +126,19 @@ def plan_snapshot_join(
             )
         else:
             why.append(f"{name} rows {s.rows} over threshold")
-    return JoinDecision("shuffle", ls, rs, est, "; ".join(why))
+    skew = None
+    hot = [
+        (name, s.skew_factor)
+        for name, s in (("left", ls), ("right", rs))
+        if s.skew_factor is not None and s.skew_factor >= SKEW_FACTOR_HINT
+    ]
+    if hot:
+        skew = (
+            "skew-prone shuffle key: "
+            + ", ".join(f"{n} ~{f:.0f} rows/key" for n, f in hot)
+            + " -- salt the key or enable AQE skew-join splitting"
+        )
+    return JoinDecision("shuffle", ls, rs, est, "; ".join(why), skew)
 
 
 def join_snapshot_tables(

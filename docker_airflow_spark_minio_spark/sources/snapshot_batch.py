@@ -75,11 +75,14 @@ is bounded; a cluster deployment would broadcast them instead).
 
 Scale note (100 TB posture): planning cost is O(matching manifest
 shards + surviving files), the same as the API path; execution is one
-task per file with column-pruned... no: the Python DataSource API has
-no column-pruning hook yet (SPARK-48788 ships filters only), so tasks
-read whole rows of surviving files.  For projection-heavy workloads
-the API path (``SnapshotStore.read``) stays the fast lane; the SQL
-path's win is pruned FILE SETS for selective queries.
+task per file.  The Python DataSource API has no column-pruning hook
+(filters only), so a query's PROJECTION cannot reach the source --
+tasks therefore prune at the parquet footer to the TABLE schema's
+physical columns (dead/dropped file columns never decode), but a
+``SELECT one_col`` still decodes every schema column; for
+projection-heavy workloads over very wide tables the API path
+(``SnapshotStore.read``) stays the fast lane, the SQL path's win is
+pruned FILE SETS for selective queries.
 """
 
 from __future__ import annotations
@@ -885,8 +888,37 @@ class SnapshotTableBatchReader(DataSourceReader):
 
         ctx = partition.ctx
         tz = ctx["session_tz"]
-        tab = pq.read_table(partition.path)
         w = partition.epoch
+        fields = json.loads(ctx["schema_json"])["fields"]
+        stored_of = _stored_names(ctx["schema_log"], w)
+        pvals = dict(partition.part_values)
+        # COLUMN PRUNING at the parquet footer: read only the physical
+        # columns the output schema (minus path-derived partition cols)
+        # and the applicable equality-delete keys need -- the Python
+        # DataSource API has no column-pruning hook, but dead file
+        # columns never have to leave the decoder.  Positional deletes
+        # index rows, not columns, so pruning cannot shift them.
+        pf = pq.ParquetFile(partition.path)
+        avail = set(pf.schema_arrow.names)
+        needed: set[str] = set()
+        for f in fields:
+            name = f["name"]
+            if name in pvals:
+                continue
+            stored = stored_of.get(name) if stored_of is not None else name
+            if stored is not None and stored in avail:
+                needed.add(stored)
+        data_stored = stored_of or {}
+        for d in ctx["delete_sets"]:
+            if int(d["version"]) <= w or d.get("kind") == "positional":
+                continue
+            for k in d.get("key_cols", []):
+                dn = data_stored.get(k, k)
+                if dn is not None and dn in avail:
+                    needed.add(dn)
+        tab = (
+            pf.read(columns=sorted(needed)) if needed else pf.read()
+        )
 
         # merge-on-read deletes: only sets NEWER than this dir apply
         # (sequence-number rule); sets are O(keys) parquet by contract.
@@ -936,9 +968,6 @@ class SnapshotTableBatchReader(DataSourceReader):
             tab = tab.filter(pa.array(mask, type=pa.bool_()))
 
         n = tab.num_rows
-        fields = json.loads(ctx["schema_json"])["fields"]
-        stored_of = _stored_names(ctx["schema_log"], w)
-        pvals = dict(partition.part_values)
         cols = []
         for f in fields:
             name, typ = f["name"], f["type"]

@@ -602,7 +602,6 @@ def snapshot_sql(
     returned DataFrame re-plans its own pushdown on every action and
     stays correct under further ``.where``/``.select`` chaining."""
     reports = report_paths or {}
-    out = None
     try:
         for name, root in tables.items():
             register_snapshot_view(
@@ -613,8 +612,7 @@ def snapshot_sql(
                 report_path=reports.get(name),
                 **kw,
             )
-        out = spark.sql(sql)
-        return out
+        return spark.sql(sql)
     finally:
         # analysis is done: the plan holds the relations; dropping the
         # names keeps later queries off these single-use relations

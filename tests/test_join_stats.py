@@ -153,3 +153,42 @@ def test_unknown_rows_never_broadcast(spark, tmp_path):
     # NDV alone must not approve a broadcast
     d = plan_snapshot_join(s, dim, "dim_id", broadcast_threshold_rows=1000)
     assert d.strategy == "shuffle" and "unprovable" in d.reason
+
+
+def test_skew_hint_on_shuffle_decisions(spark, tmp_path):
+    """rows/ndv from the manifest sketches flags skew-prone shuffle
+    keys (the salting / AQE-skew-split signal) without any data scan."""
+    skewed = SnapshotStore(spark, str(tmp_path / "sk"))
+    skewed.write(
+        spark.range(20000).select(
+            (F.col("id") % 5).alias("dim_id"), F.col("id").alias("v")
+        ),
+        mode="snapshot",
+        stats_cols=["v"],
+        ndv_cols=["dim_id"],
+    )
+    def _uniform(root):
+        s = SnapshotStore(spark, root)
+        s.write(
+            spark.range(20000).select(
+                F.col("id").alias("dim_id"), F.col("id").alias("v")
+            ),
+            mode="snapshot",
+            stats_cols=["v"],
+            ndv_cols=["dim_id"],
+        )
+        return s
+
+    other = _uniform(str(tmp_path / "f"))
+    d = plan_snapshot_join(skewed, other, "dim_id", broadcast_threshold_rows=100)
+    assert d.strategy == "shuffle"
+    assert d.skew_hint is not None and "left" in d.skew_hint
+    assert d.left.skew_factor is not None and d.left.skew_factor > 1000
+    # well-distributed keys on BOTH sides carry no hint
+    d2 = plan_snapshot_join(
+        _uniform(str(tmp_path / "f2")),
+        other,
+        "dim_id",
+        broadcast_threshold_rows=100,
+    )
+    assert d2.skew_hint is None

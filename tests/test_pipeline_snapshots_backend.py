@@ -98,3 +98,29 @@ def test_reference_retention_number_via_maintenance(spark, lake):  # noqa: F811
     assert len(out["kept_versions"]) == 10
     assert silver.versions() == out["kept_versions"]
     assert silver.read().count() == 3
+
+
+def test_snapshots_sql_backend_gold(spark, lake):  # noqa: F811
+    """backend='snapshots_sql': the reference's declared-SQL gold query
+    served by the snapshot store through the snapshot_table batch
+    DataSource -- same result as the API-path gold, day filter pushed
+    into the manifest planner."""
+    bronze, warehouse = lake
+    assert run_silver(spark, bronze, DAY_A, warehouse, backend="snapshots") == 3
+    assert run_silver(spark, bronze, DAY_B, warehouse, backend="snapshots") == 1
+    n_sql = run_gold(
+        spark, warehouse, DAY_A, backend="snapshots_sql",
+        gold_table="dw.tab_brewery_summary_sql",
+    )
+    n_api = run_gold(
+        spark, warehouse, DAY_A, backend="snapshots",
+        gold_table="dw.tab_brewery_summary_api",
+    )
+    assert n_sql == n_api == 2
+    a = SnapshotStore(spark, f"{warehouse}/dw/tab_brewery_summary_sql")
+    b = SnapshotStore(spark, f"{warehouse}/dw/tab_brewery_summary_api")
+    rows = lambda s: sorted(  # noqa: E731
+        (str(r["sys_file_date"]), r["brewery_type"], r["country"], r["qtd"])
+        for r in s.read().collect()
+    )
+    assert rows(a) == rows(b)
