@@ -4158,6 +4158,12 @@ class SnapshotStore:
          * ``files``: one row per live data file -- partition, vdir,
            file.  File names come from recorded per-file stats where
            present (zero IO) and a directory listing otherwise.
+         * ``column_stats``: one row per table column -- type,
+           table-level min/max (string-rendered; emitted ONLY when
+           every live directory carries usable bounds for the column,
+           the lifted-soundness rule), whether a bloom is recorded,
+           and the HLL NDV estimate (``write(ndv_cols=...)``; NULL
+           where no sketch is live).
 
         Driver-side cost: O(retained versions) manifest headers for
         ``snapshots``; one resolved manifest (+ listings for
@@ -4242,9 +4248,64 @@ class SnapshotStore:
             )
             return self.spark.createDataFrame(rows, schema)
 
+        if kind == "column_stats":
+            # one row per table column: the statistics surface the
+            # ANALYZE-less planners consume -- table-level zone-map
+            # bounds folded over the live directory stats, whether a
+            # bloom is recorded, and the HLL NDV estimate (None where
+            # the column carries no sketch).  Iceberg analog:
+            # the manifests' column-stats view.
+            ts = manifest.get("table_stats") or {}
+            col_ndv = ts.get("col_ndv", {})
+            dstats = manifest.get("dir_stats", {})
+            n_live = sum(
+                len(vds) for vds in manifest["partitions"].values()
+            )
+            # bounds are TABLE-level only when EVERY live dir carries
+            # usable bounds for the column (the same lifted-soundness
+            # rule the shard aggregates use) -- a partial fold over
+            # stats-bearing dirs would misreport the table's range
+            bounds: dict[str, list] = {}
+            for _dkey, cols in dstats.items():
+                for c, (mn, mx) in cols.items():
+                    cur = bounds.setdefault(c, [None, None, True, 0])
+                    cur[3] += 1
+                    try:
+                        if mn is None or mx is None:
+                            raise TypeError
+                        if cur[0] is None or mn < cur[0]:
+                            cur[0] = mn
+                        if cur[1] is None or mx > cur[1]:
+                            cur[1] = mx
+                    except TypeError:
+                        cur[2] = False  # unusable bounds somewhere
+            rows = []
+            for f in json.loads(manifest["schema"])["fields"]:
+                name = f["name"]
+                b = bounds.get(name)
+                usable = b is not None and b[2] and b[3] == n_live
+                ndv_sk = col_ndv.get(name)
+                rows.append(
+                    (
+                        name,
+                        str(_ddl_type(f["type"])),
+                        str(b[0]) if usable and b[0] is not None else None,
+                        str(b[1]) if usable and b[1] is not None else None,
+                        name in (ts.get("bloom_cols") or []),
+                        self.column_ndv(name, as_of=version)
+                        if ndv_sk is not None
+                        else None,
+                    )
+                )
+            return self.spark.createDataFrame(
+                rows,
+                "column STRING, type STRING, min STRING, max STRING, "
+                "has_bloom BOOLEAN, ndv_estimate BIGINT",
+            )
+
         raise ValueError(
             f"unknown metadata table {kind!r}: pick from "
-            "'snapshots', 'partitions', 'files'"
+            "'snapshots', 'partitions', 'files', 'column_stats'"
         )
 
     def _merged_ndv_sketches(

@@ -591,9 +591,12 @@ def snapshot_sql(
     pushdown-enabled relation per table name, runs the statement, and
     drops the views -- so the upstream one-slot readInfo cache (see
     :mod:`..sources.snapshot_batch`) is never shared across statements.
-    ``tables`` maps view name -> table root; ``report_paths``
-    optionally maps view name -> scan-report JSON path; extra kwargs
-    (``as_of``/``ref``/...) apply to every table.
+    ``tables`` maps view name -> table root, OR view name ->
+    ``(root, {per-table reader kwargs})`` -- so one statement can join
+    a table's head against its own ``as_of`` past (audit diffs) or mix
+    per-table option filters; ``report_paths`` optionally maps view
+    name -> scan-report JSON path; extra kwargs (``as_of``/``ref``/...)
+    apply to every table (per-table kwargs win).
 
     Contract: if the statement scans the SAME view name more than once
     with heterogeneous predicates (a self-join where only one side is
@@ -603,14 +606,17 @@ def snapshot_sql(
     stays correct under further ``.where``/``.select`` chaining."""
     reports = report_paths or {}
     try:
-        for name, root in tables.items():
+        for name, spec in tables.items():
+            root, per_table = (
+                spec if isinstance(spec, tuple) else (spec, {})
+            )
             register_snapshot_view(
                 spark,
                 root,
                 name,
                 pushdown=True,
                 report_path=reports.get(name),
-                **kw,
+                **{**kw, **per_table},
             )
         return spark.sql(sql)
     finally:

@@ -85,3 +85,34 @@ def test_metadata_files_inventory(spark, tmp_path):
     assert n == s.read().count() == 3
     with pytest.raises(ValueError, match="unknown metadata table"):
         s.metadata_table("nope")
+
+
+def test_metadata_column_stats(spark, tmp_path):
+    """column_stats inspection: table-level bounds only when EVERY live
+    dir carries them, bloom flags, NDV estimates from the sketches."""
+    from pyspark.sql import functions as F
+
+    from docker_airflow_spark_minio_spark.snapshots import SnapshotStore
+
+    s = SnapshotStore(spark, str(tmp_path / "t"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("v"), F.col("id")).alias("name"),
+    )
+    s.write(df, mode="snapshot", stats_cols=["k"], bloom_cols=["grp"],
+            ndv_cols=["grp"])
+    stats = {r["column"]: r for r in s.metadata_table("column_stats").collect()}
+    assert set(stats) == {"k", "grp", "name"}
+    assert stats["k"]["min"] == "0" and stats["k"]["max"] == "99"
+    assert stats["grp"]["has_bloom"] and not stats["k"]["has_bloom"]
+    assert abs(stats["grp"]["ndv_estimate"] - 7) <= 1
+    assert stats["k"]["ndv_estimate"] is None  # no sketch for k
+    assert stats["name"]["min"] is None  # no stats col -> no bounds
+    # an append WITHOUT stats makes k's bounds non-table-level
+    s.write(
+        spark.createDataFrame([(999, 1, "x")], "k long, grp long, name string"),
+        mode="append",
+    )
+    stats = {r["column"]: r for r in s.metadata_table("column_stats").collect()}
+    assert stats["k"]["min"] is None and stats["k"]["max"] is None

@@ -374,3 +374,26 @@ def test_one_sided_ranges_api_path(spark, tmp_path):
     assert n_skip > 0
     assert s.read(range_filter=("v", 90, None)).count() == 10
     assert s.read(range_filter=("v", None, 9)).count() == 10
+
+
+def test_snapshot_sql_per_table_options_time_travel_join(spark, table):
+    """One statement joining a table's HEAD against its own as_of past
+    (per-table reader options): the audit-diff shape."""
+    s, root = table
+    v0 = s.current_version()
+    s.write(
+        spark.createDataFrame(
+            [(5000, "L0", -1)], "doc_id long, lang string, amt long"
+        ),
+        mode="append",
+        partition_by=["lang", "bucket(8, doc_id)"],
+    )
+    got = snapshot_sql(
+        spark,
+        """
+        SELECT (SELECT COUNT(*) FROM now_t) AS n_now,
+               (SELECT COUNT(*) FROM then_t) AS n_then
+        """,
+        {"now_t": root, "then_t": (root, {"as_of": v0})},
+    ).collect()[0]
+    assert (got["n_now"], got["n_then"]) == (121, 120)
