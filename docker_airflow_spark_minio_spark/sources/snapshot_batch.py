@@ -922,6 +922,9 @@ class SnapshotTableBatchReader(DataSourceReader):
 
         # merge-on-read deletes: only sets NEWER than this dir apply
         # (sequence-number rule); sets are O(keys) parquet by contract.
+        # Masks are pyarrow BooleanArrays end-to-end -- never per-row
+        # Python loops (the file side is O(file-rows); only the delete
+        # side, O(keys) by contract, may cross into Python).
         mask = None
         for d in ctx["delete_sets"]:
             if int(d["version"]) <= w:
@@ -936,18 +939,11 @@ class SnapshotTableBatchReader(DataSourceReader):
                 )
                 if dtab is None:
                     continue
-                files = dtab.column("_file").to_pylist()
-                poss = dtab.column("_pos").to_pylist()
-                hit = {
-                    p
-                    for f, p in zip(files, poss)
-                    if f == partition.rel_path
-                }
-                if hit:
-                    mask = _and_mask(
-                        mask,
-                        [i not in hit for i in range(tab.num_rows)],
-                    )
+                pos_mask = _positional_delete_mask(
+                    tab.num_rows, dtab, partition.rel_path
+                )
+                if pos_mask is not None:
+                    mask = _and_mask(mask, pos_mask)
             else:
                 dtab = _read_parquet_dir(
                     f"{ctx['root']}/{DATA_DIR}/{d['dir']}"
@@ -961,11 +957,13 @@ class SnapshotTableBatchReader(DataSourceReader):
                     ctx["schema_log"],
                     w,
                     tz,
+                    pvals,
+                    {f["name"]: f["type"] for f in fields},
                 )
                 if tab_mask is not None:
                     mask = _and_mask(mask, tab_mask)
         if mask is not None:
-            tab = tab.filter(pa.array(mask, type=pa.bool_()))
+            tab = tab.filter(mask)
 
         n = tab.num_rows
         cols = []
@@ -1039,9 +1037,37 @@ class SnapshotTablePushdownReader(SnapshotTableBatchReader):
 
 
 def _and_mask(mask, new):
+    """AND of two keep-masks (pyarrow BooleanArrays; None = keep all)."""
+    import pyarrow.compute as pc
+
     if mask is None:
-        return list(new)
-    return [a and b for a, b in zip(mask, new)]
+        return new
+    return pc.and_(mask, new)
+
+
+def _row_index(n: int):
+    """0..n-1 as an int64 pyarrow Array (vectorized via numpy)."""
+    import numpy as np
+    import pyarrow as pa
+
+    return pa.array(np.arange(n, dtype=np.int64))
+
+
+def _positional_delete_mask(n_rows: int, dtab, rel_path: str):
+    """Keep-mask for a positional delete set against one data file:
+    drop rows whose ordinal appears under ``rel_path`` in the set.
+    Fully vectorized -- the hit positions come out of an Arrow filter
+    and membership is one ``is_in`` over an index array, never a
+    per-row Python loop (the file side is O(file-rows))."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    sel = pc.equal(dtab.column("_file"), rel_path)
+    hits = dtab.filter(pc.fill_null(sel, False)).column("_pos")
+    if hits.length() == 0:
+        return None
+    hits = hits.cast(pa.int64()).combine_chunks()
+    return pc.invert(pc.is_in(_row_index(n_rows), value_set=hits))
 
 
 def _stored_names(schema_log: list | None, w: int) -> dict | None:
@@ -1058,50 +1084,119 @@ def _stored_names(schema_log: list | None, w: int) -> dict | None:
     return {name: epoch.get(fid) for fid, name in cur.items()}
 
 
-def _eq_delete_mask(tab, dtab, entry, schema_log, w, tz):
-    """Keep-mask for equality-delete ``entry`` against data table
-    ``tab`` (written at epoch ``w``): a row is dropped when its full
-    key tuple -- all members non-null -- appears in the delete set
-    (NULL keys never match, the anti-join contract).  The delete frame
-    is epoch-mapped through ``frame_version`` and cast to the CURRENT
-    key types, mirroring ``_xform_delete``."""
+def _eq_mask_py_fallback(probe, dkeys, key_cols):
+    """Hit ordinals when Acero cannot hash-join the key type: a Python
+    set over the (all-non-null, O(keys)-bounded delete side) rows.
+    Named so tests can pin that common key types take the Arrow-join
+    path, never this one."""
+    import pyarrow as pa
+
+    del_tuples = set(
+        zip(*(dkeys.column(k).to_pylist() for k in key_cols))
+    )
+    hit_list = [
+        i
+        for *t, i in zip(
+            *(probe.column(c).to_pylist() for c in probe.column_names)
+        )
+        if tuple(t) in del_tuples
+    ]
+    return pa.array(hit_list, type=pa.int64())
+
+
+def _all_keys_valid(table, key_cols):
+    """Filter to rows whose EVERY key column is non-null (NULL keys
+    never match -- the anti-join contract)."""
+    import pyarrow.compute as pc
+
+    valid = None
+    for k in key_cols:
+        v = pc.is_valid(table.column(k))
+        valid = v if valid is None else pc.and_(valid, v)
+    return table.filter(valid) if valid is not None else table
+
+
+def _eq_delete_mask(tab, dtab, entry, schema_log, w, tz, pvals, types):
+    """Keep-mask (pyarrow BooleanArray) for equality-delete ``entry``
+    against data table ``tab`` (written at epoch ``w``): a row is
+    dropped when its full key tuple -- all members non-null -- appears
+    in the delete set (NULL keys never match, the anti-join contract).
+    The delete frame is epoch-mapped through ``frame_version`` and
+    cast to the CURRENT key types, mirroring ``_xform_delete``.
+
+    A key column that is an IDENTITY PARTITION column is materialized
+    from the path value in ``pvals`` (advisor-flagged: null-filling it
+    silently resurrected deleted rows in partitioned tables, where the
+    value lives in the directory name, not the file).  ``types`` is
+    the current manifest schema's name->type map.
+
+    Vectorized: membership is an Arrow hash semi-join on the key
+    columns plus one ``is_in`` over the row ordinals -- the file side
+    is O(file-rows) Arrow compute; only exotic key types Acero cannot
+    join fall back to a Python set over the (bounded, all-non-null)
+    probe rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     key_cols = list(entry["key_cols"])
     fv = int(entry.get("frame_version", entry["version"]))
     # the delete frame's stored column names at ITS write epoch
     del_stored = _stored_names(schema_log, fv) or {}
     # the DATA file's stored names at its epoch
     data_stored = _stored_names(schema_log, w) or {}
-    cur_types = {}
-    if schema_log:
-        cur_types = {
-            f["name"]: f["type"] for f in schema_log[-1]["fields"]
-        }
-    keys = []
+
+    def _cast_cur(col, k):
+        t = types.get(k)
+        if isinstance(t, str):
+            target = arrow_type(t, tz)
+            if col.type != target:
+                return col.cast(target)
+        return col
+
+    del_cols = []
     for k in key_cols:
         dn = del_stored.get(k, k)
         if dn is None or dn not in dtab.column_names:
             return None  # delete never stored this key: masks nothing
-        col = dtab.column(dn)
-        if k in cur_types and isinstance(cur_types[k], str):
-            col = col.cast(arrow_type(cur_types[k], tz))
-        keys.append(col.to_pylist())
-    del_tuples = {
-        t for t in zip(*keys) if all(v is not None for v in t)
-    }
-    if not del_tuples:
+        del_cols.append(_cast_cur(dtab.column(dn), k))
+    dkeys = _all_keys_valid(pa.table(del_cols, names=key_cols), key_cols)
+    if dkeys.num_rows == 0:
         return None
+
+    n = tab.num_rows
     data_cols = []
     for k in key_cols:
         dn = data_stored.get(k, k)
-        if dn is None or dn not in tab.column_names:
-            # rows carry NULL for this key -> never match
-            data_cols.append([None] * tab.num_rows)
-            continue
-        col = tab.column(dn)
-        if k in cur_types and isinstance(cur_types[k], str):
-            col = col.cast(arrow_type(cur_types[k], tz))
-        data_cols.append(col.to_pylist())
-    return [
-        not (all(v is not None for v in t) and t in del_tuples)
-        for t in zip(*data_cols)
-    ]
+        if dn is not None and dn in tab.column_names:
+            data_cols.append(_cast_cur(tab.column(dn), k))
+        elif k in pvals:
+            # identity-partition key: the value is in the PATH, not
+            # the file -- materialize the parsed constant
+            t = types.get(k)
+            val = parse_partition_value(pvals[k], t, tz)
+            if val is None:
+                return None  # NULL partition value never matches
+            data_cols.append(
+                pa.repeat(pa.scalar(val, type=arrow_type(t, tz)), n)
+            )
+        else:
+            return None  # rows carry NULL for this key -> never match
+
+    idx = _row_index(n)
+    probe = _all_keys_valid(
+        pa.table(data_cols + [idx], names=key_cols + ["__row_idx"]),
+        key_cols,
+    )
+    if probe.num_rows == 0:
+        return None
+    try:
+        hit = probe.join(
+            dkeys, keys=key_cols, join_type="left semi"
+        ).column("__row_idx")
+    except pa.lib.ArrowError:
+        hit = _eq_mask_py_fallback(probe, dkeys, key_cols)
+    if hit.length() == 0:
+        return None
+    if isinstance(hit, pa.ChunkedArray):
+        hit = hit.combine_chunks()
+    return pc.invert(pc.is_in(idx, value_set=hit))

@@ -508,11 +508,10 @@ class SnapshotTableStreamSource(DataSource):
 def ensure_registered(spark) -> None:
     """Register the snapshot_table source (re-registration replaces,
     so this is safely repeatable -- same usage as the live streaming
-    entries) and enable Python-DataSource filter pushdown -- a
-    runtime-settable SQLConf that is OFF by default in Spark 4.1, and
-    without which Spark refuses any reader implementing
-    ``pushFilters``."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    entries).  Deliberately does NOT touch session confs: the
+    filter-pushdown SQLConf is set only on the pushdown read path that
+    needs it (advisor round-11: setting it on every register call
+    changed planner behavior for unrelated Python DataSources)."""
     spark.dataSource.register(SnapshotTableStreamSource)
 
 
@@ -564,6 +563,13 @@ def read_snapshot_table(
             "range_filter", _json.dumps([list(r) for r in range_filter])
         )
     if pushdown:
+        # Python-DataSource filter pushdown is a runtime-settable
+        # SQLConf, OFF by default in Spark 4.1; without it Spark
+        # refuses any reader implementing ``pushFilters``.  It is
+        # SESSION-WIDE (it also enables pushdown for other Python
+        # DataSources registered in this session), so it is set only
+        # here, on the path that actually requires it.
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         reader = reader.option("pushdown", "true")
     return reader.load()
 

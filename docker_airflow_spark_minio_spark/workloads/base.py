@@ -280,19 +280,40 @@ def register(name: str, oracle: str | None, category: str, description: str = ""
     return deco
 
 
+_SCRATCH_ROOTS: set[str] = set()
+
+
+def _cleanup_scratch_roots() -> None:
+    import shutil
+
+    for root in _SCRATCH_ROOTS:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def scratch_root(prefix: str, sf_dir: str) -> str:
-    """Deterministic per-(entry, sf) scratch directory for snapshot-
-    table scenario entries, wiped before use -- one shared helper so
-    placement/collision policy lives in one place."""
+    """Per-(entry, sf, PROCESS) scratch directory for snapshot-table
+    scenario entries, wiped before use -- one shared helper so
+    placement/collision policy lives in one place.  The PID component
+    keeps concurrent runs of the same entry on one machine (parallel
+    bench/pytest invocations) from rmtree-ing each other's live tables
+    mid-run (advisor-flagged); within a process the path is
+    deterministic, and an atexit hook removes everything this process
+    created."""
+    import atexit
     import hashlib
+    import os
     import shutil
     import tempfile
 
     root = (
         f"{tempfile.gettempdir()}/{prefix}_"
-        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}"
     )
     shutil.rmtree(root, ignore_errors=True)
+    with _CACHE_LOCK:
+        if not _SCRATCH_ROOTS:
+            atexit.register(_cleanup_scratch_roots)
+        _SCRATCH_ROOTS.add(root)
     return root
 
 

@@ -116,6 +116,74 @@ def snapshot_sql_pushdown_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_sql_mor_read",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({_CENTS}) AS BIGINT) AS revenue_cents,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderkey % 97 <> 0 AND o_orderkey % 101 <> 0
+    GROUP BY status ORDER BY status
+    """,
+    category="etl",
+    description="SQL read over a snapshot table with LIVE merge-on-read "
+    "deletes of BOTH kinds: orders land identity-partitioned by "
+    "o_orderstatus, an EQUALITY delete keyed on (o_orderstatus, "
+    "o_orderkey) -- the key shape that includes an identity PARTITION "
+    "column, whose value lives in the directory name, not the file "
+    "(advisor-flagged: the SQL path used to null-fill it and resurrect "
+    "deleted rows) -- removes every key divisible by 97, a POSITIONAL "
+    "delete removes keys divisible by 101, and the aggregate through "
+    "snapshot_sql must hash-match the raw-source oracle that excludes "
+    "both; the entry runtime-asserts both delete kinds are live in the "
+    "manifest (so the scan really traverses both masking arms, now "
+    "vectorized pyarrow.compute end-to-end)",
+)
+def snapshot_sql_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..snapshots import SnapshotStore
+    from ..streaming.table_source import snapshot_sql
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", F.expr(_CENTS).alias("cents")
+    )
+    root = scratch_root("snapsql_mor", sf_dir)
+    s = SnapshotStore(spark, root)
+    s.write(orders, mode="snapshot", partition_by=["o_orderstatus"])
+    eq_keys = orders.where("o_orderkey % 97 = 0").select(
+        "o_orderstatus", "o_orderkey"
+    )
+    if eq_keys.limit(1).isEmpty():
+        raise AssertionError("no %97 keys at this SF: entry is vacuous")
+    s.delete_keys(eq_keys, ["o_orderstatus", "o_orderkey"])
+    if s.delete_where(F.expr("o_orderkey % 101 = 0")) is None:
+        raise AssertionError("no %101 rows at this SF: entry is vacuous")
+    kinds = {
+        d.get("kind", "equality")
+        for d in s._read_manifest(s.current_version()).get(
+            "delete_sets", []
+        )
+    }
+    if kinds != {"equality", "positional"}:
+        raise AssertionError(
+            f"expected both live MoR delete kinds, manifest has {kinds}"
+        )
+    return snapshot_sql(
+        spark,
+        """
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n_orders,
+               SUM(cents) AS revenue_cents,
+               MIN(o_orderkey) AS min_key,
+               MAX(o_orderkey) AS max_key
+        FROM snap_mor_orders GROUP BY status ORDER BY status
+        """,
+        {"snap_mor_orders": root},
+    )
+
+
+@register(
     "snapshot_join_manifest_planned",
     oracle=f"""
     SELECT c.c_mktsegment AS segment,

@@ -262,6 +262,114 @@ def test_sql_path_applies_mor_deletes(spark, table):
     assert _by_name(sql_df) == _by_name(s.read())
 
 
+def test_sql_path_eq_delete_on_identity_partition_key(spark, tmp_path):
+    """Advisor-flagged: equality MoR deletes whose key includes an
+    IDENTITY PARTITION column (the matview-required key shape) must be
+    applied by the SQL path -- the value lives in the directory name,
+    not the file, so the mask materializes it from the path instead of
+    null-filling (which silently resurrected deleted rows)."""
+    root = str(tmp_path / "pt")
+    s = SnapshotStore(spark, root)
+    df = spark.createDataFrame(
+        [
+            (datetime.date(2024, 1, 1), 1, "a"),
+            (datetime.date(2024, 1, 1), 2, "b"),
+            (datetime.date(2024, 1, 2), 1, "c"),
+            (datetime.date(2024, 1, 2), 2, "d"),
+        ],
+        "day date, id long, val string",
+    )
+    s.write(df, mode="snapshot", partition_by=["day"])
+    s.delete_keys(
+        spark.createDataFrame(
+            [(datetime.date(2024, 1, 2), 1)], "day date, id long"
+        ),
+        ["day", "id"],
+    )
+    sql_df = read_snapshot_table(spark, root)
+    assert sql_df.count() == 3
+    assert (
+        sql_df.where("day = DATE'2024-01-02' AND id = 1").count() == 0
+    )
+    assert _by_name(sql_df) == _by_name(s.read())
+    got = snapshot_sql(
+        spark,
+        "SELECT val FROM t WHERE day = DATE'2024-01-02'",
+        {"t": root},
+    ).collect()
+    assert sorted(r["val"] for r in got) == ["d"]
+
+
+def test_mor_masks_vectorized_no_python_rows(monkeypatch):
+    """The MoR keep-masks are Arrow compute end-to-end on the file
+    side: on a 150k-row table the equality mask goes through the
+    Acero semi-join (the Python fallback is monkeypatched to fail) and
+    both masks return pyarrow BooleanArrays, never per-row lists."""
+    import numpy as np
+    import pyarrow as pa
+
+    from docker_airflow_spark_minio_spark.sources import (
+        snapshot_batch as sb,
+    )
+
+    def _boom(*_a, **_k):
+        raise AssertionError("Python fallback reached for a common key type")
+
+    monkeypatch.setattr(sb, "_eq_mask_py_fallback", _boom)
+    n = 150_000
+    tab = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "day": pa.array(["2024-01-02"] * n).cast(pa.string()),
+        }
+    )
+    # single long key, NULL delete key ignored
+    mask = sb._eq_delete_mask(
+        tab,
+        pa.table({"k": pa.array([5, 10, n - 1, None], type=pa.int64())}),
+        {"key_cols": ["k"], "version": 1},
+        None, 0, "UTC", {}, {"k": "long", "day": "string"},
+    )
+    assert isinstance(mask, pa.Array) and mask.type == pa.bool_()
+    assert tab.filter(mask).num_rows == n - 3
+    # composite key with an identity-partition member materialized
+    # from the path value (date-typed)
+    dtab = pa.table(
+        {
+            "day": pa.array([datetime.date(2024, 1, 2)], type=pa.date32()),
+            "k": pa.array([7], type=pa.int64()),
+        }
+    )
+    tab2 = pa.table({"k": pa.array(np.arange(n, dtype=np.int64))})
+    mask2 = sb._eq_delete_mask(
+        tab2,
+        dtab,
+        {"key_cols": ["day", "k"], "version": 1},
+        None, 0, "UTC",
+        {"day": "2024-01-02"},
+        {"k": "long", "day": "date"},
+    )
+    assert isinstance(mask2, pa.Array) and mask2.type == pa.bool_()
+    assert tab2.filter(mask2).num_rows == n - 1
+    # non-matching partition value -> delete masks nothing here
+    mask3 = sb._eq_delete_mask(
+        tab2, dtab, {"key_cols": ["day", "k"], "version": 1},
+        None, 0, "UTC", {"day": "2024-01-03"}, {"k": "long", "day": "date"},
+    )
+    assert mask3 is None or tab2.filter(mask3).num_rows == n
+    # positional: vectorized file match + ordinal is_in
+    dpos = pa.table(
+        {
+            "_file": pa.array(["f1", "f1", "f2"]),
+            "_pos": pa.array([0, 7, 3], type=pa.int64()),
+        }
+    )
+    pmask = sb._positional_delete_mask(n, dpos, "f1")
+    assert isinstance(pmask, pa.Array) and pmask.type == pa.bool_()
+    assert tab.filter(pmask).num_rows == n - 2
+    assert sb._positional_delete_mask(n, dpos, "f9") is None
+
+
 def test_sql_path_resolves_schema_evolution(spark, tmp_path):
     root = str(tmp_path / "ev")
     s = SnapshotStore(spark, root)
