@@ -2963,6 +2963,68 @@ class SnapshotStore:
         if pby:
             writer = writer.partitionBy(*pby)
         writer.save(data_path)
+        return self._assemble_and_commit_dir(
+            version=version,
+            vdir=vdir,
+            data_path=data_path,
+            parent=parent,
+            parent_v=parent_v,
+            mode=mode,
+            pby=pby,
+            transforms=transforms,
+            schema_json=schema_json,
+            slog=slog,
+            metadata=metadata,
+            claimed_partitions=claimed_partitions,
+            watermarks=watermarks,
+            staged=staged,
+            df=df,
+            stats_cols=stats_cols,
+            bloom_cols=bloom_cols,
+            bloom_bits=bloom_bits,
+            stats_sidecar_threshold=stats_sidecar_threshold,
+            ndv_cols=ndv_cols,
+        )
+
+    def _delete_prefix(self, path: str) -> None:
+        """IO leaf: recursive delete (Spark-less callers override)."""
+        delete_prefix(self.spark, path)
+
+    def _assemble_and_commit_dir(
+        self,
+        *,
+        version: int,
+        vdir: str,
+        data_path: str,
+        parent: dict | None,
+        parent_v: int | None,
+        mode: str,
+        pby: list[str],
+        transforms: dict,
+        schema_json: str,
+        slog,
+        metadata: dict | None,
+        claimed_partitions: list | None,
+        watermarks: dict | None,
+        staged: str | None,
+        df: DataFrame | None = None,
+        stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = BLOOM_BITS,
+        stats_sidecar_threshold: int | None = None,
+        ndv_cols: list[str] | None = None,
+    ) -> int:
+        """Manifest assembly + atomic claim for a data directory ALREADY
+        WRITTEN under ``data_path`` -- the shared back half of
+        :meth:`write`, factored out so the SQL write path
+        (:mod:`..sources.snapshot_write`: Python DataSource writer tasks
+        write the parquet files executor-side, the commit runs
+        Spark-less) goes through EXACTLY this logic instead of a
+        drift-prone twin.  Spark is touched only by the stats/NDV blocks
+        (gated on their arguments -- Spark-less callers pass them empty)
+        and by the IO/expression leaves (``_list_partition_dirs`` /
+        ``_commit_manifest`` / ``_delete_prefix`` / ``_hive_dir``),
+        which Spark-less callers override."""
         new_parts = self._list_partition_dirs(data_path, len(pby))
         removed_parts: list[str] = []
         if mode == "snapshot" or parent is None:
@@ -2982,7 +3044,7 @@ class SnapshotStore:
                 claimed = (
                     vals
                     if isinstance(vals, str)
-                    else _hive_partition_dir(self.spark, pby, vals)
+                    else self._hive_dir(pby, vals)
                 )
                 partitions.pop(claimed, None)
                 if claimed not in new_parts:
@@ -3092,7 +3154,7 @@ class SnapshotStore:
             raw_dir: dict[str, dict[str, list]] = {}
             for r in rows:
                 part = (
-                    _hive_partition_dir(self.spark, pby, tuple(r[c] for c in pby))
+                    self._hive_dir(pby, tuple(r[c] for c in pby))
                     if pby
                     else ""
                 )
@@ -3284,11 +3346,9 @@ class SnapshotStore:
             self._commit_manifest(version, manifest)
         except SnapshotConflict:
             # Loser's data dir is orphaned (invisible); reclaim eagerly.
-            delete_prefix(self.spark, data_path)
+            self._delete_prefix(data_path)
             for s in own_sidecars:
-                delete_prefix(
-                    self.spark, f"{self.root.rstrip('/')}/{s['path']}"
-                )
+                self._delete_prefix(f"{self.root.rstrip('/')}/{s['path']}")
             raise
         return version
 

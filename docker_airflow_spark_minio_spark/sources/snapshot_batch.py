@@ -123,7 +123,18 @@ def check_local_root(root: str) -> str:
     """The snapshot_table DataSource reads manifests/files directly
     (no JVM round-trip), so it serves local/POSIX table roots only --
     scheme-qualified stores refuse loudly here, same contract as the
-    streaming side."""
+    streaming side.  ``file:`` URIs are NORMALIZED to plain paths (the
+    session catalog qualifies a ``CREATE TABLE ... OPTIONS (path ...)``
+    location to ``file:/...`` before handing it back to the source);
+    a ``file://host/...`` form with a non-empty authority is refused."""
+    if root.startswith("file:"):
+        rest = root[len("file:"):]
+        if rest.startswith("//") and not rest.startswith("///"):
+            raise ValueError(
+                f"non-local file URI authority in {root!r}; "
+                "snapshot_table serves local table roots only"
+            )
+        root = "/" + rest.lstrip("/")
     if "://" in root:
         raise ValueError(
             "snapshot_table data source reads manifests/files directly "

@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from urllib.parse import unquote
 
 from pyspark.sql.datasource import (
@@ -495,6 +496,15 @@ class SnapshotTableStreamSource(DataSource):
     def streamReader(self, schema: StructType) -> SnapshotTableStreamReader:
         return SnapshotTableStreamReader(self._root(), dict(self.options))
 
+    def writer(self, schema: StructType, overwrite: bool):
+        """Batch writes: ``df.write.format("snapshot_table")
+        .option("path", root).mode("append"|"overwrite").save()``
+        commits through the store's atomic claim protocol --
+        :mod:`..sources.snapshot_write`."""
+        from ..sources.snapshot_write import SnapshotTableArrowWriter
+
+        return SnapshotTableArrowWriter(schema, overwrite, dict(self.options))
+
     def reader(self, schema: StructType) -> SnapshotTableBatchReader:
         opts = dict(self.options)
         cls = (
@@ -574,6 +584,34 @@ def read_snapshot_table(
     return reader.load()
 
 
+def write_snapshot_table(
+    spark,
+    df,
+    root: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    metadata: dict | None = None,
+) -> None:
+    """Write ``df`` to a snapshot table through the SQL write path (the
+    ``snapshot_table`` DataSource writer): tasks write the parquet
+    files, the commit goes through the store's atomic claim --
+    :mod:`..sources.snapshot_write`.  ``mode`` is ``append`` (INSERT
+    INTO semantics) or ``overwrite`` (full table-replacing snapshot,
+    INSERT OVERWRITE semantics).  ``partition_by``: identity columns,
+    honored on table creation; an existing table's spec is inherited.
+    For transforms/stats/WAP/overwrite_partitions use
+    :meth:`SnapshotStore.write`."""
+    import json as _json
+
+    ensure_registered(spark)
+    w = df.write.format("snapshot_table").option("path", root)
+    if partition_by:
+        w = w.option("partition_by", ",".join(partition_by))
+    if metadata:
+        w = w.option("metadata_json", _json.dumps(metadata))
+    w.mode(mode).save()
+
+
 def register_snapshot_view(spark, root: str, name: str, **kw) -> None:
     """Register a snapshot table as a TEMP VIEW consumable with plain
     ``spark.sql`` -- the reference's consumption pattern (its gold job
@@ -609,7 +647,48 @@ def snapshot_sql(
     filtered), register the root under TWO names -- each name is its
     own relation, which sidesteps the upstream cache entirely.  The
     returned DataFrame re-plans its own pushdown on every action and
-    stays correct under further ``.where``/``.select`` chaining."""
+    stays correct under further ``.where``/``.select`` chaining.
+
+    ``INSERT INTO <name> ...`` / ``INSERT OVERWRITE <name> ...``
+    statements are supported when ``<name>`` is one of ``tables``: the
+    source query runs with every OTHER table registered (pushdown
+    intact), and the result commits to the target through the
+    DataSource write path's atomic claim
+    (:mod:`..sources.snapshot_write`).  Handled HERE rather than via
+    ``CREATE TABLE ... USING snapshot_table`` because the shipped
+    Spark 4.1 does not thread a catalog table's OPTIONS back to the
+    Python DataSource at scan/write time (verified: the scan/write
+    instance receives empty options), so catalog-registered Python DS
+    tables cannot resolve their storage yet.  Returns a one-row frame
+    ``(version, n_rows)`` recording the committed snapshot."""
+    m = re.match(
+        r"\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+(.*)",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        kind, target, query = m.group(1).upper(), m.group(2), m.group(3)
+        if target not in tables:
+            raise ValueError(
+                f"INSERT target {target!r} not in tables "
+                f"{sorted(tables)}"
+            )
+        spec = tables[target]
+        target_root = spec[0] if isinstance(spec, tuple) else spec
+        sources = {k: v for k, v in tables.items() if k != target}
+        out = snapshot_sql(spark, query, sources, report_paths, **kw)
+        write_snapshot_table(
+            spark,
+            out,
+            target_root,
+            mode="append" if kind == "INTO" else "overwrite",
+        )
+        planner = LocalSnapshotPlanner.for_root(target_root)
+        v = planner.current_version()
+        meta = planner._read_manifest(v).get("metadata", {})
+        return spark.createDataFrame(
+            [(v, int(meta.get("n_rows", -1)))], "version long, n_rows long"
+        )
     reports = report_paths or {}
     try:
         for name, spec in tables.items():

@@ -116,6 +116,71 @@ def snapshot_sql_pushdown_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_sql_insert_write",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({_CENTS}) AS BIGINT) AS revenue_cents
+    FROM orders
+    WHERE o_custkey % 37 IN (0, 1)
+    GROUP BY status ORDER BY status
+    """,
+    category="etl",
+    description="the SQL WRITE path (the reference writes via the table "
+    "catalog, job_silver.py:174-178): two INSERT INTO statements through "
+    "snapshot_sql commit slices of an orders snapshot table into a "
+    "target table via the Python DataSource batch writer -- executor "
+    "tasks write the parquet files, the Spark-less commit goes through "
+    "the store's atomic link(2) claim and the SAME manifest assembler "
+    "as the API path; the entry runtime-asserts both commits carry the "
+    "sql_write marker and the read-back aggregate (also via SQL) must "
+    "hash-match the raw-source oracle",
+)
+def snapshot_sql_insert_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..snapshots import SnapshotStore
+    from ..streaming.table_source import snapshot_sql
+
+    t = load_tables(spark, sf_dir)
+    root_src = scratch_root("snapins_src", sf_dir)
+    root_tgt = scratch_root("snapins_tgt", sf_dir)
+    SnapshotStore(spark, root_src).write(
+        t["orders"].select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.expr(_CENTS).alias("cents"),
+        ),
+        mode="snapshot",
+    )
+    for pred in ("o_custkey % 37 = 0", "o_custkey % 37 = 1"):
+        snapshot_sql(
+            spark,
+            "INSERT INTO tgt SELECT o_orderkey, o_orderstatus, cents "
+            f"FROM src WHERE {pred}",
+            {"src": root_src, "tgt": root_tgt},
+        )
+    tgt = SnapshotStore(spark, root_tgt)
+    metas = [
+        tgt._read_manifest(m["version"]).get("metadata", {})
+        for m in tgt.history()
+    ]
+    if len(metas) != 2 or not all(m.get("sql_write") for m in metas):
+        raise AssertionError(
+            f"expected 2 sql_write commits on the target, got {metas}"
+        )
+    return snapshot_sql(
+        spark,
+        """
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n_orders,
+               SUM(cents) AS revenue_cents
+        FROM tgt GROUP BY status ORDER BY status
+        """,
+        {"tgt": root_tgt},
+    )
+
+
+@register(
     "snapshot_sql_mor_read",
     oracle=f"""
     SELECT o_orderstatus AS status,
