@@ -76,13 +76,17 @@ is bounded; a cluster deployment would broadcast them instead).
 Scale note (100 TB posture): planning cost is O(matching manifest
 shards + surviving files), the same as the API path; execution is one
 task per file.  The Python DataSource API has no column-pruning hook
-(filters only), so a query's PROJECTION cannot reach the source --
-tasks therefore prune at the parquet footer to the TABLE schema's
-physical columns (dead/dropped file columns never decode), but a
-``SELECT one_col`` still decodes every schema column; for
-projection-heavy workloads over very wide tables the API path
-(``SnapshotStore.read``) stays the fast lane, the SQL path's win is
-pruned FILE SETS for selective queries.
+(filters only), so Spark's own projection cannot reach the source;
+instead the ``columns`` READER OPTION projects at the source (only the
+named columns decode and surface -- option-filter and delete-key
+columns still decode for masking, then drop), and
+:func:`~..streaming.table_source.snapshot_sql` INFERS it per statement
+from the referenced identifiers (conservative: a ``*`` outside
+``COUNT(*)`` disables pruning).  Independent of projection, tasks
+always prune at the parquet footer to the needed physical columns, so
+dead/dropped file columns never leave the decoder.  The scan report
+records ``n_cols_projected`` vs ``n_cols_table`` so projection is
+assertable through the SQL path.
 """
 
 from __future__ import annotations
@@ -714,9 +718,24 @@ class SnapshotTableBatchReader(DataSourceReader):
                 else []
             )
         ]
-        if self._opt_points or self._opt_ranges:
+        # column PROJECTION (the Python DataSource API has no pruning
+        # hook, so this is the option-level stand-in): only these
+        # columns surface AND decode -- JSON list or comma-separated
+        self.columns: list[str] | None = None
+        if options.get("columns"):
+            raw = options["columns"]
+            cols = (
+                json.loads(raw)
+                if raw.lstrip().startswith("[")
+                else [c.strip() for c in raw.split(",") if c.strip()]
+            )
+            self.columns = list(dict.fromkeys(cols))  # de-dup, keep order
+            if not self.columns:
+                raise ValueError("columns option must name >= 1 column")
+        if self._opt_points or self._opt_ranges or self.columns:
             # a typo'd filter column would prune nothing AND apply
             # nothing -- the view would silently serve the whole table;
+            # a typo'd projection column would silently vanish;
             # validate against the resolved version's schema instead
             schema_cols = {
                 f["name"]
@@ -725,13 +744,17 @@ class SnapshotTableBatchReader(DataSourceReader):
                 )["fields"]
             }
             bad = sorted(
-                (set(self._opt_points) | {c for c, _lo, _hi in self._opt_ranges})
+                (
+                    set(self._opt_points)
+                    | {c for c, _lo, _hi in self._opt_ranges}
+                    | set(self.columns or [])
+                )
                 - schema_cols
             )
             if bad:
                 raise ValueError(
-                    f"point_filter/range_filter columns {bad} not in "
-                    f"the table schema {sorted(schema_cols)}"
+                    f"point_filter/range_filter/columns names {bad} not "
+                    f"in the table schema {sorted(schema_cols)}"
                 )
         # pushdown state, filled only on the pushdown subclass
         self._eq: dict[str, set] = {}
@@ -794,6 +817,9 @@ class SnapshotTableBatchReader(DataSourceReader):
             # deliberately absent here)
             "exact_points": self._opt_points,
             "exact_ranges": self._opt_ranges,
+            # OPTION projection: only these columns surface (filter
+            # and delete-key columns still decode for masking)
+            "columns": self.columns,
         }
         parts: list[_BatchFilePartition] = []
         for vd in sorted(units):
@@ -841,6 +867,7 @@ class SnapshotTableBatchReader(DataSourceReader):
                 range_filter=ranges or None,
                 point_filter=points or None,
             )
+            n_table_cols = len(json.loads(manifest["schema"])["fields"])
             with open(self.report_path, "w", encoding="utf-8") as fh:
                 json.dump(
                     {
@@ -856,6 +883,13 @@ class SnapshotTableBatchReader(DataSourceReader):
                         "pushed_ranges": [
                             [c, repr(lo), repr(hi)] for c, lo, hi in ranges
                         ],
+                        "columns": self.columns,
+                        "n_cols_projected": (
+                            len(self.columns)
+                            if self.columns
+                            else n_table_cols
+                        ),
+                        "n_cols_table": n_table_cols,
                     },
                     fh,
                     default=str,
@@ -900,7 +934,26 @@ class SnapshotTableBatchReader(DataSourceReader):
         ctx = partition.ctx
         tz = ctx["session_tz"]
         w = partition.epoch
-        fields = json.loads(ctx["schema_json"])["fields"]
+        all_fields = json.loads(ctx["schema_json"])["fields"]
+        requested = ctx.get("columns")
+        if requested:
+            # OPTION-level projection: the output carries only the
+            # requested columns (table-schema order); option-FILTER
+            # columns outside the projection still decode for masking
+            # and are dropped after the filters apply.
+            want = set(requested)
+            fields_out = [f for f in all_fields if f["name"] in want]
+            filter_names = set(ctx["exact_points"]) | {
+                c for c, _lo, _hi in ctx["exact_ranges"]
+            }
+            mask_only = [
+                f
+                for f in all_fields
+                if f["name"] in filter_names and f["name"] not in want
+            ]
+        else:
+            fields_out, mask_only = all_fields, []
+        fields = fields_out + mask_only
         stored_of = _stored_names(ctx["schema_log"], w)
         pvals = dict(partition.part_values)
         # COLUMN PRUNING at the parquet footer: read only the physical
@@ -969,7 +1022,7 @@ class SnapshotTableBatchReader(DataSourceReader):
                     w,
                     tz,
                     pvals,
-                    {f["name"]: f["type"] for f in fields},
+                    {f["name"]: f["type"] for f in all_fields},
                 )
                 if tab_mask is not None:
                     mask = _and_mask(mask, tab_mask)
@@ -1004,6 +1057,8 @@ class SnapshotTableBatchReader(DataSourceReader):
         out = pa.table(cols, names=[f["name"] for f in fields])
         if ctx["exact_points"] or ctx["exact_ranges"]:
             out = self._apply_exact_filters(out, ctx)
+        if mask_only:
+            out = out.drop_columns([f["name"] for f in mask_only])
         yield from out.to_batches()
 
 

@@ -478,7 +478,9 @@ class SnapshotTableStreamSource(DataSource):
             planner = LocalSnapshotPlanner.for_root(root)
             reader = SnapshotTableBatchReader(root, opts)
             m = planner._read_manifest(reader.version)
-            return StructType.fromJson(json.loads(m["schema"]))
+            return self._project(
+                StructType.fromJson(json.loads(m["schema"])), opts
+            )
         head = _head_published(root)
         if head is None:
             raise ValueError(f"no snapshots committed under {root}")
@@ -491,9 +493,36 @@ class SnapshotTableStreamSource(DataSource):
             schema = schema.add("_change_type", StringType()).add(
                 "_commit_version", LongType()
             )
-        return schema
+        return self._project(schema, opts)
+
+    @staticmethod
+    def _project(schema: StructType, opts: dict) -> StructType:
+        """Apply the batch ``columns`` projection option (table-schema
+        order; validation lives in the batch reader).  The STREAMING
+        reader refuses the option instead -- see streamReader."""
+        raw = opts.get("columns")
+        if not raw:
+            return schema
+        cols = (
+            json.loads(raw)
+            if raw.lstrip().startswith("[")
+            else [c.strip() for c in raw.split(",") if c.strip()]
+        )
+        want = set(cols)
+        kept = [f for f in schema.fields if f.name in want]
+        if not kept:
+            raise ValueError(
+                f"columns option {cols} matches no table column "
+                f"{[f.name for f in schema.fields]}"
+            )
+        return StructType(kept)
 
     def streamReader(self, schema: StructType) -> SnapshotTableStreamReader:
+        if self.options.get("columns"):
+            raise ValueError(
+                "the columns projection option is batch-only; a stream "
+                "reader serves the full table schema"
+            )
         return SnapshotTableStreamReader(self._root(), dict(self.options))
 
     def writer(self, schema: StructType, overwrite: bool):
@@ -535,6 +564,7 @@ def read_snapshot_table(
     point_filter: dict | None = None,
     range_filter: list | tuple | None = None,
     pushdown: bool = False,
+    columns: list | None = None,
 ):
     """Batch-read a snapshot table through the DataSource (the SQL
     path), threading the session timezone into the source so timestamp
@@ -572,6 +602,10 @@ def read_snapshot_table(
         reader = reader.option(
             "range_filter", _json.dumps([list(r) for r in range_filter])
         )
+    if columns:
+        # option-level PROJECTION (the Python DataSource API has no
+        # column-pruning hook): only these columns surface and decode
+        reader = reader.option("columns", _json.dumps(list(columns)))
     if pushdown:
         # Python-DataSource filter pushdown is a runtime-settable
         # SQLConf, OFF by default in Spark 4.1; without it Spark
@@ -621,6 +655,43 @@ def register_snapshot_view(spark, root: str, name: str, **kw) -> None:
     / ``range_filter`` kwargs (option-level, applied row-exactly).  For
     automatic WHERE-clause pushdown use :func:`snapshot_sql`."""
     read_snapshot_table(spark, root, **kw).createOrReplaceTempView(name)
+
+
+def _infer_statement_columns(
+    sql: str, root: str, per_table_kw: dict
+) -> list[str] | None:
+    """Conservative projection inference for :func:`snapshot_sql`'s
+    fresh single-statement relations: a table column is kept when its
+    name appears as an identifier token anywhere in the statement
+    (WHERE/GROUP BY/JOIN references included -- over-inclusion is
+    always sound, the hazard is only missing a referenced column).
+    Returns None (no pruning) when the statement carries a ``*``
+    outside ``COUNT(*)``, references every column anyway, or the
+    intersection is empty (pathological statements)."""
+    probe = re.sub(r"count\s*\(\s*\*\s*\)", "count(1)", sql, flags=re.IGNORECASE)
+    if "*" in probe:
+        return None
+    tokens = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", sql))
+    tokens |= set(re.findall(r"`([^`]+)`", sql))
+    planner = LocalSnapshotPlanner.for_root(_check_local_root(root))
+    if per_table_kw.get("as_of") is not None:
+        v = int(per_table_kw["as_of"])
+    elif per_table_kw.get("ref"):
+        v = planner.resolve_ref(per_table_kw["ref"])
+    elif per_table_kw.get("as_of_ts"):
+        v = planner.resolve_as_of_ts(int(per_table_kw["as_of_ts"]))
+    else:
+        v = planner.current_version()
+    if v is None:
+        return None
+    names = [
+        f["name"]
+        for f in json.loads(planner._read_manifest(v)["schema"])["fields"]
+    ]
+    req = [n for n in names if n in tokens]
+    if not req or len(req) == len(names):
+        return None
+    return req
 
 
 def snapshot_sql(
@@ -695,13 +766,21 @@ def snapshot_sql(
             root, per_table = (
                 spec if isinstance(spec, tuple) else (spec, {})
             )
+            per = {**kw, **per_table}
+            if "columns" not in per:
+                # projection inference: decode only the columns the
+                # statement references (callers override with an
+                # explicit columns= to force either way)
+                per["columns"] = _infer_statement_columns(
+                    sql, root, per
+                )
             register_snapshot_view(
                 spark,
                 root,
                 name,
                 pushdown=True,
                 report_path=reports.get(name),
-                **{**kw, **per_table},
+                **per,
             )
         return spark.sql(sql)
     finally:

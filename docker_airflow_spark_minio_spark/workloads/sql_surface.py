@@ -116,6 +116,65 @@ def snapshot_sql_pushdown_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_sql_projected_scan",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey % 11 = 0
+    GROUP BY flag ORDER BY flag
+    """,
+    category="etl",
+    description="PROJECTION through the SQL path: the full 16-column "
+    "lineitem slice lands as a snapshot table, and one snapshot_sql "
+    "statement referencing only 3 of its columns must decode only "
+    "those (the Python DataSource API has no column-pruning hook, so "
+    "snapshot_sql INFERS a columns option from the statement's "
+    "identifiers) -- runtime-asserted from the scan report "
+    "(n_cols_projected=3 < n_cols_table=16), and the aggregate must "
+    "hash-match the raw-source oracle",
+)
+def snapshot_sql_projected_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..snapshots import SnapshotStore
+    from ..streaming.table_source import snapshot_sql
+
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .where("l_orderkey % 11 = 0")
+        .withColumn("l_quantity", F.col("l_quantity").cast("bigint"))
+    )
+    root = scratch_root("snapsql_proj", sf_dir)
+    SnapshotStore(spark, root).write(li, mode="snapshot")
+    rep = f"{root}.report.json"
+    out = snapshot_sql(
+        spark,
+        """
+        SELECT l_returnflag AS flag,
+               COUNT(*) AS n_items,
+               SUM(l_quantity) AS sum_qty
+        FROM snap_li GROUP BY flag ORDER BY flag
+        """,
+        {"snap_li": root},
+        report_paths={"snap_li": rep},
+    )
+    rows = out.collect()
+    report = json.load(open(rep))
+    n_table = len(li.columns)
+    if not (
+        report["n_cols_projected"] < report["n_cols_table"] == n_table
+    ):
+        raise AssertionError(
+            "projection missing through the SQL path: "
+            f"{report['n_cols_projected']} of {report['n_cols_table']} "
+            f"columns decoded (table has {n_table})"
+        )
+    if sorted(report["columns"]) != ["l_quantity", "l_returnflag"]:
+        raise AssertionError(f"unexpected inferred projection: {report}")
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
     "snapshot_sql_insert_write",
     oracle=f"""
     SELECT o_orderstatus AS status,

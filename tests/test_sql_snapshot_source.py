@@ -262,6 +262,65 @@ def test_sql_path_applies_mor_deletes(spark, table):
     assert _by_name(sql_df) == _by_name(s.read())
 
 
+def test_columns_projection_option(spark, tmp_path):
+    """The option-level projection: only the requested columns surface,
+    option filters on NON-projected columns still apply (decode for
+    masking, then drop), MoR deletes still mask, and the scan report
+    records the projection."""
+    root = str(tmp_path / "w")
+    s = SnapshotStore(spark, root)
+    wide = spark.range(50).selectExpr(
+        "id AS k", "id*2 AS a", "id*3 AS b", "id*5 AS c",
+        "CAST(id AS STRING) AS d",
+    )
+    s.write(wide, mode="snapshot")
+    s.delete_keys(spark.createDataFrame([(7,)], "k long"), ["k"])
+    rep = str(tmp_path / "rep.json")
+    df = read_snapshot_table(
+        spark, root, columns=["k", "b"],
+        point_filter={"a": [10, 14, 20]},  # filter col NOT projected
+        report_path=rep,
+    )
+    assert df.columns == ["k", "b"]
+    got = sorted((r["k"], r["b"]) for r in df.collect())
+    # a in {10,14,20} -> k in {5,7,10}; k=7 is MoR-deleted
+    assert got == [(5, 15), (10, 30)]
+    report = json.load(open(rep))
+    assert report["n_cols_projected"] == 2 < report["n_cols_table"] == 5
+    with pytest.raises(Exception, match="matches no table column"):
+        read_snapshot_table(spark, root, columns=["nope"]).collect()
+
+
+def test_snapshot_sql_infers_projection(spark, tmp_path):
+    root = str(tmp_path / "wi")
+    SnapshotStore(spark, root).write(
+        spark.range(40).selectExpr(
+            "id AS k", "id*2 AS a", "id*3 AS b", "id*5 AS c",
+            "CAST(id AS STRING) AS d",
+        ),
+        mode="snapshot",
+    )
+    rep = str(tmp_path / "rep.json")
+    out = snapshot_sql(
+        spark,
+        "SELECT SUM(b) AS sb, COUNT(*) AS n FROM t WHERE k < 10",
+        {"t": root},
+        report_paths={"t": rep},
+    ).collect()
+    assert (out[0]["sb"], out[0]["n"]) == (sum(3 * i for i in range(10)), 10)
+    report = json.load(open(rep))
+    assert sorted(report["columns"]) == ["b", "k"]
+    assert report["n_cols_projected"] == 2 < report["n_cols_table"]
+    # '*' outside COUNT(*) disables inference
+    rep2 = str(tmp_path / "rep2.json")
+    got = snapshot_sql(
+        spark, "SELECT * FROM t WHERE k = 3", {"t": root},
+        report_paths={"t": rep2},
+    ).collect()
+    assert len(got) == 1 and got[0]["d"] == "3"
+    assert json.load(open(rep2))["columns"] is None
+
+
 def test_sql_path_eq_delete_on_identity_partition_key(spark, tmp_path):
     """Advisor-flagged: equality MoR deletes whose key includes an
     IDENTITY PARTITION column (the matview-required key shape) must be
