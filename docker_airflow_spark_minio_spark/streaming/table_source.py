@@ -154,6 +154,10 @@ class _FilePartition(InputPartition):
         change: tuple | None = None,  # (kind, commit_version) | None
         epoch: int = 0,  # _vdir_version of the owning data dir
         schema_log: list | None = None,  # field-id evolution log
+        masks: dict | None = None,  # MoR mask context (changelog):
+        # {"root", "rel_path", "apply_sets": [entries -> keep-mask,
+        #  the emitting state's visibility], "match_set": entry|None
+        #  (keep ONLY rows this set masks -- the pre-image arm)}
     ):
         self.path = path
         self.part_values = part_values  # [(col, raw_string_or_None)]
@@ -162,6 +166,7 @@ class _FilePartition(InputPartition):
         self.change = change
         self.epoch = epoch
         self.schema_log = schema_log
+        self.masks = masks
 
 
 class SnapshotTableStreamReader(DataSourceStreamReader):
@@ -292,16 +297,19 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
     def _changelog_partitions(
         self, v: int, m: dict, mode: str
     ) -> list[_FilePartition]:
-        """Row-level changes of ONE published commit from its manifest
-        dir-diff vs the parent: added dirs -> inserts, dropped dirs ->
-        deletes.  Uniform across append/overwrite/replace/rollback/
-        publish; refusals mirror read_changes' contract."""
-        if mode == "delete_keys":
-            raise ValueError(
-                f"changelog stream window crosses a MoR delete commit "
-                f"(v{v}); masked pre-images need data-side key matching "
-                "-- consume it batch-side via read_changes"
-            )
+        """Row-level changes of ONE published commit, mirroring
+        :meth:`~..snapshots.SnapshotStore.read_changes`' four arms:
+        added dirs -> inserts (current state's delete sets applied),
+        dropped dirs -> deletes (parent state's sets applied), NEW
+        merge-on-read delete sets -> the masked pre-image rows as
+        deletes (equality: key semi-match executor-side via the batch
+        reader's vectorized mask, partition-pruned when the keys carry
+        the partition spec; positional: only the recorded target
+        dirs), and sets DROPPED while target dirs survive (rollback
+        across a delete) -> the reappearing rows as inserts.  Uniform
+        across append/overwrite/replace/rollback/publish/delete_keys;
+        only in-window ``evolve_schema`` still refuses (pre-images
+        before it carry that epoch's shape)."""
         if mode == "evolve_schema":
             raise ValueError(
                 f"changelog stream window crosses an 'evolve_schema' "
@@ -318,18 +326,10 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
             if parent_v is not None
             else None
         )
-        # BOTH sides of the diff must be delete-set-free: the current
-        # side because added rows could be same-commit-masked, the
-        # PARENT side because a replace/rollback that clears live sets
-        # would otherwise emit already-masked rows as delete pre-images
-        # (and miss read_changes' reappearing-rows-as-inserts arm).
-        if cur.get("delete_sets") or (prev or {}).get("delete_sets"):
-            raise ValueError(
-                f"changelog stream refuses v{v}: the window touches "
-                "live merge-on-read delete sets, so pre-images would "
-                "need mask application -- compact() first or consume "
-                "via read_changes"
-            )
+        cur_sets = {d["dir"]: d for d in cur.get("delete_sets") or []}
+        prev_sets = {
+            d["dir"]: d for d in (prev or {}).get("delete_sets") or []
+        }
         cur_dirs = {
             f"{vd}/{p}" if p else vd
             for p, vds in cur["partitions"].items()
@@ -348,14 +348,143 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         # overwrite re-points only the TOUCHED partitions, so a dropped
         # partition's old vdir may still serve untouched partitions --
         # whole-vdir emission would fabricate deletes for them
-        return self._dkey_partitions(
-            sorted(prev_dirs - cur_dirs), change=("delete", v)
+        parts = self._dkey_partitions(
+            sorted(prev_dirs - cur_dirs),
+            change=("delete", v),
+            apply_sets=list(prev_sets.values()),
         ) + self._dkey_partitions(
-            sorted(cur_dirs - prev_dirs), change=("insert", v)
+            sorted(cur_dirs - prev_dirs),
+            change=("insert", v),
+            apply_sets=list(cur_sets.values()),
+        )
+        # NEW delete sets: their masked pre-image (visible at the
+        # parent state) emits as deletes
+        for dkey, entry in cur_sets.items():
+            if dkey in prev_sets or prev is None:
+                continue
+            parts += self._preimage_partitions(
+                entry,
+                prev,
+                change=("delete", v),
+                apply_sets=list(prev_sets.values()),
+            )
+        # sets dropped while (some) target dirs survive: only a
+        # rollback across the delete -- masked rows reappear as inserts
+        for dkey, entry in prev_sets.items():
+            if dkey in cur_sets:
+                continue
+            parts += self._preimage_partitions(
+                entry,
+                cur,
+                change=("insert", v),
+                apply_sets=list(cur_sets.values()),
+            )
+        return parts
+
+    #: partition-prune cap for equality pre-images: above this many
+    #: distinct key-partition tuples the scan falls back to every
+    #: older-than-the-set directory (sound, read_changes' probe rule)
+    _PREIMAGE_PRUNE_MAX = 4096
+
+    def _preimage_partitions(
+        self,
+        entry: dict,
+        m_state: dict,
+        change: tuple,
+        apply_sets: list,
+    ) -> list[_FilePartition]:
+        """Scan tasks for the rows of state ``m_state`` that delete set
+        ``entry`` masks: candidate dirs are the state's dirs OLDER than
+        the set (sequence rule) -- positional sets restrict to their
+        recorded target vdirs, equality sets partition-prune through
+        the key frame when the key columns carry the partition spec
+        (pyarrow over the O(keys) frame, pure-twin dir names; any
+        formatting/type doubt falls back to no pruning).  Each task
+        applies ``apply_sets`` as keep-masks (state visibility) and
+        ``entry`` as the MATCH mask."""
+        set_v = int(entry["version"])
+        pairs = [
+            (vd, p)
+            for p, vds in m_state["partitions"].items()
+            for vd in vds
+            if _vdir_version(vd) < set_v
+        ]
+        if entry.get("kind") == "positional":
+            targets = set(entry.get("vdirs", []))
+            pairs = [(vd, p) for vd, p in pairs if vd in targets]
+        else:
+            pby = m_state["partition_by"]
+            key_cols = list(entry.get("key_cols", []))
+            if pby and all(c in key_cols for c in pby):
+                want = self._key_partition_dirs(entry, m_state, pby)
+                if want is not None:
+                    pairs = [(vd, p) for vd, p in pairs if p in want]
+        return [
+            part
+            for vd, p in sorted(pairs)
+            for part in self._dkey_partitions(
+                [f"{vd}/{p}" if p else vd],
+                change=change,
+                apply_sets=apply_sets,
+                match_set=entry,
+            )
+        ]
+
+    def _key_partition_dirs(
+        self, entry: dict, m_state: dict, pby: list[str]
+    ) -> set[str] | None:
+        """Distinct partition dir names the equality key frame can
+        touch, or None when pruning cannot be proven (unsupported
+        value types / too many tuples / missing key columns)."""
+        from ..sources.snapshot_batch import (
+            _read_parquet_dir,
+            hive_dir_local,
         )
 
+        tab = _read_parquet_dir(f"{self.root}/{DATA_DIR}/{entry['dir']}")
+        if tab is None:
+            return None
+        fv = int(entry.get("frame_version", entry["version"]))
+        stored = _stored_names(self.schema_log, fv) or {}
+        names = []
+        for c in pby:
+            sn = stored.get(c, c)
+            if sn is None or sn not in tab.column_names:
+                return None
+            names.append(sn)
+        try:
+            combos = tab.group_by(names).aggregate([])
+        except Exception:  # noqa: BLE001 -- exotic types: no pruning
+            return None
+        if combos.num_rows > self._PREIMAGE_PRUNE_MAX:
+            return None
+        import datetime as _dt
+
+        out: set[str] = set()
+        for i in range(combos.num_rows):
+            vals = []
+            for sn in names:
+                v = combos.column(sn)[i].as_py()
+                if v is None:
+                    vals.append(None)
+                elif isinstance(v, bool):
+                    vals.append("true" if v else "false")
+                elif isinstance(v, (int, str)) or (
+                    isinstance(v, _dt.date)
+                    and not isinstance(v, _dt.datetime)
+                ):
+                    vals.append(str(v))
+                else:
+                    return None  # float/timestamp formatting: no pruning
+            out.add(hive_dir_local(pby, tuple(vals)))
+        return out
+
     def _dkey_partitions(
-        self, dkeys: list[str], change: tuple
+        self,
+        dkeys: list[str],
+        change: tuple,
+        apply_sets: list | None = None,
+        match_set: dict | None = None,
     ) -> list[_FilePartition]:
         parts: list[_FilePartition] = []
         for dk in dkeys:
@@ -379,7 +508,21 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
                     f"changelog stream lost data dir {dk} to retention; "
                     "restart the stream from a full read"
                 ) from None
+            epoch = _vdir_version(vd)
             for f in files:
+                masks = None
+                relevant = [
+                    d
+                    for d in (apply_sets or [])
+                    if int(d["version"]) > epoch
+                ]
+                if relevant or match_set is not None:
+                    masks = {
+                        "root": self.root,
+                        "rel_path": f"{dk}/{f}",
+                        "apply_sets": relevant,
+                        "match_set": match_set,
+                    }
                 parts.append(
                     _FilePartition(
                         f"{dirp}/{f}",
@@ -387,8 +530,9 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
                         self.schema_json,
                         self.session_tz,
                         change,
-                        _vdir_version(vd),
+                        epoch,
                         self.schema_log,
+                        masks,
                     )
                 )
         return parts
@@ -399,10 +543,67 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         tab = pq.read_table(partition.path)
-        n = tab.num_rows
         fields = json.loads(partition.schema_json)["fields"]
         pvals = dict(partition.part_values)
         tz = partition.session_tz
+        if partition.masks:
+            # changelog MoR arms: keep-masks make the emitting state's
+            # VISIBLE rows (sequence rule pre-filtered at planning),
+            # the match mask keeps only rows the new/dropped set masks
+            # (the pre-image / reappearance arm) -- all pyarrow.compute
+            # via the batch reader's vectorized masks
+            from ..sources.snapshot_batch import (
+                _and_mask,
+                _eq_delete_mask,
+                _positional_delete_mask,
+                _read_parquet_dir,
+            )
+
+            mi = partition.masks
+            types = {f["name"]: f["type"] for f in fields}
+
+            def _one_mask(entry):
+                dtab = _read_parquet_dir(
+                    f"{mi['root']}/{DATA_DIR}/{entry['dir']}"
+                )
+                if dtab is None:
+                    return None
+                if entry.get("kind") == "positional":
+                    if mi["rel_path"].split("/", 1)[0] not in entry.get(
+                        "vdirs", []
+                    ):
+                        return None
+                    return _positional_delete_mask(
+                        tab.num_rows, dtab, mi["rel_path"]
+                    )
+                return _eq_delete_mask(
+                    tab,
+                    dtab,
+                    entry,
+                    partition.schema_log,
+                    partition.epoch,
+                    tz,
+                    pvals,
+                    types,
+                )
+
+            mask = None
+            for entry in mi["apply_sets"]:
+                m1 = _one_mask(entry)
+                if m1 is not None:
+                    mask = _and_mask(mask, m1)
+            if mi["match_set"] is not None:
+                import pyarrow.compute as pc
+
+                keep = _one_mask(mi["match_set"])
+                if keep is None:
+                    return  # set masks nothing in this file
+                mask = _and_mask(mask, pc.invert(keep))
+            if mask is not None:
+                tab = tab.filter(mask)
+            if tab.num_rows == 0:
+                return
+        n = tab.num_rows
         # field-id mapping for dirs written under an OLDER schema epoch
         # (pre-window evolution); None = table never evolved
         stored_of = _stored_names(partition.schema_log, partition.epoch)

@@ -3497,7 +3497,8 @@ def streaming_changelog_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON driver-side (resolved dir-diffs, never a data diff); emission
     scans only the ADDED and DROPPED directories of each commit, so an
     overwrite of one partition costs O(that partition), not O(table).
-    MoR-delete windows refuse toward read_changes (tested)."""
+    MoR-delete windows stream too (round 12):
+    streaming_changelog_mor_live."""
     from ..snapshots import SnapshotStore
     from ..streaming.table_source import SnapshotTableStreamSource
     from .base import scratch_root
@@ -3577,6 +3578,137 @@ def streaming_changelog_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, sum_id long",
     )
     # per-batch groupBy rows merge here (a commit may span micro-batches)
+    return (
+        out.groupBy("commit_version", "change_type", "event_type")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_id").alias("sum_id"),
+        )
+        .orderBy("commit_version", "change_type", "event_type")
+    )
+
+
+@register(
+    "streaming_changelog_mor_live",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, event_type FROM events WHERE event_id % 3 = 0
+    ), s AS (
+        -- v0 snapshot: the base slice inserts
+        SELECT 0 AS commit_version, 'insert' AS change_type, event_type,
+               event_id
+        FROM base
+        UNION ALL
+        -- v1 EQUALITY MoR delete keyed on (event_type, event_id):
+        -- the masked pre-image rows emit as deletes
+        SELECT 1, 'delete', event_type, event_id
+        FROM base WHERE event_id % 9 = 0
+        UNION ALL
+        -- v2 POSITIONAL MoR delete of the still-visible %15 rows
+        SELECT 2, 'delete', event_type, event_id
+        FROM base WHERE event_id % 15 = 0 AND event_id % 9 <> 0
+    )
+    SELECT CAST(commit_version AS BIGINT) AS commit_version,
+           change_type, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM s GROUP BY commit_version, change_type, event_type
+    ORDER BY commit_version, change_type, event_type
+    """,
+    category="streaming",
+    description="LIVE CHANGELOG streaming ACROSS merge-on-read delete "
+    "commits (round 12 -- round 11 refused these windows): an equality "
+    "delete keyed on (event_type, event_id) -- the partition-carrying "
+    "key shape -- and a positional delete_where land on the source; "
+    "the changelog stream emits the masked PRE-IMAGE rows as deletes "
+    "per commit (read_changes parity), computed executor-side with the "
+    "batch reader's vectorized Arrow masks and partition-pruned "
+    "through the key frame; exactly-once is pinned by an idle re-run, "
+    "and the per-(commit, change, type) accounting must hash-match a "
+    "from-source oracle derivation",
+)
+def streaming_changelog_mor_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale notes: pre-image planning reads the O(keys) delete frame
+    once (pyarrow, driver-side) to prune candidate partitions; each
+    surviving file is one task whose mask work is O(file rows) Arrow
+    compute against the O(keys) set -- never a batch-side state diff.
+    Positional sets scan only their recorded target dirs."""
+    from ..snapshots import SnapshotStore
+    from ..streaming.table_source import SnapshotTableStreamSource
+    from .base import scratch_root
+    from .timeseries import stream_partitions
+
+    spark.dataSource.register(SnapshotTableStreamSource)
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "event_type"
+    )
+    base = scratch_root("stream_changelog_mor", sf_dir)
+    src = SnapshotStore(spark, f"{base}/src")
+    ckpt = f"{base}/ckpt"
+    collected: list = []
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        collected.extend(
+            batch.groupBy(
+                "_commit_version", "_change_type", "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("event_id").alias("sum_id"),
+            )
+            .collect()
+        )
+
+    def run_stream() -> None:
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("mode", "changelog")
+            .load(f"{base}/src")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    with stream_partitions(spark):
+        slice0 = ev.where(F.col("event_id") % 3 == 0)
+        src.write(
+            slice0.repartition("event_type"),
+            mode="snapshot",
+            partition_by=["event_type"],
+        )                                                            # v0
+        keys = slice0.where(F.col("event_id") % 9 == 0).select(
+            "event_type", "event_id"
+        )
+        if keys.limit(1).isEmpty():
+            raise AssertionError("no %9 keys at this SF: entry is vacuous")
+        src.delete_keys(keys, ["event_type", "event_id"])            # v1
+        if src.delete_where(F.expr("event_id % 15 = 0")) is None:    # v2
+            raise AssertionError("no %15 rows at this SF: entry is vacuous")
+        run_stream()
+        n_before = len(collected)
+        run_stream()  # idle re-run: exactly-once, nothing re-emitted
+        if len(collected) != n_before:
+            raise AssertionError(
+                "idle changelog re-run re-emitted MoR pre-images"
+            )
+    out = spark.createDataFrame(
+        [
+            (
+                int(r["_commit_version"]),
+                r["_change_type"],
+                r["event_type"],
+                int(r["n_rows"]),
+                int(r["sum_id"]),
+            )
+            for r in collected
+        ],
+        "commit_version long, change_type string, event_type string, "
+        "n_rows long, sum_id long",
+    )
     return (
         out.groupBy("commit_version", "change_type", "event_type")
         .agg(

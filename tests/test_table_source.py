@@ -287,12 +287,87 @@ def test_table_source_changelog_mode(registered, tmp_path):
     assert (1, "d1", "insert", 3) in got and (3, "d1", "insert", 3) in got
 
 
-def test_table_source_changelog_refuses_mor_windows(registered, tmp_path):
+def test_table_source_changelog_streams_mor_delete_windows(
+    registered, tmp_path
+):
+    """Changelog windows across merge-on-read delete commits emit the
+    masked pre-image rows as deletes (read_changes parity), instead of
+    the round-11 refusal: equality set keyed on (day, id) -- the
+    partition-carrying key shape -- then a positional delete_where,
+    then a rollback across the equality delete (reappearing inserts)."""
     spark = registered
     root, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
     s = SnapshotStore(spark, root)
-    s.write(_df(spark, [(1, "d1", 10)]), mode="snapshot",
-            partition_by=["day"])
-    s.delete_keys(spark.createDataFrame([(1,)], "id INT"), ["id"])
-    with pytest.raises(Exception, match="MoR delete|read_changes"):
-        _run_all(spark, root, ckpt, lambda b, i: None, mode="changelog")
+    s.write(
+        _df(spark, [(1, "d1", 10), (2, "d1", 20), (3, "d2", 30)]),
+        mode="snapshot", partition_by=["day"],
+    )                                                                # v0
+    s.delete_keys(
+        spark.createDataFrame([(("d1"), 1)], "day STRING, id INT"),
+        ["day", "id"],
+    )                                                                # v1
+    s.delete_where(F.col("id") == 3)                                 # v2
+    rows: list[tuple] = []
+    _run_all(
+        spark, root, ckpt,
+        lambda b, i: rows.extend(
+            (r["id"], r["day"], r["_change_type"], r["_commit_version"])
+            for r in b.collect()
+        ),
+        mode="changelog",
+    )
+    got = sorted(rows)
+    assert (1, "d1", "insert", 0) in got
+    assert (1, "d1", "delete", 1) in got      # equality pre-image
+    assert (3, "d2", "delete", 2) in got      # positional pre-image
+    assert not any(t[0] == 2 and t[2] == "delete" for t in got)
+    assert len(got) == 5
+    # visible state parity with batch read_changes over the window
+    rc = sorted(
+        (r["id"], r["day"], r["_change_type"], r["_commit_version"])
+        for r in s.read_changes(-1).collect()
+    )
+    assert got == rc
+    # rollback ACROSS the equality delete: masked row reappears
+    s.rollback(0)                                                    # v3
+    rows.clear()
+    _run_all(
+        spark, root, ckpt,
+        lambda b, i: rows.extend(
+            (r["id"], r["day"], r["_change_type"], r["_commit_version"])
+            for r in b.collect()
+        ),
+        mode="changelog",
+    )
+    got = sorted(rows)
+    assert (1, "d1", "insert", 3) in got      # reappeared
+    assert (3, "d2", "insert", 3) in got      # positional undone too
+    assert not any(t[0] == 2 and t[3] == 3 for t in got)
+
+
+def test_changelog_preimage_partition_pruning(registered, tmp_path):
+    """An equality set whose key carries the partition spec plans its
+    pre-image scan over ONLY the key's partitions (pure-twin dir
+    names), never the whole older table state."""
+    from docker_airflow_spark_minio_spark.streaming.table_source import (
+        SnapshotTableStreamReader,
+    )
+
+    spark = registered
+    root = str(tmp_path / "t")
+    s = SnapshotStore(spark, root)
+    s.write(
+        _df(spark, [(i, f"d{i % 8}", i) for i in range(32)]),
+        mode="snapshot", partition_by=["day"],
+    )
+    s.delete_keys(
+        spark.createDataFrame([("d3", 3)], "day STRING, id INT"),
+        ["day", "id"],
+    )
+    reader = SnapshotTableStreamReader(root, {"mode": "changelog"})
+    parts = reader.partitions({"version": 0}, {"version": 1})
+    assert parts, "expected pre-image tasks"
+    assert all("day=d3" in p.path for p in parts)
+    assert all(
+        p.change == ("delete", 1) and p.masks["match_set"] for p in parts
+    )
