@@ -27,6 +27,16 @@ table's first batch.
 ``max-files-per-micro-batch`` rate-limit analog at commit granularity):
 cap how many table VERSIONS one micro-batch may cover, so a long
 backlog arrives as several bounded batches instead of one giant one.
+``maxfilespertrigger`` (round 12; Iceberg's actual file-granularity
+knob): cap how many data FILES one micro-batch may scan -- one fat
+commit splits across micro-batches.  Offsets become
+``{"version": v, "file": k}`` (first ``k`` tasks of version ``v``
+consumed; whole-version positions keep the legacy ``{"version": n}``
+shape, so existing checkpoints resume unchanged); per-version task
+lists are deterministic (sorted walks, cached per planner), which both
+slicing and kill-replay rely on.  Both knobs compose; each batch makes
+at least one file of progress, so zero-file commits can never stall
+the cursor.
 The Python stream API has no admission control (``latestOffset()``
 never sees the checkpointed start), so the throttle cursor is
 source-owned: it starts at ``startingversion`` and advances through
@@ -184,10 +194,20 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         self.max_versions = int(raw_max) if raw_max is not None else None
         if self.max_versions is not None and self.max_versions < 1:
             raise ValueError("maxversionspertrigger must be >= 1")
+        raw_maxf = options.get("maxfilespertrigger")
+        self.max_files = int(raw_maxf) if raw_maxf is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("maxfilespertrigger must be >= 1")
         # monotonic throttle cursor (see module docstring): starts at
         # startingversion, resynced by the engine's restart-time
-        # commit() callback and by every planned window
-        self._cursor = self.start
+        # commit() callback and by every planned window.  Position is
+        # (version, files-of-that-version-consumed) so maxfilespertrigger
+        # can split ONE fat commit across micro-batches; (v, 0) ==
+        # "fully consumed through v-1".
+        self._cursor = (self.start + 1, 0)
+        # deterministic per-version task lists (planning cache): file
+        # slicing and kill-replay both need the SAME list per version
+        self._tasks_cache: dict[int, list] = {}
         head = _head_published(self.root)
         if head is None:
             raise ValueError(f"no snapshots committed under {self.root}")
@@ -200,9 +220,29 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         # name; IN-window evolve commits still refuse at planning.
         self.schema_log = head_m.get("schema_log")
 
-    def _advance_cursor(self, v: int) -> None:
-        if v > self._cursor:
-            self._cursor = v
+    @staticmethod
+    def _norm(offset: dict) -> tuple[int, int]:
+        """Offset JSON -> (version, files_consumed_of_that_version).
+        Legacy ``{"version": N}`` offsets (fully consumed through N)
+        normalize to ``(N + 1, 0)``, so pre-round-12 checkpoints resume
+        unchanged."""
+        if "file" in offset:
+            return (int(offset["version"]), int(offset["file"]))
+        return (int(offset["version"]) + 1, 0)
+
+    @staticmethod
+    def _repr_offset(pos: tuple[int, int]) -> dict:
+        """(version, k) -> offset JSON; whole-version positions keep
+        the legacy shape (byte-identical checkpoints when file
+        throttling is unused)."""
+        v, k = pos
+        if k == 0:
+            return {"version": v - 1}
+        return {"version": v, "file": k}
+
+    def _advance_cursor(self, pos: tuple[int, int]) -> None:
+        if pos > self._cursor:
+            self._cursor = pos
 
     # -- offset lifecycle -------------------------------------------------
     def initialOffset(self) -> dict:
@@ -211,43 +251,55 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         head = _head_published(self.root)
         if head is None:
-            head = self.start
+            return self._repr_offset(self._cursor)
+        cv, ck = self._cursor
+        # version bound: at most max_versions versions may be touched by
+        # this batch (finishing a partially-consumed version counts as
+        # one) -- reduces to the legacy min(head, cursor + max) formula
+        last_v = head
         if self.max_versions is not None:
-            head = min(head, self._cursor + self.max_versions)
-        return {"version": head}
+            last_v = min(head, cv + self.max_versions - 1)
+        if self.max_files is None:
+            # whole versions only; never regresses below the cursor
+            # (when ck > 0, last_v >= cv so this also finishes the
+            # partially-consumed version)
+            return self._repr_offset(max((last_v + 1, 0), self._cursor))
+        # file bound: walk forward consuming up to max_files tasks;
+        # always >= 1 file of progress when anything is available
+        budget = self.max_files
+        v, k = cv, ck
+        while v <= last_v and budget > 0:
+            n = len(self._version_tasks(v))
+            take = min(budget, n - k)
+            if take > 0:
+                budget -= take
+                k += take
+            if k < n:
+                break  # budget exhausted mid-version
+            v, k = v + 1, 0
+        return self._repr_offset((v, k))
 
     def commit(self, end: dict) -> None:
         # also the restart-resync point: the engine replays the
         # checkpointed offset through commit() when a query restarts
-        self._advance_cursor(int(end["version"]))
+        self._advance_cursor(self._norm(end))
 
     # -- planning (driver-side, manifest JSON only) ------------------------
-    def partitions(self, start: dict, end: dict):
-        lo, hi = int(start["version"]), int(end["version"])
-        if hi < lo:
-            # a throttled latestOffset landed BEHIND the engine's
-            # checkpointed start: planning this window would regress the
-            # offset log and re-deliver.  Unreachable under the observed
-            # restart protocol (commit() resyncs first) -- loud guard so
-            # a protocol change can never silently double-deliver.
-            raise ValueError(
-                f"rate-limit cursor (v{hi}) is behind the checkpointed "
-                f"stream position (v{lo}); refusing to regress the "
-                "offset log -- run once without maxversionspertrigger "
-                "to resync"
-            )
-        # the engine commits `hi` for this batch: advance the cursor so
-        # rate limiting measures from here (and never regresses)
-        self._advance_cursor(hi)
-        parts: list[_FilePartition] = []
-        for v in range(lo + 1, hi + 1):
-            m = _manifest(self.root, v)
-            if m.get("staged") is not None:
-                continue  # not table state until its publish commit
+    def _version_tasks(self, v: int) -> list[_FilePartition]:
+        """THE deterministic task list of one published version --
+        staged commits contribute nothing; append-mode contract checks
+        live here.  Cached: file-offset slicing and kill-replay must
+        see the identical list on every call."""
+        cached = self._tasks_cache.get(v)
+        if cached is not None:
+            return cached
+        m = _manifest(self.root, v)
+        if m.get("staged") is not None:
+            parts: list[_FilePartition] = []
+        elif self.mode == "changelog":
+            parts = self._changelog_partitions(v, m, m["mode"])
+        else:
             mode = m["mode"]
-            if self.mode == "changelog":
-                parts.extend(self._changelog_partitions(v, m, mode))
-                continue
             if not (mode == "append" or (mode == "snapshot" and v == 0)):
                 raise ValueError(
                     f"streaming window crosses a '{mode}' commit (v{v}); "
@@ -256,11 +308,40 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
                     "replace/delete commits via mode=changelog / "
                     "read_changes or restart from a full read"
                 )
-            parts.extend(
-                self._dir_partitions(
-                    sorted(_added_vdirs(self.root, m, v)), change=None
-                )
+            parts = self._dir_partitions(
+                sorted(_added_vdirs(self.root, m, v)), change=None
             )
+        if len(self._tasks_cache) > 64:
+            self._tasks_cache.clear()  # bounded planner memory
+        self._tasks_cache[v] = parts
+        return parts
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = self._norm(start), self._norm(end)
+        if hi < lo:
+            # a throttled latestOffset landed BEHIND the engine's
+            # checkpointed start: planning this window would regress the
+            # offset log and re-deliver.  Unreachable under the observed
+            # restart protocol (commit() resyncs first) -- loud guard so
+            # a protocol change can never silently double-deliver.
+            raise ValueError(
+                f"rate-limit cursor {hi} is behind the checkpointed "
+                f"stream position {lo}; refusing to regress the offset "
+                "log -- run once without maxversionspertrigger/"
+                "maxfilespertrigger to resync"
+            )
+        # the engine commits `hi` for this batch: advance the cursor so
+        # rate limiting measures from here (and never regresses)
+        self._advance_cursor(hi)
+        (v1, k1), (v2, k2) = lo, hi
+        parts: list[_FilePartition] = []
+        for v in range(v1, v2 + 1):
+            if v == v2 and k2 == 0:
+                break  # nothing of v2 in this window
+            tasks = self._version_tasks(v)
+            a = k1 if v == v1 else 0
+            b = k2 if v == v2 else len(tasks)
+            parts.extend(tasks[a:b])
         return parts
 
     def _dir_partitions(
@@ -270,6 +351,10 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         for vd in vdirs:
             base = f"{self.root}/{DATA_DIR}/{vd}"
             for dirpath, _dirs, files in os.walk(base):
+                _dirs.sort()  # deterministic traversal: file-offset
+                # slicing and kill-replay need the SAME task order on
+                # every plan of a window (os.walk order is otherwise
+                # listdir-dependent)
                 rel = os.path.relpath(dirpath, base)
                 pvals = []
                 if rel != ".":

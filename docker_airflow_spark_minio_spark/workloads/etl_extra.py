@@ -3452,6 +3452,120 @@ def streaming_table_backlog_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_table_file_throttle_live",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    category="streaming",
+    description="LIVE FILE-granular rate limiting (round 12, "
+    "maxfilespertrigger -- Iceberg's max-files-per-micro-batch): ONE "
+    "fat multi-file snapshot commit lands on the source table, and one "
+    "streaming query drains it as >= 2 bounded micro-batches via "
+    "sub-version {version, file} offsets over a deterministic task "
+    "list (runtime-asserted: batch count == ceil(files/cap), an idle "
+    "re-run delivers nothing), with the drained accounting hash-matched "
+    "against the raw source -- exactly-once across a SPLIT commit.  "
+    "Offset normalization/restart mechanics are pinned in "
+    "tests/test_table_source.py",
+)
+def streaming_table_file_throttle_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale notes: a consumer attaching to a table whose producer
+    lands giant commits (a daily bulk load) must not scan the whole
+    commit in one micro-batch -- the file cap bounds per-batch input to
+    O(maxfilespertrigger) files regardless of commit shape, with the
+    same monotonic-cursor / never-regress guarantees as the version
+    throttle (both knobs compose)."""
+    import math
+
+    from ..snapshots import SnapshotStore
+    from ..streaming.append import append_snapshot_batch
+    from ..streaming.table_source import (
+        SnapshotTableStreamReader,
+        SnapshotTableStreamSource,
+    )
+    from .base import scratch_root
+    from .timeseries import stream_partitions
+
+    spark.dataSource.register(SnapshotTableStreamSource)
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "event_type"
+    )
+    base = scratch_root("stream_filethrottle", sf_dir)
+    src = SnapshotStore(spark, f"{base}/src")
+    dst = SnapshotStore(spark, f"{base}/dst")
+    ckpt = f"{base}/ckpt"
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        append_snapshot_batch(
+            dst, batch, partition_by=["event_type"], batch_id=batch_id
+        )
+
+    with stream_partitions(spark):
+        # ONE fat commit: several files per partition dir
+        src.write(
+            ev.repartition(4),
+            mode="snapshot",
+            partition_by=["event_type"],
+        )
+        n_files = len(
+            SnapshotTableStreamReader(
+                f"{base}/src", {}
+            )._version_tasks(0)
+        )
+        if n_files < 2:
+            raise AssertionError(
+                f"fat commit landed only {n_files} file(s); the split "
+                "claim is vacuous"
+            )
+        cap = max(1, math.ceil(n_files / 3))
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("maxfilespertrigger", str(cap))
+            .load(f"{base}/src")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        n_batches = (dst.current_version() or 0) + 1
+        want = math.ceil(n_files / cap)
+        if n_batches != want or n_batches < 2:
+            raise AssertionError(
+                f"expected {want} (>=2) file-throttled micro-batches "
+                f"for {n_files} files at cap {cap}; sink landed "
+                f"{n_batches}"
+            )
+        before = dst.current_version()
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("maxfilespertrigger", str(cap))
+            .load(f"{base}/src")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        if dst.current_version() != before:
+            raise AssertionError("idle file-throttled re-run appended")
+    return (
+        dst.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("sum_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "streaming_changelog_live",
     oracle="""
     WITH ev AS (

@@ -239,6 +239,97 @@ def test_table_source_rate_limited_backlog(registered, tmp_path):
     assert len([b for b in batches if b]) >= 2
 
 
+def test_table_source_file_rate_limited_fat_commit(registered, tmp_path):
+    """maxfilespertrigger: ONE fat commit (many files) splits across
+    >= 2 micro-batches with sub-version file offsets, exactly once and
+    in deterministic task order; restarts resume mid-COMMIT."""
+    spark = registered
+    root, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    s = SnapshotStore(spark, root)
+    # one commit, 8 partition dirs (>= 8 files)
+    s.write(
+        _df(spark, [(i, f"d{i % 8}", i) for i in range(16)]).repartition(
+            "day"
+        ),
+        mode="snapshot",
+        partition_by=["day"],
+    )
+    batches: list[list[int]] = []
+    _run_all(
+        spark, root, ckpt,
+        lambda b, i: batches.append(sorted(r["id"] for r in b.collect())),
+        maxfilespertrigger="3",
+    )
+    delivered = [i for b in batches for i in b]
+    assert sorted(delivered) == list(range(16))       # exactly once
+    nonempty = [b for b in batches if b]
+    assert len(nonempty) >= 2, f"fat commit did not split: {batches}"
+    # a second fat commit + restart: resumes throttled, no re-delivery
+    s.write(
+        _df(spark, [(i, f"d{i % 8}", i) for i in range(16, 32)])
+        .repartition("day"),
+        mode="append",
+        partition_by=["day"],
+    )
+    batches.clear()
+    _run_all(
+        spark, root, ckpt,
+        lambda b, i: batches.append(sorted(r["id"] for r in b.collect())),
+        maxfilespertrigger="3",
+    )
+    assert sorted(i for b in batches for i in b) == list(range(16, 32))
+    assert len([b for b in batches if b]) >= 2
+    # composes with the version cap; idle re-run delivers nothing
+    batches.clear()
+    _run_all(
+        spark, root, ckpt,
+        lambda b, i: batches.append(sorted(r["id"] for r in b.collect())),
+        maxfilespertrigger="3",
+        maxversionspertrigger="1",
+    )
+    assert [i for b in batches for i in b] == []
+
+
+def test_table_source_file_limit_offsets_unit(registered, tmp_path):
+    """Offset mechanics pinned without an engine: legacy offsets
+    normalize, sub-version offsets slice the SAME deterministic task
+    list, zero progress never happens while work remains."""
+    from docker_airflow_spark_minio_spark.streaming.table_source import (
+        SnapshotTableStreamReader,
+    )
+
+    spark = registered
+    root = str(tmp_path / "t")
+    s = SnapshotStore(spark, root)
+    s.write(
+        _df(spark, [(i, f"d{i % 4}", i) for i in range(8)]).repartition(
+            "day"
+        ),
+        mode="snapshot",
+        partition_by=["day"],
+    )
+    r = SnapshotTableStreamReader(root, {"maxfilespertrigger": "2"})
+    n_total = len(r._version_tasks(0))
+    assert n_total >= 4
+    # walk the whole backlog two files at a time
+    seen: list[str] = []
+    cur = r.initialOffset()
+    for _ in range(n_total):
+        nxt = r.latestOffset()
+        if nxt == cur:
+            break
+        parts = r.partitions(cur, nxt)
+        assert 1 <= len(parts) <= 2
+        seen += [p.path for p in parts]
+        r.commit(nxt)
+        cur = nxt
+    assert seen == [p.path for p in r._version_tasks(0)]  # exact order
+    assert r.latestOffset() == cur  # drained: no phantom progress
+    # regression guard still loud under the new offset shape
+    with pytest.raises(ValueError, match="behind the checkpointed"):
+        r.partitions({"version": 0, "file": 3}, {"version": 0, "file": 1})
+
+
 def test_table_source_changelog_mode(registered, tmp_path):
     """mode=changelog: non-append commits emit insert/delete rows
     (read_changes-shaped) instead of refusing."""
