@@ -4,11 +4,14 @@ broadcast vs shuffle WITHOUT an ANALYZE scan.
 Spark's own auto-broadcast decision needs table size statistics, which
 for plain parquet relations come from file sizes at best and from an
 ANALYZE TABLE pass at worst.  Snapshot-table manifests already carry
-exact per-directory ROW COUNTS (``dir_rows``, recorded by the stats
-scan) and, with ``write(ndv_cols=...)``, a mergeable HLL NDV sketch per
-join-relevant column -- everything a planner needs, maintained
-incrementally at write time (the Iceberg idea: stats live in table
-metadata, not in a catalog-side ANALYZE).
+exact per-directory data-file BYTE SUMS (``dir_bytes``, recorded by
+every write from a listing -- Spark's broadcast threshold is bytes, so
+this is the binding statistic), exact per-directory ROW COUNTS
+(``dir_rows``, recorded by the stats scan), and, with
+``write(ndv_cols=...)``, a mergeable HLL NDV sketch per join-relevant
+column -- everything a planner needs, maintained incrementally at
+write time (the Iceberg idea: stats live in table metadata, not in a
+catalog-side ANALYZE).
 
 Decision semantics (:func:`plan_snapshot_join`), stated conservatively:
 
@@ -40,10 +43,17 @@ from pyspark.sql import functions as F
 
 from ..snapshots import SnapshotStore
 
-#: default broadcast ceiling, in ROWS (manifests count rows, not bytes;
-#: at ~100 B/row this tracks Spark's 10 MB autoBroadcast default's
-#: order of magnitude).
+#: default broadcast ceiling, in ROWS (the pre-round-12 statistic;
+#: kept as a second gate and the fallback when bytes are unrecorded).
 BROADCAST_THRESHOLD_ROWS = 100_000
+
+#: default broadcast ceiling, in BYTES -- Spark's own
+#: autoBroadcastJoinThreshold default (10 MB).  Manifests record exact
+#: per-directory data-file byte sums (``dir_bytes``, round 12) from a
+#: write-time listing, so this is the statistic that actually matches
+#: Spark's broadcast semantics; a wide-row table whose ROW count looks
+#: broadcastable is refused here.
+BROADCAST_THRESHOLD_BYTES = 10 * 1024 * 1024
 
 
 #: rows-per-distinct-key ratio above which a shuffle join is flagged
@@ -56,6 +66,9 @@ SKEW_FACTOR_HINT = 64
 class JoinSideStats:
     rows: int | None  # exact manifest count; None = not provable
     ndv: int | None  # HLL estimate for the join key; None = no sketch
+    bytes: int | None = None  # exact manifest data-file byte sum;
+    # physical (MoR masks don't shrink it), so an UPPER bound on any
+    # masked read -- None on pre-round-12 manifests
 
     @property
     def skew_factor(self) -> float | None:
@@ -78,14 +91,27 @@ class JoinDecision:
 
 
 def side_stats(store: SnapshotStore, key: str) -> JoinSideStats:
-    return JoinSideStats(rows=store.count_rows(), ndv=store.column_ndv(key))
+    return JoinSideStats(
+        rows=store.count_rows(),
+        ndv=store.column_ndv(key),
+        bytes=store.count_bytes(),
+    )
 
 
-def _broadcastable(s: JoinSideStats, threshold: int) -> bool:
-    """Provably small enough to broadcast.  Unknown rows are NEVER
-    broadcastable (NDV is a lower bound -- it can refuse, not
-    approve)."""
-    return s.rows is not None and s.rows <= threshold
+def _broadcastable(s: JoinSideStats, threshold: int, bytes_threshold: int) -> bool:
+    """Provably small enough to broadcast.  BYTES are the binding
+    statistic (Spark's threshold is bytes): known-oversized bytes VETO
+    a row-count-approved broadcast (the wide-row case), and known-small
+    bytes can approve a side whose ROW count is unprovable (live MoR
+    masks) because physical bytes upper-bound the masked build side.
+    With bytes unrecorded (pre-round-12 manifests), rows alone decide;
+    unknown rows + unknown bytes are NEVER broadcastable (NDV is a
+    lower bound -- it can refuse, not approve)."""
+    if s.bytes is not None and s.bytes > bytes_threshold:
+        return False
+    if s.rows is not None:
+        return s.rows <= threshold
+    return s.bytes is not None and s.bytes <= bytes_threshold
 
 
 def plan_snapshot_join(
@@ -93,30 +119,39 @@ def plan_snapshot_join(
     right: SnapshotStore,
     on: str,
     broadcast_threshold_rows: int = BROADCAST_THRESHOLD_ROWS,
+    broadcast_threshold_bytes: int = BROADCAST_THRESHOLD_BYTES,
 ) -> JoinDecision:
     ls, rs = side_stats(left, on), side_stats(right, on)
     est = None
     if ls.rows is not None and rs.rows is not None and (ls.ndv or rs.ndv):
         est = (ls.rows * rs.rows) // max(ls.ndv or 1, rs.ndv or 1)
     lb, rb = (
-        _broadcastable(ls, broadcast_threshold_rows),
-        _broadcastable(rs, broadcast_threshold_rows),
+        _broadcastable(ls, broadcast_threshold_rows, broadcast_threshold_bytes),
+        _broadcastable(rs, broadcast_threshold_rows, broadcast_threshold_bytes),
     )
     if lb and (not rb or (ls.rows or 0) <= (rs.rows or 0)):
         return JoinDecision(
             "broadcast_left", ls, rs, est,
-            f"left rows {ls.rows} <= {broadcast_threshold_rows}",
+            f"left rows {ls.rows} / bytes {ls.bytes} within thresholds",
         )
     if rb:
         return JoinDecision(
             "broadcast_right", ls, rs, est,
-            f"right rows {rs.rows} <= {broadcast_threshold_rows}",
+            f"right rows {rs.rows} / bytes {rs.bytes} within thresholds",
         )
     why = []
     for name, s in (("left", ls), ("right", rs)):
-        if s.rows is None:
+        if s.bytes is not None and s.bytes > broadcast_threshold_bytes:
             why.append(
-                f"{name} rows unprovable"
+                f"{name} bytes {s.bytes} over the byte threshold"
+                + (" (rows within the row threshold: wide rows)"
+                   if s.rows is not None
+                   and s.rows <= broadcast_threshold_rows
+                   else "")
+            )
+        elif s.rows is None:
+            why.append(
+                f"{name} rows unprovable, bytes unrecorded"
                 + (
                     f" (ndv {s.ndv} already exceeds threshold)"
                     if s.ndv is not None
@@ -147,13 +182,16 @@ def join_snapshot_tables(
     on: str,
     how: str = "inner",
     broadcast_threshold_rows: int = BROADCAST_THRESHOLD_ROWS,
+    broadcast_threshold_bytes: int = BROADCAST_THRESHOLD_BYTES,
 ) -> tuple[DataFrame, JoinDecision]:
     """Join two snapshot tables with the physical strategy chosen from
     MANIFEST STATISTICS alone (no ANALYZE, no data touched for the
     decision); returns ``(joined frame, decision)``.  The broadcast
     pick is a hint -- Catalyst/AQE still own the final plan, and a
     'shuffle' decision simply leaves them to it."""
-    decision = plan_snapshot_join(left, right, on, broadcast_threshold_rows)
+    decision = plan_snapshot_join(
+        left, right, on, broadcast_threshold_rows, broadcast_threshold_bytes
+    )
     ldf, rdf = left.read(), right.read()
     if decision.strategy == "broadcast_left":
         ldf = F.broadcast(ldf)

@@ -752,6 +752,12 @@ class SnapshotStore:
                 k: v for k, v in cur.get("dir_rows", {}).items() if k in live
             }
             dir_rows.update(d.get("dir_rows_added", {}))
+            dir_bytes = {
+                k: v
+                for k, v in cur.get("dir_bytes", {}).items()
+                if k in live
+            }
+            dir_bytes.update(d.get("dir_bytes_added", {}))
             cur = {
                 "version": d["version"],
                 "parent": d["parent"],
@@ -765,6 +771,7 @@ class SnapshotStore:
                 "delete_sets": delete_sets,
                 "dir_specs": dir_specs,
                 "dir_rows": dir_rows,
+                "dir_bytes": dir_bytes,
                 "table_stats": (
                     d.get("table_stats")
                     if d.get("table_stats") is not None
@@ -851,7 +858,8 @@ class SnapshotStore:
                 selected = shards[:1]
         out = {k: v for k, v in raw.items() if k != "partition_shards"}
         out["partitions"] = dict(raw.get("partitions", {}))
-        for key in ("dir_stats", "file_stats", "file_blooms", "dir_rows"):
+        for key in ("dir_stats", "file_stats", "file_blooms", "dir_rows",
+                    "dir_bytes"):
             out[key] = dict(raw.get(key, {}))
         for s in selected:
             sh = self._read_shard(s["file"])
@@ -861,6 +869,7 @@ class SnapshotStore:
                 "file_stats",
                 "file_blooms",
                 "dir_rows",
+                "dir_bytes",
             ):
                 out[key].update(sh.get(key, {}))
         return out
@@ -967,6 +976,7 @@ class SnapshotStore:
                 "file_stats": {},
                 "file_blooms": {},
                 "dir_rows": {},
+                "dir_bytes": {},
             }
             for _ in range(n_shards)
         ]
@@ -977,8 +987,9 @@ class SnapshotStore:
             "file_stats": {},
             "file_blooms": {},
             "dir_rows": {},
+            "dir_bytes": {},
         }
-        for key in ("dir_stats", "dir_rows"):
+        for key in ("dir_stats", "dir_rows", "dir_bytes"):
             for dk, v in manifest.get(key, {}).items():
                 j = shard_of.get(_dkey_part(dk))
                 (payloads[j][key] if j is not None else leftovers[key])[
@@ -1019,7 +1030,7 @@ class SnapshotStore:
             for k, v in manifest.items()
             if k
             not in ("partitions", "dir_stats", "file_stats", "file_blooms",
-                    "dir_rows")
+                    "dir_rows", "dir_bytes")
         }
         root["partitions"] = {}
         root.update(leftovers)
@@ -1264,6 +1275,7 @@ class SnapshotStore:
             "delete_sets": target.get("delete_sets", []),
             "dir_specs": _filled_dir_specs(target),
             "dir_rows": target.get("dir_rows", {}),
+            "dir_bytes": target.get("dir_bytes", {}),
             "table_stats": target.get("table_stats"),
             "committed_at_ms": int(time.time() * 1000),
             "metadata": {"rollback_to": version},
@@ -1611,6 +1623,7 @@ class SnapshotStore:
                         head.get("file_stats_sidecars") or []
                     ),
                     "dir_rows": dict(head.get("dir_rows", {})),
+                    "dir_bytes": dict(head.get("dir_bytes", {})),
                     "delete_sets": _prune_delete_sets(
                         list(head.get("delete_sets", []))
                         + [{**d, "version": restamp} for d in own],
@@ -1722,6 +1735,7 @@ class SnapshotStore:
                         if s["vdir"] in st_vdirs
                     ],
                     "dir_rows": _carry("dir_rows", st_vdirs, False),
+                    "dir_bytes": _carry("dir_bytes", st_vdirs, False),
                     "delete_sets": _prune_delete_sets(
                         list(head.get("delete_sets", [])), partitions
                     ),
@@ -1778,6 +1792,7 @@ class SnapshotStore:
                 "delete_sets": merged.get("delete_sets", []),
                 "dir_specs": _filled_dir_specs(merged),
                 "dir_rows": merged.get("dir_rows", {}),
+                "dir_bytes": merged.get("dir_bytes", {}),
                 "table_stats": merged.get("table_stats"),
                 "committed_at_ms": int(time.time() * 1000),
                 "metadata": meta,
@@ -2080,6 +2095,7 @@ class SnapshotStore:
                 ),
                 "dir_specs": _filled_dir_specs(parent),
                 "dir_rows": parent.get("dir_rows", {}),
+                "dir_bytes": parent.get("dir_bytes", {}),
                 "watermarks": dict(parent.get("watermarks") or {}),
             }
         else:
@@ -2215,6 +2231,7 @@ class SnapshotStore:
                 ),
                 "dir_specs": _filled_dir_specs(parent),
                 "dir_rows": parent.get("dir_rows", {}),
+                "dir_bytes": parent.get("dir_bytes", {}),
                 "watermarks": dict(parent.get("watermarks") or {}),
             }
         else:
@@ -2677,6 +2694,7 @@ class SnapshotStore:
             "delete_sets": delete_sets,
             "dir_specs": _filled_dir_specs(parent),
             "dir_rows": parent.get("dir_rows", {}),
+            "dir_bytes": parent.get("dir_bytes", {}),
             "table_stats": parent.get("table_stats"),
             "committed_at_ms": int(time.time() * 1000),
             "metadata": {
@@ -2990,6 +3008,28 @@ class SnapshotStore:
         """IO leaf: recursive delete (Spark-less callers override)."""
         delete_prefix(self.spark, path)
 
+    def _dir_file_sizes(self, data_path: str, depth: int) -> dict[str, int]:
+        """IO leaf: per-partition-dir BYTE sums of a just-written data
+        dir (relative Hive part -> bytes; ``""`` for unpartitioned) --
+        a metadata-sized recursive listing, no data read.  Spark-less
+        callers override with os.walk."""
+        fs, base = _fs_and_path(self.spark, data_path)
+        base_str = base.toUri().getPath()
+        out: dict[str, int] = {}
+        it = fs.listFiles(base, True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath()
+            name = p.getName()
+            if not name.endswith(".parquet") or name.startswith((".", "_")):
+                continue
+            rel = p.toUri().getPath()[len(base_str):].lstrip("/")
+            part = rel.rsplit("/", 1)[0] if "/" in rel else ""
+            if (part.count("/") + 1 if part else 0) != depth:
+                continue  # stray nesting: not a partition leaf
+            out[part] = out.get(part, 0) + int(st.getLen())
+        return out
+
     def _assemble_and_commit_dir(
         self,
         *,
@@ -3196,6 +3236,16 @@ class SnapshotStore:
         fresh_file_stats = dict(file_stats)
         fresh_file_blooms = dict(file_blooms)
         fresh_dir_rows = dict(dir_rows)
+        # per-directory data-file BYTE sums, recorded unconditionally
+        # (a listing of the just-written files, no data scan): the
+        # size statistic join planning actually needs -- Spark's
+        # broadcast threshold is bytes, not rows (plans/join_stats.py)
+        dir_bytes = {
+            (f"{vdir}/{p}" if p else vdir): b
+            for p, b in self._dir_file_sizes(data_path, len(pby)).items()
+            if vdir in partitions.get(p, [])
+        }
+        fresh_dir_bytes = dict(dir_bytes)
         sidecars = list(own_sidecars)
         if parent is not None:
             sidecars = (
@@ -3223,6 +3273,9 @@ class SnapshotStore:
             for k, v in parent.get("dir_rows", {}).items():
                 if k in live and k not in dir_rows:
                     dir_rows[k] = v
+            for k, v in parent.get("dir_bytes", {}).items():
+                if k in live and k not in dir_bytes:
+                    dir_bytes[k] = v
         # Full checkpoint or delta?  A table-replacing snapshot, the
         # first commit, and every CHECKPOINT_EVERY-th version write the
         # full map; everything else writes O(touched partitions) -- see
@@ -3316,6 +3369,7 @@ class SnapshotStore:
                 ),
                 "dir_specs": dir_specs,
                 "dir_rows": dir_rows,
+                "dir_bytes": dir_bytes,
                 # Carried forward parent -> child on every commit (see
                 # docstring) -- survives retention as long as ANY
                 # snapshot survives, which keep_last >= 1 guarantees.
@@ -3338,6 +3392,7 @@ class SnapshotStore:
                     {vdir: list(pby)} if vdir_referenced else {}
                 ),
                 "dir_rows_added": fresh_dir_rows,
+                "dir_bytes_added": fresh_dir_bytes,
                 # THIS commit's marks only; resolution merges the chain
                 # (same carried-forward semantics as the eager merge).
                 "watermarks": dict(watermarks or {}),
@@ -4471,6 +4526,41 @@ class SnapshotStore:
                 if n is None:
                     return None
                 total += int(n)
+        return total
+
+    def count_bytes(
+        self, as_of: int | None = None, partitions: list[str] | None = None
+    ) -> int | None:
+        """Total live data-file BYTES answered from manifest metadata
+        (``dir_bytes``, recorded by every write from a listing of the
+        just-written files -- no stats scan required).  PHYSICAL bytes:
+        live merge-on-read delete sets do NOT make the answer unknown
+        (masked rows still occupy their file bytes), so the result is
+        an UPPER BOUND on any masked read -- the safe direction for
+        broadcast sizing (:mod:`..plans.join_stats`).  Returns None
+        when a live directory predates byte recording (round-12
+        manifests) -- callers fall back to row counts."""
+        version = self.current_version() if as_of is None else as_of
+        if version is None:
+            raise ValueError(f"no snapshots committed under {self.root}")
+        manifest = self._read_manifest_pruned(version, partitions=partitions)
+        if partitions is not None:
+            unknown = set(partitions) - set(manifest["partitions"])
+            if unknown:
+                raise ValueError(
+                    f"no such partitions in snapshot v{version}: "
+                    f"{sorted(unknown)}"
+                )
+        sizes = manifest.get("dir_bytes", {})
+        total = 0
+        for part, vdirs in manifest["partitions"].items():
+            if partitions is not None and part not in partitions:
+                continue
+            for vd in vdirs:
+                b = sizes.get(f"{vd}/{part}" if part else vd)
+                if b is None:
+                    return None
+                total += int(b)
         return total
 
     def commit_modes(

@@ -134,9 +134,24 @@ def test_join_flips_smj_to_broadcast_from_manifest_stats(
     assert abs(decision.est_output_rows - 5000) <= 300
 
 
-def test_unknown_rows_never_broadcast(spark, tmp_path):
-    """Live MoR delete sets make row counts unprovable; NDV (a lower
-    bound) can refuse a broadcast but never approve one."""
+def _strip_dir_bytes(store: SnapshotStore) -> None:
+    """Simulate a pre-round-12 table: remove the recorded byte sums
+    from every manifest (deltas and checkpoints)."""
+    import json
+
+    for v in store.versions():
+        path = store._manifest_path(v)
+        m = json.loads(open(path).read())
+        m.pop("dir_bytes", None)
+        m.pop("dir_bytes_added", None)
+        open(path, "w").write(json.dumps(m))
+
+
+def test_unknown_rows_never_broadcast_without_bytes(spark, tmp_path):
+    """Live MoR delete sets make row counts unprovable.  With recorded
+    BYTE sums, physical bytes upper-bound the masked build side and may
+    still approve the broadcast; WITHOUT them (pre-round-12 manifests),
+    NDV (a lower bound) can refuse a broadcast but never approve one."""
     s = _facts(spark, str(tmp_path / "facts"), n=3000)
     dim = SnapshotStore(spark, str(tmp_path / "dim"))
     dim.write(
@@ -149,10 +164,100 @@ def test_unknown_rows_never_broadcast(spark, tmp_path):
     )
     dim.delete_keys(spark.createDataFrame([(1,)], "dim_id long"), ["dim_id"])
     assert dim.count_rows() is None
-    # facts (3000 rows) exceed the threshold; dim rows are unknowable:
-    # NDV alone must not approve a broadcast
+    # bytes recorded and tiny: the masked build side is upper-bounded
+    # by physical bytes -> broadcast is sound and taken
+    assert dim.count_bytes() is not None
     d = plan_snapshot_join(s, dim, "dim_id", broadcast_threshold_rows=1000)
-    assert d.strategy == "shuffle" and "unprovable" in d.reason
+    assert d.strategy == "broadcast_right", d
+    # pre-round-12 table (no byte sums): rows unknowable, bytes
+    # unrecorded -- NDV alone must not approve a broadcast
+    _strip_dir_bytes(dim)
+    assert dim.count_bytes() is None
+    d2 = plan_snapshot_join(s, dim, "dim_id", broadcast_threshold_rows=1000)
+    assert d2.strategy == "shuffle" and "unprovable" in d2.reason
+
+
+def test_wide_rows_refuse_row_approved_broadcast(
+    no_auto_broadcast, tmp_path
+):
+    """The round-12 byte statistic: a WIDE-ROW dimension whose row
+    count is comfortably under the row threshold is refused by its
+    manifest byte sum (Spark's broadcast threshold is bytes), and the
+    executed plan stays on the shuffle path; raising the byte
+    threshold flips it back."""
+    spark = no_auto_broadcast
+    facts = _facts(spark, str(tmp_path / "facts"), n=5000)
+    dim = SnapshotStore(spark, str(tmp_path / "dim"))
+    # ~200 rows x ~250 KB of DISTINCT hash text (repeats would
+    # compress away in parquet and defeat the byte gate)
+    wide = spark.range(200).select(
+        (F.col("id") % 97).alias("dim_id"),
+        F.expr(
+            "concat_ws('', transform(sequence(0, 1999), "
+            "i -> sha2(concat(cast(id AS STRING), '-', "
+            "cast(i AS STRING)), 512)))"
+        ).alias("fat"),
+    )
+    dim.write(wide, mode="snapshot", stats_cols=["dim_id"],
+              ndv_cols=["dim_id"])
+    nbytes = dim.count_bytes()
+    assert nbytes is not None and nbytes > 10 * 1024 * 1024
+    assert dim.count_rows() == 200  # row gate alone would approve
+    # row threshold 1000 keeps the 5000-row fact side off the
+    # broadcast path, isolating the wide dimension's byte veto
+    joined, d = join_snapshot_tables(
+        facts, dim, "dim_id", broadcast_threshold_rows=1000
+    )
+    assert d.strategy == "shuffle", d
+    assert "bytes" in d.reason and "wide rows" in d.reason
+    assert "BroadcastHashJoin" not in physical_plan(joined)
+    # an explicit fatter byte budget approves it again
+    _j2, d2 = join_snapshot_tables(
+        facts, dim, "dim_id",
+        broadcast_threshold_rows=1000,
+        broadcast_threshold_bytes=200 * 1024 * 1024,
+    )
+    assert d2.strategy == "broadcast_right", d2
+
+
+def test_count_bytes_manifest_accounting(spark, tmp_path):
+    """dir_bytes: exact vs the on-disk files, carried across appends
+    and partition overwrites, survives delta folding and time travel."""
+    import os
+
+    root = str(tmp_path / "t")
+    s = SnapshotStore(spark, root)
+    df = spark.range(100).select(
+        (F.col("id") % 2).cast("string").alias("p"), F.col("id").alias("v")
+    )
+    s.write(df, mode="snapshot", partition_by=["p"])
+
+    def disk_bytes() -> int:
+        total = 0
+        m = s._read_manifest(s.current_version())
+        for part, vds in m["partitions"].items():
+            for vd in vds:
+                d = f"{root}/data/{vd}/{part}"
+                total += sum(
+                    os.path.getsize(f"{d}/{f}")
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                )
+        return total
+
+    assert s.count_bytes() == disk_bytes() > 0
+    v0_bytes = s.count_bytes()
+    s.write(
+        spark.createDataFrame([("0", 999)], "p string, v long"),
+        mode="append", partition_by=["p"],
+    )
+    assert s.count_bytes() == disk_bytes() > v0_bytes
+    s.write(
+        spark.createDataFrame([("1", 1)], "p string, v long"),
+        mode="overwrite_partitions", partition_by=["p"],
+    )
+    assert s.count_bytes() == disk_bytes()
+    assert s.count_bytes(as_of=0) == v0_bytes  # time travel
 
 
 def test_skew_hint_on_shuffle_decisions(spark, tmp_path):
