@@ -1493,6 +1493,144 @@ def dedup_persisted_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wave_a.unionByName(wave_b).orderBy("wave", "source")
 
 
+_IDXC_ORACLE = f"""
+WITH {_minhash_cte()},
+bands AS ({_band_sql()}),
+idx AS (
+    SELECT * FROM bands
+    WHERE doc_id % 10 <> 0 OR doc_id % 20 = 0 OR doc_id % 20 = 10
+),
+wq AS (SELECT * FROM bands WHERE doc_id % 20 = 5),
+cand AS (
+    SELECT DISTINCT wq.doc_id AS doc_a, i.doc_id AS doc_b
+    FROM wq JOIN idx i ON wq.band = i.band AND wq.sig = i.sig
+    WHERE wq.doc_id <> i.doc_id
+),
+m AS (
+    SELECT DISTINCT c.doc_a FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE FLOOR(10000.0 * len(list_intersect(sa.sh, sb.sh)) /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+          >= {PBI_MIN_BP}
+),
+s AS (
+    SELECT d.source,
+           CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+    FROM documents d LEFT JOIN m ON m.doc_a = d.doc_id
+    WHERE d.doc_id % 20 = 5
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_batch,
+       CAST(SUM(hit) AS BIGINT) AS n_near_dup
+FROM s GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "dedup_index_compaction",
+    oracle=_IDXC_ORACLE,
+    category="dedup",
+    description="persisted-index MAINTENANCE (the missing third of the "
+    "index lifecycle after build + O(batch) appends): the band index "
+    "accumulates one snapshot + two append commits (3 file generations "
+    "per bucket), a query wave runs against it, then compact() rewrites "
+    "the index -- runtime-asserted: the live directory count strictly "
+    "drops, the head moves by exactly the compaction commit, and the "
+    "SAME query re-run post-compaction returns IDENTICAL rows (results "
+    "unchanged across maintenance); the post-compaction result must "
+    "hash-match the from-source oracle",
+)
+def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: appends keep writes O(batch) but fragment the index
+    (one file generation per append per bucket); compact() restores
+    one-file-per-bucket read amplification in one atomic commit that
+    claims every partition, and queries keep running against the old
+    head until the claim lands.  Cites reference scope: the reference
+    has no dedup surface (SURVEY extension mandate); the maintenance
+    pattern is Iceberg's rewrite_data_files."""
+    from ..snapshots import SnapshotStore
+    from .base import scratch_root
+
+    root = scratch_root("dedup_idx_compact", sf_dir)
+    sh = _shingles(spark, sf_dir).where(F.size("sh") > 0)
+    bands = _minhash_band_frame(spark, sf_dir)
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "source")
+    s = SnapshotStore(spark, root)
+    s.write(
+        bands.where(F.col("doc_id") % 10 != 0),
+        mode="snapshot",
+        partition_by=[f"bucket({PBI_SIG_BUCKETS}, sig)"],
+    )
+    for rem in (0, 10):
+        s.write(
+            bands.where(F.col("doc_id") % 20 == rem),
+            mode="append",
+            partition_by=[f"bucket({PBI_SIG_BUCKETS}, sig)"],
+        )
+
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+
+    def _query() -> tuple[list, object]:
+        store = SnapshotStore(spark, root)  # fresh handle per session
+        wq = bands.where(F.col("doc_id") % 20 == 5).alias("bb")
+        cand = (
+            wq.join(store.read().alias("cb"), "sig")
+            .where(F.col("bb.doc_id") != F.col("cb.doc_id"))
+            .select(
+                F.col("bb.doc_id").alias("doc_a"),
+                F.col("cb.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        matched = (
+            cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+            .where(
+                F.floor(10000.0 * inter / union).cast("long") >= PBI_MIN_BP
+            )
+            .select("doc_a")
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        out = (
+            docs.where(F.col("doc_id") % 20 == 5)
+            .join(matched, F.col("doc_id") == F.col("doc_a"), "left")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_batch"),
+                F.sum(F.coalesce("hit", F.lit(0))).alias("n_near_dup"),
+            )
+            .orderBy("source")
+        )
+        return [tuple(r) for r in out.collect()], out.schema
+
+    def _live_dirs(store: SnapshotStore) -> int:
+        m = store._read_manifest(store.current_version())
+        return sum(len(vds) for vds in m["partitions"].values())
+
+    before, schema = _query()
+    maint = SnapshotStore(spark, root)
+    dirs_before = _live_dirs(maint)
+    head_before = maint.current_version()
+    maint.compact(all_partitions=True)
+    if maint.current_version() != head_before + 1:
+        raise AssertionError("compaction must be exactly one commit")
+    dirs_after = _live_dirs(maint)
+    if not dirs_after < dirs_before:
+        raise AssertionError(
+            f"compaction did not coalesce the index: {dirs_before} -> "
+            f"{dirs_after} live dirs"
+        )
+    after, _ = _query()
+    if after != before:
+        raise AssertionError(
+            "index query results changed across compaction: "
+            f"{before} -> {after}"
+        )
+    return spark.createDataFrame(after, schema)
+
+
 # ---------------------------------------------------------------------------
 # Triangle count over the pair graph (clustering-coefficient signal)
 # ---------------------------------------------------------------------------

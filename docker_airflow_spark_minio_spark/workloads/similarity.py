@@ -1466,9 +1466,7 @@ def semantic_decontam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_BATCH_MOD = 10
 
 
-@register(
-    "ann_ivf_persisted_index",
-    oracle=f"""
+_IVF_PERSISTED_ORACLE = f"""
     WITH e AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
@@ -1524,7 +1522,12 @@ IVF_BATCH_MOD = 10
     )
     SELECT query_id, vec_id, rank, cos_sim
     FROM r WHERE rank <= {TOP_K} ORDER BY query_id, rank
-    """,
+    """
+
+
+@register(
+    "ann_ivf_persisted_index",
+    oracle=_IVF_PERSISTED_ORACLE,
     category="similarity",
     description="PERSISTED IVF index as snapshot tables: quantizer + "
     "list-partitioned inverted lists committed once, an incremental "
@@ -1649,6 +1652,150 @@ def ann_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reads must never rebuild"
         )
     return out
+
+
+@register(
+    "ann_ivf_index_compaction",
+    oracle=_IVF_PERSISTED_ORACLE,
+    category="similarity",
+    description="persisted-IVF-index MAINTENANCE (the missing third of "
+    "the index lifecycle after build + O(batch) appends): the "
+    "list-partitioned inverted lists accumulate a snapshot + an append "
+    "commit (two file generations per probed list), the probe query "
+    "runs, then compact() rewrites the lists -- runtime-asserted: the "
+    "live directory count strictly drops, the head moves by exactly "
+    "the compaction commit, and the SAME probe query re-run "
+    "post-compaction returns IDENTICAL top-k rows (results unchanged "
+    "across maintenance); the post-compaction result must hash-match "
+    "the persisted-index oracle",
+)
+def ann_ivf_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: appends keep index maintenance O(batch) but stack a
+    file generation per probed list per arrival; compact() restores
+    one-generation read amplification in one atomic all-partition
+    claim, manifest pruning (read only the probed lists) is identical
+    before and after, and queries keep serving the old head until the
+    claim lands -- Iceberg's rewrite_data_files over an ANN index."""
+    from ..snapshots import SnapshotStore
+    from .base import scratch_root
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    vd = F.col("embedding").cast("array<double>")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), vd.alias("qv")
+    )
+    base = emb.where(
+        (F.col("vec_id") >= N_QUERIES)
+        & (F.pmod("vec_id", F.lit(IVF_BATCH_MOD)) != 0)
+    ).select("vec_id", "label", vd.alias("v"))
+    batch = emb.where(
+        (F.col("vec_id") >= N_QUERIES)
+        & (F.pmod("vec_id", F.lit(IVF_BATCH_MOD)) == 0)
+    ).select("vec_id", vd.alias("v"))
+    root = scratch_root("ann_ivf_compact", sf_dir)
+
+    def _scored_cents(vec_col: str):
+        return F.transform(
+            "cents",
+            lambda c: F.struct(
+                F.round(
+                    cosine_similarity(F.col(vec_col), c["cv"]), 6
+                ).alias("cos"),
+                (-c["list_id"]).alias("neg_list"),
+            ),
+        )
+
+    cent = base.groupBy(F.col("label").alias("list_id")).agg(
+        F.expr(
+            "array("
+            + ", ".join(f"round(avg(v[{i}]), 6)" for i in range(EMB_DIM))
+            + ")"
+        ).alias("cv")
+    )
+    cent_store = SnapshotStore(spark, f"{root}/centroids")
+    cent_store.write(cent, mode="snapshot")
+    cents = cent_store.read().agg(
+        F.sort_array(F.collect_list(F.struct("list_id", "cv"))).alias(
+            "cents"
+        )
+    )
+    asg_store = SnapshotStore(spark, f"{root}/assignments")
+    for frame, mode in ((base.select("vec_id", "v"), "snapshot"),
+                        (batch, "append")):
+        asg_store.write(
+            frame.crossJoin(F.broadcast(cents)).select(
+                "vec_id",
+                "v",
+                (-F.array_max(_scored_cents("v"))["neg_list"]).alias(
+                    "list_id"
+                ),
+            ),
+            mode=mode,
+            partition_by=["list_id"],
+        )
+
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.slice(
+                    F.sort_array(_scored_cents("qv"), asc=False),
+                    1,
+                    IVF_NPROBE,
+                )
+            ).alias("p"),
+        )
+        .select(
+            "query_id", "qv", (-F.col("p")["neg_list"]).alias("list_id")
+        )
+    )
+    probed = sorted(
+        {
+            int(r["list_id"])
+            for r in probes.select("list_id").distinct().collect()
+        }
+    )
+
+    def _query() -> tuple[list, object]:
+        astore = SnapshotStore(spark, root + "/assignments")
+        lists = astore.read(partitions=[f"list_id={l}" for l in probed])
+        scored = lists.join(F.broadcast(probes), "list_id").select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("qv"), F.col("v")), 6
+            ).alias("cos_sim"),
+        )
+        out = _two_phase_topk(scored)
+        return [tuple(r) for r in out.collect()], out.schema
+
+    def _live_dirs(store: SnapshotStore) -> int:
+        m = store._read_manifest(store.current_version())
+        return sum(len(vds) for vds in m["partitions"].values())
+
+    before, schema = _query()
+    if not before:
+        raise AssertionError("probe query returned no rows (vacuous)")
+    maint = SnapshotStore(spark, root + "/assignments")
+    dirs_before = _live_dirs(maint)
+    head_before = maint.current_version()
+    maint.compact(all_partitions=True)
+    if maint.current_version() != head_before + 1:
+        raise AssertionError("compaction must be exactly one commit")
+    dirs_after = _live_dirs(maint)
+    if not dirs_after < dirs_before:
+        raise AssertionError(
+            f"compaction did not coalesce the lists: {dirs_before} -> "
+            f"{dirs_after} live dirs"
+        )
+    after, _ = _query()
+    if after != before:
+        raise AssertionError(
+            "probe results changed across compaction"
+        )
+    return spark.createDataFrame(after, schema)
 
 
 # Drift monitor for the persisted index: when the incremental batch's
