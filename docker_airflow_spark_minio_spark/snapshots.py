@@ -4316,6 +4316,7 @@ class SnapshotStore:
         if kind == "partitions":
             deletes_live = bool(manifest.get("delete_sets"))
             dir_rows = manifest.get("dir_rows", {})
+            dir_bytes = manifest.get("dir_bytes", {})
             rows = []
             for part, vdirs in sorted(manifest["partitions"].items()):
                 counts = [
@@ -4327,9 +4328,22 @@ class SnapshotStore:
                     if deletes_live or any(c is None for c in counts)
                     else sum(counts)
                 )
-                rows.append((part, len(vdirs), n))
+                sizes = [
+                    dir_bytes.get(f"{vd}/{part}" if part else vd)
+                    for vd in vdirs
+                ]
+                # PHYSICAL bytes: live MoR masks don't shrink them, so
+                # no deletes_live gate (count_bytes semantics)
+                b = (
+                    None
+                    if any(s is None for s in sizes)
+                    else sum(sizes)
+                )
+                rows.append((part, len(vdirs), n, b))
             return self.spark.createDataFrame(
-                rows, "partition STRING, n_dirs INT, n_rows BIGINT"
+                rows,
+                "partition STRING, n_dirs INT, n_rows BIGINT, "
+                "n_bytes BIGINT",
             )
 
         if kind == "files":

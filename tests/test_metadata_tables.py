@@ -41,6 +41,23 @@ def test_metadata_partitions_rows_exact_or_null(spark, tmp_path):
         for r in s.metadata_table("partitions").collect()
     }
     assert got == {"day=d1": (1, 2), "day=d2": (1, 1)}
+    # byte sums are recorded by EVERY write (a listing, no stats scan)
+    # and exact vs the data files on disk
+    import os
+
+    m = s._read_manifest(0)
+    by_part = {
+        r["partition"]: r["n_bytes"]
+        for r in s.metadata_table("partitions").collect()
+    }
+    for part, vds in m["partitions"].items():
+        disk = sum(
+            os.path.getsize(f"{s.root}/data/{vd}/{part}/{f}")
+            for vd in vds
+            for f in os.listdir(f"{s.root}/data/{vd}/{part}")
+            if f.endswith(".parquet")
+        )
+        assert by_part[part] == disk > 0
     # a live MoR delete set makes counts unprovable -> NULL, never a guess
     s.delete_keys(df.where(F.col("id") == 1).select("id"), key_cols=["id"])
     got = {
@@ -48,6 +65,11 @@ def test_metadata_partitions_rows_exact_or_null(spark, tmp_path):
         for r in s.metadata_table("partitions").collect()
     }
     assert got == {"day=d1": None, "day=d2": None}
+    # ...but PHYSICAL byte sums stay known (masks don't shrink files)
+    assert all(
+        r["n_bytes"] is not None
+        for r in s.metadata_table("partitions").collect()
+    )
     # time travel back to the clean snapshot restores exactness
     got = {
         r["partition"]: r["n_rows"]
