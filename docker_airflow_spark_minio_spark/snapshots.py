@@ -356,6 +356,28 @@ def _vdir_version(vdir: str) -> int:
     return int(vdir[1:].split("-", 1)[0])
 
 
+def _local_dir_file_sizes(path: str, depth: int) -> dict[str, int]:
+    """Pure-Python per-partition-dir byte sums of a local data dir
+    (relative Hive part -> bytes; ``""`` for unpartitioned) -- shared
+    by the Spark store's local fast lane and the Spark-less SQL-write
+    committer."""
+    import os as _os
+
+    out: dict[str, int] = {}
+    for dirpath, _dirs, files in _os.walk(path):
+        rel = _os.path.relpath(dirpath, path)
+        part = "" if rel == "." else rel.replace(_os.sep, "/")
+        segs = part.count("/") + 1 if part else 0
+        if segs != depth:
+            continue
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                out[part] = out.get(part, 0) + _os.path.getsize(
+                    f"{dirpath}/{f}"
+                )
+    return out
+
+
 def _prune_delete_sets(delete_sets: list, partitions: dict) -> list:
     """Drop delete sets that can no longer affect any live data dir
     (no live dir older than the delete): after compaction rewrites
@@ -3011,23 +3033,37 @@ class SnapshotStore:
     def _dir_file_sizes(self, data_path: str, depth: int) -> dict[str, int]:
         """IO leaf: per-partition-dir BYTE sums of a just-written data
         dir (relative Hive part -> bytes; ``""`` for unpartitioned) --
-        a metadata-sized recursive listing, no data read.  Spark-less
-        callers override with os.walk."""
+        a metadata-sized listing, no data read.  Local roots take the
+        os.walk fast lane: the Hadoop iterator costs several py4j
+        round-trips PER FILE, which measurably inflated every
+        multi-commit scenario before this split (bench round 12);
+        scheme-qualified stores use a depth-bounded listStatus walk."""
+        path = data_path
+        if path.startswith("file:"):
+            rest = path[len("file:"):]
+            path = "/" + rest.lstrip("/")
+        if "://" not in path:
+            return _local_dir_file_sizes(path, depth)
         fs, base = _fs_and_path(self.spark, data_path)
-        base_str = base.toUri().getPath()
         out: dict[str, int] = {}
-        it = fs.listFiles(base, True)
-        while it.hasNext():
-            st = it.next()
-            p = st.getPath()
-            name = p.getName()
-            if not name.endswith(".parquet") or name.startswith((".", "_")):
-                continue
-            rel = p.toUri().getPath()[len(base_str):].lstrip("/")
-            part = rel.rsplit("/", 1)[0] if "/" in rel else ""
-            if (part.count("/") + 1 if part else 0) != depth:
-                continue  # stray nesting: not a partition leaf
-            out[part] = out.get(part, 0) + int(st.getLen())
+
+        def walk(p, d: int, rel: str) -> None:
+            for st in fs.listStatus(p):
+                name = st.getPath().getName()
+                if d > 0:
+                    if st.isDirectory():
+                        walk(
+                            st.getPath(),
+                            d - 1,
+                            f"{rel}/{name}" if rel else name,
+                        )
+                    continue
+                if name.endswith(".parquet") and not name.startswith(
+                    (".", "_")
+                ):
+                    out[rel] = out.get(rel, 0) + int(st.getLen())
+
+        walk(base, depth, "")
         return out
 
     def _assemble_and_commit_dir(

@@ -134,19 +134,9 @@ class LocalSnapshotCommitter(LocalSnapshotPlanner):
         shutil.rmtree(path, ignore_errors=True)
 
     def _dir_file_sizes(self, data_path: str, depth: int) -> dict[str, int]:
-        out: dict[str, int] = {}
-        for dirpath, _dirs, files in os.walk(data_path):
-            rel = os.path.relpath(dirpath, data_path)
-            part = "" if rel == "." else rel.replace(os.sep, "/")
-            segs = part.count("/") + 1 if part else 0
-            if segs != depth:
-                continue
-            for f in files:
-                if f.endswith(".parquet") and not f.startswith((".", "_")):
-                    out[part] = out.get(part, 0) + os.path.getsize(
-                        f"{dirpath}/{f}"
-                    )
-        return out
+        from ..snapshots import _local_dir_file_sizes
+
+        return _local_dir_file_sizes(data_path, depth)
 
     def _list_partition_dirs(self, data_path: str, depth: int) -> list[str]:
         def leaves(p: str, d: int, rel: str):
