@@ -512,6 +512,26 @@ class LocalSnapshotPlanner(SnapshotStore):
         return {k: (t, sorted(fs)) for k, (t, fs) in out.items()}
 
 
+#: worker-process cache of delete-set tables (path -> pa.Table | None):
+#: delete-set dirs are IMMUTABLE once a committed manifest references
+#: them (attempt-unique names, written before the claim), so a reused
+#: Python worker reads each set ONCE per process instead of once per
+#: task -- the single-process stand-in for "broadcast the delete sets
+#: once per executor" (module docstring).  Content is O(keys) by
+#: contract; the cache is size-bounded anyway.
+_DELETE_SET_CACHE: dict[str, object] = {}
+
+
+def _read_delete_set(path: str):
+    if path in _DELETE_SET_CACHE:
+        return _DELETE_SET_CACHE[path]
+    tab = _read_parquet_dir(path)
+    if len(_DELETE_SET_CACHE) >= 64:
+        _DELETE_SET_CACHE.clear()
+    _DELETE_SET_CACHE[path] = tab
+    return tab
+
+
 def _read_parquet_dir(path: str):
     """All parquet files of one directory as a single pyarrow table
     (skipping Spark's _SUCCESS/.crc companions); None when empty."""
@@ -998,7 +1018,7 @@ class SnapshotTableBatchReader(DataSourceReader):
                     "vdirs", []
                 ):
                     continue
-                dtab = _read_parquet_dir(
+                dtab = _read_delete_set(
                     f"{ctx['root']}/{DATA_DIR}/{d['dir']}"
                 )
                 if dtab is None:
@@ -1009,7 +1029,7 @@ class SnapshotTableBatchReader(DataSourceReader):
                 if pos_mask is not None:
                     mask = _and_mask(mask, pos_mask)
             else:
-                dtab = _read_parquet_dir(
+                dtab = _read_delete_set(
                     f"{ctx['root']}/{DATA_DIR}/{d['dir']}"
                 )
                 if dtab is None:

@@ -641,14 +641,14 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
                 _and_mask,
                 _eq_delete_mask,
                 _positional_delete_mask,
-                _read_parquet_dir,
+                _read_delete_set,
             )
 
             mi = partition.masks
             types = {f["name"]: f["type"] for f in fields}
 
             def _one_mask(entry):
-                dtab = _read_parquet_dir(
+                dtab = _read_delete_set(
                     f"{mi['root']}/{DATA_DIR}/{entry['dir']}"
                 )
                 if dtab is None:

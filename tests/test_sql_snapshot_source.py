@@ -429,6 +429,32 @@ def test_mor_masks_vectorized_no_python_rows(monkeypatch):
     assert sb._positional_delete_mask(n, dpos, "f9") is None
 
 
+def test_delete_set_worker_cache(monkeypatch, tmp_path):
+    """Delete-set parquet is immutable once referenced by a committed
+    manifest, so a reused worker process reads each set ONCE -- the
+    single-process stand-in for per-executor broadcast."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docker_airflow_spark_minio_spark.sources import (
+        snapshot_batch as sb,
+    )
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    pq.write_table(pa.table({"k": [1, 2]}), str(d / "a.parquet"))
+    sb._DELETE_SET_CACHE.clear()
+    t1 = sb._read_delete_set(str(d))
+    assert t1.num_rows == 2
+
+    def _boom(path):
+        raise AssertionError("cache miss on an already-read delete set")
+
+    monkeypatch.setattr(sb, "_read_parquet_dir", _boom)
+    assert sb._read_delete_set(str(d)) is t1  # served from cache
+    sb._DELETE_SET_CACHE.clear()
+
+
 def test_sql_path_resolves_schema_evolution(spark, tmp_path):
     root = str(tmp_path / "ev")
     s = SnapshotStore(spark, root)
