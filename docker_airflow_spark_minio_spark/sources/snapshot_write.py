@@ -35,13 +35,17 @@ Execution model (mirrors the batch reader's constraints):
   delta-vs-checkpoint cadence), so the two write paths cannot drift.
 
 Restricted surface (refused loudly, with the API alternative named):
-hidden-partitioning transforms, partition-spec evolution, stats/bloom/
-NDV recording, WAP staging, and ``overwrite_partitions`` stay on
-:meth:`SnapshotStore.write` -- a SQL ``INSERT`` can express none of
-them.  Supported: ``append`` (INSERT INTO), ``overwrite`` = full
-table-replacing snapshot (INSERT OVERWRITE), identity partitioning
-(inherited from the table, or ``partition_by`` option on first
-write), field-id schema-evolution-aware appends (the same
+partition-spec evolution, stats/bloom/NDV recording, WAP staging, and
+``overwrite_partitions`` stay on :meth:`SnapshotStore.write` -- a SQL
+``INSERT`` can express none of them.  Supported: ``append`` (INSERT
+INTO), ``overwrite`` = full table-replacing snapshot (INSERT
+OVERWRITE), identity partitioning AND hidden-partitioning transforms
+(bucket/truncate/years/months/days over the pinned source types --
+tasks recompute the derived routing columns with numpy-vectorized
+twins of the Catalyst expressions, bit-exact parity-tested, so
+SQL-written rows land in exactly the directories plan-time pruning
+expects; ``hours``/timestamp sources are session-zone-entangled and
+refuse), field-id schema-evolution-aware appends (the same
 renamed-away-name refusal and evolved-schema merge as the API path).
 
 Lost-update safety: the version and parent are pinned at plan time;
@@ -72,11 +76,13 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from ..snapshots import DATA_DIR, SnapshotConflict
+from ..snapshots import DATA_DIR, SnapshotConflict, _parse_partition_spec
 from .snapshot_batch import (
     LocalSnapshotPlanner,
+    XXHASH_SEED,
     check_local_root,
     hive_dir_local,
+    xxhash64_bytes,
 )
 
 #: Identity partition column types the SQL write path can round-trip
@@ -96,6 +102,168 @@ def _format_part_value(v) -> str | None:
     if isinstance(v, bool):
         return "true" if v else "false"
     return str(v)  # int -> digits, datetime.date -> ISO
+
+
+# ---------------------------------------------------------------------------
+# Vectorized transform twins (hidden partitioning on the write path)
+# ---------------------------------------------------------------------------
+#
+# The derived routing column must match Catalyst's `_apply_transforms`
+# BIT-EXACTLY or SQL-written rows land in directories plan-time pruning
+# will skip.  The scalar twins (snapshot_batch.eval_transform_pure /
+# xxhash64_*) are already JVM-pinned; these are their numpy-vectorized
+# forms for whole Arrow columns (uint64 arithmetic wraps like the JVM's
+# long), property-tested against the scalar twins AND parity-tested
+# against an API-path write of the same frame.  NULL source values
+# follow Spark: xxhash64(NULL) hashes nothing -> the SEED (42), so
+# bucket(NULL) = pmod(42, N); truncate/time transforms of NULL stay
+# NULL (HIVE_DEFAULT_PARTITION).
+
+#: (kind -> source types) the SQL write path can route itself; anything
+#: else refuses toward SnapshotStore.write.  `hours` and timestamp
+#: sources are session-zone-entangled -- deliberately unsupported here.
+_TRANSFORM_TYPES = {
+    "bucket": frozenset(
+        {"byte", "short", "integer", "long", "string", "date"}
+    ),
+    "truncate": frozenset({"byte", "short", "integer", "long", "string"}),
+    "years": frozenset({"date"}),
+    "months": frozenset({"date"}),
+    "days": frozenset({"date"}),
+}
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+
+
+def _np_rotl(x, r):
+    import numpy as np
+
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _np_fmix(h):
+    import numpy as np
+
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(_XXP2)
+    h = h ^ (h >> np.uint64(29))
+    h = h * np.uint64(_XXP3)
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def xxhash64_long_np(v):
+    """Vectorized twin of :func:`..snapshot_batch.xxhash64_long` over an
+    int64 numpy array (signed int64 result)."""
+    import numpy as np
+
+    u = v.astype(np.int64).view(np.uint64)
+    h = np.uint64((XXHASH_SEED + _XXP5 + 8) & ((1 << 64) - 1))
+    h = h ^ (_np_rotl(u * np.uint64(_XXP2), 31) * np.uint64(_XXP1))
+    h = _np_rotl(h, 27) * np.uint64(_XXP1) + np.uint64(_XXP4)
+    return _np_fmix(h).view(np.int64)
+
+
+def xxhash64_int_np(v):
+    """Vectorized twin of :func:`..snapshot_batch.xxhash64_int` over an
+    int32 numpy array (4-byte lane; signed int64 result)."""
+    import numpy as np
+
+    u = (v.astype(np.int64) & np.int64(0xFFFFFFFF)).view(np.uint64)
+    h = np.uint64((XXHASH_SEED + _XXP5 + 4) & ((1 << 64) - 1))
+    h = h ^ (u * np.uint64(_XXP1))
+    h = _np_rotl(h, 23) * np.uint64(_XXP2) + np.uint64(_XXP3)
+    return _np_fmix(h).view(np.int64)
+
+
+def derive_transform_column(col, ftype: str, spec: dict):
+    """Derived routing values for one transform over one Arrow column
+    (the task-side twin of `_apply_transforms`' Catalyst expressions).
+    Bucket lanes are numpy-vectorized except string (per-row pure
+    xxhash64 over UTF-8 -- correct, the documented slow lane)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    kind, n = spec["kind"], len(col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if kind == "bucket":
+        arg = spec["arg"]
+        if ftype == "string":
+            hashes = np.fromiter(
+                (
+                    XXHASH_SEED_HASH_NULL
+                    if v is None
+                    else xxhash64_bytes(v.encode("utf-8"))
+                    for v in col.to_pylist()
+                ),
+                dtype=np.int64,
+                count=n,
+            )
+        else:
+            if ftype == "date":
+                ints = col.cast(pa.int32())  # date32 storage IS days
+            elif ftype == "long":
+                ints = col.cast(pa.int64())
+            else:
+                ints = col.cast(pa.int32())
+            null_mask = np.asarray(pc.is_null(ints).to_numpy(
+                zero_copy_only=False
+            ))
+            filled = pc.fill_null(ints, 0)
+            arr = filled.to_numpy(zero_copy_only=False)
+            with np.errstate(over="ignore"):
+                hashes = (
+                    xxhash64_long_np(arr)
+                    if ftype == "long"
+                    else xxhash64_int_np(arr)
+                )
+            # Spark: xxhash64(NULL) hashes nothing -> the seed
+            hashes = np.where(null_mask, np.int64(XXHASH_SEED), hashes)
+        return pa.array(
+            np.mod(hashes, np.int64(arg)).astype(np.int32), type=pa.int32()
+        )
+    if kind == "truncate":
+        arg = spec["arg"]
+        if ftype == "string":
+            # Catalyst substring(1, W) slices CODE POINTS, like v[:W]
+            return pc.utf8_slice_codeunits(col, 0, arg)
+        target = pa.int64() if ftype == "long" else pa.int32()
+        ints = col.cast(target)
+        null_mask = np.asarray(
+            pc.is_null(ints).to_numpy(zero_copy_only=False)
+        )
+        arr = pc.fill_null(ints, 0).to_numpy(zero_copy_only=False)
+        out = arr - np.mod(arr, arg)  # numpy % follows Python pmod sign
+        return pa.array(out, type=target, mask=null_mask)
+    if kind in ("years", "months", "days"):
+        days = col.cast(pa.int32())
+        null_mask = np.asarray(
+            pc.is_null(days).to_numpy(zero_copy_only=False)
+        )
+        if kind == "days":
+            arr = pc.fill_null(days, 0).to_numpy(zero_copy_only=False)
+            return pa.array(arr, type=pa.int32(), mask=null_mask)
+        years = pc.subtract(pc.year(col), 1970)
+        if kind == "years":
+            out = pc.fill_null(years, 0).to_numpy(zero_copy_only=False)
+        else:
+            months = pc.add(
+                pc.multiply(years, 12), pc.subtract(pc.month(col), 1)
+            )
+            out = pc.fill_null(months, 0).to_numpy(zero_copy_only=False)
+        return pa.array(
+            out.astype(np.int32), type=pa.int32(), mask=null_mask
+        )
+    raise ValueError(f"unsupported transform kind {kind!r}")
+
+
+#: what Spark's xxhash64 returns for an all-NULL input row: the seed
+XXHASH_SEED_HASH_NULL = XXHASH_SEED
 
 
 class LocalSnapshotCommitter(LocalSnapshotPlanner):
@@ -190,38 +358,59 @@ class SnapshotTableArrowWriter(DataSourceArrowWriter):
             if self.parent_v is not None
             else None
         )
-        if parent is not None and parent.get("partition_transforms"):
-            raise ValueError(
-                "table uses hidden-partitioning transforms "
-                f"{parent['partition_transforms']}; the SQL write path "
-                "cannot recompute routing columns -- write through "
-                "SnapshotStore.write"
-            )
-        opt_pby = [
-            p.strip()
-            for p in (options.get("partition_by") or "").split(",")
-            if p.strip()
-        ]
-        if parent is not None and self.mode == "append":
+        opt_specs = _split_specs(options.get("partition_by") or "")
+        opt_pby, opt_transforms = _parse_partition_spec(opt_specs)
+        ptrans = dict((parent or {}).get("partition_transforms") or {})
+        if parent is not None:
             pby = list(parent["partition_by"])
-            if opt_pby and opt_pby != pby:
+            transforms = ptrans
+            if opt_specs and not (
+                # restating the table's spec exactly, or addressing it
+                # by physical names (the table remembers its
+                # transforms) -- same contract as SnapshotStore.write
+                (opt_pby == pby and opt_transforms in ({}, ptrans))
+            ):
                 raise ValueError(
-                    f"partition_by {opt_pby} != table's {pby}; the SQL "
-                    "write path does not evolve partition specs"
+                    f"partition spec {opt_specs} != table's {pby} / "
+                    f"{ptrans}; the SQL write path does not evolve "
+                    "partition specs"
                 )
-            specs = set(
-                map(tuple, _filled_dir_specs_local(parent).values())
-            )
-            if specs - {tuple(pby)}:
-                raise ValueError(
-                    "table has mixed partition specs (spec evolution); "
-                    "append through SnapshotStore.write"
+            if self.mode == "append":
+                specs = set(
+                    map(tuple, _filled_dir_specs_local(parent).values())
                 )
+                if specs - {tuple(pby)}:
+                    raise ValueError(
+                        "table has mixed partition specs (spec "
+                        "evolution); append through SnapshotStore.write"
+                    )
         else:
-            pby = opt_pby or (
-                list(parent["partition_by"]) if parent is not None else []
-            )
-        missing = [p for p in pby if p not in frame_names]
+            pby, transforms = opt_pby, opt_transforms
+        # transform support: the task must recompute the derived
+        # routing columns itself, bit-exactly with Catalyst -- only the
+        # (kind, source type) pairs with pinned vectorized twins pass
+        for name, spec in transforms.items():
+            src_t = ftypes.get(spec["src"])
+            ok = _TRANSFORM_TYPES.get(spec["kind"], frozenset())
+            if not (isinstance(src_t, str) and src_t in ok):
+                raise ValueError(
+                    f"transform {spec['kind']}({spec['src']}: {src_t}) "
+                    "is not supported by the SQL write path (supported "
+                    f"source types: {sorted(ok)}); use "
+                    "SnapshotStore.write"
+                )
+        # derived names in the frame are caller-supplied routing
+        # columns: replaced by the recomputed transform (write()'s
+        # contract -- the transform is the source of truth) and never
+        # part of the table schema
+        self.drop_derived = [n for n in transforms if n in frame_names]
+        frame_names = [n for n in frame_names if n not in transforms]
+        frame["fields"] = [
+            f for f in frame["fields"] if f["name"] not in transforms
+        ]
+        missing = [
+            p for p in pby if p not in transforms and p not in frame_names
+        ]
         if missing:
             raise ValueError(
                 f"partition columns {missing} not in the written frame "
@@ -230,7 +419,8 @@ class SnapshotTableArrowWriter(DataSourceArrowWriter):
         bad = {
             p: ftypes[p]
             for p in pby
-            if not (
+            if p not in transforms
+            and not (
                 isinstance(ftypes[p], str) and ftypes[p] in _PART_TYPES
             )
         }
@@ -241,6 +431,8 @@ class SnapshotTableArrowWriter(DataSourceArrowWriter):
                 "SnapshotStore.write"
             )
         self.pby = pby
+        self.transforms = transforms
+        self.ftypes = ftypes
 
         # Field-id schema evolution: the same stale-producer refusal and
         # evolved-schema merge as SnapshotStore.write (pure dict logic).
@@ -270,7 +462,8 @@ class SnapshotTableArrowWriter(DataSourceArrowWriter):
                 {"type": "struct", "fields": pfields + extra}
             )
         else:
-            self.schema_json = schema.json()
+            # `frame` has the derived routing columns already stripped
+            self.schema_json = json.dumps(frame)
         self.slog = slog
 
         latest = c.latest_version()
@@ -291,6 +484,17 @@ class SnapshotTableArrowWriter(DataSourceArrowWriter):
         bufs: dict[str, list] = {}
         for batch in iterator:
             tab = pa.Table.from_batches([batch])
+            if self.drop_derived:
+                tab = tab.drop_columns(self.drop_derived)
+            for name, spec in self.transforms.items():
+                tab = tab.append_column(
+                    name,
+                    derive_transform_column(
+                        tab.column(spec["src"]),
+                        self.ftypes[spec["src"]],
+                        spec,
+                    ),
+                )
             if not self.pby:
                 bufs.setdefault("", []).append(tab)
                 continue
@@ -357,7 +561,7 @@ class SnapshotTableArrowWriter(DataSourceArrowWriter):
             parent_v=self.parent_v,
             mode=self.mode,
             pby=self.pby,
-            transforms={},
+            transforms=self.transforms,
             schema_json=self.schema_json,
             slog=self.slog,
             metadata={**self.metadata, "sql_write": True, "n_rows": n_rows},
@@ -374,3 +578,25 @@ def _filled_dir_specs_local(manifest: dict) -> dict[str, list[str]]:
     from ..snapshots import _filled_dir_specs
 
     return _filled_dir_specs(manifest)
+
+
+def _split_specs(s: str) -> list[str]:
+    """Split a comma-separated partition-spec option, respecting
+    parentheses (``"lang, bucket(8, doc_id)"`` -> two specs)."""
+    out: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch == "," and depth == 0:
+            if "".join(cur).strip():
+                out.append("".join(cur).strip())
+            cur = []
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return out

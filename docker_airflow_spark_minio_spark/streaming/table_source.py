@@ -917,9 +917,11 @@ def write_snapshot_table(
     files, the commit goes through the store's atomic claim --
     :mod:`..sources.snapshot_write`.  ``mode`` is ``append`` (INSERT
     INTO semantics) or ``overwrite`` (full table-replacing snapshot,
-    INSERT OVERWRITE semantics).  ``partition_by``: identity columns,
-    honored on table creation; an existing table's spec is inherited.
-    For transforms/stats/WAP/overwrite_partitions use
+    INSERT OVERWRITE semantics).  ``partition_by``: identity columns
+    and/or hidden-partitioning transforms (``bucket(8, doc_id)`` etc.,
+    the SnapshotStore.write spec syntax), honored on table creation;
+    an existing table's spec is inherited (a restated spec must
+    match).  For stats/WAP/overwrite_partitions/spec evolution use
     :meth:`SnapshotStore.write`."""
     import json as _json
 

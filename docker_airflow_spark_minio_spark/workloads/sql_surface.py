@@ -240,6 +240,82 @@ def snapshot_sql_insert_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_sql_insert_bucketed",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({_CENTS}) AS BIGINT) AS revenue_cents,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_custkey IN ({", ".join(str(k) for k in SQL_PUSH_KEYS)})
+    """,
+    category="etl",
+    description="SQL writes INTO a HIDDEN-PARTITIONED table (round 12: "
+    "the DataSource writer recomputes bucket routing with "
+    "numpy-vectorized xxhash twins, bit-exact with Catalyst): the "
+    "bucket(8, o_custkey) table is CREATED by one SQL write and grown "
+    "by an INSERT INTO through snapshot_sql, then a point lookup on "
+    "the SQL-written data must BOTH prune to the probed buckets "
+    "(runtime-asserted from the scan report: surviving dirs <= probed "
+    "keys x 2 commits -- proof the rows landed in exactly the "
+    "directories plan-time pruning expects) AND hash-match the "
+    "raw-source oracle",
+)
+def snapshot_sql_insert_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..snapshots import SnapshotStore
+    from ..streaming.table_source import snapshot_sql, write_snapshot_table
+
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].select(
+        "o_orderkey", "o_custkey", F.expr(_CENTS).alias("cents")
+    )
+    root_src = scratch_root("snapins_bkt_src", sf_dir)
+    root_tgt = scratch_root("snapins_bkt_tgt", sf_dir)
+    SnapshotStore(spark, root_src).write(orders, mode="snapshot")
+    # CREATE via the SQL write path, transform spec in the option
+    write_snapshot_table(
+        spark,
+        orders.where("o_custkey % 2 = 1"),
+        root_tgt,
+        partition_by=[f"bucket({SQL_PUSH_BUCKETS}, o_custkey)"],
+    )
+    # grow via INSERT INTO (spec inherited from the table)
+    snapshot_sql(
+        spark,
+        "INSERT INTO tgt SELECT o_orderkey, o_custkey, cents FROM src "
+        "WHERE o_custkey % 2 = 0",
+        {"src": root_src, "tgt": root_tgt},
+    )
+    rep = f"{root_tgt}.report.json"
+    out = snapshot_sql(
+        spark,
+        f"""
+        SELECT COUNT(*) AS n_orders,
+               SUM(cents) AS revenue_cents,
+               MIN(o_orderkey) AS min_key,
+               MAX(o_orderkey) AS max_key
+        FROM tgt
+        WHERE o_custkey IN ({", ".join(str(k) for k in SQL_PUSH_KEYS)})
+        """,
+        {"tgt": root_tgt},
+        report_paths={"tgt": rep},
+    )
+    rows = out.collect()
+    report = json.load(open(rep))
+    surviving = report["n_dirs_total"] - report["n_dirs_skipped"]
+    # two commits x at most len(keys) probed buckets may survive; more
+    # would mean SQL-written rows landed outside their bucket dirs
+    if not (0 < surviving <= 2 * len(SQL_PUSH_KEYS)):
+        raise AssertionError(
+            "bucket pruning over SQL-written data is wrong: "
+            f"{surviving} dirs survive of {report['n_dirs_total']} "
+            f"(expected <= {2 * len(SQL_PUSH_KEYS)}); report={report}"
+        )
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
     "snapshot_sql_mor_read",
     oracle=f"""
     SELECT o_orderstatus AS status,

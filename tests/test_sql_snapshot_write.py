@@ -103,9 +103,18 @@ def test_sql_write_refusals(spark, tmp_path):
         mode="snapshot",
         partition_by=["bucket(4, id)"],
     )
-    with pytest.raises(Exception, match="hidden-partitioning"):
+    # transform-partitioned appends are SUPPORTED (round 12); a
+    # MISMATCHED restated spec still refuses
+    write_snapshot_table(
+        spark, spark.range(100, 102).selectExpr("id", "id AS k"), root
+    )
+    assert s.read().count() == 10
+    with pytest.raises(Exception, match="does not evolve"):
         write_snapshot_table(
-            spark, spark.range(2).selectExpr("id", "id AS k"), root
+            spark,
+            spark.range(2).selectExpr("id", "id AS k"),
+            root,
+            partition_by=["bucket(8, id)"],
         )
     root2 = str(tmp_path / "r2")
     s2 = SnapshotStore(spark, root2)
@@ -114,7 +123,7 @@ def test_sql_write_refusals(spark, tmp_path):
         mode="snapshot",
         partition_by=["p"],
     )
-    with pytest.raises(Exception, match="partition_by"):
+    with pytest.raises(Exception, match="does not evolve"):
         write_snapshot_table(
             spark,
             spark.range(2).selectExpr("id", "CAST(id AS STRING) AS p"),
@@ -215,6 +224,134 @@ def test_insert_into_and_overwrite_via_snapshot_sql(spark, tmp_path):
     assert SnapshotStore(spark, tgt).read().count() == 3
     with pytest.raises(ValueError, match="INSERT target"):
         snapshot_sql(spark, "INSERT INTO nope SELECT 1", {"src": src})
+
+
+def test_vectorized_transform_twins_match_scalar_pins():
+    """The numpy-vectorized bucket/truncate/time twins equal the
+    scalar eval_transform_pure (itself JVM-pinned) over adversarial
+    values -- the bit-exactness the SQL write path's routing needs."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+
+    from docker_airflow_spark_minio_spark.sources.snapshot_batch import (
+        eval_transform_pure,
+    )
+    from docker_airflow_spark_minio_spark.sources.snapshot_write import (
+        derive_transform_column,
+    )
+
+    cases = [
+        ({"kind": "bucket", "src": "c", "arg": 8}, "long", pa.int64(),
+         [0, 1, -1, 42, 2**62, -(2**62), 123456789012345, None]),
+        ({"kind": "bucket", "src": "c", "arg": 16}, "integer", pa.int32(),
+         [0, 7, -7, 2**31 - 1, -(2**31), None]),
+        ({"kind": "bucket", "src": "c", "arg": 8}, "string", pa.string(),
+         ["", "k", "key-0042", "日本", None]),
+        ({"kind": "bucket", "src": "c", "arg": 4}, "date", pa.date32(),
+         [dt.date(2024, 1, 2), dt.date(1969, 12, 31), None]),
+        ({"kind": "truncate", "src": "c", "arg": 10}, "long", pa.int64(),
+         [0, 5, 10, 99, -1, -10, -11, None]),
+        ({"kind": "truncate", "src": "c", "arg": 3}, "string", pa.string(),
+         ["", "ab", "abcdef", "日本語テキスト", None]),
+        ({"kind": "years", "src": "c"}, "date", pa.date32(),
+         [dt.date(1969, 6, 1), dt.date(2024, 12, 31), None]),
+        ({"kind": "months", "src": "c"}, "date", pa.date32(),
+         [dt.date(1969, 6, 1), dt.date(2024, 2, 29), None]),
+        ({"kind": "days", "src": "c"}, "date", pa.date32(),
+         [dt.date(1969, 12, 31), dt.date(2024, 1, 2), None]),
+    ]
+    for spec, ftype, patype, values in cases:
+        got = derive_transform_column(
+            pa.array(values, type=patype), ftype, spec
+        ).to_pylist()
+        for v, g in zip(values, got):
+            if v is None:
+                if spec["kind"] == "bucket":
+                    # Spark xxhash64(NULL) -> the seed (42)
+                    assert g == 42 % spec["arg"], (spec, ftype)
+                else:
+                    assert g is None, (spec, ftype)
+            else:
+                assert g == eval_transform_pure(spec, v, ftype), (
+                    spec, ftype, v, g,
+                )
+    # wide randomized sweep on the hash lanes
+    rng = np.random.default_rng(7)
+    longs = rng.integers(-(2**62), 2**62, size=500).tolist()
+    got = derive_transform_column(
+        pa.array(longs, type=pa.int64()), "long",
+        {"kind": "bucket", "src": "c", "arg": 32},
+    ).to_pylist()
+    spec = {"kind": "bucket", "src": "c", "arg": 32}
+    assert got == [eval_transform_pure(spec, v, "long") for v in longs]
+
+
+def test_sql_write_hidden_partitioning_parity(spark, tmp_path):
+    """SQL writes to a transform-partitioned table route rows into
+    EXACTLY the directories the API path would (bit-exact xxhash
+    routing), so point-filter pruning finds every SQL-written row; a
+    null source value routes like Spark's xxhash64(NULL)."""
+    import json
+
+    api_root = str(tmp_path / "api")
+    sql_root = str(tmp_path / "sql")
+    df = spark.createDataFrame(
+        [(i, f"L{i % 3}", float(i)) for i in range(100)] + [(None, "LX", -1.0)],
+        "doc_id long, lang string, score double",
+    )
+    spec = ["lang", "bucket(8, doc_id)"]
+    SnapshotStore(spark, api_root).write(
+        df, mode="snapshot", partition_by=spec
+    )
+    write_snapshot_table(spark, df, sql_root, mode="append",
+                         partition_by=spec)
+    sa = SnapshotStore(spark, api_root)
+    sb = SnapshotStore(spark, sql_root)
+    ma = sa._read_manifest(sa.current_version())
+    mb = sb._read_manifest(sb.current_version())
+    assert set(ma["partitions"]) == set(mb["partitions"])  # same dirs
+    assert ma["partition_transforms"] == mb["partition_transforms"]
+    assert json.loads(ma["schema"]) == json.loads(mb["schema"])
+    # point-filter pruned reads agree row-for-row (the pruning the
+    # routing must serve)
+    for probe in (0, 17, 55, 99):
+        ga = {tuple(r) for r in sa.read(point_filter={"doc_id": probe}).collect()}
+        gb = {tuple(r) for r in sb.read(point_filter={"doc_id": probe}).collect()}
+        assert ga == gb and len(ga) == 1, probe
+    assert _rows(sb.read()) == _rows(sa.read())
+    # append via SQL restating the spec; then an API append interleaves
+    write_snapshot_table(
+        spark,
+        spark.createDataFrame([(1000, "L1", 5.0)],
+                              "doc_id long, lang string, score double"),
+        sql_root,
+    )
+    sb.write(
+        spark.createDataFrame([(2000, "L2", 6.0)],
+                              "doc_id long, lang string, score double"),
+        mode="append", partition_by=spec,
+    )
+    got = sb.read(point_filter={"doc_id": [1000, 2000]})
+    assert {r["doc_id"] for r in got.collect()} == {1000, 2000}
+    # caller-supplied derived column is replaced, never trusted
+    poisoned = spark.createDataFrame(
+        [(3000, "L0", 7.0, 999)],
+        "doc_id long, lang string, score double, doc_id_bucket_8 int",
+    )
+    write_snapshot_table(spark, poisoned, sql_root)
+    assert sb.read(point_filter={"doc_id": 3000}).count() == 1
+    cols = sb.read().columns
+    assert "doc_id_bucket_8" not in cols
+    # unsupported transform source refuses toward the API
+    with pytest.raises(Exception, match="not supported by the SQL write"):
+        write_snapshot_table(
+            spark,
+            spark.createDataFrame([(1.5, 1)], "x double, y long"),
+            str(tmp_path / "bad"),
+            partition_by=["bucket(4, x)"],
+        )
 
 
 def test_sql_write_then_mor_delete_sequence(spark, tmp_path):
