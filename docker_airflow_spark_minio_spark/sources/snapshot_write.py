@@ -132,6 +132,9 @@ _TRANSFORM_TYPES = {
     "days": frozenset({"date"}),
 }
 
+#: what Spark's xxhash64 returns for a NULL input: the seed itself
+XXHASH_SEED_HASH_NULL = XXHASH_SEED
+
 _XXP1 = 0x9E3779B185EBCA87
 _XXP2 = 0xC2B2AE3D27D4EB4F
 _XXP3 = 0x165667B19E3779F9
@@ -261,9 +264,6 @@ def derive_transform_column(col, ftype: str, spec: dict):
         )
     raise ValueError(f"unsupported transform kind {kind!r}")
 
-
-#: what Spark's xxhash64 returns for an all-NULL input row: the seed
-XXHASH_SEED_HASH_NULL = XXHASH_SEED
 
 
 class LocalSnapshotCommitter(LocalSnapshotPlanner):
