@@ -661,6 +661,28 @@ class SnapshotStore:
                 return v
         return None
 
+    def _pin_head(self) -> tuple[int | None, int]:
+        """(published parent version, next claimable version) from ONE
+        ``versions()`` listing.  Every commit path must allocate its
+        version number from the SAME listing that chose its parent:
+        with two listings, a commit landing in between makes the new
+        version number skip past the interloper while the parent stays
+        stale -- the atomic claim then succeeds and the interleaved
+        commit's directories silently drop from the live set (lost
+        update).  From one listing, any commit landing after it
+        collides at the manifest claim and raises
+        :class:`SnapshotConflict` -- loud, retriable, never lossy."""
+        vs = self.versions()
+        parent = next(
+            (
+                v
+                for v in reversed(vs)
+                if self._read_manifest_raw(v).get("staged") is None
+            ),
+            None,
+        )
+        return parent, (vs[-1] + 1 if vs else 0)
+
     def _read_manifest_raw(self, version: int) -> dict:
         """One manifest FILE, as committed (full checkpoint or delta)."""
         raw = read_bytes(self.spark, self._manifest_path(version))
@@ -2035,7 +2057,7 @@ class SnapshotStore:
                 if staged.startswith(BRANCH_NS)
                 else staged
             )
-        parent_v = self.current_version()
+        parent_v, _next_v = self._pin_head()
         if staged is not None:
             prior = self.staged_versions(staged)
             if prior:
@@ -2065,7 +2087,7 @@ class SnapshotStore:
                 raise ValueError(
                     f"delete key_cols {key_cols} != existing {d['key_cols']}"
                 )
-        version = self.latest_version() + 1
+        version = _next_v  # same listing as parent_v (see _pin_head)
         vdir = f"v{version}-{uuid.uuid4().hex[:8]}-del"
         del_path = f"{self.root.rstrip('/')}/{DATA_DIR}/{vdir}"
         keys_df.select(*key_cols).dropDuplicates(key_cols).write.format(
@@ -2182,11 +2204,10 @@ class SnapshotStore:
                 f"pos_df must carry {sorted(need)} (read with "
                 f"with_positions=True); missing {missing}"
             )
-        parent_v = self.current_version()
+        parent_v, version = self._pin_head()
         if parent_v is None:
             raise ValueError(f"no snapshots committed under {self.root}")
         parent = self._read_manifest(parent_v)
-        version = self.latest_version() + 1
         vdir = f"v{version}-{uuid.uuid4().hex[:8]}-posdel"
         del_path = f"{self.root.rstrip('/')}/{DATA_DIR}/{vdir}"
         from pyspark.sql import functions as F
@@ -2387,17 +2408,17 @@ class SnapshotStore:
                 return None
             head = self.current_version()
             pby = self._read_manifest(head)["partition_by"]
-            remaining = self.read().where(~cond_true)
+            remaining = self.read(as_of=head).where(~cond_true)
             return self.write(
                 remaining, mode="snapshot", partition_by=pby,
-                metadata=metadata,
+                metadata=metadata, require_parent_v=head,
             )
         tuples, dirs = touched
         if not tuples:
             return None
         head = self.current_version()
         pby = self._read_manifest(head)["partition_by"]
-        remaining = self.read(partitions=dirs).where(~cond_true)
+        remaining = self.read(as_of=head, partitions=dirs).where(~cond_true)
         ident = [c for c in pby if c in remaining.columns]
         if ident:
             remaining = remaining.repartition(*ident)
@@ -2408,6 +2429,7 @@ class SnapshotStore:
             claimed_partitions=tuples,
             metadata=metadata,
             staged=staged,
+            require_parent_v=None if staged is not None else head,
         )
 
     def update_where(
@@ -2501,13 +2523,13 @@ class SnapshotStore:
             if self.read().where(cond_true).limit(1).isEmpty():
                 return None
             return self.write(
-                _apply(self.read()), mode="snapshot", partition_by=pby,
-                metadata=metadata,
+                _apply(self.read(as_of=head)), mode="snapshot",
+                partition_by=pby, metadata=metadata, require_parent_v=head,
             )
         tuples, dirs = touched
         if not tuples:
             return None
-        updated = _apply(self.read(partitions=dirs))
+        updated = _apply(self.read(as_of=head, partitions=dirs))
         ident = [c for c in pby if c in updated.columns]
         if ident:
             updated = updated.repartition(*ident)
@@ -2518,6 +2540,268 @@ class SnapshotStore:
             claimed_partitions=tuples,
             metadata=metadata,
             staged=staged,
+            require_parent_v=None if staged is not None else head,
+        )
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        on,
+        matched: list[tuple] | None = None,
+        not_matched: list[tuple] | None = None,
+        target_alias: str = "target",
+        source_alias: str = "source",
+        metadata: dict | None = None,
+        validate_cardinality: bool = True,
+    ) -> int | None:
+        """General ``MERGE INTO`` (copy-on-write, the Iceberg
+        ``write.merge.mode=copy-on-write`` semantics): join the table
+        against ``source`` on ``on`` and rewrite ONLY the touched
+        partitions in one atomic ``overwrite_partitions`` commit.
+        Unlike :func:`..streaming.cdc.upsert_snapshot_batch` (key-based
+        latest-wins CDC), this is the full conditional-clause MERGE the
+        reference's users get from Iceberg-on-Spark SQL.
+
+        ``on``: a Column or SQL string over ``target_alias`` /
+        ``source_alias`` qualified names.  ``matched``: ordered clauses,
+        each ``("update", cond_or_None, {col: value})`` or
+        ``("delete", cond_or_None)``; ``not_matched``: ordered
+        ``("insert", cond_or_None, values_or_None)`` clauses where
+        ``None`` values means ``INSERT *`` (source columns by target
+        name).  Clause conditions / values may be Columns, SQL strings
+        (parsed with :func:`~pyspark.sql.functions.expr`), or plain
+        Python literals (values only).  Per SQL semantics the FIRST
+        clause whose condition evaluates TRUE wins per row; rows
+        matching no clause pass through (matched) or are dropped
+        (source-only).  Returns the committed version, or None when no
+        clause changed anything (no commit).
+
+        ``validate_cardinality`` (default on, matching Spark/Iceberg's
+        runtime check): raises when a target row matches MORE THAN ONE
+        source row while update/delete clauses exist -- applying both
+        would be nondeterministic.  The check is one extra aggregate
+        over the touched partitions' join keyed on the scan's
+        ``(_file, _pos)`` row handles; disable it only when ``on`` is
+        known key-unique.
+
+        Scale shape: touched partitions = partitions holding matched
+        target rows UNION partitions receiving inserts -- everything
+        else is never read or written; the source is scanned a bounded
+        number of times (semi-join for touched, anti-join for inserts,
+        outer join for the rewrite -- each a key-only or
+        clause-projected shuffle); inserts landing in brand-new
+        partition values claim them without reading anything.
+        Partition columns (and hidden-partitioning transform sources)
+        cannot be assigned by an update clause -- a row changing
+        partition under ``overwrite_partitions`` would land among rows
+        this commit never read (same refusal as :meth:`update_where`);
+        express moves as a delete clause + insert clause instead.
+        Unpartitioned tables rewrite fully (inherent to COW)."""
+        from pyspark.sql import functions as F
+
+        matched = list(matched or [])
+        not_matched = list(not_matched or [])
+        if not matched and not not_matched:
+            raise ValueError("MERGE requires at least one WHEN clause")
+        for cl in matched:
+            if cl[0] not in ("update", "delete"):
+                raise ValueError(f"unknown matched clause kind {cl[0]!r}")
+        for cl in not_matched:
+            if cl[0] != "insert":
+                raise ValueError(
+                    f"unknown not-matched clause kind {cl[0]!r}"
+                )
+        head = self.current_version()
+        if head is None:
+            raise ValueError(f"no snapshots committed under {self.root}")
+        m_head = self._read_manifest(head)
+        pby = m_head["partition_by"]
+        trans = m_head.get("partition_transforms") or {}
+        routing = set(pby) | {spec["src"] for spec in trans.values()}
+        for cl in matched:
+            if cl[0] == "update":
+                bad = sorted(set(cl[2]) & routing)
+                if bad:
+                    raise ValueError(
+                        f"cannot assign partition columns (or hidden-"
+                        f"partitioning transform sources) {bad}: moved "
+                        "rows would land in partitions this commit "
+                        "never read; use a delete clause + insert "
+                        "clause instead"
+                    )
+
+        def _cond(c) -> Column:
+            if c is None:
+                return F.lit(True)
+            return F.expr(c) if isinstance(c, str) else c
+
+        def _val(v) -> Column:
+            if isinstance(v, Column):
+                return v
+            if isinstance(v, str):
+                return F.expr(v)
+            return F.lit(v)
+
+        t = self.read(as_of=head).alias(target_alias)
+        tcols = t.columns
+        ttypes = {f.name: f.dataType for f in t.schema.fields}
+        on_col = F.expr(on) if isinstance(on, str) else on
+        s_marked = source.withColumn("__m", F.lit(1)).alias(source_alias)
+
+        # -- inserts: source rows matching NO target row, first
+        #    not-matched clause wins ---------------------------------------
+        ins = None
+        if not_matched:
+            ins_src = source.alias(source_alias).join(t, on_col, "left_anti")
+            already = F.lit(False)
+            keep = F.lit(False)
+            vals = {c: F.lit(None).cast(ttypes[c]) for c in tcols}
+            for cl in not_matched:
+                fire = ~already & F.coalesce(_cond(cl[1]), F.lit(False))
+                assigns = cl[2]
+                if assigns is None:  # INSERT *
+                    missing = sorted(set(tcols) - set(ins_src.columns))
+                    if missing:
+                        raise ValueError(
+                            f"INSERT * requires source columns {missing}"
+                        )
+                    assigns = {c: F.col(c) for c in tcols}
+                else:
+                    unknown = sorted(set(assigns) - set(tcols))
+                    if unknown:
+                        raise ValueError(
+                            f"INSERT columns {unknown} not in table "
+                            f"schema {tcols}"
+                        )
+                for c in tcols:
+                    if c in assigns:
+                        vals[c] = F.when(
+                            fire, _val(assigns[c]).cast(ttypes[c])
+                        ).otherwise(vals[c])
+                keep = keep | fire
+                already = already | fire
+            ins = (
+                ins_src.withColumn("__keep", keep)
+                .where(F.col("__keep"))
+                .select(*(vals[c].alias(c) for c in tcols))
+            )
+
+        # -- touched partitions: matched rows' dirs + insert rows' dirs ---
+        if pby:
+            tuples: list[tuple] = []
+            if matched:
+                mt = t.join(s_marked, on_col, "left_semi")
+                if trans:
+                    mt = _apply_transforms(mt, trans)
+                tuples += [
+                    tuple(r[c] for c in pby)
+                    for r in mt.select(*pby).distinct().collect()
+                ]
+            if ins is not None:
+                it = _apply_transforms(ins, trans) if trans else ins
+                tuples += [
+                    tuple(r[c] for c in pby)
+                    for r in it.select(*pby).distinct().collect()
+                ]
+            tuples = sorted(set(tuples), key=lambda v: tuple(map(str, v)))
+            if not tuples:
+                return None
+            dirs = [_hive_partition_dir(self.spark, pby, v) for v in tuples]
+            existing = [d for d in dirs if d in m_head["partitions"]]
+            base = (
+                self.read(
+                    as_of=head, partitions=existing, with_positions=True
+                )
+                if existing
+                else t.limit(0).withColumns(
+                    {"_file": F.lit(""), "_pos": F.lit(0)}
+                )
+            )
+        else:
+            # unpartitioned: COW is a full rewrite; keep the "None when
+            # nothing changed" contract via cheap probes
+            has_match = bool(matched) and not (
+                t.join(s_marked, on_col, "left_semi").limit(1).isEmpty()
+            )
+            has_ins = ins is not None and not ins.limit(1).isEmpty()
+            if not has_match and not has_ins:
+                return None
+            tuples, existing = None, None
+            base = self.read(as_of=head, with_positions=True)
+        base = base.alias(target_alias)
+
+        # -- survivors: touched-partition rows with matched clauses
+        #    applied (first TRUE clause wins), deletes filtered ------------
+        if matched:
+            if validate_cardinality:
+                dup = (
+                    base.join(s_marked, on_col, "inner")
+                    .groupBy("_file", "_pos")
+                    .count()
+                    .where(F.col("count") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if dup:
+                    raise ValueError(
+                        "MERGE cardinality violation: a target row "
+                        "matches more than one source row; make the ON "
+                        "condition key-unique (or pre-aggregate the "
+                        "source), or pass validate_cardinality=False "
+                        "to accept nondeterministic clause application"
+                    )
+            joined = base.join(s_marked, on_col, "left_outer")
+            is_matched = F.col("__m").isNotNull()
+            already = F.lit(False)
+            delete_fire = F.lit(False)
+            vals = {
+                c: F.col(f"{target_alias}.{c}").cast(ttypes[c])
+                for c in tcols
+            }
+            for cl in matched:
+                fire = (
+                    is_matched
+                    & ~already
+                    & F.coalesce(_cond(cl[1]), F.lit(False))
+                )
+                if cl[0] == "delete":
+                    delete_fire = delete_fire | fire
+                else:
+                    unknown = sorted(set(cl[2]) - set(tcols))
+                    if unknown:
+                        raise ValueError(
+                            f"UPDATE SET columns {unknown} not in table "
+                            f"schema {tcols}"
+                        )
+                    for c in cl[2]:
+                        vals[c] = F.when(
+                            fire, _val(cl[2][c]).cast(ttypes[c])
+                        ).otherwise(vals[c])
+                already = already | fire
+            survivors = (
+                joined.withColumn("__del", delete_fire)
+                .where(~F.col("__del"))
+                .select(*(vals[c].alias(c) for c in tcols))
+            )
+        else:
+            survivors = base.select(*tcols)
+
+        final = survivors.unionByName(ins) if ins is not None else survivors
+        if pby:
+            ident = [c for c in pby if c in final.columns]
+            if ident:
+                final = final.repartition(*ident)
+            return self.write(
+                final,
+                mode="overwrite_partitions",
+                partition_by=pby,
+                claimed_partitions=tuples,
+                metadata=metadata,
+                require_parent_v=head,
+            )
+        return self.write(
+            final, mode="snapshot", partition_by=pby, metadata=metadata,
+            require_parent_v=head,
         )
 
     def evolve_schema(
@@ -2568,7 +2852,7 @@ class SnapshotStore:
         widens = dict(widens or {})
         if not (renames or drops or widens):
             raise ValueError("nothing to evolve: pass renames/drops/widens")
-        parent_v = self.current_version()
+        parent_v, _next_v = self._pin_head()
         if parent_v is None:
             raise ValueError(f"no snapshots committed under {self.root}")
         parent = self._read_manifest(parent_v)
@@ -2659,7 +2943,7 @@ class SnapshotStore:
                 for f in new_fields
             ],
         }
-        version = self.latest_version() + 1
+        version = _next_v  # same listing as parent_v (see _pin_head)
         entry = {
             "version": version,
             "fields": [
@@ -2750,8 +3034,19 @@ class SnapshotStore:
         stats_sidecar_threshold: int | None = None,
         ndv_cols: list[str] | None = None,
         _mixed_spec_overwrite_ok: bool = False,
+        require_parent_v: int | None = None,
     ) -> int:
         """Commit ``df`` as a new snapshot; returns the committed version.
+
+        ``require_parent_v``: refuse (:class:`SnapshotConflict`) unless
+        the published head still IS this version when the commit pins
+        its parent -- the optimistic-concurrency pin for callers whose
+        ``df`` was COMPUTED against a specific head (the row-level
+        UPDATE/DELETE/MERGE rewrites): a commit landing between the
+        computation and this write either fails this check (landed
+        before the pin) or collides at the atomic manifest claim
+        (landed after -- same single-listing guarantee as
+        :meth:`_pin_head`), so a stale rewrite can never clobber it.
 
         ``staged``: a write-audit-publish id (Iceberg's ``wap.id``).
         The snapshot commits durably -- data written, version number
@@ -2859,7 +3154,13 @@ class SnapshotStore:
                 if staged.startswith(BRANCH_NS)
                 else staged
             )
-        parent_v = self.current_version()
+        parent_v, _next_v = self._pin_head()
+        if require_parent_v is not None and parent_v != require_parent_v:
+            raise SnapshotConflict(
+                f"published head moved from v{require_parent_v} to "
+                f"v{parent_v} since this rewrite was computed; re-run "
+                "the row-level operation against the new head"
+            )
         if staged is not None:
             prior = self.staged_versions(staged)
             if prior:
@@ -2989,8 +3290,7 @@ class SnapshotStore:
                 f for f in sj["fields"] if f["name"] not in transforms
             ]
             schema_json = json.dumps(sj)
-        latest = self.latest_version()
-        version = 0 if latest is None else latest + 1
+        version = _next_v  # same listing as parent_v (see _pin_head)
         # Attempt-UNIQUE data directory (the Iceberg convention): two
         # committers racing for the same version must not write into one
         # path -- the commit rename decides the winner only AFTER both

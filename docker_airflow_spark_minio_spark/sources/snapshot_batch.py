@@ -526,8 +526,11 @@ def _read_delete_set(path: str):
     if path in _DELETE_SET_CACHE:
         return _DELETE_SET_CACHE[path]
     tab = _read_parquet_dir(path)
-    if len(_DELETE_SET_CACHE) >= 64:
-        _DELETE_SET_CACHE.clear()
+    while len(_DELETE_SET_CACHE) >= 64:
+        # evict OLDEST (dict preserves insertion order): a window
+        # spanning >64 sets keeps its hot tail instead of thrashing a
+        # full re-read of every set per trigger
+        _DELETE_SET_CACHE.pop(next(iter(_DELETE_SET_CACHE)))
     _DELETE_SET_CACHE[path] = tab
     return tab
 

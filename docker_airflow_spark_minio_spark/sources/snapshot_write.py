@@ -352,7 +352,22 @@ class SnapshotTableArrowWriter(DataSourceArrowWriter):
         ftypes = {f["name"]: f["type"] for f in frame["fields"]}
 
         c = LocalSnapshotCommitter.for_root(self.root)
-        self.parent_v = c.current_version()
+        # ONE versions() listing feeds both the pinned parent and the
+        # claimed version number: deriving them from two separate
+        # listings left a window where a commit landing in between made
+        # version-1 == latest at commit time (advance guard passes)
+        # while the pinned parent was stale -- silently dropping the
+        # interleaved commit's directories (lost update).  commit()
+        # additionally re-asserts the published head == parent_v.
+        vs = c.versions()
+        self.parent_v = next(
+            (
+                v
+                for v in reversed(vs)
+                if c._read_manifest_raw(v).get("staged") is None
+            ),
+            None,
+        )
         parent = (
             c._read_manifest(self.parent_v)
             if self.parent_v is not None
@@ -466,7 +481,7 @@ class SnapshotTableArrowWriter(DataSourceArrowWriter):
             self.schema_json = json.dumps(frame)
         self.slog = slog
 
-        latest = c.latest_version()
+        latest = vs[-1] if vs else None
         self.version = 0 if latest is None else latest + 1
         self.vdir = f"v{self.version}-{uuid.uuid4().hex[:8]}"
         self.data_path = f"{self.root}/{DATA_DIR}/{self.vdir}"
@@ -546,6 +561,15 @@ class SnapshotTableArrowWriter(DataSourceArrowWriter):
             raise SnapshotConflict(
                 f"table advanced during the write (planned v{self.version}, "
                 f"head now v{latest}); retry the INSERT"
+            )
+        if c.current_version() != self.parent_v:
+            # belt-and-braces for the init-time race fixed above: the
+            # published head this write chained from must still BE the
+            # head, or committing would drop the interleaved commit
+            c._delete_prefix(self.data_path)
+            raise SnapshotConflict(
+                f"published head moved from v{self.parent_v} during the "
+                "write; retry the INSERT"
             )
         parent = (
             c._read_manifest(self.parent_v)

@@ -384,6 +384,226 @@ def snapshot_sql_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_sql_update_read",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({_CENTS} + CASE WHEN o_orderstatus = 'F'
+                                     AND o_custkey % 13 = 0
+                                    THEN 100 ELSE 0 END) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    WHERE o_orderkey % 101 <> 0
+    GROUP BY status ORDER BY status
+    """,
+    category="etl",
+    description="SQL row-level statements (round 13; the Iceberg-on-"
+    "Spark surface the reference's users get): an `UPDATE t SET "
+    "cents = cents + 100 WHERE o_orderstatus = 'F' AND o_custkey % 13 "
+    "= 0` statement through snapshot_sql routes to the copy-on-write "
+    "update_where rewrite -- the entry runtime-asserts the UNtouched "
+    "status partitions kept their v0 directories (touched-partition "
+    "rewrite, not a table rewrite) -- then a `DELETE FROM t WHERE "
+    "o_orderkey % 101 = 0` statement lands as a merge-on-read "
+    "positional delete set (runtime-asserted live in the manifest, no "
+    "data rewritten); the read-back aggregate (also via SQL) must "
+    "hash-match the raw-source oracle applying both statements",
+)
+def snapshot_sql_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..snapshots import SnapshotStore
+    from ..streaming.table_source import snapshot_sql
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.expr(_CENTS).alias("cents"),
+    )
+    root = scratch_root("snapsql_upd", sf_dir)
+    s = SnapshotStore(spark, root)
+    s.write(orders, mode="snapshot", partition_by=["o_orderstatus"])
+    v = snapshot_sql(
+        spark,
+        "UPDATE t SET cents = cents + 100 "
+        "WHERE o_orderstatus = 'F' AND o_custkey % 13 = 0",
+        {"t": root},
+    ).collect()[0]["version"]
+    if v != 1:
+        raise AssertionError(f"UPDATE did not commit v1 (got {v})")
+    m = s._read_manifest(v)
+    untouched = [
+        p for p in m["partitions"] if p != "o_orderstatus=F"
+    ]
+    if not untouched or not all(
+        vd.startswith("v0-")
+        for p in untouched
+        for vd in m["partitions"][p]
+    ):
+        raise AssertionError(
+            "COW UPDATE rewrote partitions its predicate never "
+            f"touched: {m['partitions']}"
+        )
+    v2 = snapshot_sql(
+        spark, "DELETE FROM t WHERE o_orderkey % 101 = 0", {"t": root}
+    ).collect()[0]["version"]
+    if v2 != 2:
+        raise AssertionError(f"DELETE did not commit v2 (got {v2})")
+    if not any(
+        d.get("kind") == "positional"
+        for d in s._read_manifest(v2).get("delete_sets", [])
+    ):
+        raise AssertionError(
+            "SQL DELETE default must land as a positional MoR set"
+        )
+    return snapshot_sql(
+        spark,
+        """
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n_orders,
+               SUM(cents) AS revenue_cents
+        FROM t GROUP BY status ORDER BY status
+        """,
+        {"t": root},
+    )
+
+
+#: MERGE thresholds over integer cents (cents ~ o_totalprice * 100):
+#: doubled-cents above UPDATE_T update, below it delete; source-only
+#: rows insert only below INSERT_C -- all three clause arms populated
+#: at every shipped SF (runtime-asserted).
+MERGE_UPDATE_T = 20_000_000
+MERGE_INSERT_C = 50_000_000
+
+
+@register(
+    "snapshot_sql_merge_read",
+    oracle=f"""
+    WITH oc AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST({_CENTS} AS BIGINT) AS cents
+        FROM orders
+    ), merged AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_custkey % 6 = 0 THEN 2 * cents
+                    ELSE cents END AS cents
+        FROM oc
+        WHERE o_custkey % 3 = 0
+          AND NOT (o_custkey % 6 = 0 AND 2 * cents <= {MERGE_UPDATE_T})
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, 2 * cents AS cents
+        FROM oc
+        WHERE o_custkey % 2 = 0 AND o_custkey % 3 <> 0
+          AND 2 * cents <= {MERGE_INSERT_C}
+    )
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM merged GROUP BY status ORDER BY status
+    """,
+    category="etl",
+    description="full conditional-clause MERGE INTO via SQL (round 13; "
+    "Iceberg-on-Spark's headline statement): target = orders slice "
+    "(custkey%3=0) as a status-partitioned snapshot table, source = "
+    "doubled-cents slice (custkey%2=0) as a second snapshot table; "
+    "one MERGE statement exercises all three clause arms -- WHEN "
+    "MATCHED AND cents>T THEN UPDATE SET, WHEN MATCHED THEN DELETE, "
+    "WHEN NOT MATCHED AND cents<=C THEN INSERT (cols) VALUES -- "
+    "routed to SnapshotStore.merge_into's copy-on-write touched-"
+    "partition rewrite (ON-key-unique, cardinality-validated, "
+    "require_parent_v-pinned single atomic commit); the read-back "
+    "aggregate must hash-match the oracle's relational restatement of "
+    "the clause semantics, and the entry runtime-asserts every arm "
+    "changed at least one row",
+)
+def snapshot_sql_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..snapshots import SnapshotStore
+    from ..streaming.table_source import snapshot_sql
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.expr(_CENTS).alias("cents"),
+    )
+    root_t = scratch_root("snapsql_mrg_t", sf_dir)
+    root_s = scratch_root("snapsql_mrg_s", sf_dir)
+    tgt = SnapshotStore(spark, root_t)
+    tgt.write(
+        orders.where("o_custkey % 3 = 0").select(
+            "o_orderkey", "o_orderstatus", "cents"
+        ),
+        mode="snapshot",
+        partition_by=["o_orderstatus"],
+    )
+    SnapshotStore(spark, root_s).write(
+        orders.where("o_custkey % 2 = 0").select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("cents") * 2).alias("cents"),
+        ),
+        mode="snapshot",
+    )
+    n_before = tgt.read().count()
+    v = snapshot_sql(
+        spark,
+        f"""MERGE INTO t USING s ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND s.cents > {MERGE_UPDATE_T}
+                THEN UPDATE SET cents = s.cents
+            WHEN MATCHED THEN DELETE
+            WHEN NOT MATCHED AND s.cents <= {MERGE_INSERT_C}
+                THEN INSERT (o_orderkey, o_orderstatus, cents)
+                     VALUES (s.o_orderkey, s.o_orderstatus, s.cents)""",
+        {"t": root_t, "s": root_s},
+    ).collect()[0]["version"]
+    if v != 1:
+        raise AssertionError(f"MERGE did not commit exactly once (v={v})")
+    # every clause arm must have fired, or the entry is vacuous: arm
+    # counts recomputed relationally from the raw slice
+    arms = orders.select(
+        F.sum(
+            F.expr(
+                "CAST(o_custkey % 6 = 0 AND "
+                f"2 * cents > {MERGE_UPDATE_T} AS INT)"
+            )
+        ).alias("n_upd"),
+        F.sum(
+            F.expr(
+                "CAST(o_custkey % 6 = 0 AND "
+                f"2 * cents <= {MERGE_UPDATE_T} AS INT)"
+            )
+        ).alias("n_del"),
+        F.sum(
+            F.expr(
+                "CAST(o_custkey % 2 = 0 AND o_custkey % 3 <> 0 AND "
+                f"2 * cents <= {MERGE_INSERT_C} AS INT)"
+            )
+        ).alias("n_ins"),
+    ).collect()[0]
+    if not (arms["n_upd"] and arms["n_del"] and arms["n_ins"]):
+        raise AssertionError(f"a MERGE clause arm fired on 0 rows: {arms}")
+    n_after = tgt.read().count()
+    if n_after != n_before - arms["n_del"] + arms["n_ins"]:
+        raise AssertionError(
+            f"MERGE row accounting off: {n_before} - {arms['n_del']} + "
+            f"{arms['n_ins']} != {n_after}"
+        )
+    return snapshot_sql(
+        spark,
+        """
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n_rows,
+               SUM(cents) AS revenue_cents,
+               MIN(o_orderkey) AS min_key,
+               MAX(o_orderkey) AS max_key
+        FROM t GROUP BY status ORDER BY status
+        """,
+        {"t": root_t},
+    )
+
+
+@register(
     "snapshot_join_manifest_planned",
     oracle=f"""
     SELECT c.c_mktsegment AS segment,

@@ -590,3 +590,62 @@ def test_snapshot_sql_per_table_options_time_travel_join(spark, table):
         {"now_t": root, "then_t": (root, {"as_of": v0})},
     ).collect()[0]
     assert (got["n_now"], got["n_then"]) == (121, 120)
+
+
+def test_snapshot_sql_inference_case_insensitive(spark, tmp_path):
+    """Spark resolves identifiers case-insensitively by default, so a
+    mixed-case reference must NOT get its (lowercase) column pruned out
+    of the registered view (advisor r12)."""
+    root = str(tmp_path / "ci")
+    SnapshotStore(spark, root).write(
+        spark.range(20).selectExpr(
+            "id AS k", "id*2 AS lang", "id*3 AS b", "id*5 AS c"
+        ),
+        mode="snapshot",
+    )
+    out = snapshot_sql(
+        spark,
+        "SELECT SUM(Lang) AS sl FROM t WHERE K < 10",
+        {"t": root},
+    ).collect()
+    assert out[0]["sl"] == sum(2 * i for i in range(10))
+
+
+def test_snapshot_sql_natural_join_not_pruned(spark, tmp_path):
+    """NATURAL JOIN matches on columns the statement never names;
+    inference must disable pruning entirely or the join silently
+    degenerates into a cross join (advisor r12)."""
+    r1, r2 = str(tmp_path / "n1"), str(tmp_path / "n2")
+    SnapshotStore(spark, r1).write(
+        spark.range(6).selectExpr("id AS k", "id*2 AS a"), mode="snapshot"
+    )
+    SnapshotStore(spark, r2).write(
+        spark.range(6).selectExpr("id AS k", "id*3 AS b"), mode="snapshot"
+    )
+    out = snapshot_sql(
+        spark,
+        "SELECT SUM(a + b) AS s, COUNT(*) AS n "
+        "FROM t1 NATURAL JOIN t2",
+        {"t1": r1, "t2": r2},
+    ).collect()
+    # a natural join on shared column k: 6 rows, not 36
+    assert out[0]["n"] == 6
+    assert out[0]["s"] == sum(5 * i for i in range(6))
+
+
+def test_delete_set_cache_evicts_oldest_not_all(monkeypatch, tmp_path):
+    """Cache overflow evicts the OLDEST entry; the hot tail survives
+    (advisor r12: clear() thrashed windows spanning >64 sets)."""
+    from docker_airflow_spark_minio_spark.sources import (
+        snapshot_batch as sb,
+    )
+
+    sb._DELETE_SET_CACHE.clear()
+    monkeypatch.setattr(sb, "_read_parquet_dir", lambda path: f"tab:{path}")
+    for i in range(65):
+        sb._read_delete_set(f"/fake/{i}")
+    assert len(sb._DELETE_SET_CACHE) == 64
+    assert "/fake/0" not in sb._DELETE_SET_CACHE  # oldest evicted
+    assert "/fake/64" in sb._DELETE_SET_CACHE  # newest kept
+    assert "/fake/1" in sb._DELETE_SET_CACHE  # hot tail intact
+    sb._DELETE_SET_CACHE.clear()
