@@ -3389,6 +3389,7 @@ class SnapshotStore:
         bloom_bits: int = BLOOM_BITS,
         stats_sidecar_threshold: int | None = None,
         ndv_cols: list[str] | None = None,
+        precomputed_stats: dict | None = None,
     ) -> int:
         """Manifest assembly + atomic claim for a data directory ALREADY
         WRITTEN under ``data_path`` -- the shared back half of
@@ -3449,7 +3450,27 @@ class SnapshotStore:
         file_blooms: dict[str, dict] = {}
         dir_rows: dict[str, int] = {}
         own_sidecars: list[dict] = []
-        if stats_cols or bloom_cols:
+        if precomputed_stats is not None:
+            # Spark-less callers (the SQL write path's
+            # LocalSnapshotCommitter) computed per-file zone maps /
+            # blooms / row counts EXECUTOR-SIDE with pyarrow while the
+            # files were being written (one pass over in-memory Arrow
+            # tables, zero extra scans) and hand them in fully keyed;
+            # the recorded config makes later reads prune exactly as
+            # after an API-path stats write.  Mutually exclusive with
+            # the Spark scan below by construction (callers pass one or
+            # the other).
+            ps = precomputed_stats
+            stats_cols = list(ps.get("stats_cols") or [])
+            bloom_cols = list(ps.get("bloom_cols") or [])
+            bloom_bits = int(ps.get("bloom_bits") or bloom_bits)
+            dir_stats = dict(ps.get("dir_stats") or {})
+            file_stats = dict(ps.get("file_stats") or {})
+            file_blooms = dict(ps.get("file_blooms") or {})
+            dir_rows = {
+                k: int(v) for k, v in (ps.get("dir_rows") or {}).items()
+            }
+        elif stats_cols or bloom_cols:
             from pyspark.sql import functions as F
 
             from .functions.hashing import h32, h32_hi
@@ -3663,6 +3684,16 @@ class SnapshotStore:
                     list(ndv_cols),
                     prev_ts.get("col_ndv") if mode != "snapshot" else None,
                 ),
+            }
+        if precomputed_stats is not None and precomputed_stats.get("col_ndv"):
+            # SQL write path: sketches were batch-computed and unioned
+            # with the parent's BEFORE the write (the entry point has a
+            # SparkSession; this commit worker does not) -- install the
+            # pre-merged result so an INSERT no longer invalidates the
+            # table's NDV statistics.
+            table_stats = {
+                **(table_stats or {}),
+                "col_ndv": dict(precomputed_stats["col_ndv"]),
             }
         common = {
             "version": version,

@@ -35,9 +35,17 @@ Execution model (mirrors the batch reader's constraints):
   delta-vs-checkpoint cadence), so the two write paths cannot drift.
 
 Restricted surface (refused loudly, with the API alternative named):
-partition-spec evolution, stats/bloom/NDV recording, WAP staging, and
-``overwrite_partitions`` stay on :meth:`SnapshotStore.write` -- a SQL
-``INSERT`` can express none of them.  Supported: ``append`` (INSERT
+partition-spec evolution, WAP staging, and ``overwrite_partitions``
+stay on :meth:`SnapshotStore.write` -- a SQL ``INSERT`` can express
+none of them.  Statistics ARE recorded (round 13): per-file zone maps
+and blooms are computed task-side over the in-memory Arrow tables
+(``pc.min_max`` + md5-twin bloom hashing, bit-identical with the API
+path's Spark stats scan and parity-tested), the table's recorded stats
+configuration is inherited by default so INSERTs keep a stats-bearing
+table prunable, and NDV sketches arrive pre-merged from the entry
+point (``write_snapshot_table`` computes the batch HLL union with the
+SparkSession it has) -- so an INSERT no longer invalidates
+``col_ndv``.  Supported: ``append`` (INSERT
 INTO), ``overwrite`` = full table-replacing snapshot (INSERT
 OVERWRITE), identity partitioning AND hidden-partitioning transforms
 (bucket/truncate/years/months/days over the pinned source types --
@@ -76,7 +84,15 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from ..snapshots import DATA_DIR, SnapshotConflict, _parse_partition_spec
+from ..snapshots import (
+    BLOOM_BITS,
+    BLOOM_K,
+    DATA_DIR,
+    SIDECAR_FILE_THRESHOLD,
+    SnapshotConflict,
+    _BLOOM_KEY_TYPES,
+    _parse_partition_spec,
+)
 from .snapshot_batch import (
     LocalSnapshotPlanner,
     XXHASH_SEED,
@@ -325,10 +341,61 @@ class LocalSnapshotCommitter(LocalSnapshotPlanner):
         return sorted(leaves(data_path, depth, ""))
 
 
+#: column types whose task-side pyarrow min/max serializes to exactly
+#: the JSON form the API path's Spark stats scan records (`_stat_json`
+#: over Spark row values): ints stay ints, floats floats, strings
+#: strings, dates -> ISO strings (same ordering).  Timestamps are
+#: session-zone-entangled (same reason hours() transforms refuse on
+#: this path) and decimals stringify differently -- excluded.
+_STATS_TYPES = frozenset(
+    {
+        "byte",
+        "short",
+        "integer",
+        "int",
+        "long",
+        "bigint",
+        "float",
+        "double",
+        "string",
+        "date",
+    }
+)
+
+
+def _stat_val(v):
+    """Python value -> the zone-map JSON form `snapshots._stat_json`
+    records (numbers/strings/None pass; dates ISO-stringify)."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)
+
+
+def _bloom_hex(values, bits: int) -> str:
+    """Bitmap hex for a file's bloom entry, bit-identical with the API
+    path's Spark scan: per distinct non-null value, k=BLOOM_K positions
+    ``(h1 + i*h2) % bits`` from `snapshots._bloom_hash_pair` -- the
+    SAME md5 twin the driver-side probe uses, so build and probe cannot
+    drift (Spark-parity pinned in tests)."""
+    from ..snapshots import _bloom_hash_pair
+
+    bm = 0
+    for v in values:
+        if v is None:
+            continue
+        h1, h2 = _bloom_hash_pair(v)
+        for i in range(BLOOM_K):
+            bm |= 1 << ((h1 + i * h2) % bits)
+    return f"{bm:0{bits // 4}x}"
+
+
 @dataclass
 class _TaskFiles(WriterCommitMessage):
     n_rows: int
     n_files: int
+    #: per-file statistics computed while the file was in memory:
+    #: [{dir, file, rows, stats: {col: [mn, mx]}, blooms: {col: hex}}]
+    stats: list | None = None
 
 
 class SnapshotTableArrowWriter(DataSourceArrowWriter):
@@ -481,6 +548,70 @@ class SnapshotTableArrowWriter(DataSourceArrowWriter):
             self.schema_json = json.dumps(frame)
         self.slog = slog
 
+        # -- write-time statistics (round 13): zone maps / blooms / row
+        # counts are computed TASK-SIDE over the in-memory Arrow tables
+        # (pc.min_max + md5-twin bloom hashing, zero extra scans) so a
+        # SQL INSERT no longer lands unprunable directories.  Config
+        # resolution: explicit ``stats_cols``/``bloom_cols`` options
+        # win (unsupported types REFUSE); absent them, the table's
+        # recorded stats configuration (``table_stats``) is INHERITED
+        # -- the Iceberg table-property behavior, where every writer
+        # records the configured metrics -- with unsupported-typed
+        # columns dropped (recording less is sound; refusing would
+        # wedge SQL writes on e.g. timestamp-stat tables).
+        ts_cfg = (parent or {}).get("table_stats") or {}
+        opt_stats = options.get("stats_cols")
+        opt_bloom = options.get("bloom_cols")
+        explicit = opt_stats is not None or opt_bloom is not None
+        if explicit:
+            want_stats = [
+                c.strip() for c in (opt_stats or "").split(",") if c.strip()
+            ]
+            want_bloom = [
+                c.strip() for c in (opt_bloom or "").split(",") if c.strip()
+            ]
+            self.bloom_bits = int(options.get("bloom_bits") or BLOOM_BITS)
+        else:
+            want_stats = list(ts_cfg.get("stats_cols") or [])
+            want_bloom = list(ts_cfg.get("bloom_cols") or [])
+            self.bloom_bits = int(ts_cfg.get("bloom_bits") or BLOOM_BITS)
+
+        def _resolve(cols: list[str], ok_types, what: str) -> list[str]:
+            out = []
+            for c in cols:
+                t = self.ftypes.get(c)
+                supported = (
+                    c not in self.transforms
+                    and isinstance(t, str)
+                    and t in ok_types
+                )
+                if supported:
+                    out.append(c)
+                elif explicit:
+                    raise ValueError(
+                        f"{what} column {c!r} (type {t}) is not "
+                        f"supported by the SQL write path (supported "
+                        f"types: {sorted(ok_types)}); use "
+                        "SnapshotStore.write"
+                    )
+            return out
+
+        self.stats_cols = _resolve(want_stats, _STATS_TYPES, "stats_cols")
+        self.bloom_cols = _resolve(
+            want_bloom, _BLOOM_KEY_TYPES, "bloom_cols"
+        )
+        # the table's recorded CONFIG keeps the full inherited lists
+        # even when a column's type can't be recorded on this path --
+        # degrading the config would silently stop later API writes
+        # (and compact's re-record) from collecting those stats
+        self.cfg_stats_cols = want_stats
+        self.cfg_bloom_cols = want_bloom
+        # pre-merged base64 NDV sketches, computed by the entry point
+        # (which HAS a SparkSession) -- see write_snapshot_table
+        self.ndv_sketches = json.loads(
+            options.get("ndv_sketches_json") or "null"
+        )
+
         latest = vs[-1] if vs else None
         self.version = 0 if latest is None else latest + 1
         self.vdir = f"v{self.version}-{uuid.uuid4().hex[:8]}"
@@ -511,7 +642,7 @@ class SnapshotTableArrowWriter(DataSourceArrowWriter):
                     ),
                 )
             if not self.pby:
-                bufs.setdefault("", []).append(tab)
+                bufs.setdefault("", [(), []])[1].append(tab)
                 continue
             combos = tab.group_by(self.pby).aggregate([])
             for i in range(combos.num_rows):
@@ -532,20 +663,59 @@ class SnapshotTableArrowWriter(DataSourceArrowWriter):
                 part = hive_dir_local(
                     self.pby, tuple(_format_part_value(v) for v in vals)
                 )
-                bufs.setdefault(part, []).append(
+                bufs.setdefault(part, [vals, []])[1].append(
                     tab.filter(mask).drop_columns(list(self.pby))
                 )
         n_rows = n_files = 0
-        for part, tabs in bufs.items():
+        stats_entries: list[dict] = []
+        record = bool(self.stats_cols or self.bloom_cols)
+        for part, (vals, tabs) in bufs.items():
             out = pa.concat_tables(tabs)
             if out.num_rows == 0:
                 continue
             dirp = f"{self.data_path}/{part}" if part else self.data_path
             os.makedirs(dirp, exist_ok=True)
-            pq.write_table(out, f"{dirp}/part-{uuid.uuid4().hex}.parquet")
+            fname = f"part-{uuid.uuid4().hex}.parquet"
+            pq.write_table(out, f"{dirp}/{fname}")
             n_rows += out.num_rows
             n_files += 1
-        return _TaskFiles(n_rows=n_rows, n_files=n_files)
+            if not record:
+                continue
+            by_part = dict(zip(self.pby, vals))
+            stats: dict[str, list] = {}
+            for c in self.stats_cols:
+                if c in by_part:  # identity partition col: constant
+                    v = _stat_val(by_part[c])
+                    stats[c] = [v, v]
+                else:
+                    mm = pc.min_max(out.column(c))
+                    stats[c] = [
+                        _stat_val(mm["min"].as_py()),
+                        _stat_val(mm["max"].as_py()),
+                    ]
+            blooms: dict[str, list] = {}
+            for c in self.bloom_cols:
+                values = (
+                    {by_part[c]}
+                    if c in by_part
+                    else set(out.column(c).to_pylist())
+                )
+                blooms[c] = [
+                    self.bloom_bits,
+                    _bloom_hex(values, self.bloom_bits),
+                ]
+            stats_entries.append(
+                {
+                    "dir": f"{self.vdir}/{part}" if part else self.vdir,
+                    "file": fname,
+                    "rows": out.num_rows,
+                    "stats": stats,
+                    "blooms": blooms,
+                }
+            )
+        return _TaskFiles(
+            n_rows=n_rows, n_files=n_files, stats=stats_entries or None
+        )
 
     # -- driver side (Python worker, no SparkSession) -------------------------
 
@@ -577,6 +747,51 @@ class SnapshotTableArrowWriter(DataSourceArrowWriter):
             else None
         )
         n_rows = sum(m.n_rows for m in messages if m is not None)
+        precomputed = None
+        if self.stats_cols or self.bloom_cols or self.ndv_sketches:
+            file_stats: dict[str, dict] = {}
+            file_blooms: dict[str, dict] = {}
+            dir_rows: dict[str, int] = {}
+            raw_dir: dict[str, dict[str, list]] = {}
+            entries = [
+                e
+                for m in messages
+                if m is not None and m.stats
+                for e in m.stats
+            ]
+            for e in entries:
+                key = f"{e['dir']}/{e['file']}"
+                if e["stats"]:
+                    file_stats[key] = e["stats"]
+                if e["blooms"]:
+                    file_blooms[key] = e["blooms"]
+                dir_rows[e["dir"]] = dir_rows.get(e["dir"], 0) + int(
+                    e["rows"]
+                )
+                agg = raw_dir.setdefault(e["dir"], {})
+                for col, (mn, mx) in e["stats"].items():
+                    cur = agg.setdefault(col, [None, None])
+                    if mn is not None and (cur[0] is None or mn < cur[0]):
+                        cur[0] = mn
+                    if mx is not None and (cur[1] is None or mx > cur[1]):
+                        cur[1] = mx
+            if len(entries) > SIDECAR_FILE_THRESHOLD:
+                # keep the manifest O(directories): beyond the inline
+                # threshold the per-FILE rows are dropped and only the
+                # per-directory rollup is recorded (sound -- coarser
+                # pruning, never wrong; the API path writes a parquet
+                # sidecar here, which needs executors)
+                file_stats, file_blooms = {}, {}
+            precomputed = {
+                "stats_cols": self.cfg_stats_cols,
+                "bloom_cols": self.cfg_bloom_cols,
+                "bloom_bits": self.bloom_bits,
+                "file_stats": file_stats,
+                "file_blooms": file_blooms,
+                "dir_stats": dict(raw_dir),
+                "dir_rows": dir_rows,
+                "col_ndv": self.ndv_sketches or None,
+            }
         c._assemble_and_commit_dir(
             version=self.version,
             vdir=self.vdir,
@@ -592,6 +807,7 @@ class SnapshotTableArrowWriter(DataSourceArrowWriter):
             claimed_partitions=None,
             watermarks=None,
             staged=None,
+            precomputed_stats=precomputed,
         )
 
     def abort(self, messages) -> None:

@@ -914,6 +914,9 @@ def write_snapshot_table(
     mode: str = "append",
     partition_by: list[str] | None = None,
     metadata: dict | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    ndv_cols: list[str] | None = None,
 ) -> None:
     """Write ``df`` to a snapshot table through the SQL write path (the
     ``snapshot_table`` DataSource writer): tasks write the parquet
@@ -924,8 +927,22 @@ def write_snapshot_table(
     and/or hidden-partitioning transforms (``bucket(8, doc_id)`` etc.,
     the SnapshotStore.write spec syntax), honored on table creation;
     an existing table's spec is inherited (a restated spec must
-    match).  For stats/WAP/overwrite_partitions/spec evolution use
-    :meth:`SnapshotStore.write`."""
+    match).  For WAP/overwrite_partitions/spec evolution use
+    :meth:`SnapshotStore.write`.
+
+    Statistics (round 13): per-file zone maps (``stats_cols``) and
+    blooms (``bloom_cols``) are computed TASK-SIDE with pyarrow while
+    the files are written; absent the arguments, the table's recorded
+    stats configuration is INHERITED, so an INSERT INTO a stats-bearing
+    table keeps its directories prunable.  ``ndv_cols`` (likewise
+    inherited from a table carrying NDV sketches) makes this function
+    pre-compute the batch's HLL sketches HERE -- the one stats step
+    that needs a SparkSession -- union them with the parent's, and ship
+    the result into the Spark-less commit, so an INSERT no longer
+    invalidates ``col_ndv``.  The union is computed against the head
+    observed now; the commit's head pin rejects a moved head, so the
+    sketch can never describe a table state that was never published.
+    """
     import json as _json
 
     ensure_registered(spark)
@@ -934,6 +951,27 @@ def write_snapshot_table(
         w = w.option("partition_by", ",".join(partition_by))
     if metadata:
         w = w.option("metadata_json", _json.dumps(metadata))
+    if stats_cols is not None:
+        w = w.option("stats_cols", ",".join(stats_cols))
+    if bloom_cols is not None:
+        w = w.option("bloom_cols", ",".join(bloom_cols))
+    planner = LocalSnapshotPlanner.for_root(_check_local_root(root))
+    head = planner.current_version()
+    prev_ndv = None
+    if head is not None:
+        prev_ndv = (
+            planner._read_manifest(head).get("table_stats") or {}
+        ).get("col_ndv")
+    eff_ndv = (
+        list(ndv_cols)
+        if ndv_cols is not None
+        else (list(prev_ndv) if prev_ndv else [])
+    )
+    if eff_ndv:
+        merged = SnapshotStore(spark, root)._merged_ndv_sketches(
+            df, eff_ndv, prev_ndv if mode == "append" else None
+        )
+        w = w.option("ndv_sketches_json", _json.dumps(merged))
     w.mode(mode).save()
 
 
