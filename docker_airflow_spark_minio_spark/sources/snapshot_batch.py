@@ -535,6 +535,81 @@ def _read_delete_set(path: str):
     return tab
 
 
+#: per-SET / total byte caps under which a delete set is read ONCE at
+#: plan time and shipped to the scan tasks INSIDE the task payload as
+#: an Arrow IPC buffer -- the broadcast equivalent the Python
+#: DataSource API allows.  Tasks then materialize the frame from
+#: memory (zero disk IO per worker process); sets above the cap stay
+#: path-referenced and served by the per-process cache.  The caps are
+#: deliberately small: every task's pickled partition carries its own
+#: copy of the ctx (the API has no shared-broadcast hook), so a large
+#: inline set would multiply across the plan.
+INLINE_DELETE_SET_BYTES = 256 * 1024
+INLINE_DELETE_TOTAL_BYTES = 1024 * 1024
+
+
+def _dir_bytes_local(path: str) -> int | None:
+    """Total file bytes under a local dir (None when missing)."""
+    total = 0
+    seen = False
+    for base, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(base, f))
+                seen = True
+            except OSError:
+                return None
+    return total if seen else None
+
+
+def inline_delete_sets(root: str, dsets: list[dict]) -> list[dict]:
+    """Plan-time leg of the inline-payload path: read each small delete
+    set ONCE (through the planner process's cache) and attach its Arrow
+    IPC bytes to the set descriptor; large sets pass through untouched.
+    One materialization per PLAN for capped sets -- pinned by test."""
+    import pyarrow as pa
+
+    out: list[dict] = []
+    total = 0
+    for d in dsets:
+        dd = dict(d)
+        path = f"{root}/{DATA_DIR}/{d['dir']}"
+        sz = _dir_bytes_local(path)
+        if (
+            sz is not None
+            and sz <= INLINE_DELETE_SET_BYTES
+            and total + sz <= INLINE_DELETE_TOTAL_BYTES
+        ):
+            tab = _read_delete_set(path)
+            if tab is not None:
+                sink = pa.BufferOutputStream()
+                with pa.ipc.new_stream(sink, tab.schema) as w:
+                    w.write_table(tab)
+                dd["inline_ipc"] = sink.getvalue().to_pybytes()
+                total += len(dd["inline_ipc"])
+        out.append(dd)
+    return out
+
+
+def _delete_table(root: str, d: dict):
+    """Task-side delete-set materialization: inline IPC payload when
+    the planner shipped one (memory-only; cached per process so N
+    tasks deserialize once), else the path-referenced parquet read."""
+    path = f"{root}/{DATA_DIR}/{d['dir']}"
+    ipc = d.get("inline_ipc")
+    if ipc is None:
+        return _read_delete_set(path)
+    if path in _DELETE_SET_CACHE:
+        return _DELETE_SET_CACHE[path]
+    import pyarrow as pa
+
+    tab = pa.ipc.open_stream(ipc).read_all()
+    while len(_DELETE_SET_CACHE) >= 64:
+        _DELETE_SET_CACHE.pop(next(iter(_DELETE_SET_CACHE)))
+    _DELETE_SET_CACHE[path] = tab
+    return tab
+
+
 def _read_parquet_dir(path: str):
     """All parquet files of one directory as a single pyarrow table
     (skipping Spark's _SUCCESS/.crc companions); None when empty."""
@@ -825,9 +900,12 @@ class SnapshotTableBatchReader(DataSourceReader):
             point_filter=points or None,
         )
         schema_log = manifest.get("schema_log")
-        dsets = sorted(
-            manifest.get("delete_sets") or [],
-            key=lambda d: int(d["version"]),
+        dsets = inline_delete_sets(
+            self.root,
+            sorted(
+                manifest.get("delete_sets") or [],
+                key=lambda d: int(d["version"]),
+            ),
         )
         ctx = {
             "root": self.root,
@@ -1021,9 +1099,7 @@ class SnapshotTableBatchReader(DataSourceReader):
                     "vdirs", []
                 ):
                     continue
-                dtab = _read_delete_set(
-                    f"{ctx['root']}/{DATA_DIR}/{d['dir']}"
-                )
+                dtab = _delete_table(ctx["root"], d)
                 if dtab is None:
                     continue
                 pos_mask = _positional_delete_mask(
@@ -1032,9 +1108,7 @@ class SnapshotTableBatchReader(DataSourceReader):
                 if pos_mask is not None:
                     mask = _and_mask(mask, pos_mask)
             else:
-                dtab = _read_delete_set(
-                    f"{ctx['root']}/{DATA_DIR}/{d['dir']}"
-                )
+                dtab = _delete_table(ctx["root"], d)
                 if dtab is None:
                     continue
                 tab_mask = _eq_delete_mask(

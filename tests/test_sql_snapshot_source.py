@@ -649,3 +649,79 @@ def test_delete_set_cache_evicts_oldest_not_all(monkeypatch, tmp_path):
     assert "/fake/64" in sb._DELETE_SET_CACHE  # newest kept
     assert "/fake/1" in sb._DELETE_SET_CACHE  # hot tail intact
     sb._DELETE_SET_CACHE.clear()
+
+
+def test_small_delete_sets_inline_in_task_payload(spark, tmp_path, monkeypatch):
+    """Capped delete sets are read ONCE at plan time and shipped to the
+    scan tasks inside the task payload as Arrow IPC bytes (round 13) --
+    tasks materialize them from memory, zero per-worker disk reads."""
+    from docker_airflow_spark_minio_spark.sources import (
+        snapshot_batch as sb,
+    )
+
+    root = str(tmp_path / "t")
+    s = SnapshotStore(spark, root)
+    s.write(
+        spark.range(100).selectExpr("id AS k", "id % 3 AS g", "id*2 AS v"),
+        mode="snapshot",
+        partition_by=["g"],
+    )
+    s.delete_keys(
+        spark.range(0, 100, 10).selectExpr("id AS k"), ["k"]
+    )
+    s.delete_where(F.expr("k % 7 = 0"))  # positional set too
+
+    reads = []
+    orig = sb._read_parquet_dir
+    monkeypatch.setattr(
+        sb, "_read_parquet_dir", lambda p: reads.append(p) or orig(p)
+    )
+    sb._DELETE_SET_CACHE.clear()
+    reader = sb.SnapshotTableBatchReader(root, {})
+    parts = reader.partitions()
+    # every set was materialized exactly once, at plan time
+    assert len(reads) == 2
+    for d in parts[0].ctx["delete_sets"]:
+        assert d.get("inline_ipc"), d["dir"]
+
+    # tasks never touch the delete parquet again: disk reads now fail
+    monkeypatch.setattr(
+        sb,
+        "_read_parquet_dir",
+        lambda p: (_ for _ in ()).throw(
+            AssertionError(f"task-side disk read of {p}")
+        ),
+    )
+    sb._DELETE_SET_CACHE.clear()
+    survivors = []
+    for p in parts:
+        for batch in reader.read(p):
+            survivors += batch.column(
+                batch.schema.get_field_index("k")
+            ).to_pylist()
+    expected = [
+        k for k in range(100) if k % 10 != 0 and k % 7 != 0
+    ]
+    assert sorted(survivors) == expected
+    sb._DELETE_SET_CACHE.clear()
+    monkeypatch.undo()
+
+
+def test_large_delete_set_stays_path_referenced(tmp_path, monkeypatch):
+    """A set above the inline cap passes through untouched (served by
+    the per-process cache instead)."""
+    from docker_airflow_spark_minio_spark.sources import (
+        snapshot_batch as sb,
+    )
+
+    monkeypatch.setattr(sb, "INLINE_DELETE_SET_BYTES", 10)  # tiny cap
+    d = tmp_path / "data" / "vX-del"
+    d.mkdir(parents=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"k": list(range(100))}), str(d / "a.parquet"))
+    out = sb.inline_delete_sets(
+        str(tmp_path), [{"dir": "vX-del", "version": 1}]
+    )
+    assert "inline_ipc" not in out[0]
