@@ -217,8 +217,14 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         # dir's physical columns to it by FIELD ID, so pre-window
         # evolution (renames/drops/widens before startingversion) can
         # never null-fill a renamed column or surface a reused dead
-        # name; IN-window evolve commits still refuse at planning.
+        # name.  Evolve commits AT OR BEFORE this pinned head stream as
+        # zero-row metadata commits (round 13: the declared schema
+        # already reflects them, and every older dir epoch-maps to it);
+        # an evolution landing AFTER the stream started still refuses
+        # at planning -- Spark cannot change a running query's schema,
+        # restart the stream to adopt the evolved epoch.
         self.schema_log = head_m.get("schema_log")
+        self._schema_version = head
 
     @staticmethod
     def _norm(offset: dict) -> tuple[int, int]:
@@ -300,17 +306,24 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
             parts = self._changelog_partitions(v, m, m["mode"])
         else:
             mode = m["mode"]
-            if not (mode == "append" or (mode == "snapshot" and v == 0)):
-                raise ValueError(
-                    f"streaming window crosses a '{mode}' commit (v{v}); "
-                    "the snapshot_table source is append-only (the "
-                    "Iceberg streaming-read contract) -- consume "
-                    "replace/delete commits via mode=changelog / "
-                    "read_changes or restart from a full read"
+            if mode == "evolve_schema" and v <= self._schema_version:
+                # metadata-only commit whose effect the stream's pinned
+                # schema already reflects: zero data tasks (no dirs
+                # added), never a contract violation
+                parts = []
+            else:
+                if not (mode == "append" or (mode == "snapshot" and v == 0)):
+                    raise ValueError(
+                        f"streaming window crosses a '{mode}' commit "
+                        f"(v{v}); the snapshot_table source is "
+                        "append-only (the Iceberg streaming-read "
+                        "contract) -- consume replace/delete commits "
+                        "via mode=changelog / read_changes or restart "
+                        "from a full read"
+                    )
+                parts = self._dir_partitions(
+                    sorted(_added_vdirs(self.root, m, v)), change=None
                 )
-            parts = self._dir_partitions(
-                sorted(_added_vdirs(self.root, m, v)), change=None
-            )
         while len(self._tasks_cache) > 64:
             # bounded planner memory: evict OLDEST, not clear() -- a
             # backlog spanning >64 versions keeps its hot tail instead
@@ -395,14 +408,23 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         the partition spec; positional: only the recorded target
         dirs), and sets DROPPED while target dirs survive (rollback
         across a delete) -> the reappearing rows as inserts.  Uniform
-        across append/overwrite/replace/rollback/publish/delete_keys;
-        only in-window ``evolve_schema`` still refuses (pre-images
-        before it carry that epoch's shape)."""
+        across append/overwrite/replace/rollback/publish/delete_keys
+        AND (round 13) ``evolve_schema`` commits already in history at
+        stream start: those are metadata-only -- zero row changes --
+        and every pre/post-evolution dir epoch-maps to the stream's
+        pinned schema by FIELD ID (the same per-dir mechanics the
+        batch reader uses), so a backlog window streams through them.
+        Only an evolution landing AFTER the stream started refuses:
+        Spark cannot change a running query's schema -- restart the
+        stream to adopt the new epoch."""
         if mode == "evolve_schema":
+            if v <= self._schema_version:
+                return []  # metadata-only: no row-level changes
             raise ValueError(
                 f"changelog stream window crosses an 'evolve_schema' "
-                f"commit (v{v}); pre-images before it carry that "
-                "epoch's shape -- read each epoch as its own stream"
+                f"commit (v{v}) newer than the stream's pinned schema "
+                f"epoch (v{self._schema_version}); restart the stream "
+                "to adopt the evolved schema"
             )
         if m.get("metadata", {}).get("compaction"):
             return []  # data-identical rewrite: no logical change

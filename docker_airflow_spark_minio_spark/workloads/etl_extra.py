@@ -3834,6 +3834,150 @@ def streaming_changelog_mor_live(
 
 
 @register(
+    "streaming_changelog_evolve_live",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, event_type,
+               CAST(event_id % 100 AS BIGINT) AS amount_usd
+        FROM events WHERE event_id % 4 = 0
+    ), extra AS (
+        SELECT event_id, event_type,
+               CAST(event_id % 100 AS BIGINT) AS amount_usd
+        FROM events WHERE event_id % 4 = 1
+    ), s AS (
+        -- v0 snapshot inserts (pre-evolution epoch: stored as 'amount')
+        SELECT 0 AS commit_version, 'insert' AS change_type, event_type,
+               event_id, amount_usd
+        FROM base
+        -- v1 evolve_schema(rename amount -> amount_usd): zero rows
+        UNION ALL
+        -- v2 post-evolution append
+        SELECT 2, 'insert', event_type, event_id, amount_usd FROM extra
+        UNION ALL
+        -- v3 positional delete across BOTH epochs' dirs: pre-images
+        SELECT 3, 'delete', event_type, event_id, amount_usd
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM extra)
+        WHERE event_id % 7 = 0
+    )
+    SELECT CAST(commit_version AS BIGINT) AS commit_version,
+           change_type, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(amount_usd) AS BIGINT) AS sum_amt
+    FROM s GROUP BY commit_version, change_type, event_type
+    ORDER BY commit_version, change_type, event_type
+    """,
+    category="streaming",
+    description="LIVE CHANGELOG streaming ACROSS a schema-evolution "
+    "commit (round 13 -- previously refused): v0 lands under column "
+    "'amount', v1 renames it to 'amount_usd' by FIELD ID "
+    "(metadata-only -- the stream must emit ZERO rows for it, "
+    "runtime-asserted), v2 appends under the new name, v3's positional "
+    "delete masks rows in BOTH epochs' directories -- so the delete "
+    "pre-images prove old-epoch dirs epoch-map their stored 'amount' "
+    "column to the stream's pinned evolved schema; exactly-once pinned "
+    "by an idle re-run, accounting hash-matched against a from-source "
+    "oracle derivation",
+)
+def streaming_changelog_evolve_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale notes: the evolve commit costs the stream NOTHING (no
+    tasks planned); epoch mapping is per-directory metadata applied by
+    the same field-id mechanics the batch reader uses -- no rewrite,
+    no extra scan.  A mid-stream evolution (after the stream pinned
+    its schema) still refuses: a running query cannot change schema."""
+    from ..snapshots import SnapshotStore
+    from ..streaming.table_source import SnapshotTableStreamSource
+    from .base import scratch_root
+    from .timeseries import stream_partitions
+
+    spark.dataSource.register(SnapshotTableStreamSource)
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id",
+        "event_type",
+        (F.col("event_id") % 100).cast("long").alias("amount"),
+    )
+    base = scratch_root("stream_changelog_evolve", sf_dir)
+    src = SnapshotStore(spark, f"{base}/src")
+    ckpt = f"{base}/ckpt"
+    collected: list = []
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        collected.extend(
+            batch.groupBy(
+                "_commit_version", "_change_type", "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("amount_usd").alias("sum_amt"),
+            )
+            .collect()
+        )
+
+    def run_stream() -> None:
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("mode", "changelog")
+            .load(f"{base}/src")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    with stream_partitions(spark):
+        src.write(
+            ev.where(F.col("event_id") % 4 == 0).repartition(
+                "event_type"
+            ),
+            mode="snapshot",
+            partition_by=["event_type"],
+        )                                                            # v0
+        src.evolve_schema(renames={"amount": "amount_usd"})          # v1
+        src.write(
+            ev.where(F.col("event_id") % 4 == 1)
+            .withColumnRenamed("amount", "amount_usd")
+            .repartition("event_type"),
+            mode="append",
+            partition_by=["event_type"],
+        )                                                            # v2
+        if src.delete_where(F.expr("event_id % 7 = 0")) is None:     # v3
+            raise AssertionError("no %7 rows at this SF: entry is vacuous")
+        run_stream()
+        if any(int(r["_commit_version"]) == 1 for r in collected):
+            raise AssertionError("evolve_schema commit emitted rows")
+        n_before = len(collected)
+        run_stream()  # idle re-run: exactly-once, nothing re-emitted
+        if len(collected) != n_before:
+            raise AssertionError(
+                "idle changelog re-run re-emitted rows across evolve"
+            )
+    out = spark.createDataFrame(
+        [
+            (
+                int(r["_commit_version"]),
+                r["_change_type"],
+                r["event_type"],
+                int(r["n_rows"]),
+                int(r["sum_amt"]),
+            )
+            for r in collected
+        ],
+        "commit_version long, change_type string, event_type string, "
+        "n_rows long, sum_amt long",
+    )
+    return (
+        out.groupBy("commit_version", "change_type", "event_type")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_amt").alias("sum_amt"),
+        )
+        .orderBy("commit_version", "change_type", "event_type")
+    )
+
+
+@register(
     "snapshot_update_delete_read",
     oracle="""
     WITH d0 AS (

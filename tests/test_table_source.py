@@ -462,3 +462,90 @@ def test_changelog_preimage_partition_pruning(registered, tmp_path):
     assert all(
         p.change == ("delete", 1) and p.masks["match_set"] for p in parts
     )
+
+
+def test_append_stream_across_historical_evolve(registered, tmp_path):
+    """An evolve_schema commit already in history at stream start is
+    metadata-only: the append stream passes through it with zero rows
+    (round 13; previously refused), and pre-evolution dirs epoch-map
+    to the pinned (evolved) schema."""
+    spark = registered
+    root, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    s = SnapshotStore(spark, root)
+    s.write(_df(spark, [(1, "d1", 10), (2, "d2", 20)]),
+            mode="snapshot", partition_by=["day"])                  # v0
+    s.evolve_schema(renames={"amt": "amount"})                      # v1
+    s.write(
+        spark.createDataFrame([(3, "d1", 30)],
+                              "id INT, day STRING, amount INT"),
+        mode="append", partition_by=["day"],
+    )                                                               # v2
+    rows: list[tuple] = []
+    _run(
+        spark, root, ckpt,
+        lambda b, i: rows.extend(
+            (r["id"], r["day"], r["amount"]) for r in b.collect()
+        ),
+    )
+    assert sorted(rows) == [(1, "d1", 10), (2, "d2", 20), (3, "d1", 30)]
+
+
+def test_changelog_streams_across_historical_evolve(registered, tmp_path):
+    """Changelog windows stream THROUGH historical evolve commits:
+    the evolve emits nothing, pre-evolution inserts and MoR pre-images
+    surface under the evolved (renamed) column names."""
+    spark = registered
+    root, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    s = SnapshotStore(spark, root)
+    s.write(_df(spark, [(1, "d1", 10), (2, "d2", 20)]),
+            mode="snapshot", partition_by=["day"])                  # v0
+    s.evolve_schema(renames={"amt": "amount"})                      # v1
+    s.write(
+        spark.createDataFrame([(3, "d1", 30)],
+                              "id INT, day STRING, amount INT"),
+        mode="append", partition_by=["day"],
+    )                                                               # v2
+    s.delete_where(F.col("id") == 1)  # v3: masks an OLD-epoch dir row
+    rows: list[tuple] = []
+    _run_all(
+        spark, root, ckpt,
+        lambda b, i: rows.extend(
+            (r["id"], r["day"], r["amount"], r["_change_type"],
+             r["_commit_version"])
+            for r in b.collect()
+        ),
+        mode="changelog",
+    )
+    got = sorted(rows)
+    assert (1, "d1", 10, "insert", 0) in got
+    assert (2, "d2", 20, "insert", 0) in got
+    assert (3, "d1", 30, "insert", 2) in got
+    # the pre-image of the positional delete comes from a PRE-evolution
+    # dir: its stored 'amt' column surfaces as 'amount' by field id
+    assert (1, "d1", 10, "delete", 3) in got
+    assert not any(t[4] == 1 for t in got), "evolve emitted rows"
+    assert len(got) == 4
+
+
+def test_mid_stream_evolve_still_refuses(registered, tmp_path):
+    """An evolution landing AFTER the stream pinned its schema refuses
+    loudly (a running query cannot change schema) in both modes."""
+    from docker_airflow_spark_minio_spark.streaming.table_source import (
+        SnapshotTableStreamReader,
+    )
+
+    spark = registered
+    root = str(tmp_path / "t")
+    s = SnapshotStore(spark, root)
+    s.write(_df(spark, [(1, "d1", 10)]),
+            mode="snapshot", partition_by=["day"])                  # v0
+    for opts in ({"mode": "changelog"}, {}):
+        reader = SnapshotTableStreamReader(root, opts)
+        s.evolve_schema(renames={"amt": f"amt_{len(opts)}"})
+        with pytest.raises(ValueError, match="restart the stream|crosses"):
+            reader.partitions(
+                {"version": -1}, {"version": s.current_version()}
+            )
+        s.evolve_schema(
+            renames={f"amt_{len(opts)}": "amt"}
+        )  # restore for next loop
