@@ -1472,6 +1472,111 @@ def snapshot_partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "snapshot_spec_normalize_rewrite",
+    oracle="""
+    WITH live AS (
+        SELECT doc_id, lang, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, lang, source FROM documents
+        WHERE doc_id % 10 = 0
+    ), final AS (
+        SELECT * FROM live
+        WHERE source <> (SELECT MIN(source) FROM live)
+        UNION ALL
+        SELECT * FROM live
+        WHERE source = (SELECT MIN(source) FROM live) AND doc_id % 2 = 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)    AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM final GROUP BY source ORDER BY source
+    """,
+    category="etl",
+    description="spec-normalizing rewrite under the gate (round 13): "
+    "after partition-spec evolution leaves a MIXED-spec table, "
+    "overwrite_partitions REFUSES (runtime-asserted -- replacing 'the "
+    "partition' under the current spec would leave the same logical "
+    "rows live in old-spec dirs); a snapshot-mode rewrite normalizes "
+    "the layout to the new spec (runtime-asserted: every live dir's "
+    "recorded spec is the new one), after which the SAME "
+    "overwrite_partitions SUCCEEDS and rewrites only its claimed "
+    "partition (untouched partitions keep the normalize commit's "
+    "dirs); the final state hash-matches a relational oracle",
+)
+def snapshot_spec_normalize_rewrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale notes: the guard turns a silent correctness trap (logical
+    rows surviving in old-spec dirs after 'replacing' their partition)
+    into a loud refusal; the normalize is ONE full rewrite -- the
+    inherent cost of changing a 100 TB table's layout -- after which
+    partition-bounded overwrites are cheap again."""
+    from ..snapshots import SnapshotStore
+    from .base import scratch_root
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", "source"
+    )
+    root = scratch_root("snapshot_spec_norm", sf_dir)
+    store = SnapshotStore(spark, root)
+    store.write(docs, mode="snapshot", partition_by=["lang"])        # v0
+    evolved = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", "source"
+    )
+    store.write(
+        evolved, mode="append", partition_by=["source"],
+        evolve_partitioning=True,
+    )                                                                # v1
+    s0 = store.read().agg(F.min("source")).collect()[0][0]
+    repl = store.read().where(
+        (F.col("source") == s0) & (F.col("doc_id") % 2 == 0)
+    )
+    try:
+        store.write(
+            repl, mode="overwrite_partitions", partition_by=["source"]
+        )
+        raise AssertionError(
+            "mixed-spec overwrite_partitions did not refuse"
+        )
+    except ValueError as exc:
+        if "mixed partition specs" not in str(exc):
+            raise
+    # normalize: one snapshot-mode rewrite lays every row out by source
+    v2 = store.write(
+        store.read().repartition("source"),
+        mode="snapshot",
+        partition_by=["source"],
+    )
+    m2 = store._read_manifest(v2)
+    specs = {tuple(s) for s in m2["dir_specs"].values()}
+    if specs != {("source",)}:
+        raise AssertionError(
+            f"normalize left mixed specs in the manifest: {specs}"
+        )
+    # the guard lifts: the SAME overwrite now succeeds, claiming only
+    # its partition
+    v3 = store.write(
+        repl, mode="overwrite_partitions", partition_by=["source"]
+    )
+    m3 = store._read_manifest(v3)
+    for p, vds in m3["partitions"].items():
+        want = "v3-" if p == f"source={s0}" else "v2-"
+        if not all(vd.startswith(want) for vd in vds):
+            raise AssertionError(
+                f"overwrite touched the wrong partitions: {p} -> {vds}"
+            )
+    return (
+        store.read()
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "snapshot_incremental_read",
     oracle="""
     WITH appended AS (
