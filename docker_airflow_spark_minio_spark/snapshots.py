@@ -2549,6 +2549,7 @@ class SnapshotStore:
         on,
         matched: list[tuple] | None = None,
         not_matched: list[tuple] | None = None,
+        not_matched_by_source: list[tuple] | None = None,
         target_alias: str = "target",
         source_alias: str = "source",
         metadata: dict | None = None,
@@ -2568,7 +2569,15 @@ class SnapshotStore:
         ``("delete", cond_or_None)``; ``not_matched``: ordered
         ``("insert", cond_or_None, values_or_None)`` clauses where
         ``None`` values means ``INSERT *`` (source columns by target
-        name).  Clause conditions / values may be Columns, SQL strings
+        name); ``not_matched_by_source``: ordered ``("update", cond,
+        assigns)`` / ``("delete", cond)`` clauses applied to TARGET
+        rows with NO source match (the ``WHEN NOT MATCHED BY SOURCE``
+        arm; their conditions see target columns only).  Scale note:
+        a by-source clause inherently touches every partition holding
+        an unmatched row that satisfies it -- for an unconditional
+        ``DELETE`` that is the whole table (the full-sync shape); the
+        anti-join that finds them shuffles key columns only.  Clause
+        conditions / values may be Columns, SQL strings
         (parsed with :func:`~pyspark.sql.functions.expr`), or plain
         Python literals (values only).  Per SQL semantics the FIRST
         clause whose condition evaluates TRUE wins per row; rows
@@ -2601,9 +2610,10 @@ class SnapshotStore:
 
         matched = list(matched or [])
         not_matched = list(not_matched or [])
-        if not matched and not not_matched:
+        by_source = list(not_matched_by_source or [])
+        if not matched and not not_matched and not by_source:
             raise ValueError("MERGE requires at least one WHEN clause")
-        for cl in matched:
+        for cl in matched + by_source:
             if cl[0] not in ("update", "delete"):
                 raise ValueError(f"unknown matched clause kind {cl[0]!r}")
         for cl in not_matched:
@@ -2618,7 +2628,7 @@ class SnapshotStore:
         pby = m_head["partition_by"]
         trans = m_head.get("partition_transforms") or {}
         routing = set(pby) | {spec["src"] for spec in trans.values()}
-        for cl in matched:
+        for cl in matched + by_source:
             if cl[0] == "update":
                 bad = sorted(set(cl[2]) & routing)
                 if bad:
@@ -2697,6 +2707,21 @@ class SnapshotStore:
                     tuple(r[c] for c in pby)
                     for r in mt.select(*pby).distinct().collect()
                 ]
+            if by_source:
+                bs_cond = reduce(
+                    lambda a, b: a | b,
+                    (
+                        F.coalesce(_cond(cl[1]), F.lit(False))
+                        for cl in by_source
+                    ),
+                )
+                bt = t.join(s_marked, on_col, "left_anti").where(bs_cond)
+                if trans:
+                    bt = _apply_transforms(bt, trans)
+                tuples += [
+                    tuple(r[c] for c in pby)
+                    for r in bt.select(*pby).distinct().collect()
+                ]
             if ins is not None:
                 it = _apply_transforms(ins, trans) if trans else ins
                 tuples += [
@@ -2724,7 +2749,21 @@ class SnapshotStore:
                 t.join(s_marked, on_col, "left_semi").limit(1).isEmpty()
             )
             has_ins = ins is not None and not ins.limit(1).isEmpty()
-            if not has_match and not has_ins:
+            has_bs = bool(by_source) and not (
+                t.join(s_marked, on_col, "left_anti")
+                .where(
+                    reduce(
+                        lambda a, b: a | b,
+                        (
+                            F.coalesce(_cond(cl[1]), F.lit(False))
+                            for cl in by_source
+                        ),
+                    )
+                )
+                .limit(1)
+                .isEmpty()
+            )
+            if not has_match and not has_ins and not has_bs:
                 return None
             tuples, existing = None, None
             base = self.read(as_of=head, with_positions=True)
@@ -2732,7 +2771,7 @@ class SnapshotStore:
 
         # -- survivors: touched-partition rows with matched clauses
         #    applied (first TRUE clause wins), deletes filtered ------------
-        if matched:
+        if matched or by_source:
             if validate_cardinality:
                 dup = (
                     base.join(s_marked, on_col, "inner")
@@ -2752,32 +2791,39 @@ class SnapshotStore:
                     )
             joined = base.join(s_marked, on_col, "left_outer")
             is_matched = F.col("__m").isNotNull()
-            already = F.lit(False)
             delete_fire = F.lit(False)
             vals = {
                 c: F.col(f"{target_alias}.{c}").cast(ttypes[c])
                 for c in tcols
             }
-            for cl in matched:
-                fire = (
-                    is_matched
-                    & ~already
-                    & F.coalesce(_cond(cl[1]), F.lit(False))
-                )
-                if cl[0] == "delete":
-                    delete_fire = delete_fire | fire
-                else:
-                    unknown = sorted(set(cl[2]) - set(tcols))
-                    if unknown:
-                        raise ValueError(
-                            f"UPDATE SET columns {unknown} not in table "
-                            f"schema {tcols}"
-                        )
-                    for c in cl[2]:
-                        vals[c] = F.when(
-                            fire, _val(cl[2][c]).cast(ttypes[c])
-                        ).otherwise(vals[c])
-                already = already | fire
+            # two independent first-match-wins chains: matched clauses
+            # fire on joined rows, by-source clauses on the rest --
+            # disjoint by is_matched, so the nested whens cannot clash
+            for chain, gate in (
+                (matched, is_matched),
+                (by_source, ~is_matched),
+            ):
+                already = F.lit(False)
+                for cl in chain:
+                    fire = (
+                        gate
+                        & ~already
+                        & F.coalesce(_cond(cl[1]), F.lit(False))
+                    )
+                    if cl[0] == "delete":
+                        delete_fire = delete_fire | fire
+                    else:
+                        unknown = sorted(set(cl[2]) - set(tcols))
+                        if unknown:
+                            raise ValueError(
+                                f"UPDATE SET columns {unknown} not in "
+                                f"table schema {tcols}"
+                            )
+                        for c in cl[2]:
+                            vals[c] = F.when(
+                                fire, _val(cl[2][c]).cast(ttypes[c])
+                            ).otherwise(vals[c])
+                    already = already | fire
             survivors = (
                 joined.withColumn("__del", delete_fire)
                 .where(~F.col("__del"))

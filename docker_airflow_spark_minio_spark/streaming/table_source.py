@@ -1168,8 +1168,11 @@ def _run_dml_statement(spark, sql, tables, report_paths, kw):
       copy-on-write rewrite (Iceberg's ``write.delete.mode`` choice).
     * ``MERGE INTO <t> [AS a] USING <s>|(<query>) [AS b] ON <cond>
       WHEN MATCHED [AND c] THEN UPDATE SET ... | DELETE ...
-      WHEN NOT MATCHED [AND c] THEN INSERT * | (cols) VALUES (...)``
-      -- clause order is first-match-wins; ``<s>`` is a registered
+      WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT * | (cols)
+      VALUES (...) ...
+      WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE``
+      -- clause order is first-match-wins per arm; ``<s>`` is a
+      registered
       table name, or a parenthesized query that itself runs through
       :func:`snapshot_sql` (pushdown intact).
     """
@@ -1316,6 +1319,7 @@ def _run_dml_statement(spark, sql, tables, report_paths, kw):
 
         matched: list[tuple] = []
         not_matched: list[tuple] = []
+        by_source: list[tuple] = []
         for clause in pieces[1:]:
             thens = _scan_split(clause, "THEN")
             idx = next(
@@ -1337,7 +1341,7 @@ def _run_dml_statement(spark, sql, tables, report_paths, kw):
             head = " THEN ".join(thens[:idx])
             action = " THEN ".join(thens[idx:])
             cm = re.match(
-                r"\s*(NOT\s+)?MATCHED(?:\s+BY\s+TARGET)?"
+                r"\s*(NOT\s+)?MATCHED(?:\s+BY\s+(SOURCE|TARGET))?"
                 r"(?:\s+AND\s+(.*?))?\s*$",
                 head,
                 re.IGNORECASE | re.DOTALL,
@@ -1346,27 +1350,39 @@ def _run_dml_statement(spark, sql, tables, report_paths, kw):
                 raise ValueError(
                     f"cannot parse MERGE clause head {head.strip()!r}"
                 )
-            is_not, cond = bool(cm.group(1)), cm.group(2)
+            is_not, by, cond = (
+                bool(cm.group(1)),
+                (cm.group(2) or "").upper(),
+                cm.group(3),
+            )
+            if by == "SOURCE" and not is_not:
+                raise ValueError("MATCHED BY SOURCE is not a clause; "
+                                 "did you mean NOT MATCHED BY SOURCE?")
+            is_by_source = is_not and by == "SOURCE"
             am = re.match(
                 r"\s*UPDATE\s+SET\s+(.*?)\s*$",
                 action,
                 re.IGNORECASE | re.DOTALL,
             )
             if am:
-                if is_not:
+                if is_not and not is_by_source:
                     raise ValueError(
-                        "WHEN NOT MATCHED supports INSERT only"
+                        "WHEN NOT MATCHED supports INSERT only (use "
+                        "NOT MATCHED BY SOURCE for target-side UPDATE)"
                     )
-                matched.append(
+                (by_source if is_by_source else matched).append(
                     ("update", cond, _parse_assignments(am.group(1)))
                 )
                 continue
             if re.match(r"\s*DELETE\s*$", action, re.IGNORECASE):
-                if is_not:
+                if is_not and not is_by_source:
                     raise ValueError(
-                        "WHEN NOT MATCHED supports INSERT only"
+                        "WHEN NOT MATCHED supports INSERT only (use "
+                        "NOT MATCHED BY SOURCE for target-side DELETE)"
                     )
-                matched.append(("delete", cond))
+                (by_source if is_by_source else matched).append(
+                    ("delete", cond)
+                )
                 continue
             im = re.match(
                 r"\s*INSERT\s*(?:\*|\(([^)]*)\)\s*VALUES\s*\((.*)\))\s*$",
@@ -1374,9 +1390,10 @@ def _run_dml_statement(spark, sql, tables, report_paths, kw):
                 re.IGNORECASE | re.DOTALL,
             )
             if im:
-                if not is_not:
+                if not is_not or is_by_source:
                     raise ValueError(
-                        "WHEN MATCHED supports UPDATE SET / DELETE only"
+                        "INSERT is a WHEN NOT MATCHED [BY TARGET] "
+                        "action only"
                     )
                 if im.group(1) is None:
                     not_matched.append(("insert", cond, None))
@@ -1407,6 +1424,7 @@ def _run_dml_statement(spark, sql, tables, report_paths, kw):
             on=on_expr,
             matched=matched,
             not_matched=not_matched,
+            not_matched_by_source=by_source,
             target_alias=tgt_alias,
             source_alias=src_alias,
             validate_cardinality=kw.get("validate_cardinality", True),

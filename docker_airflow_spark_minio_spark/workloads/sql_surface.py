@@ -473,6 +473,10 @@ def snapshot_sql_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: at every shipped SF (runtime-asserted).
 MERGE_UPDATE_T = 20_000_000
 MERGE_INSERT_C = 50_000_000
+#: by-source delete threshold: target-only rows below this many cents
+#: are dropped by the WHEN NOT MATCHED BY SOURCE arm (the full-sync
+#: MERGE shape)
+MERGE_BS_DELETE_D = 5_000_000
 
 
 @register(
@@ -489,6 +493,7 @@ MERGE_INSERT_C = 50_000_000
         FROM oc
         WHERE o_custkey % 3 = 0
           AND NOT (o_custkey % 6 = 0 AND 2 * cents <= {MERGE_UPDATE_T})
+          AND NOT (o_custkey % 2 <> 0 AND cents < {MERGE_BS_DELETE_D})
         UNION ALL
         SELECT o_orderkey, o_orderstatus, 2 * cents AS cents
         FROM oc
@@ -507,9 +512,11 @@ MERGE_INSERT_C = 50_000_000
     "Iceberg-on-Spark's headline statement): target = orders slice "
     "(custkey%3=0) as a status-partitioned snapshot table, source = "
     "doubled-cents slice (custkey%2=0) as a second snapshot table; "
-    "one MERGE statement exercises all three clause arms -- WHEN "
+    "one MERGE statement exercises all FOUR clause arms -- WHEN "
     "MATCHED AND cents>T THEN UPDATE SET, WHEN MATCHED THEN DELETE, "
-    "WHEN NOT MATCHED AND cents<=C THEN INSERT (cols) VALUES -- "
+    "WHEN NOT MATCHED AND cents<=C THEN INSERT (cols) VALUES, and "
+    "WHEN NOT MATCHED BY SOURCE AND cents<D THEN DELETE (the "
+    "full-sync arm over unmatched target rows) -- "
     "routed to SnapshotStore.merge_into's copy-on-write touched-"
     "partition rewrite (ON-key-unique, cardinality-validated, "
     "require_parent_v-pinned single atomic commit); the read-back "
@@ -554,7 +561,9 @@ def snapshot_sql_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHEN MATCHED THEN DELETE
             WHEN NOT MATCHED AND s.cents <= {MERGE_INSERT_C}
                 THEN INSERT (o_orderkey, o_orderstatus, cents)
-                     VALUES (s.o_orderkey, s.o_orderstatus, s.cents)""",
+                     VALUES (s.o_orderkey, s.o_orderstatus, s.cents)
+            WHEN NOT MATCHED BY SOURCE AND t.cents < {MERGE_BS_DELETE_D}
+                THEN DELETE""",
         {"t": root_t, "s": root_s},
     ).collect()[0]["version"]
     if v != 1:
@@ -580,14 +589,22 @@ def snapshot_sql_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"2 * cents <= {MERGE_INSERT_C} AS INT)"
             )
         ).alias("n_ins"),
+        F.sum(
+            F.expr(
+                "CAST(o_custkey % 3 = 0 AND o_custkey % 2 <> 0 AND "
+                f"cents < {MERGE_BS_DELETE_D} AS INT)"
+            )
+        ).alias("n_bs"),
     ).collect()[0]
-    if not (arms["n_upd"] and arms["n_del"] and arms["n_ins"]):
+    if not (
+        arms["n_upd"] and arms["n_del"] and arms["n_ins"] and arms["n_bs"]
+    ):
         raise AssertionError(f"a MERGE clause arm fired on 0 rows: {arms}")
     n_after = tgt.read().count()
-    if n_after != n_before - arms["n_del"] + arms["n_ins"]:
+    expect = n_before - arms["n_del"] - arms["n_bs"] + arms["n_ins"]
+    if n_after != expect:
         raise AssertionError(
-            f"MERGE row accounting off: {n_before} - {arms['n_del']} + "
-            f"{arms['n_ins']} != {n_after}"
+            f"MERGE row accounting off: expected {expect}, got {n_after}"
         )
     return snapshot_sql(
         spark,

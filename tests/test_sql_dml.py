@@ -434,3 +434,54 @@ def test_sql_merge_case_when_in_clauses(spark, tmp_path):
         {"t": s.root, "s": s2.root},
     )
     assert (1, "a", 7.0, "x") in _rows(s)
+
+
+def test_merge_into_not_matched_by_source(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE clauses apply to target rows with no
+    source match -- the full-sync MERGE shape."""
+    s = _base(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(2, "B", 99.0, "x"), (5, "e", 50.0, "z")], SCHEMA
+    )
+    v = s.merge_into(
+        src,
+        on="target.id = source.id",
+        matched=[("update", None, {"price": "source.price"})],
+        not_matched=[("insert", None, None)],
+        not_matched_by_source=[
+            ("update", "target.id = 1", {"name": F.lit("stale")}),
+            ("delete", None),
+        ],
+    )
+    assert v == 1
+    rows = {r[0]: r for r in _rows(s)}
+    assert rows[2][2] == 99.0       # matched update
+    assert 5 in rows                # insert
+    assert rows[1][1] == "stale"    # by-source first clause
+    assert 3 not in rows and 4 not in rows  # by-source delete (rest)
+
+
+def test_sql_merge_not_matched_by_source(spark, tmp_path):
+    s = _base(spark, tmp_path)
+    s2 = _store(
+        spark, tmp_path / "src", [(1, "a", 1.0, "x")], partition_by=None
+    )
+    snapshot_sql(
+        spark,
+        """MERGE INTO t USING s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET price = 0
+           WHEN NOT MATCHED BY SOURCE AND t.part = 'y' THEN DELETE
+           WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = 'keep'""",
+        {"t": s.root, "s": s2.root},
+    )
+    rows = {r[0]: r for r in _rows(s)}
+    assert rows[1][2] == 0.0
+    assert 3 not in rows and 4 not in rows   # part='y' deleted
+    assert rows[2][1] == "keep"
+    with pytest.raises(ValueError, match=r"BY TARGET\]"):
+        snapshot_sql(
+            spark,
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN INSERT *",
+            {"t": s.root, "s": s2.root},
+        )
