@@ -2554,6 +2554,7 @@ class SnapshotStore:
         source_alias: str = "source",
         metadata: dict | None = None,
         validate_cardinality: bool = True,
+        staged: str | None = None,
     ) -> int | None:
         """General ``MERGE INTO`` (copy-on-write, the Iceberg
         ``write.merge.mode=copy-on-write`` semantics): join the table
@@ -2605,7 +2606,14 @@ class SnapshotStore:
         partition under ``overwrite_partitions`` would land among rows
         this commit never read (same refusal as :meth:`update_where`);
         express moves as a delete clause + insert clause instead.
-        Unpartitioned tables rewrite fully (inherent to COW)."""
+        Unpartitioned tables rewrite fully (inherent to COW).
+
+        ``staged``: write-audit-publish id, PARTITIONED tables only --
+        the merged rewrite stages invisibly for
+        :class:`~..transactions.MultiTableTransaction` (same contract
+        as ``update_where(staged=)``: clause effects computed from the
+        PUBLISHED head at stage time, the touched partitions claimed
+        and validated pre-WAL-claim, so publish can never refuse)."""
         from pyspark.sql import functions as F
 
         matched = list(matched or [])
@@ -2697,6 +2705,12 @@ class SnapshotStore:
             )
 
         # -- touched partitions: matched rows' dirs + insert rows' dirs ---
+        if staged is not None and not pby:
+            raise ValueError(
+                "staged merge_into requires a partitioned table: an "
+                "unpartitioned COW merge is a full replace, which has "
+                "no claimable partition surface"
+            )
         if pby:
             tuples: list[tuple] = []
             if matched:
@@ -2843,7 +2857,8 @@ class SnapshotStore:
                 partition_by=pby,
                 claimed_partitions=tuples,
                 metadata=metadata,
-                require_parent_v=head,
+                staged=staged,
+                require_parent_v=None if staged is not None else head,
             )
         return self.write(
             final, mode="snapshot", partition_by=pby, metadata=metadata,

@@ -17,11 +17,13 @@ sink-side guard.
 Append-only contract (same as Iceberg's streaming read, which fails on
 replace snapshots and is the reason its docs steer streaming tables to
 append commits): windows crossing ``overwrite_partitions`` / full
-``snapshot`` replaces / ``rollback`` / ``delete_keys`` / schema
-evolution REFUSE loudly at planning time rather than re-deliver or
-silently skip rows.  Staged (WAP/branch) commits are not table state
-and are skipped; the initial ``snapshot`` commit (v0) streams as the
-table's first batch.
+``snapshot`` replaces / ``rollback`` / ``delete_keys`` REFUSE loudly
+at planning time rather than re-deliver or silently skip rows.
+Staged (WAP/branch) commits are not table state and are skipped; the
+initial ``snapshot`` commit (v0) streams as the table's first batch;
+``evolve_schema`` commits already in history at stream start pass as
+zero-row metadata commits (round 13 -- the stream's pinned schema
+reflects them), while a mid-stream evolution still refuses.
 
 ``maxversionspertrigger`` (round 11; Iceberg's
 ``max-files-per-micro-batch`` rate-limit analog at commit granularity):
@@ -59,10 +61,13 @@ come from MANIFEST DIR-DIFFS per published commit (added dirs ->
 inserts, dropped dirs -> their rows as deletes), which uniformly covers
 append / partition overwrite / full replace / rollback / WAP publish;
 compaction commits emit nothing (data-identical, marked
-``metadata.compaction``).  Windows touching MoR delete commits or live
-delete sets still refuse (a masked pre-image needs data-side key
-matching -- consume those via ``read_changes`` batch-side), as do
-schema-evolution commits (pre-images carry the old epoch's shape).
+``metadata.compaction``).  MoR delete commits stream too (round 12):
+the masked pre-image rows emit as deletes via the batch reader's
+vectorized Arrow masks, partition-pruned through the key frame.
+Schema-evolution commits already in history at stream start stream as
+zero-row metadata commits (round 13; every dir epoch-maps to the
+stream's pinned schema by field id) -- only an evolution landing
+AFTER the stream pinned its schema refuses (restart to adopt it).
 
 The source reads manifests and data files directly (no JVM round-trip
 from executors), so it serves LOCAL/POSIX table roots; scheme-qualified

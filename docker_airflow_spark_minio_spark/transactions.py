@@ -287,6 +287,27 @@ class MultiTableTransaction:
             return None
         return self._enroll(root, store, "overwrite_partitions", v)
 
+    def merge_into(
+        self, store: SnapshotStore, source, on, **kw
+    ) -> int | None:
+        """Stage a full conditional-clause ``MERGE INTO`` on ``store``
+        under this transaction (round 13;
+        :meth:`SnapshotStore.merge_into` kwargs except ``staged``) --
+        the Iceberg-on-Spark headline statement in its transactional
+        form: the copy-on-write rewrite of the touched partitions
+        (matched-clause partitions, insert partitions, and NOT MATCHED
+        BY SOURCE partitions) stages invisibly and rides the
+        overwrite-claim machinery exactly like :meth:`update_where`
+        (clause effects computed from the published head at stage time,
+        claims validated pre-WAL-claim, refusal-free roll-forward).
+        PARTITIONED tables only.  Returns the staged version, or None
+        when no clause changed anything (nothing staged)."""
+        root = self._guard_stage(store, kw, "merges")
+        v = store.merge_into(source, on, staged=self.wap, **kw)
+        if v is None:
+            return None
+        return self._enroll(root, store, "overwrite_partitions", v)
+
     def delete_where(self, store: SnapshotStore, condition, **kw) -> int | None:
         """Stage a row-level COW ``DELETE WHERE`` on ``store`` under
         this transaction (round 11) -- the predicate analog of

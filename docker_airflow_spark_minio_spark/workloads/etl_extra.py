@@ -2648,6 +2648,135 @@ def snapshot_txn_upsert_delete_read(
 
 
 @register(
+    "snapshot_txn_merge_read",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+    silver0 AS (
+        SELECT doc_id, lang, n_chars FROM d WHERE doc_id % 2 = 0
+    ), e0 AS (SELECT * FROM events WHERE event_id % 2 = 0),
+    silver1 AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 6 = 0 THEN 2 * n_chars
+                    ELSE n_chars END AS n_chars
+        FROM silver0
+        WHERE NOT (doc_id % 6 <> 0 AND n_chars < 500)
+        UNION ALL
+        SELECT doc_id, lang, 2 * n_chars FROM d
+        WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
+    ), s AS (
+        SELECT 0 AS phase, 'silver' AS tbl, lang AS grp,
+               COUNT(*) AS n_rows, SUM(n_chars) AS sum_val
+        FROM silver0 GROUP BY lang
+        UNION ALL
+        SELECT 0, 'gold', event_type, COUNT(*), SUM(event_id)
+        FROM e0 GROUP BY event_type
+        UNION ALL
+        SELECT 1, 'silver', lang, COUNT(*), SUM(n_chars)
+        FROM silver1 GROUP BY lang
+        UNION ALL
+        SELECT 1, 'gold', event_type, COUNT(*), SUM(event_id)
+        FROM events GROUP BY event_type
+    )
+    SELECT CAST(phase AS INT) AS phase, tbl, grp,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(sum_val AS BIGINT) AS sum_val
+    FROM s ORDER BY phase, tbl, grp
+    """,
+    category="etl",
+    description="transactional MERGE INTO under the gate (round 13): "
+    "ONE atomic transaction appends a batch into the gold (events) "
+    "table AND merges a doubled-n_chars source into the silver "
+    "(documents) table via txn.merge_into, exercising all three "
+    "clause families -- WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT, "
+    "WHEN NOT MATCHED BY SOURCE AND n_chars<500 DELETE -- as a staged "
+    "touched-partition COW rewrite whose claims validate immediately "
+    "before the WAL claim.  Phase 0 aggregates both heads while "
+    "staged (merge invisible), phase 1 after commit; a post-commit "
+    "recover() must be a no-op",
+)
+def snapshot_txn_merge_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale notes: the merge rewrites ONLY the touched partitions
+    (matched rows' + inserts' + by-source matches' partitions); the
+    source is scanned a bounded number of times (semi/anti joins
+    shuffle key columns only); commit adds one WAL record + one
+    metadata-only publish per table.  Reference parity: Iceberg's
+    MERGE INTO is its headline SQL statement; the reference's users
+    get it from Iceberg-on-Spark, here with cross-table atomicity on
+    top (transactions.py:merge_into)."""
+    from ..snapshots import SnapshotStore
+    from ..transactions import MultiTableTransaction, recover
+    from .base import scratch_root
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "lang", "n_chars")
+    events = t["events"].select("event_id", "event_type", "user_id")
+    base = scratch_root("snapshot_txn_mrg", sf_dir)
+    silver = SnapshotStore(spark, f"{base}/silver")
+    gold = SnapshotStore(spark, f"{base}/gold")
+    silver.write(
+        docs.where(F.col("doc_id") % 2 == 0).repartition("lang"),
+        mode="snapshot",
+        partition_by=["lang"],
+    )
+    gold.write(
+        events.where(F.col("event_id") % 2 == 0).repartition("event_type"),
+        mode="snapshot",
+        partition_by=["event_type"],
+    )
+    src = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "lang", (F.col("n_chars") * 2).alias("n_chars")
+    )
+
+    txn = MultiTableTransaction(spark, f"{base}/txlog")
+    txn.write(
+        gold,
+        events.where(F.col("event_id") % 2 == 1).repartition("event_type"),
+        mode="append",
+        partition_by=["event_type"],
+    )
+    staged_v = txn.merge_into(
+        silver,
+        src,
+        on="target.doc_id = source.doc_id",
+        matched=[("update", None, {"n_chars": "source.n_chars"})],
+        not_matched=[("insert", None, None)],
+        not_matched_by_source=[("delete", "target.n_chars < 500")],
+    )
+    if staged_v is None:
+        raise AssertionError("merge changed nothing -- entry broken")
+
+    def _agg(df: DataFrame, phase: int, tbl: str, grp: str, val: str) -> DataFrame:
+        return (
+            df.groupBy(F.col(grp).alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(val).alias("sum_val"),
+            )
+            .select(
+                F.lit(phase).cast("int").alias("phase"),
+                F.lit(tbl).alias("tbl"),
+                "grp",
+                "n_rows",
+                "sum_val",
+            )
+        )
+
+    p0 = _agg(silver.read(), 0, "silver", "lang", "n_chars").unionByName(
+        _agg(gold.read(), 0, "gold", "event_type", "event_id")
+    )
+    txn.commit()
+    rec = recover(spark, f"{base}/txlog")
+    if rec["rolled_forward"] or rec["stuck"]:
+        raise AssertionError(f"post-commit recover not a no-op: {rec}")
+    p1 = _agg(silver.read(), 1, "silver", "lang", "n_chars").unionByName(
+        _agg(gold.read(), 1, "gold", "event_type", "event_id")
+    )
+    return p0.unionByName(p1).orderBy("phase", "tbl", "grp")
+
+
+@register(
     "snapshot_txn_update_where_read",
     oracle="""
     WITH e0 AS (SELECT * FROM events WHERE event_id % 2 = 0),

@@ -1191,3 +1191,61 @@ def test_update_where_txn_crash_matrix_rolls_forward(spark, roots, monkeypatch):
     assert out2["rolled_forward"] == [t2.txn_id] and out2["stuck"] == {}
     assert [r["amt"] for r in silver.read().where("id = 1").collect()] == [55]
     assert 300 in _ids(gold)
+
+
+def test_merge_into_txn_cross_table(spark, roots):
+    """Round-13: one txn MERGEs a source batch into silver (update +
+    insert + by-source delete) and appends to gold, atomically."""
+    silver, gold = _seed(spark, roots)
+    src = _df(spark, [(1, "d1", 99), (5, "d2", 50)])
+    t = tx.MultiTableTransaction(spark, roots[0])
+    v = t.merge_into(
+        silver,
+        src,
+        on="target.id = source.id",
+        matched=[("update", None, {"amt": "source.amt"})],
+        not_matched=[("insert", None, None)],
+    )
+    assert v is not None
+    t.write(
+        gold, _df(spark, [(200, "d2", 2)]), mode="append",
+        partition_by=["day"],
+    )
+    # staged: merge invisible
+    assert sorted(_ids(silver)) == [1]
+    t.commit()
+    rows = {(r["id"], r["amt"]) for r in silver.read().collect()}
+    assert rows == {(1, 99), (5, 50)}
+    assert _ids(gold) == [100, 200]
+
+
+def test_merge_into_txn_conflict_before_claim(spark, roots):
+    silver, gold = _seed(spark, roots)
+    src = _df(spark, [(1, "d1", 99)])
+    t = tx.MultiTableTransaction(spark, roots[0])
+    t.merge_into(
+        silver, src, on="target.id = source.id",
+        matched=[("update", None, {"amt": "source.amt"})],
+    )
+    silver.write(
+        _df(spark, [(7, "d1", 70)]), mode="append", partition_by=["day"]
+    )
+    with pytest.raises(SnapshotConflict, match="changed since the stage"):
+        t.commit()
+    t.abort()
+    assert sorted(_ids(silver)) == [1, 7]
+
+
+def test_merge_into_staged_requires_partitioned(spark, roots, tmp_path):
+    silver, _gold = _seed(spark, roots)
+    flat = SnapshotStore(spark, str(tmp_path / "flat"))
+    flat.write(_df(spark, [(1, "d1", 10)]), mode="snapshot")
+    t = tx.MultiTableTransaction(spark, roots[0])
+    with pytest.raises(ValueError, match="partitioned"):
+        t.merge_into(
+            flat,
+            _df(spark, [(1, "d1", 5)]),
+            on="target.id = source.id",
+            matched=[("delete", None)],
+        )
+    t.abort()
