@@ -208,8 +208,8 @@ class IncrementalMatView:
                     "unknowable from keys"
                 )
             frames.append(
-                self.spark.read.parquet(
-                    f"{self.source.root.rstrip('/')}/{DATA_DIR}/{entry['dir']}"
+                self.source._read_parquet(
+                    [f"{self.source.root.rstrip('/')}/{DATA_DIR}/{entry['dir']}"]
                 ).select(*self.partition_by)
             )
         keys = frames[0]

@@ -66,6 +66,7 @@ behavior, executed.
 from __future__ import annotations
 
 import json
+import os
 import re
 import time
 import uuid
@@ -74,7 +75,15 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from .fsmeta import _fs_and_path, delete_prefix, read_bytes
+from .fsmeta import (
+    _fs_and_path,
+    delete_file,
+    delete_prefix,
+    list_entries,
+    local_path,
+    read_bytes,
+)
+from .fsmeta import exists as _path_exists
 from .fsmeta import hive_partition_dir as _hive_partition_dir
 
 MANIFEST_DIR = "_manifests"
@@ -177,6 +186,28 @@ def write_atomic_claim(
     under the winner's claim -- then the loser's conflict cleanup
     deletes the very directories the published file references."""
     tmp = f"{tmp}.{uuid.uuid4().hex[:12]}"
+    final_lp, tmp_lp = local_path(final), local_path(tmp)
+    if final_lp is not None and tmp_lp is not None:
+        # Pure-Python twin of the file:// branch below: link(2) is the
+        # same atomic single-winner primitive java.nio createLink wraps,
+        # without the ~10 py4j round-trips per claim (the commit plane
+        # runs hundreds of claims per multi-commit scenario).
+        os.makedirs(os.path.dirname(tmp_lp), exist_ok=True)
+        with open(tmp_lp, "wb") as fh:
+            fh.write(payload)
+        os.makedirs(os.path.dirname(final_lp), exist_ok=True)
+        try:
+            os.link(tmp_lp, final_lp)
+        except FileExistsError:
+            os.remove(tmp_lp)
+            raise SnapshotConflict(
+                f"{what} already committed at {final}"
+            ) from None
+        except OSError:
+            os.remove(tmp_lp)
+            raise
+        os.remove(tmp_lp)
+        return
     fs, final_p = _fs_and_path(spark, final)
     scheme = fs.getUri().getScheme()
     buf = bytearray(payload)
@@ -233,6 +264,16 @@ def write_atomic_replace(
     :func:`write_atomic_claim` -- concurrent replacers must not publish
     each other's in-flight bytes."""
     tmp = f"{tmp}.{uuid.uuid4().hex[:12]}"
+    final_lp, tmp_lp = local_path(final), local_path(tmp)
+    if final_lp is not None and tmp_lp is not None:
+        # Pure-Python twin of the file:// branch below (os.replace is
+        # rename(2) = REPLACE_EXISTING move), skipping the py4j detour.
+        os.makedirs(os.path.dirname(tmp_lp), exist_ok=True)
+        with open(tmp_lp, "wb") as fh:
+            fh.write(payload)
+        os.makedirs(os.path.dirname(final_lp), exist_ok=True)
+        os.replace(tmp_lp, final_lp)
+        return
     fs, final_p = _fs_and_path(spark, final)
     payload = bytearray(payload)
     if fs.getUri().getScheme() == "file":
@@ -632,16 +673,37 @@ class SnapshotStore:
     def _manifest_path(self, version: int) -> str:
         return f"{self.root.rstrip('/')}/{MANIFEST_DIR}/v{version}.json"
 
+    def _read_parquet(self, paths: list[str], base_path: str | None = None):
+        """Parquet read with a per-store SCHEMA memo.  Every bare
+        ``spark.read.parquet`` pays a driver-side footer-inference pass
+        per call (~70 ms: list + one-footer Spark job -- 41 such reads
+        were 26% of the matview-refresh scenario's profile).  Committed
+        data/sidecar dirs are IMMUTABLE, so the schema inference would
+        return for an identical (basePath, path-set) read cannot
+        change: the first read's inferred schema is memoized and fed
+        back via ``.schema()`` on repeats -- exact equivalence by
+        construction (the value IS what inference returned for exactly
+        this key; no partition-type or merge behavior is altered)."""
+        key = (base_path, tuple(paths))
+        memo = self.__dict__.setdefault("_pq_schema_memo", {})
+        reader = self.spark.read
+        if base_path is not None:
+            reader = reader.option("basePath", base_path)
+        cached = memo.get(key)
+        if cached is not None:
+            return reader.schema(cached).parquet(*paths)
+        df = reader.parquet(*paths)
+        memo[key] = df.schema
+        return df
+
     def versions(self) -> list[int]:
         """Committed versions, ascending (tmp files are not commits)."""
-        fs, p = _fs_and_path(self.spark, f"{self.root.rstrip('/')}/{MANIFEST_DIR}")
-        if not fs.exists(p):
-            return []
         out = []
-        for st in fs.listStatus(p):
-            name = st.getPath().getName()
-            if name.startswith("v") and name.endswith(".json"):
-                out.append(int(name[1:-5]))
+        for e in list_entries(
+            self.spark, f"{self.root.rstrip('/')}/{MANIFEST_DIR}"
+        ):
+            if e.name.startswith("v") and e.name.endswith(".json"):
+                out.append(int(e.name[1:-5]))
         return sorted(out)
 
     def latest_version(self) -> int | None:
@@ -1201,8 +1263,7 @@ class SnapshotStore:
         final = self._ref_path(name)
         tmp = f"{self.root.rstrip('/')}/{REFS_DIR}/.{name}.json.tmp"
         if replace:
-            fs, p = _fs_and_path(self.spark, final)
-            if fs.exists(p):
+            if _path_exists(self.spark, final):
                 write_atomic_replace(self.spark, final, payload, tmp)
                 return v
         try:
@@ -1221,15 +1282,13 @@ class SnapshotStore:
 
     def tags(self) -> dict[str, int]:
         """All named refs, name -> version."""
-        fs, d = _fs_and_path(self.spark, f"{self.root.rstrip('/')}/{REFS_DIR}")
-        if not fs.exists(d):
-            return {}
+        refs_dir = f"{self.root.rstrip('/')}/{REFS_DIR}"
         out: dict[str, int] = {}
-        for st in fs.listStatus(d):
-            n = st.getPath().getName()
+        for e in list_entries(self.spark, refs_dir):
+            n = e.name
             if not n.endswith(".json") or n.startswith("."):
                 continue
-            raw = read_bytes(self.spark, str(st.getPath()))
+            raw = read_bytes(self.spark, f"{refs_dir}/{n}")
             try:
                 ref = json.loads(raw.decode("utf-8"))
             except ValueError:
@@ -1245,10 +1304,8 @@ class SnapshotStore:
 
     def delete_tag(self, name: str) -> None:
         self._check_ref_name(name)
-        fs, p = _fs_and_path(self.spark, self._ref_path(name))
-        if not fs.exists(p):
+        if not delete_file(self.spark, self._ref_path(name)):
             raise ValueError(f"unknown ref {name!r}")
-        fs.delete(p, False)
 
     # -- writes -----------------------------------------------------------
 
@@ -1279,13 +1336,11 @@ class SnapshotStore:
         # Guard: every data dir the target references must still exist
         # (retention may have reclaimed them).
         droot = f"{self.root.rstrip('/')}/{DATA_DIR}"
-        fs, _ = _fs_and_path(self.spark, droot)
         missing = []
         target_dirs = [vd for vds in target["partitions"].values() for vd in vds]
         target_dirs += [d["dir"] for d in target.get("delete_sets", [])]
         for vd in target_dirs:
-            _, p = _fs_and_path(self.spark, f"{droot}/{vd}")
-            if not fs.exists(p):
+            if not _path_exists(self.spark, f"{droot}/{vd}"):
                 missing.append(vd)
         if missing:
             raise ValueError(
@@ -1403,10 +1458,9 @@ class SnapshotStore:
                     # other IO failure must surface -- swallowing it
                     # would silently switch delete semantics to the
                     # over-masking publish-version fallback.
-                    fs, p = _fs_and_path(
+                    if _path_exists(
                         self.spark, self._manifest_path(int(pf))
-                    )
-                    if fs.exists(p):
+                    ):
                         src_mode = self._read_manifest_raw(int(pf))[
                             "mode"
                         ]
@@ -1453,8 +1507,8 @@ class SnapshotStore:
                 "ruled out"
             )
         rows = (
-            self.spark.read.parquet(
-                f"{self.root.rstrip('/')}/{DATA_DIR}/{entry['dir']}"
+            self._read_parquet(
+                [f"{self.root.rstrip('/')}/{DATA_DIR}/{entry['dir']}"]
             )
             .select(*pby)
             .distinct()
@@ -3942,20 +3996,19 @@ class SnapshotStore:
         """Relative Hive partition dirs under a committed data dir
         (``[""]`` for unpartitioned) -- a metadata-sized listing, the
         same walk storage._recover_staging uses."""
-        fs, base = _fs_and_path(self.spark, data_path)
-
-        def leaves(p, d: int, rel: str):
+        def leaves(p: str, d: int, rel: str):
             if d == 0:
                 yield rel
                 return
-            for st in fs.listStatus(p):
-                if st.isDirectory():
-                    name = st.getPath().getName()
+            for e in list_entries(self.spark, p):
+                if e.is_dir:
                     yield from leaves(
-                        st.getPath(), d - 1, f"{rel}/{name}" if rel else name
+                        f"{p}/{e.name}",
+                        d - 1,
+                        f"{rel}/{e.name}" if rel else e.name,
                     )
 
-        return sorted(leaves(base, depth, ""))
+        return sorted(leaves(data_path.rstrip("/"), depth, ""))
 
     # -- reads ------------------------------------------------------------
 
@@ -4447,7 +4500,7 @@ class SnapshotStore:
                 for dk in want
                 if dk.split("/", 1)[0] in g_vdirs
             )
-            sdf = self.spark.read.parquet(*paths)
+            sdf = self._read_parquet(paths)
             if len(dkeys) <= self._SIDECAR_ISIN_MAX:
                 sdf = sdf.where(F.col("dkey").isin(dkeys))
             else:
@@ -4787,13 +4840,12 @@ class SnapshotStore:
                     dkey = f"{vd}/{part}" if part else vd
                     names = by_dkey.get(dkey)
                     if names is None:
-                        fs, path = _fs_and_path(
-                            self.spark, f"{base}/{dkey}"
-                        )
                         names = [
-                            st.getPath().getName()
-                            for st in fs.listStatus(path)
-                            if st.getPath().getName().endswith(".parquet")
+                            e.name
+                            for e in list_entries(
+                                self.spark, f"{base}/{dkey}"
+                            )
+                            if e.name.endswith(".parquet")
                         ]
                     rows.extend((part, vd, n) for n in sorted(names))
             schema = T.StructType(
@@ -5229,7 +5281,7 @@ class SnapshotStore:
             reappearance arm: only dirs OLDER than the dropped set can
             hold reappearing rows)."""
             keys = self._xform_delete(m_of.get("schema_log"))(
-                self.spark.read.parquet(f"{base_root}/{entry['dir']}"),
+                self._read_parquet([f"{base_root}/{entry['dir']}"]),
                 int(entry.get("frame_version", entry["version"])),
             )
             key_cols = list(keys.columns)
@@ -5279,7 +5331,7 @@ class SnapshotStore:
             }
             if not pairs:
                 return None
-            pos = self.spark.read.parquet(f"{base_root}/{entry['dir']}")
+            pos = self._read_parquet([f"{base_root}/{entry['dir']}"])
             img = self._scan(
                 _by_vdir(pairs),
                 delete_sets=m_state.get("delete_sets"),
@@ -5530,7 +5582,7 @@ class SnapshotStore:
             if first not in cache:
                 frames = [
                     xform(
-                        self.spark.read.parquet(f"{base_root}/{d['dir']}"),
+                        self._read_parquet([f"{base_root}/{d['dir']}"]),
                         int(d.get("frame_version", d["version"])),
                     )
                     for d in sets[first:]
@@ -5563,7 +5615,7 @@ class SnapshotStore:
                     paths.append(dirp)
                 else:
                     paths.extend(f"{dirp}/{f}" for f in sorted(files))
-            scan = self.spark.read.option("basePath", base).parquet(*paths)
+            scan = self._read_parquet(paths, base_path=base)
             w = _vdir_version(vd)
             pdels = (
                 _newer_union(pos_sets, pos_union_cache, w, lambda df, _v: df)
@@ -5956,12 +6008,11 @@ class SnapshotStore:
             if v not in keep:
                 delete_prefix(self.spark, self._manifest_path(v))
                 dropped_manifests += 1
-        fs, mdir = _fs_and_path(self.spark, f"{self.root.rstrip('/')}/{MANIFEST_DIR}")
-        if fs.exists(mdir):
-            for st in fs.listStatus(mdir):
-                aged = now_ms - st.getModificationTime() > orphan_grace_ms
-                if st.getPath().getName().endswith(".tmp") and aged:
-                    fs.delete(st.getPath(), False)
+        mdir = f"{self.root.rstrip('/')}/{MANIFEST_DIR}"
+        for e in list_entries(self.spark, mdir):
+            aged = now_ms - e.mtime_ms > orphan_grace_ms
+            if e.name.endswith(".tmp") and aged:
+                delete_file(self.spark, f"{mdir}/{e.name}")
         # Shard files: live iff a KEPT root references them (recomputed
         # AFTER delta materialization, which may have written fresh
         # shards).  Expired versions' shards reclaim with their root;
@@ -5974,40 +6025,34 @@ class SnapshotStore:
             for s in self._read_manifest_raw(v).get("partition_shards", [])
         }
         dropped_shards = 0
-        fs, shdir = _fs_and_path(
-            self.spark,
-            f"{self.root.rstrip('/')}/{MANIFEST_DIR}/{SHARDS_SUBDIR}",
-        )
-        if fs.exists(shdir):
-            for st in fs.listStatus(shdir):
-                name = st.getPath().getName()
-                if name in live_shards:
-                    continue
-                aged = now_ms - st.getModificationTime() > orphan_grace_ms
-                try:
-                    owner = int(name[1:].split("-", 1)[0])
-                except ValueError:
-                    owner = None
-                expired_owner = (
-                    owner is not None and owner in vs and owner not in keep
-                )
-                if expired_owner or aged:
-                    fs.delete(st.getPath(), False)
-                    dropped_shards += 1
+        shdir = f"{self.root.rstrip('/')}/{MANIFEST_DIR}/{SHARDS_SUBDIR}"
+        for e in list_entries(self.spark, shdir):
+            name = e.name
+            if name in live_shards:
+                continue
+            aged = now_ms - e.mtime_ms > orphan_grace_ms
+            try:
+                owner = int(name[1:].split("-", 1)[0])
+            except ValueError:
+                owner = None
+            expired_owner = (
+                owner is not None and owner in vs and owner not in keep
+            )
+            if expired_owner or aged:
+                delete_file(self.spark, f"{shdir}/{name}")
+                dropped_shards += 1
         dropped_data = 0
         droot = f"{self.root.rstrip('/')}/{DATA_DIR}"
-        fs, dp = _fs_and_path(self.spark, droot)
-        if fs.exists(dp):
-            for st in fs.listStatus(dp):
-                name = st.getPath().getName()
-                if not st.isDirectory() or name in live_vdirs:
-                    continue
-                # Expired-manifest dirs: committed, reclaim now.  True
-                # orphans (referenced nowhere): age-gated, see above.
-                aged = now_ms - st.getModificationTime() > orphan_grace_ms
-                if name in expired_vdirs or aged:
-                    delete_prefix(self.spark, f"{droot}/{name}")
-                    dropped_data += 1
+        for e in list_entries(self.spark, droot):
+            name = e.name
+            if not e.is_dir or name in live_vdirs:
+                continue
+            # Expired-manifest dirs: committed, reclaim now.  True
+            # orphans (referenced nowhere): age-gated, see above.
+            aged = now_ms - e.mtime_ms > orphan_grace_ms
+            if name in expired_vdirs or aged:
+                delete_prefix(self.spark, f"{droot}/{name}")
+                dropped_data += 1
         # Stats sidecars unreferenced by every kept manifest: expired
         # history's sidecars reclaim with it immediately; a TRUE orphan
         # (referenced nowhere -- possibly an in-flight commit's sidecar
@@ -6015,16 +6060,14 @@ class SnapshotStore:
         # orphan data dir.
         dropped_sidecars = 0
         sroot = f"{self.root.rstrip('/')}/{STATS_DIR}"
-        fs, sp = _fs_and_path(self.spark, sroot)
-        if fs.exists(sp):
-            for st in fs.listStatus(sp):
-                name = st.getPath().getName()
-                if name in live_sidecar_names:
-                    continue
-                aged = now_ms - st.getModificationTime() > orphan_grace_ms
-                if name in expired_sidecar_names or aged:
-                    delete_prefix(self.spark, f"{sroot}/{name}")
-                    dropped_sidecars += 1
+        for e in list_entries(self.spark, sroot):
+            name = e.name
+            if name in live_sidecar_names:
+                continue
+            aged = now_ms - e.mtime_ms > orphan_grace_ms
+            if name in expired_sidecar_names or aged:
+                delete_prefix(self.spark, f"{sroot}/{name}")
+                dropped_sidecars += 1
         return {
             "kept_versions": sorted(keep),
             "dropped_manifests": dropped_manifests,

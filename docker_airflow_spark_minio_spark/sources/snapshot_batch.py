@@ -108,6 +108,11 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
 )
 
+# Hive path escaping twin: one definition for the whole package (the
+# read planner here, the Spark-path writer via fsmeta.hive_partition_dir),
+# JVM-parity-pinned by tests/test_sql_snapshot_source.py -- the charsets
+# cannot drift between the two write paths.
+from ..fsmeta import _HIVE_ESCAPE, escape_path_name  # noqa: F401
 from ..snapshots import (
     DATA_DIR,
     MANIFEST_DIR,
@@ -243,20 +248,6 @@ def xxhash64_bytes(data: bytes, seed: int = XXHASH_SEED) -> int:
     return _signed(_fmix(h))
 
 
-#: Characters Hive path escaping rewrites as %XX -- the exact set of
-#: ``ExternalCatalogUtils.escapePathName`` (probed against the JVM and
-#: pinned by tests/test_sql_snapshot_source.py): ASCII controls 0x01-
-#: 0x1F plus ``" # % ' * / : = ? [ \ ] ^ {`` and DEL.  NOT space, NOT
-#: ``}`` -- matching Hive, not generic URL encoding.
-_HIVE_ESCAPE = frozenset(
-    {chr(i) for i in range(0, 0x20)} | set("\"#%'*/:=?[\\]^{") | {chr(0x7F)}
-)
-
-
-def escape_path_name(s: str) -> str:
-    """Pure-Python twin of Spark's ``ExternalCatalogUtils.escapePathName``
-    (the write path's directory-name escaping)."""
-    return "".join(f"%{ord(c):02X}" if c in _HIVE_ESCAPE else c for c in s)
 
 
 def hive_dir_local(cols: list[str], vals: tuple) -> str:

@@ -65,7 +65,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .fsmeta import _fs_and_path, delete_prefix, read_bytes
+from .fsmeta import delete_prefix, list_entries, read_bytes
+from .fsmeta import exists as path_exists
 from .snapshots import (
     SnapshotConflict,
     SnapshotStore,
@@ -95,20 +96,17 @@ def _wal_entries(spark: SparkSession, coordinator_root: str) -> list[tuple[str, 
     the shared listing behind :func:`_list_txns` (which reads each) and
     :func:`abort_orphans` (which needs only the ids: a torn record must
     still shield its stages)."""
-    fs, d = _fs_and_path(spark, f"{coordinator_root.rstrip('/')}/{TXN_DIR}")
-    if not fs.exists(d):
-        return []
+    d = f"{coordinator_root.rstrip('/')}/{TXN_DIR}"
     out = []
-    for st in fs.listStatus(d):
-        n = st.getPath().getName()
+    for e in list_entries(spark, d):
+        n = e.name
         if n.endswith(".json") and not n.startswith("."):
-            out.append((n[: -len(".json")], str(st.getPath())))
+            out.append((n[: -len(".json")], f"{d}/{n}"))
     return out
 
 
 def _read_json(spark: SparkSession, path: str) -> dict | None:
-    fs, p = _fs_and_path(spark, path)
-    if not fs.exists(p):
+    if not path_exists(spark, path):
         return None
     try:
         return json.loads(read_bytes(spark, path).decode("utf-8"))

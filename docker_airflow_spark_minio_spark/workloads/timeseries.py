@@ -477,6 +477,28 @@ STREAM_STATE_PARTITIONS = 8
 # (app, sf_dir, suffix) so the two bench sweeps pay the setup once.
 _FLUSH_DIRS: dict[tuple[str, str, str], str] = {}
 
+#: Inferred schema per (app, path) -- the streaming entries each need
+#: the PHYSICAL schema of an immutable staged/input parquet dir for
+#: ``readStream.schema(...)``, and a bare ``spark.read.parquet(p)
+#: .schema`` pays a ~70 ms driver-side footer-inference pass per call.
+#: Exact equivalence: the memo value IS what inference returned for the
+#: same immutable path in the same app.
+_SCHEMA_MEMO: dict[tuple[str, str], object] = {}
+
+
+def _parquet_schema(spark: SparkSession, path: str):
+    key = (spark.sparkContext.applicationId, path)
+    with _CACHE_LOCK:
+        cached = _SCHEMA_MEMO.get(key)
+    if cached is not None:
+        return cached
+    schema = spark.read.parquet(path).schema
+    with _CACHE_LOCK:
+        while len(_SCHEMA_MEMO) >= 64:
+            _SCHEMA_MEMO.pop(next(iter(_SCHEMA_MEMO)))
+        _SCHEMA_MEMO[key] = schema
+    return schema
+
 # Sentinel user ids for watermark-flush rows; no real row carries them,
 # and the two sides get DIFFERENT ids so the sentinels can never join.
 FLUSH_USER_IDS = (-101, -102)
@@ -576,10 +598,10 @@ def _events_dir_with_flush(spark: SparkSession, sf_dir: str, suffix: str) -> str
             return cached
     t0 = _time.perf_counter()
     path = f"{sf_dir.rstrip('/')}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _parquet_schema(spark, path)
     tmp = tempfile.mkdtemp(prefix=f"events_flush_{suffix}_")
     os.symlink(path, os.path.join(tmp, "events.parquet"))
-    ts_is_long = dict(spark.read.parquet(path).dtypes)["ts"] == "bigint"
+    ts_is_long = schema["ts"].dataType.simpleString() == "bigint"
     flush_ts_us = 4891363200 * 1_000_000  # 2125-01-01 UTC
     rows = [
         (FLUSH_USER_IDS[0], "purchase"),
@@ -664,7 +686,7 @@ def streaming_tumbling_hourly_live(spark: SparkSession, sf_dir: str) -> DataFram
     # streaming read needs for parity with the oracle.
     load_tables(spark, sf_dir)
     path = f"{sf_dir.rstrip('/')}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _parquet_schema(spark, path)
     # The file stream source wants a DIRECTORY; scope it to the events
     # file with a glob filter.
     src = (
@@ -707,7 +729,7 @@ def streaming_dedup_distinct_users_live(
 ) -> DataFrame:
     load_tables(spark, sf_dir)  # pins session tz + conf
     path = f"{sf_dir.rstrip('/')}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _parquet_schema(spark, path)
     src = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -757,7 +779,7 @@ def streaming_dedup_distinct_users_live(
 def streaming_session_windows_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)  # pins session tz + nanosAsLong conf
     path = f"{sf_dir.rstrip('/')}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _parquet_schema(spark, path)
     src = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -818,7 +840,7 @@ def streaming_static_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tier", (F.col("user_id") % 3).cast("long"))
     )
     path = f"{sf_dir.rstrip('/')}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _parquet_schema(spark, path)
     src = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -878,7 +900,7 @@ def streaming_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir)  # pins session tz + nanosAsLong conf
     path = f"{sf_dir.rstrip('/')}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _parquet_schema(spark, path)
     src_dir = _events_dir_with_flush(spark, sf_dir, "ij")
 
     s = (
@@ -937,7 +959,7 @@ def streaming_stateful_totals_live(spark: SparkSession, sf_dir: str) -> DataFram
 
     load_tables(spark, sf_dir)  # pins session tz + conf
     stage = _events_split_dir(spark, sf_dir, 3)
-    schema = spark.read.parquet(stage).schema
+    schema = _parquet_schema(spark, stage)
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -983,7 +1005,7 @@ def streaming_dedup_within_watermark_live(
     metadata-sized sink."""
     load_tables(spark, sf_dir)  # pins session tz + conf
     stage = _events_split_dir(spark, sf_dir, 3)
-    schema = spark.read.parquet(stage).schema
+    schema = _parquet_schema(spark, stage)
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -1245,7 +1267,7 @@ def streaming_outer_interval_join_live(
 
     load_tables(spark, sf_dir)  # pins session tz + nanosAsLong conf
     path = f"{sf_dir.rstrip('/')}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _parquet_schema(spark, path)
     src_dir = _events_dir_with_flush(spark, sf_dir, "oij")
 
     s = (
