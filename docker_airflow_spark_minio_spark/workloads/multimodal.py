@@ -467,6 +467,11 @@ def multimodal_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _capped_band_pairs(bands, PDHASH_BUCKET_CAP).where(
         F.col("hamming") <= PDHASH_HAM_MAX
     )
+    # Materialize the (small, bucket-capped) pair set ONCE: the planted
+    # gate below and the returned frame otherwise each recompute the
+    # whole dhash+band pipeline -- the same single-compute pattern the
+    # graph operators use (operators/graph.py localCheckpoint).
+    pairs = pairs.localCheckpoint(eager=True)
     out = pairs.orderBy("doc_a", "doc_b")
     # runtime gate: every planted variant is FOUND (hamming 0, same
     # band keys by construction) and flagged byte-DISTINCT

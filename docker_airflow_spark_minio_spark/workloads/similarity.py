@@ -1641,8 +1641,10 @@ def ann_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
     )
-    out = _two_phase_topk(scored)
-    n = out.count()  # materialize the query before the no-rebuild gate
+    # Materialize ONCE (localCheckpoint): the no-rebuild gate's count
+    # and the returned frame otherwise each recompute the probe query.
+    out = _two_phase_topk(scored).localCheckpoint(eager=True)
+    n = out.count()  # cheap: reads the checkpoint, not a recompute
     if n == 0:
         raise AssertionError("persisted-index query returned no rows")
     after = (cstore.current_version(), astore.current_version())
