@@ -4087,9 +4087,20 @@ class SnapshotStore:
         if key in cache:
             return cache[key]
         pure = self._eval_transform_pure(spec, value, manifest)
-        if pure is not None:
-            cache[key] = pure
-            return pure
+        out = (
+            pure
+            if pure is not None
+            else self._eval_transform_spark(spec, value, manifest)
+        )
+        cache[key] = out
+        return out
+
+    def _eval_transform_spark(self, spec: dict, value, manifest: dict):
+        """The one-row Spark-job evaluation -- the drift-immune ground
+        truth the twin is pinned against (tests call this directly)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
         field = next(
             f
             for f in T.StructType.fromJson(json.loads(manifest["schema"]))
@@ -4098,9 +4109,7 @@ class SnapshotStore:
         one = self.spark.range(1).select(
             F.lit(value).cast(field.dataType).alias(spec["src"])
         )
-        out = _apply_transforms(one, {"__t": spec}).collect()[0]["__t"]
-        cache[key] = out
-        return out
+        return _apply_transforms(one, {"__t": spec}).collect()[0]["__t"]
 
     @staticmethod
     def _eval_transform_pure(spec: dict, value, manifest: dict):

@@ -1,0 +1,137 @@
+"""The pure-Python local fast lanes in fsmeta must agree with the
+Hadoop-FileSystem branch they bypass: same routing decisions, same
+results for every primitive, same conflict semantics for the atomic
+claim.  The Hadoop branch is forced by monkeypatching ``local_path`` to
+decline, so both implementations run against the identical on-disk
+tree."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from docker_airflow_spark_minio_spark import fsmeta
+from docker_airflow_spark_minio_spark import snapshots as snap
+
+
+def test_local_path_routing():
+    assert fsmeta.local_path("/tmp/x") == "/tmp/x"
+    assert fsmeta.local_path("file:/tmp/x") == "/tmp/x"
+    assert fsmeta.local_path("file:///tmp/x") == "/tmp/x"
+    assert fsmeta.local_path("file://localhost/tmp/x") == "/tmp/x"
+    # non-local authorities and real schemes stay on the Hadoop branch
+    assert fsmeta.local_path("file://nas01/tmp/x") is None
+    assert fsmeta.local_path("s3a://bucket/k") is None
+    assert fsmeta.local_path("hdfs://nn/k") is None
+    assert fsmeta.local_path("mockfs://x/k") is None
+    assert fsmeta.local_path("mocks3://x/k") is None
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    d = tmp_path / "t"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.txt").write_bytes(b"alpha")
+    (d / "sub" / "b.txt").write_bytes(b"bee-content")
+    return str(d)
+
+
+def _hadoop_lane(monkeypatch):
+    monkeypatch.setattr(fsmeta, "local_path", lambda uri: None)
+
+
+def test_primitives_match_hadoop_branch(spark, tree, monkeypatch):
+    probes = [tree, f"{tree}/a.txt", f"{tree}/sub", f"{tree}/missing"]
+    fast = {
+        "exists": [fsmeta.exists(spark, p) for p in probes],
+        "prefix_exists": [fsmeta.prefix_exists(spark, p) for p in probes[:3]],
+        "stats": [
+            (s.total_objects, s.total_bytes)
+            for s in (fsmeta.prefix_stats(spark, p) for p in probes[:3])
+        ],
+        "entries": sorted(
+            (e.name, e.is_dir, e.size)
+            for e in fsmeta.list_entries(spark, tree)
+        ),
+        "missing_entries": fsmeta.list_entries(spark, f"{tree}/missing"),
+        "read": fsmeta.read_bytes(spark, f"{tree}/a.txt"),
+    }
+    _hadoop_lane(monkeypatch)
+    slow = {
+        "exists": [fsmeta.exists(spark, p) for p in probes],
+        "prefix_exists": [fsmeta.prefix_exists(spark, p) for p in probes[:3]],
+        "stats": [
+            (s.total_objects, s.total_bytes)
+            for s in (fsmeta.prefix_stats(spark, p) for p in probes[:3])
+        ],
+        "entries": sorted(
+            (e.name, e.is_dir, e.size)
+            for e in fsmeta.list_entries(spark, tree)
+        ),
+        "missing_entries": fsmeta.list_entries(spark, f"{tree}/missing"),
+        "read": fsmeta.read_bytes(spark, f"{tree}/a.txt"),
+    }
+    assert fast == slow
+
+
+def test_delete_file_both_lanes(spark, tree, monkeypatch):
+    assert fsmeta.delete_file(spark, f"{tree}/a.txt") is True
+    assert fsmeta.delete_file(spark, f"{tree}/a.txt") is False
+    _hadoop_lane(monkeypatch)
+    assert fsmeta.delete_file(spark, f"{tree}/sub/b.txt") is True
+    assert fsmeta.delete_file(spark, f"{tree}/sub/b.txt") is False
+
+
+def test_atomic_claim_conflict_both_lanes(spark, tmp_path, monkeypatch):
+    """Single-winner semantics and no leaked staging files, on the
+    os.link lane AND the Hadoop createLink branch."""
+    for lane, force_hadoop in (("fast", False), ("hadoop", True)):
+        if force_hadoop:
+            monkeypatch.setattr(snap, "local_path", lambda uri: None)
+        d = tmp_path / lane
+        d.mkdir()
+        final, tmp = f"{d}/m.json", f"{d}/.m.tmp"
+        snap.write_atomic_claim(spark, final, b"one", tmp, what="t")
+        with pytest.raises(snap.SnapshotConflict):
+            snap.write_atomic_claim(spark, final, b"two", tmp, what="t")
+        assert open(final, "rb").read() == b"one"
+        snap.write_atomic_replace(spark, final, b"three", tmp)
+        assert open(final, "rb").read() == b"three"
+        # the Hadoop branch's checksum FS leaves .crc sidecars for its
+        # staging files (pre-existing behavior); no PAYLOAD staging
+        # file may leak on either lane
+        assert [
+            f
+            for f in os.listdir(d)
+            if f != "m.json" and not f.endswith(".crc")
+        ] == []
+
+
+def test_eval_transform_many_mixes_pure_and_spark(spark):
+    """The batch planner hook serves twin-supported literals without a
+    job and still falls back to Spark for the rest; values map back to
+    the right inputs either way."""
+    import json as _json
+
+    store = snap.SnapshotStore(spark, "/tmp/__unused_eval__")
+    spec = {"kind": "bucket", "src": "c", "arg": 8}
+    m = {
+        "schema": _json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": "c",
+                        "type": "long",
+                        "nullable": True,
+                        "metadata": {},
+                    }
+                ],
+            }
+        )
+    }
+    vals = [0, 1, 42, 10**15]
+    got = store._eval_transform_many(spec, vals, m)
+    want = [store._eval_transform_spark(spec, v, m) for v in vals]
+    assert got == want

@@ -91,7 +91,10 @@ def test_transform_twins_vs_spark(spark):
             {"type": "struct",
              "fields": [{"name": spec["src"], "type": ftype,
                          "nullable": True, "metadata": {}}]})}
-        return store._eval_transform(spec, value, m)
+        # the Spark-job ground truth DIRECTLY: _eval_transform itself
+        # now consults the pure twin first, which would make this
+        # comparison vacuous
+        return store._eval_transform_spark(spec, value, m)
 
     cases = [
         ({"kind": "bucket", "src": "c", "arg": 8}, "long",
