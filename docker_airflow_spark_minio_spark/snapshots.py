@@ -2766,15 +2766,16 @@ class SnapshotStore:
                 "no claimable partition surface"
             )
         if pby:
-            tuples: list[tuple] = []
+            # ONE distinct-partition probe job for all three row
+            # sources (matched dirs, by-source dirs, insert dirs) --
+            # the set union is identical to probing each separately,
+            # and a merge paid up to three join-evaluating actions here
+            probe_frames = []
             if matched:
                 mt = t.join(s_marked, on_col, "left_semi")
                 if trans:
                     mt = _apply_transforms(mt, trans)
-                tuples += [
-                    tuple(r[c] for c in pby)
-                    for r in mt.select(*pby).distinct().collect()
-                ]
+                probe_frames.append(mt.select(*pby))
             if by_source:
                 bs_cond = reduce(
                     lambda a, b: a | b,
@@ -2786,16 +2787,22 @@ class SnapshotStore:
                 bt = t.join(s_marked, on_col, "left_anti").where(bs_cond)
                 if trans:
                     bt = _apply_transforms(bt, trans)
-                tuples += [
-                    tuple(r[c] for c in pby)
-                    for r in bt.select(*pby).distinct().collect()
-                ]
+                probe_frames.append(bt.select(*pby))
             if ins is not None:
                 it = _apply_transforms(ins, trans) if trans else ins
-                tuples += [
+                probe_frames.append(it.select(*pby))
+            tuples = (
+                [
                     tuple(r[c] for c in pby)
-                    for r in it.select(*pby).distinct().collect()
+                    for r in reduce(
+                        lambda a, b: a.unionByName(b), probe_frames
+                    )
+                    .distinct()
+                    .collect()
                 ]
+                if probe_frames
+                else []
+            )
             tuples = sorted(set(tuples), key=lambda v: tuple(map(str, v)))
             if not tuples:
                 return None
