@@ -86,8 +86,11 @@ def prefix_stats(spark: SparkSession, uri: str) -> PrefixStats:
         if os.path.isdir(lp):
             for root, _, files in os.walk(lp):
                 for f in files:
+                    try:
+                        size += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        continue  # vanished mid-walk: not an object
                     total += 1
-                    size += os.path.getsize(os.path.join(root, f))
         return PrefixStats(total_objects=total, total_bytes=size)
     fs, path = _fs_and_path(spark, uri)
     total, size = 0, 0
@@ -161,11 +164,19 @@ def list_entries(spark: SparkSession, uri: str) -> list[DirEntry]:
         out = []
         with os.scandir(lp) as it:
             for e in it:
-                st = e.stat(follow_symlinks=False)
+                try:
+                    st = e.stat(follow_symlinks=False)
+                    is_dir = e.is_dir(follow_symlinks=False)
+                except OSError:
+                    # entry vanished between scandir and stat (a racing
+                    # committer's tmp cleanup): a listing skips it, the
+                    # same outcome Hadoop's snapshot-upfront listStatus
+                    # gives for files deleted just before the call
+                    continue
                 out.append(
                     DirEntry(
                         name=e.name,
-                        is_dir=e.is_dir(follow_symlinks=False),
+                        is_dir=is_dir,
                         size=st.st_size,
                         mtime_ms=int(st.st_mtime * 1000),
                     )

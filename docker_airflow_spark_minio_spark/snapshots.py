@@ -673,7 +673,12 @@ class SnapshotStore:
     def _manifest_path(self, version: int) -> str:
         return f"{self.root.rstrip('/')}/{MANIFEST_DIR}/v{version}.json"
 
-    def _read_parquet(self, paths: list[str], base_path: str | None = None):
+    def _read_parquet(
+        self,
+        paths: list[str],
+        base_path: str | None = None,
+        declared=None,
+    ):
         """Parquet read with a per-store SCHEMA memo.  Every bare
         ``spark.read.parquet`` pays a driver-side footer-inference pass
         per call (~70 ms: list + one-footer Spark job -- 41 such reads
@@ -683,7 +688,14 @@ class SnapshotStore:
         change: the first read's inferred schema is memoized and fed
         back via ``.schema()`` on repeats -- exact equivalence by
         construction (the value IS what inference returned for exactly
-        this key; no partition-type or merge behavior is altered)."""
+        this key; no partition-type or merge behavior is altered).
+
+        ``declared`` (data columns only, NO partition columns) skips
+        inference on the FIRST touch too: Spark appends the partition
+        path columns with its own partition-type inference, so the
+        result schema is identical to a bare read of files physically
+        holding exactly those columns (empirically pinned by
+        tests/test_fsmeta_lanes.py::test_declared_schema_read_parity)."""
         key = (base_path, tuple(paths))
         memo = self.__dict__.setdefault("_pq_schema_memo", {})
         reader = self.spark.read
@@ -692,9 +704,47 @@ class SnapshotStore:
         cached = memo.get(key)
         if cached is not None:
             return reader.schema(cached).parquet(*paths)
+        if declared is not None:
+            return reader.schema(declared).parquet(*paths)
         df = reader.parquet(*paths)
         memo[key] = df.schema
         return df
+
+    def _declared_dir_schema(self, vd: str, parts):
+        """The DATA schema of a committed dir's parquet files: the
+        writing commit's recorded schema minus the dir's partition path
+        columns (Spark re-appends those from the directory names with
+        its own partition-type inference -- the read path's documented
+        partition-typing semantics, untouched).  None (-> fall back to
+        footer inference) when anything is unusual: manifest schema
+        unreadable, escaped segment names."""
+        from pyspark.sql import types as T
+
+        try:
+            m = self._read_manifest_raw(_vdir_version(vd))
+            sj = json.loads(m["schema"])
+        except Exception:  # noqa: BLE001 -- any oddity: infer instead
+            return None
+        path_cols: set[str] = set()
+        for part in parts:
+            if not part:
+                continue
+            for seg in part.split("/"):
+                name = seg.split("=", 1)[0]
+                if "%" in name:
+                    return None  # escaped column name: let Spark infer
+                path_cols.add(name)
+        fields = [f for f in sj["fields"] if f["name"] not in path_cols]
+        if not fields:
+            return None
+        # file sources surface data columns nullable; declare the same
+        fields = [{**f, "nullable": True} for f in fields]
+        try:
+            return T.StructType.fromJson(
+                {"type": "struct", "fields": fields}
+            )
+        except Exception:  # noqa: BLE001 -- unparseable: infer instead
+            return None
 
     def versions(self) -> list[int]:
         """Committed versions, ascending (tmp files are not commits)."""
@@ -5668,7 +5718,11 @@ class SnapshotStore:
                     paths.append(dirp)
                 else:
                     paths.extend(f"{dirp}/{f}" for f in sorted(files))
-            scan = self._read_parquet(paths, base_path=base)
+            scan = self._read_parquet(
+                paths,
+                base_path=base,
+                declared=self._declared_dir_schema(vd, parts),
+            )
             w = _vdir_version(vd)
             pdels = (
                 _newer_union(pos_sets, pos_union_cache, w, lambda df, _v: df)
@@ -6014,7 +6068,12 @@ class SnapshotStore:
             | {
                 v
                 for v, (at, wap) in staged_at.items()
-                if now_ms - at <= orphan_grace_ms or wap in protected_waps
+                # strictly YOUNGER than the grace: with grace 0 ("no
+                # in-flight writers" assertion) nothing is kept -- the
+                # metadata plane can now finish a commit+expire inside
+                # one millisecond, so an inclusive bound kept same-ms
+                # stages that grace 0 must reclaim
+                if now_ms - at < orphan_grace_ms or wap in protected_waps
             }
         )
         live_vdirs: set[str] = set()
@@ -6063,7 +6122,7 @@ class SnapshotStore:
                 dropped_manifests += 1
         mdir = f"{self.root.rstrip('/')}/{MANIFEST_DIR}"
         for e in list_entries(self.spark, mdir):
-            aged = now_ms - e.mtime_ms > orphan_grace_ms
+            aged = now_ms - e.mtime_ms >= orphan_grace_ms
             if e.name.endswith(".tmp") and aged:
                 delete_file(self.spark, f"{mdir}/{e.name}")
         # Shard files: live iff a KEPT root references them (recomputed
@@ -6083,7 +6142,7 @@ class SnapshotStore:
             name = e.name
             if name in live_shards:
                 continue
-            aged = now_ms - e.mtime_ms > orphan_grace_ms
+            aged = now_ms - e.mtime_ms >= orphan_grace_ms
             try:
                 owner = int(name[1:].split("-", 1)[0])
             except ValueError:
@@ -6102,7 +6161,7 @@ class SnapshotStore:
                 continue
             # Expired-manifest dirs: committed, reclaim now.  True
             # orphans (referenced nowhere): age-gated, see above.
-            aged = now_ms - e.mtime_ms > orphan_grace_ms
+            aged = now_ms - e.mtime_ms >= orphan_grace_ms
             if name in expired_vdirs or aged:
                 delete_prefix(self.spark, f"{droot}/{name}")
                 dropped_data += 1
@@ -6117,7 +6176,7 @@ class SnapshotStore:
             name = e.name
             if name in live_sidecar_names:
                 continue
-            aged = now_ms - e.mtime_ms > orphan_grace_ms
+            aged = now_ms - e.mtime_ms >= orphan_grace_ms
             if name in expired_sidecar_names or aged:
                 delete_prefix(self.spark, f"{sroot}/{name}")
                 dropped_sidecars += 1

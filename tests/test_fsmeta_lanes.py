@@ -108,6 +108,71 @@ def test_atomic_claim_conflict_both_lanes(spark, tmp_path, monkeypatch):
         ] == []
 
 
+def test_expire_grace_zero_reclaims_same_millisecond(
+    spark, tmp_path, monkeypatch
+):
+    """grace 0 ("no in-flight writers") must reclaim an unreferenced
+    tmp and an abandoned stage even when expire runs in the very same
+    millisecond they were created -- the fast metadata lanes made
+    commit+expire sub-millisecond, which flaked the old exclusive age
+    bounds (kept same-ms items under grace 0)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    s = snap.SnapshotStore(spark, root)
+    s.write(spark.range(3).select(F.col("id")), mode="snapshot")
+    sv = s.write(
+        spark.range(3, 5).select(F.col("id")),
+        mode="append",
+        staged="audit",
+    )
+    tmp = f"{root}/_manifests/.v9.json.tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write("{}")
+    # pin "now" to the exact commit/creation instants: age == 0 ms
+    at_ms = snap.SnapshotStore(spark, root)._read_manifest_raw(sv)[
+        "committed_at_ms"
+    ]
+    now_ms = max(at_ms, int(os.stat(tmp).st_mtime * 1000))
+    monkeypatch.setattr(snap.time, "time", lambda: now_ms / 1000.0)
+    s.expire_snapshots(keep_last=1, orphan_grace_ms=0)
+    assert sv not in s.versions()  # age-0 stage reclaimed under grace 0
+    assert not os.path.exists(tmp)  # age-0 tmp reclaimed under grace 0
+
+
+def test_declared_schema_read_parity(spark, tmp_path):
+    """_scan with the manifest-declared data schema must return the
+    exact schema AND rows footer inference returns -- including the
+    partition-type re-inference semantics (numeric-looking string
+    partition values come back int on this path) and hidden-partition
+    routing dirs, across a schema-evolution epoch."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    df = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("k"),  # numeric-looking
+        (F.col("id") * 2).alias("amt"),
+    )
+    s = snap.SnapshotStore(spark, root)
+    s.write(df, mode="snapshot", partition_by=["k", "bucket(4, doc_id)"])
+    s.evolve_schema(renames={"amt": "amount"})
+    s.write(
+        df.where("doc_id >= 40").withColumnRenamed("amt", "amount"),
+        mode="append",
+        partition_by=["k", "bucket(4, doc_id)"],
+    )
+
+    declared = s.read()
+    d_schema, d_rows = declared.schema, sorted(map(tuple, declared.collect()))
+
+    inferred_store = snap.SnapshotStore(spark, root)
+    inferred_store._declared_dir_schema = lambda vd, parts: None
+    inferred = inferred_store.read()
+    assert inferred.schema == d_schema
+    assert sorted(map(tuple, inferred.collect())) == d_rows
+
+
 def test_eval_transform_many_mixes_pure_and_spark(spark):
     """The batch planner hook serves twin-supported literals without a
     job and still falls back to Spark for the rest; values map back to
