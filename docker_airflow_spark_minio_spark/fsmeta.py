@@ -47,7 +47,48 @@ def local_path(uri: str) -> str | None:
         return "/" + rest.lstrip("/")
     if "://" in uri:
         return None
+    if not uri.startswith("/"):
+        # Relative bare path: Hadoop resolves it against fs.defaultFS's
+        # working directory, not the driver CWD -- no fast lane.
+        return None
     return uri
+
+
+#: fs.defaultFS scheme check, memoized per SparkContext (the probe is a
+#: py4j round trip -- exactly the cost the lanes exist to avoid).
+_DEFAULT_FS_LOCAL: dict[int, bool] = {}
+
+
+def _bare_paths_local(spark: SparkSession) -> bool:
+    """True when Hadoop resolves SCHEME-LESS paths against the local
+    filesystem (``fs.defaultFS`` is ``file:``, the out-of-the-box
+    default).  On a deployment whose defaultFS is hdfs:// a bare path
+    names a CLUSTER location, so the local fast lanes must decline it
+    (advisor round 13); explicit ``file:`` URIs are unaffected."""
+    sc = spark.sparkContext
+    key = id(sc)
+    hit = _DEFAULT_FS_LOCAL.get(key)
+    if hit is None:
+        raw = (
+            spark._jsc.hadoopConfiguration().get("fs.defaultFS")
+            or "file:///"
+        )
+        hit = raw.startswith("file:")
+        _DEFAULT_FS_LOCAL[key] = hit
+    return hit
+
+
+def _lane(spark: SparkSession, uri: str) -> str | None:
+    """:func:`local_path` gated on :func:`_bare_paths_local` for
+    scheme-less paths -- the shared routing decision of every fast-lane
+    primitive below (calls the module-level ``local_path`` so the
+    parity tests' monkeypatch seam keeps working)."""
+    lp = local_path(uri)
+    if lp is None:
+        return None
+    if uri.startswith("file:") or _bare_paths_local(spark):
+        return lp
+    return None
 
 
 def _fs_and_path(spark: SparkSession, uri: str):
@@ -61,7 +102,7 @@ def _fs_and_path(spark: SparkSession, uri: str):
 def prefix_exists(spark: SparkSession, uri: str) -> bool:
     """True if the prefix/directory exists and is non-empty (guards the
     silver job like the reference's check, job_silver.py:129)."""
-    lp = local_path(uri)
+    lp = _lane(spark, uri)
     if lp is not None:
         if os.path.isfile(lp):
             return True
@@ -78,7 +119,7 @@ def prefix_exists(spark: SparkSession, uri: str) -> bool:
 def prefix_stats(spark: SparkSession, uri: str) -> PrefixStats:
     """Recursive object count + byte sum (full listing, not capped at 1000
     keys like the reference probe, utils.py:99-107)."""
-    lp = local_path(uri)
+    lp = _lane(spark, uri)
     if lp is not None:
         total, size = 0, 0
         if os.path.isfile(lp):
@@ -114,7 +155,7 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
 def delete_prefix(spark: SparkSession, uri: str) -> bool:
     """Recursive delete for idempotent re-ingest (reference bronze dag
     :269-271 deletes the day prefix before refetch)."""
-    lp = local_path(uri)
+    lp = _lane(spark, uri)
     if lp is not None:
         import shutil
 
@@ -135,9 +176,11 @@ def exists(spark: SparkSession, uri: str) -> bool:
     """Plain existence probe (file OR directory, empty counts) -- the
     1:1 twin of Hadoop ``fs.exists``; contrast :func:`prefix_exists`,
     which additionally requires a non-empty listing."""
-    lp = local_path(uri)
+    lp = _lane(spark, uri)
     if lp is not None:
-        return os.path.lexists(lp)
+        # os.path.exists, not lexists: Hadoop's fs.exists stats THROUGH
+        # symlinks (a dangling link reports False) -- advisor round 13.
+        return os.path.exists(lp)
     fs, p = _fs_and_path(spark, uri)
     return bool(fs.exists(p))
 
@@ -157,7 +200,7 @@ def list_entries(spark: SparkSession, uri: str) -> list[DirEntry]:
     """Immediate children of a directory; ``[]`` when it does not exist.
     Local stores use one os.scandir (vs 3-4 py4j round-trips PER CHILD
     for listStatus + getPath().getName() + isDirectory() + getLen())."""
-    lp = local_path(uri)
+    lp = _lane(spark, uri)
     if lp is not None:
         if not os.path.isdir(lp):
             return []
@@ -200,7 +243,7 @@ def list_entries(spark: SparkSession, uri: str) -> list[DirEntry]:
 
 def delete_file(spark: SparkSession, uri: str) -> bool:
     """Non-recursive single-file delete; False when already absent."""
-    lp = local_path(uri)
+    lp = _lane(spark, uri)
     if lp is not None:
         try:
             os.remove(lp)
@@ -252,7 +295,7 @@ def read_bytes(spark: SparkSession, uri: str) -> bytes:
     JVM-side via commons-io (a single py4j round-trip for the whole
     payload instead of one per byte).  The shared read primitive behind
     manifest/tag/WAL record loading."""
-    lp = local_path(uri)
+    lp = _lane(spark, uri)
     if lp is not None:
         with open(lp, "rb") as fh:
             return fh.read()

@@ -76,6 +76,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from .fsmeta import (
+    _bare_paths_local,
     _fs_and_path,
     delete_file,
     delete_prefix,
@@ -187,7 +188,11 @@ def write_atomic_claim(
     deletes the very directories the published file references."""
     tmp = f"{tmp}.{uuid.uuid4().hex[:12]}"
     final_lp, tmp_lp = local_path(final), local_path(tmp)
-    if final_lp is not None and tmp_lp is not None:
+    if (
+        final_lp is not None
+        and tmp_lp is not None
+        and (final.startswith("file:") or _bare_paths_local(spark))
+    ):
         # Pure-Python twin of the file:// branch below: link(2) is the
         # same atomic single-winner primitive java.nio createLink wraps,
         # without the ~10 py4j round-trips per claim (the commit plane
@@ -204,10 +209,15 @@ def write_atomic_claim(
                 f"{what} already committed at {final}"
             ) from None
         except OSError:
+            # A filesystem without hard links (some tmpfs/overlay
+            # mounts): fall back to the Hadoop branch below, whose
+            # java.nio createLink may work through a different mount
+            # view -- and if not, IT raises (same loud failure as
+            # before, one extra attempt).  Advisor round 13.
             os.remove(tmp_lp)
-            raise
-        os.remove(tmp_lp)
-        return
+        else:
+            os.remove(tmp_lp)
+            return
     fs, final_p = _fs_and_path(spark, final)
     scheme = fs.getUri().getScheme()
     buf = bytearray(payload)
@@ -265,7 +275,11 @@ def write_atomic_replace(
     each other's in-flight bytes."""
     tmp = f"{tmp}.{uuid.uuid4().hex[:12]}"
     final_lp, tmp_lp = local_path(final), local_path(tmp)
-    if final_lp is not None and tmp_lp is not None:
+    if (
+        final_lp is not None
+        and tmp_lp is not None
+        and (final.startswith("file:") or _bare_paths_local(spark))
+    ):
         # Pure-Python twin of the file:// branch below (os.replace is
         # rename(2) = REPLACE_EXISTING move), skipping the py4j detour.
         os.makedirs(os.path.dirname(tmp_lp), exist_ok=True)
@@ -736,6 +750,13 @@ class SnapshotStore:
                 path_cols.add(name)
         fields = [f for f in sj["fields"] if f["name"] not in path_cols]
         if not fields:
+            return None
+        if any(not isinstance(f.get("type"), str) for f in fields):
+            # nested struct/array/map: footer inference marks NESTED
+            # levels nullable too; declaring the recorded nested
+            # nullability could diverge -- let Spark infer (advisor
+            # round 13).  Primitive columns (every bench table) keep
+            # the fast lane.
             return None
         # file sources surface data columns nullable; declare the same
         fields = [{**f, "nullable": True} for f in fields]

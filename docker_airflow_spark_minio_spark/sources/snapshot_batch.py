@@ -267,6 +267,22 @@ class _TransformUnsupported(Exception):
 _INT_TYPES = frozenset({"byte", "short", "integer"})
 _EPOCH_DATE = datetime.date(1970, 1, 1)
 
+#: Inclusive value range per integral type: a literal outside its
+#: declared column width does not round-trip through Catalyst's cast
+#: the way the twin's raw int would (wrap/ANSI-error), so the twin
+#: refuses and the Spark evaluator decides (advisor round 13).
+_INT_RANGES = {
+    "byte": (-(1 << 7), (1 << 7) - 1),
+    "short": (-(1 << 15), (1 << 15) - 1),
+    "integer": (-(1 << 31), (1 << 31) - 1),
+    "long": (-(1 << 63), (1 << 63) - 1),
+}
+
+#: Spark's string->integral cast accepts only an optional sign plus
+#: ASCII digits; Python ``int()`` additionally accepts underscores and
+#: unicode digits (which Spark casts to NULL) -- refuse those.
+_ASCII_INT_RX = re.compile(r"[+-]?[0-9]+\Z")
+
 
 def _coerce_literal(value, ftype: str):
     """Mirror ``_eval_transform``'s ``lit(value).cast(field type)`` for
@@ -274,14 +290,16 @@ def _coerce_literal(value, ftype: str):
     if isinstance(value, bool):
         raise _TransformUnsupported(ftype)
     if ftype in _INT_TYPES or ftype == "long":
-        if isinstance(value, int):
-            return value
         if isinstance(value, str):
-            try:
-                return int(value)
-            except ValueError:
-                raise _TransformUnsupported(ftype) from None
-        raise _TransformUnsupported(ftype)
+            if not _ASCII_INT_RX.match(value):
+                raise _TransformUnsupported(ftype)
+            value = int(value)
+        if not isinstance(value, int):
+            raise _TransformUnsupported(ftype)
+        lo, hi = _INT_RANGES[ftype]
+        if not lo <= value <= hi:
+            raise _TransformUnsupported(ftype)
+        return value
     if ftype == "string":
         if isinstance(value, str):
             return value

@@ -26,6 +26,23 @@ def test_local_path_routing():
     assert fsmeta.local_path("hdfs://nn/k") is None
     assert fsmeta.local_path("mockfs://x/k") is None
     assert fsmeta.local_path("mocks3://x/k") is None
+    # RELATIVE bare paths resolve against Hadoop's working dir, not the
+    # driver CWD -- no fast lane (advisor round 13)
+    assert fsmeta.local_path("rel/path") is None
+    assert fsmeta.local_path("") is None
+
+
+def test_lane_declines_bare_paths_on_nonlocal_defaultfs(spark, monkeypatch):
+    """When fs.defaultFS is not file:, a scheme-less path names a
+    CLUSTER location -- the fast lanes must route it to Hadoop, while
+    explicit file: URIs keep the lane (advisor round 13)."""
+    assert fsmeta._bare_paths_local(spark) is True  # out-of-the-box
+    assert fsmeta._lane(spark, "/tmp/x") == "/tmp/x"
+    monkeypatch.setitem(
+        fsmeta._DEFAULT_FS_LOCAL, id(spark.sparkContext), False
+    )
+    assert fsmeta._lane(spark, "/tmp/x") is None
+    assert fsmeta._lane(spark, "file:///tmp/x") == "/tmp/x"
 
 
 @pytest.fixture()
@@ -108,6 +125,26 @@ def test_atomic_claim_conflict_both_lanes(spark, tmp_path, monkeypatch):
         ] == []
 
 
+def test_atomic_claim_oserror_falls_back_to_hadoop(
+    spark, tmp_path, monkeypatch
+):
+    """A filesystem without hard links (os.link raising a generic
+    OSError) must not fail the claim outright: the Hadoop branch gets
+    one attempt (advisor round 13).  Conflict semantics are preserved
+    through the fallback."""
+    def _no_link(src, dst):
+        raise OSError(95, "Operation not supported")
+
+    monkeypatch.setattr(snap.os, "link", _no_link)
+    d = tmp_path / "nolink"
+    d.mkdir()
+    final, tmp = f"{d}/m.json", f"{d}/.m.tmp"
+    snap.write_atomic_claim(spark, final, b"one", tmp, what="t")
+    assert open(final, "rb").read() == b"one"
+    with pytest.raises(snap.SnapshotConflict):
+        snap.write_atomic_claim(spark, final, b"two", tmp, what="t")
+
+
 def test_expire_grace_zero_reclaims_same_millisecond(
     spark, tmp_path, monkeypatch
 ):
@@ -155,10 +192,18 @@ def test_declared_schema_read_parity(spark, tmp_path):
         (F.col("id") * 2).alias("amt"),
     )
     s = snap.SnapshotStore(spark, root)
-    s.write(df, mode="snapshot", partition_by=["k", "bucket(4, doc_id)"])
-    s.evolve_schema(renames={"amt": "amount"})
     s.write(
-        df.where("doc_id >= 40").withColumnRenamed("amt", "amount"),
+        df.where("doc_id < 30"),
+        mode="snapshot",
+        partition_by=["k", "bucket(4, doc_id)"],
+    )
+    s.evolve_schema(renames={"amt": "amount"})
+    # non-empty post-evolution slice: the appended epoch's files
+    # physically carry the RENAMED column, so the declared-schema lane
+    # is exercised against a renamed-column dir (advisor round 13: the
+    # old `doc_id >= 40` slice was empty, making this leg vacuous)
+    s.write(
+        df.where("doc_id >= 30").withColumnRenamed("amt", "amount"),
         mode="append",
         partition_by=["k", "bucket(4, doc_id)"],
     )

@@ -123,6 +123,34 @@ def test_transform_twins_vs_spark(spark):
             ), (spec, ftype, v)
 
 
+def test_transform_twin_refuses_cast_corner_cases():
+    """Literals whose Catalyst cast semantics the twin cannot replicate
+    must raise _TransformUnsupported (-> the Spark evaluator decides):
+    out-of-range ints for narrow integral columns, and strings Python
+    int() accepts but Spark's cast nulls (underscores, unicode digits).
+    Advisor round 13."""
+    from docker_airflow_spark_minio_spark.sources.snapshot_batch import (
+        _TransformUnsupported,
+    )
+
+    spec = {"kind": "bucket", "src": "c", "arg": 8}
+    refuse = [
+        ("byte", 300), ("byte", -200),
+        ("short", 1 << 20), ("integer", 1 << 33),
+        ("long", 1 << 70),
+        ("integer", "1_0"), ("long", "１２３"), ("integer", " 7"),
+        ("integer", "7.0"), ("long", "0x10"),
+    ]
+    for ftype, v in refuse:
+        with pytest.raises(_TransformUnsupported):
+            eval_transform_pure(spec, v, ftype)
+    # in-range values and plain ASCII digit strings still evaluate
+    assert eval_transform_pure(spec, 127, "byte") == eval_transform_pure(
+        spec, "127", "byte"
+    )
+    assert eval_transform_pure(spec, "-42", "integer") is not None
+
+
 # ---------------------------------------------------------------------------
 # SQL path == API path
 # ---------------------------------------------------------------------------
