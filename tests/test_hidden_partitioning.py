@@ -337,3 +337,29 @@ def test_changelog_null_fills_additive_columns(spark, tmp_path):
     )
     ch = s.read_changes(-1).orderBy("_commit_version").collect()
     assert [(r["id"], r["amt"]) for r in ch] == [(1, None), (2, 20)]
+
+
+def test_transform_write_clusters_output_files(spark, tmp_path):
+    """A transform-spec write CLUSTERS the frame by the physical
+    partition columns before writing (the Iceberg
+    write.distribution-mode=hash analog): callers cannot pre-cluster on
+    hidden derived columns, and an unclustered many-task frame would
+    otherwise write up to tasks x |spec values| tiny files per commit.
+    Pinned: file count stays O(|buckets|), not O(tasks x buckets), and
+    rows round-trip exactly."""
+    import os
+
+    df = spark.range(0, 4000, 1, 16).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("amt")
+    )
+    root = str(tmp_path / "t")
+    s = SnapshotStore(spark, root)
+    s.write(df, mode="snapshot", partition_by=["bucket(8, doc_id)"])
+    n_files = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(f"{root}/data")
+    )
+    # 16 input tasks x 8 buckets = 128 unclustered; clustered stays at
+    # or below the shuffle-partition count (AQE may coalesce further)
+    assert n_files <= 16, n_files
+    assert s.read().count() == 4000
