@@ -2789,6 +2789,14 @@ class SnapshotStore:
         tcols = t.columns
         ttypes = {f.name: f.dataType for f in t.schema.fields}
         on_col = F.expr(on) if isinstance(on, str) else on
+        # Materialize the source ONCE (Delta's merge source
+        # materialization): the clauses below otherwise re-evaluate it
+        # per action -- touched-partition semi/anti probe, cardinality
+        # aggregate, final outer join -- which for a snapshot-table or
+        # subquery source re-runs its whole scan each time (guide §5
+        # reuse).  Also pins a nondeterministic source to one
+        # evaluation, so every arm sees identical rows.
+        source = source.localCheckpoint(eager=True)
         s_marked = source.withColumn("__m", F.lit(1)).alias(source_alias)
 
         # -- inserts: source rows matching NO target row, first

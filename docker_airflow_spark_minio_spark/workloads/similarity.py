@@ -1592,21 +1592,31 @@ def ann_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    assigned = base.crossJoin(F.broadcast(cents1)).select(
-        "vec_id",
-        "v",
-        (-F.array_max(_scored_cents("v"))["neg_list"]).alias("list_id"),
+    # REBALANCE by the partition column before the partitioned write
+    # (guide §6): the assignment map's output is task-scattered across
+    # every list, so an unclustered write lands tasks x |lists| tiny
+    # files; clustered it is one file per list (AQE splits a hot list).
+    assigned = (
+        base.crossJoin(F.broadcast(cents1))
+        .select(
+            "vec_id",
+            "v",
+            (-F.array_max(_scored_cents("v"))["neg_list"]).alias("list_id"),
+        )
+        .hint("rebalance", "list_id")
     )
     asg_store = SnapshotStore(spark, f"{root}/assignments")
     asg_store.write(assigned, mode="snapshot", partition_by=["list_id"])
     # incremental arrival: routed by the COMMITTED quantizer (frozen --
     # read back from the table, never the in-memory training frame)
     asg_store.write(
-        batch.crossJoin(F.broadcast(cents1)).select(
+        batch.crossJoin(F.broadcast(cents1))
+        .select(
             "vec_id",
             "v",
             (-F.array_max(_scored_cents("v"))["neg_list"]).alias("list_id"),
-        ),
+        )
+        .hint("rebalance", "list_id"),
         mode="append",
         partition_by=["list_id"],
     )
@@ -1724,14 +1734,18 @@ def ann_ivf_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg_store = SnapshotStore(spark, f"{root}/assignments")
     for frame, mode in ((base.select("vec_id", "v"), "snapshot"),
                         (batch, "append")):
+        # rebalance by the partition column before the partitioned
+        # write (guide §6) -- see ann_ivf_persisted_index
         asg_store.write(
-            frame.crossJoin(F.broadcast(cents)).select(
+            frame.crossJoin(F.broadcast(cents))
+            .select(
                 "vec_id",
                 "v",
                 (-F.array_max(_scored_cents("v"))["neg_list"]).alias(
                     "list_id"
                 ),
-            ),
+            )
+            .hint("rebalance", "list_id"),
             mode=mode,
             partition_by=["list_id"],
         )
