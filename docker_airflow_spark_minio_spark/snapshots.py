@@ -2989,7 +2989,9 @@ class SnapshotStore:
         final = survivors.unionByName(ins) if ins is not None else survivors
         if pby:
             ident = [c for c in pby if c in final.columns]
-            if ident:
+            if ident and not trans:
+                # transform-spec tables skip this: write() rebalances
+                # by the FULL physical spec (incl. derived columns)
                 final = final.repartition(*ident)
             return self.write(
                 final,
@@ -3236,6 +3238,7 @@ class SnapshotStore:
         ndv_cols: list[str] | None = None,
         _mixed_spec_overwrite_ok: bool = False,
         require_parent_v: int | None = None,
+        _cluster_spec: bool = True,
     ) -> int:
         """Commit ``df`` as a new snapshot; returns the committed version.
 
@@ -3424,9 +3427,14 @@ class SnapshotStore:
             # plain repartition) so AQE coalesces the shuffle on small
             # batches and SPLITS an oversized partition value on big
             # ones -- scale-adaptive, never a skewed single writer.
-            from pyspark.sql import functions as F
+            # ``_cluster_spec=False`` is for callers that ARRANGED a
+            # layout themselves (compaction's file-sizing salt, z-order
+            # range partitioning) -- a rebalance here would shuffle it
+            # away.
+            if _cluster_spec:
+                from pyspark.sql import functions as F
 
-            df = df.hint("rebalance", *[F.col(c) for c in pby])
+                df = df.hint("rebalance", *[F.col(c) for c in pby])
         if parent is not None and parent["partition_by"] != pby:
             if not evolve_partitioning:
                 raise ValueError(
@@ -6034,6 +6042,10 @@ class SnapshotStore:
             df,
             mode="overwrite_partitions",
             partition_by=pby,
+            # compaction arranged its own layout above (spec clustering,
+            # file-sizing salt, or z-order ranges) -- write() must not
+            # rebalance it away on transform-spec tables
+            _cluster_spec=False,
             # CLAIM every rewritten partition: one whose rows were all
             # masked by merge-on-read deletes writes back EMPTY and must
             # be dropped from the map, not left pointing at the old dir
