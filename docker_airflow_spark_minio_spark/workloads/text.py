@@ -315,22 +315,32 @@ TFIDF_TOP_K = 3
     "term, bounded by vocabulary), rounded so ln() ulp noise is buried",
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the corpus is tokenized ONCE -- df(term) is a window
+    count over the tf relation (one row per (doc, term), so rows-per-term
+    = distinct docs containing the term), not a second explode + distinct
+    aggregate + join.  One scan, three exchanges (tf agg, term window,
+    doc_id window), no join; the exploded token stream is shuffled
+    exactly once."""
     docs = load_tables(spark, sf_dir)["documents"]
     # corpus size is quantizer-style metadata: one count, inlined as a
     # literal (the oracle's scalar subquery)
     n_docs = docs.count()
+    from pyspark.sql.window import Window
+
     tok = docs.select("doc_id", F.explode(tokens_expr("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df, "term").select(
+    # tf has one row per (doc_id, term), so count(*) per term IS the
+    # document frequency -- same long the countDistinct join produced.
+    wdf = Window.partitionBy("term")
+    scored = tf.select(
         "doc_id",
         "term",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            F.col("tf")
+            * F.log(F.lit(float(n_docs)) / F.count(F.lit(1)).over(wdf)),
+            6,
         ).alias("tfidf"),
     )
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -513,33 +523,44 @@ VOCAB_SIZE = 256
     "tokenizer-budget decision numbers",
 )
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale notes: the vocab is a TakeOrdered partial top-k over the
-    token-count aggregate (never a global sort of the vocabulary), and
-    membership is a broadcast left join of the V-row vocab against the
-    token stream -- map-side, no shuffle of occurrences; the roll-up
-    aggregates (lang) keys only.  At 100 TB the only wide exchange is
-    the token-count groupBy, which map-side combines."""
+    """Scale notes: the corpus is tokenized ONCE -- occurrences are
+    pre-aggregated to one (lang, token, occ) row per type before
+    anything else, and BOTH branches (the global token-count feeding the
+    top-V vocab, and the marked roll-up) hang off that same aggregate,
+    so its exchange is planned once and reused (ReusedExchange).  The
+    vocab is a TakeOrdered partial top-k (never a global sort of the
+    vocabulary), membership is a broadcast left join of the V-row vocab
+    against the TYPE relation (map-side, no shuffle of occurrences), and
+    the distinct-type counts are plain counts over (lang, token) rows --
+    no countDistinct expansion of the occurrence stream.  At 100 TB the
+    only wide exchange is the (lang, token) groupBy, which map-side
+    combines."""
     docs = load_tables(spark, sf_dir)["documents"]
     tok = docs.select("lang", F.explode(tokens_expr("text")).alias("token"))
-    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # one row per (lang, token) TYPE with its occurrence count; both
+    # consumers below share this subtree (one tokenization pass)
+    lt = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("occ"))
+    cnt = lt.groupBy("token").agg(F.sum("occ").alias("cnt"))
     vocab = (
         cnt.orderBy(F.col("cnt").desc(), "token")
         .limit(VOCAB_SIZE)
         .select("token", F.lit(1).alias("in_vocab_flag"))
     )
-    marked = tok.join(F.broadcast(vocab), "token", "left").select(
+    marked = lt.join(F.broadcast(vocab), "token", "left").select(
         "lang",
-        "token",
+        "occ",
         F.coalesce("in_vocab_flag", F.lit(0)).alias("in_vocab"),
     )
     return (
         marked.groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("n_occurrences"),
-            F.sum("in_vocab").alias("covered_occurrences"),
-            F.countDistinct("token").alias("n_types"),
-            F.countDistinct(
-                F.when(F.col("in_vocab") == 0, F.col("token"))
+            F.sum("occ").alias("n_occurrences"),
+            F.sum(
+                F.when(F.col("in_vocab") == 1, F.col("occ")).otherwise(F.lit(0))
+            ).alias("covered_occurrences"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(
+                F.when(F.col("in_vocab") == 0, F.lit(1)).otherwise(F.lit(0))
             ).alias("oov_types"),
         )
         .withColumn(
