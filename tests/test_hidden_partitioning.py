@@ -363,3 +363,44 @@ def test_transform_write_clusters_output_files(spark, tmp_path):
     # or below the shuffle-partition count (AQE may coalesce further)
     assert n_files <= 16, n_files
     assert s.read().count() == 4000
+
+
+def test_identity_write_clusters_unarranged_frames(spark, tmp_path):
+    """An identity-partitioned write clusters a frame whose layout is
+    incidental (scan/join/aggregate shape) to the spec, but leaves a
+    caller-ARRANGED layout untouched: an explicit repartition /
+    repartitionByRange / sortWithinPartitions frame keeps its file
+    shaping (zone-map envelopes, forced multi-file commits depend on
+    it).  Pinned: unarranged file count stays O(|values|), arranged
+    stays O(tasks x values), and rows round-trip exactly."""
+    import os
+
+    def n_files(root):
+        return sum(
+            len([f for f in fs if f.endswith(".parquet")])
+            for _, _, fs in os.walk(f"{root}/data")
+        )
+
+    df = spark.range(0, 4000, 1, 16).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("day"),
+    )
+    plain = str(tmp_path / "plain")
+    s = SnapshotStore(spark, plain)
+    s.write(df, mode="snapshot", partition_by=["day"])
+    # 16 tasks x 5 days = 80 unclustered; clustered = one rebalanced
+    # shuffle keyed on day (AQE may coalesce below |values|)
+    assert n_files(plain) <= 16, n_files(plain)
+    assert s.read().count() == 4000
+
+    arranged = str(tmp_path / "arranged")
+    s2 = SnapshotStore(spark, arranged)
+    # the zone-map pattern: deliberately range-clustered by a NON-spec
+    # column -- the write must not shuffle this away
+    s2.write(
+        df.repartitionByRange(8, "doc_id"),
+        mode="snapshot",
+        partition_by=["day"],
+    )
+    assert n_files(arranged) > 16, n_files(arranged)
+    assert s2.read().count() == 4000
