@@ -558,6 +558,16 @@ _LAYOUT_OWNING_NODES = frozenset(
     {"Sort", "Repartition", "RepartitionByExpression", "RebalancePartitions"}
 )
 
+#: Alias name a data producer attaches ABOVE a repartition it inserted
+#: purely as an input-parallelism defense (not a layout): everything
+#: below a ``SubqueryAlias`` with this name is INCIDENTAL to
+#: :func:`_caller_arranged_layout`, so identity-partitioned writes of
+#: such frames still gain the spec-keyed rebalance.  A caller arranging
+#: a layout ON TOP of a marked frame (their own repartition/sort) sits
+#: above the marker in the plan and is found first -- deliberate
+#: layouts always win.
+INCIDENTAL_LAYOUT_ALIAS = "__incidental_layout__"
+
 
 def _caller_arranged_layout(df: DataFrame) -> bool:
     """True when the caller deliberately arranged ``df``'s physical
@@ -582,6 +592,14 @@ def _caller_arranged_layout(df: DataFrame) -> bool:
             if name in _LAYOUT_OWNING_NODES:
                 return True
             if name not in _LAYOUT_TRANSPARENT_NODES:
+                return False
+            if (
+                name == "SubqueryAlias"
+                and plan.alias() == INCIDENTAL_LAYOUT_ALIAS
+            ):
+                # Everything below the marker is a producer-inserted
+                # parallelism defense, not a layout -- stop before the
+                # repartition underneath can masquerade as arranged.
                 return False
             plan = plan.children().apply(0)
     except Exception:  # noqa: BLE001 -- Connect frames, plan API drift

@@ -387,10 +387,20 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     wall-clock at sf0.1).  Repartition only when the scan has fewer
     partitions than cores: at real scale the table has many files >>
     cores and this is a no-op -- no 100 TB shuffle is ever introduced,
-    it only defends the small-file edge."""
+    it only defends the small-file edge.
+
+    The repartition is marked with :data:`INCIDENTAL_LAYOUT_ALIAS` so
+    the snapshot write side's :func:`_caller_arranged_layout` probe
+    does not mistake this parallelism defense for a deliberately
+    arranged layout: without the marker, every identity-partitioned
+    write of a documents/embeddings-derived frame skipped the spec
+    clustering and wrote tasks x |partition values| files per commit
+    (measured 160 files/commit at sf0.1 on local[32])."""
+    from ..snapshots import INCIDENTAL_LAYOUT_ALIAS
+
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+        df = df.repartition(target).alias(INCIDENTAL_LAYOUT_ALIAS)
     return df
 
 

@@ -404,3 +404,49 @@ def test_identity_write_clusters_unarranged_frames(spark, tmp_path):
     )
     assert n_files(arranged) > 16, n_files(arranged)
     assert s2.read().count() == 4000
+
+
+def test_incidental_spread_repartition_still_clusters(spark, tmp_path):
+    """A repartition a data PRODUCER inserted purely as an input-
+    parallelism defense (workloads.base._spread over a single-file
+    table) is marked with INCIDENTAL_LAYOUT_ALIAS and must NOT count as
+    a caller-arranged layout: the identity write still clusters to the
+    spec (without the marker, every documents/embeddings-derived write
+    produced tasks x |values| files -- 160/commit at sf0.1).  A caller
+    arranging a layout ON TOP of the marked frame sits above the marker
+    and still wins."""
+    import os
+
+    from docker_airflow_spark_minio_spark.snapshots import (
+        INCIDENTAL_LAYOUT_ALIAS,
+        _caller_arranged_layout,
+    )
+
+    def n_files(root):
+        return sum(
+            len([f for f in fs if f.endswith(".parquet")])
+            for _, _, fs in os.walk(f"{root}/data")
+        )
+
+    spread = (
+        spark.range(0, 4000, 1, 1)
+        .repartition(16)
+        .alias(INCIDENTAL_LAYOUT_ALIAS)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 5).cast("string").alias("day"),
+        )
+        .where("doc_id >= 0")
+    )
+    assert not _caller_arranged_layout(spread)
+    # a deliberate arrangement above the marker still owns the layout
+    assert _caller_arranged_layout(spread.repartition(8))
+    assert _caller_arranged_layout(spread.repartitionByRange(4, "doc_id"))
+
+    root = str(tmp_path / "t")
+    s = SnapshotStore(spark, root)
+    s.write(spread, mode="snapshot", partition_by=["day"])
+    # 16 spread tasks x 5 days = 80 unclustered; the marker restores
+    # the spec-keyed rebalance (AQE may coalesce below |values|)
+    assert n_files(root) <= 16, n_files(root)
+    assert s.read().count() == 4000
