@@ -342,14 +342,20 @@ class IncrementalMatView:
                     # a recomputed partition may now be EMPTY (every
                     # row deleted): claim it so the overwrite removes it
                     claimed = del_vals
-                partial = self._partial(delta)
+                # Materialize the delta partial ONCE (localCheckpoint,
+                # guide §5 reuse -- within this refresh evaluation
+                # only): both the touched-partition probe and the merge
+                # write read it, so the appended-dirs scan+aggregation
+                # runs once instead of twice.  partition_by is a subset
+                # of group_by (checked in __init__), so the partial's
+                # group rows project to exactly the delta's distinct
+                # partition tuples.
+                partial = self._partial(delta).localCheckpoint()
                 # O(affected partitions) driver rows -- the same
                 # cardinality the overwrite commit itself must track.
-                # Probed on the raw delta (a shuffle of the partition
-                # columns only), not on ``partial``, which would
-                # recompute the whole delta aggregation just to list
-                # its groups.
-                vals = delta.select(*self.partition_by).distinct().collect()
+                vals = (
+                    partial.select(*self.partition_by).distinct().collect()
+                )
                 dirs = [
                     hive_partition_dir(
                         self.spark,
