@@ -248,6 +248,13 @@ def clear_persist_caches() -> None:
         for cache in _PERSIST_CACHES:
             cache.clear()
         _TABLE_CACHE.clear()
+        # plan-level relation memo (snapshots._PQ_PLAN_MEMO): keys carry
+        # attempt-unique vdir uuids so cross-sweep hits cannot happen,
+        # but clear it anyway -- sweep independence should not rest on
+        # an argument
+        from ..snapshots import _PQ_PLAN_MEMO
+
+        _PQ_PLAN_MEMO.clear()
 
 # Lazy table plans per (session, sf_dir).  Re-deriving them costs a
 # parquet footer/schema analysis per table per query -- ~1s of driver
